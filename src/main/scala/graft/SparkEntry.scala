@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine is organized as operator modules (graft.operators.*,
+  * graft.streaming.*, graft.ml.*), each exposing `queries` (the Spark
+  * implementation) and `oracles` (the DuckDB-equivalent SQL the driver
+  * hash-compares against). This object is just the union.
+  */
 object SparkEntry {
+  private val modules: Seq[(Map[String, Q], Map[String, String])] = Seq(
+    (operators.Scans.queries, operators.Scans.oracles),
+    (operators.Projections.queries, operators.Projections.oracles),
+    (operators.Joins.queries, operators.Joins.oracles),
+    (operators.Aggregates.queries, operators.Aggregates.oracles)
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("agg_groupby_q1")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (SURVEY §2's ✘ rows) get the
+    * driver's weaker rows-only check and are unit-tested instead. */
+  def oracleSql: Map[String, String] =
+    modules.map(_._2).reduce(_ ++ _)
 }

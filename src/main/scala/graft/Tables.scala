@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central fixture-table loaders (SURVEY §1.2).
+  *
+  * Every query reads through here so scale-sensitive decisions (the
+  * events nanosecond fix, future bucketing/partition hints) live in ONE
+  * place. All loads are plain parquet scans — Catalyst pushes filters
+  * and prunes columns declared downstream, so these stay cheap at any
+  * scale factor.
+  */
+object Tables {
+  private def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `events.ts` is parquet timestamp[ns], which Spark 4 refuses to read
+    * (`PARQUET_TYPE_ILLEGAL`). Read it as raw Long nanoseconds via the
+    * legacy flag, then integer-divide to microseconds (`div`, NOT `/` —
+    * float division loses precision above 2^53) and rebuild a timestamp.
+    * Matches DuckDB's native ns→µs truncation exactly (SURVEY §7.2 #1).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+}

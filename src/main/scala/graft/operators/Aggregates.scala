@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{Canon, Q, Tables}
+import graft.Canon.{sql => O}
+import org.apache.spark.sql.functions._
+
+/** §2.4 — aggregation. All shapes ride Spark's partial+final hash
+  * aggregation (map-side combine), so shuffled bytes are proportional
+  * to |groups|, not |rows| — the property that matters at 100 TB.
+  * ROLLUP/CUBE/GROUPING SETS expand in the Expand operator before the
+  * shuffle; distinct counts use Spark's two-phase expand plan.
+  */
+object Aggregates {
+  val queries: Map[String, Q] = Map(
+    "agg_groupby_q1" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          Canon.sumDec(col("l_extendedprice"), 2).as("sum_base_price"),
+          Canon.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          Canon.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          Canon.r4(avg(col("l_quantity"))).as("avg_qty"),
+          Canon.r4(Canon.sumDec(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          Canon.r4(Canon.sumDec(col("l_discount"), 2) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "agg_having" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 12)
+        .orderBy("o_custkey")
+    }),
+    "agg_distinct_count" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type").agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    }),
+    "agg_multi_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("value")).as("n_values"))
+        .orderBy("event_type")
+    }),
+    "agg_approx_distinct" -> ((s, d) => {
+      // HLL++ sketch — no DuckDB hash parity by design (✘ key);
+      // unit-tested within ±5% of the exact count.
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    }),
+    "agg_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+    "agg_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT coalesce(l_returnflag, '(all)') AS rf,
+          |       coalesce(l_linestatus, '(all)') AS ls,
+          |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |       count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+    "agg_stats" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        Canon.r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        Canon.r4(var_samp(col("l_quantity"))).as("var_qty"),
+        Canon.r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+    }),
+    "agg_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(Canon.r4(expr("percentile(o_totalprice, 0.5)")).as("median_price"))
+        .orderBy("o_orderstatus")
+    }),
+    "agg_collect_sorted" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_groupby_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  ${O.sumDec("l_extendedprice", 2)} AS sum_base_price,
+        |  ${O.sumDec("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+        |  ${O.sumDec("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+        |  ${O.r4("avg(l_quantity)")} AS avg_qty,
+        |  ${O.r4(O.sumDec("l_extendedprice", 2) + " / count(*)")} AS avg_price,
+        |  ${O.r4(O.sumDec("l_discount", 2) + " / count(*)")} AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_having" ->
+      """SELECT o_custkey, count(*) AS n FROM orders
+        |GROUP BY o_custkey HAVING count(*) >= 12 ORDER BY o_custkey""".stripMargin,
+    "agg_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_multi_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |       count(DISTINCT value) AS n_values
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+        |       coalesce(l_linestatus, '(all)') AS ls,
+        |       CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |       CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "agg_stats" ->
+      s"""SELECT ${O.r4("stddev_samp(l_quantity)")} AS sd_qty,
+        |  ${O.r4("var_samp(l_quantity)")} AS var_qty,
+        |  ${O.r4("corr(l_quantity, l_extendedprice)")} AS corr_qty_price,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin,
+    "agg_percentile" ->
+      s"""SELECT o_orderstatus, ${O.r4("quantile_cont(o_totalprice, 0.5)")} AS median_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT o_orderstatus, string_agg(p, ',' ORDER BY p) AS priorities
+        |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority AS p FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

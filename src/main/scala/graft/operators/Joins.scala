@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.{Canon, Q, Tables}
+import graft.Canon.{sql => O}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 — joins.
+  *
+  * Scale notes (100 TB): dims (region/nation/part/supplier/customer at
+  * TPC-H ratios) stay broadcastable — `broadcast()` is explicit where
+  * the optimizer must not fall back to shuffle. Fact-fact joins
+  * (lineitem⋈orders) are sort-merge on the join key; AQE handles skew
+  * splitting at runtime. The as-of join is expressed as union+window so
+  * it needs ONE shuffle by user_id instead of a per-row subquery.
+  */
+object Joins {
+  val queries: Map[String, Q] = Map(
+    "join_inner_broadcast" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), Canon.sumDec(col("l_extendedprice"), 2).as("rev"))
+        .orderBy("p_brand")
+    }),
+    "join_inner_shufflemerge" -> ((s, d) => {
+      Tables.lineitem(s, d).hint("merge")
+        .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+    "join_multiway_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(Canon.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .orderBy("n_name")
+    }),
+    "join_left_outer" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    "join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("nk_c") === col("nk_s"), "full")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+    "join_semi" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    "join_anti" -> ((s, d) => {
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+    "join_range_theta" -> ((s, d) => {
+      // equi key + band predicate: planned as SMJ on the key with the
+      // band as a post-join filter — no cartesian blowup at scale.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") >= col("o_orderdate")
+            && col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+    "join_asof" -> ((s, d) => {
+      // For each error event: most recent click (ts <= error ts) by the
+      // same user. Union + running `last(click_ts)` = one shuffle by
+      // user_id; DuckDB oracle uses its native ASOF LEFT JOIN.
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts")).distinct()
+        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+          lit(0).as("kind"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("kind").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(errors)
+        .withColumn("click_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"),
+          Canon.tsStrMicros(col("ts")).as("error_ts"),
+          Canon.tsStrMicros(col("click_ts")).as("click_ts"))
+        .orderBy("event_id")
+    }),
+    "join_cross_small" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_regionkey", "n_nationkey")
+        .orderBy("r_regionkey", "n_nationkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_inner_broadcast" ->
+      s"""SELECT p_brand, count(*) AS n, ${O.sumDec("l_extendedprice", 2)} AS rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_inner_shufflemerge" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_multiway_revenue" ->
+      s"""SELECT n_name, ${O.sumDec("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS nationkey,
+        |       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_range_theta" ->
+      """SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_asof" ->
+      """WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |                FROM events WHERE event_type = 'error'),
+        |     clicks AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |                FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+        |FROM errors e ASOF LEFT JOIN clicks c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "join_cross_small" ->
+      """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin
+  )
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.{Canon, Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** §2.1 — scans/sources. Filters and projections sit directly on the
+  * parquet scan so Catalyst pushes them down (verify with
+  * `.explain`: PushedFilters + pruned ReadSchema). At 100 TB that is
+  * the difference between reading 4 columns of a few row groups and
+  * reading everything.
+  */
+object Scans {
+  val queries: Map[String, Q] = Map(
+    "scan_parquet_project_filter" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < "1996-01-01" && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "scan_events_nanos" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), Canon.tsStrMicros(col("ts")).as("ts_str"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .orderBy("event_id")
+    }),
+    "scan_union_rowcounts" -> ((s, d) => {
+      val names = Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+      names.map { n =>
+        val df = if (n == "events") Tables.events(s, d)
+                 else s.read.parquet(s"$d/$n.parquet")
+        df.agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n"))
+      }.reduce(_ unionByName _).orderBy("tbl")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_parquet_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "scan_events_nanos" ->
+      """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+        |       user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "scan_union_rowcounts" ->
+      """SELECT 'region' AS tbl, count(*) AS n FROM region
+        |UNION ALL SELECT 'nation', count(*) FROM nation
+        |UNION ALL SELECT 'customer', count(*) FROM customer
+        |UNION ALL SELECT 'supplier', count(*) FROM supplier
+        |UNION ALL SELECT 'part', count(*) FROM part
+        |UNION ALL SELECT 'orders', count(*) FROM orders
+        |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+        |UNION ALL SELECT 'events', count(*) FROM events
+        |UNION ALL SELECT 'documents', count(*) FROM documents
+        |UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+        |ORDER BY tbl""".stripMargin
+  )
+}
