@@ -14,7 +14,10 @@ object SparkEntry {
     (operators.Scans.queries, operators.Scans.oracles),
     (operators.Projections.queries, operators.Projections.oracles),
     (operators.Joins.queries, operators.Joins.oracles),
-    (operators.Aggregates.queries, operators.Aggregates.oracles)
+    (operators.Aggregates.queries, operators.Aggregates.oracles),
+    (operators.Windows.queries, operators.Windows.oracles),
+    (operators.SetOps.queries, operators.SetOps.oracles),
+    (operators.Scalars.queries, operators.Scalars.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.{Canon, Q, Tables}
+import graft.Canon.{sql => O}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 window functions + §2.6 sort/limit/top-k.
+  *
+  * Scale notes: every window here partitions by a high-cardinality key
+  * (custkey/user_id/orderstatus) so state per partition stays bounded;
+  * none uses a global single-partition window except `window_ranks`,
+  * which at 100 TB would be re-expressed per-shard + merge (documented
+  * there). `topk_global` relies on Catalyst's TakeOrderedAndProject —
+  * O(k) memory per partition, no global sort.
+  */
+object Windows {
+  val queries: Map[String, Q] = Map(
+    "window_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+    "window_ranks" -> ((s, d) => {
+      // Rank over a coarse band so ties are REAL (rank vs dense_rank
+      // differ); ntile gets a fully tie-broken order so its arbitrary
+      // tie-splitting is deterministic. A single global window like
+      // this is fine at fixture scale; at 100 TB rank over a band
+      // column would be computed per-range-partition then offset.
+      val banded = Tables.orders(s, d)
+        .select(col("o_orderkey"), floor(col("o_totalprice") / 10000).cast("long").as("band"))
+      val w1 = Window.orderBy(col("band").desc)
+      val w2 = Window.orderBy(col("band").desc, col("o_orderkey").asc)
+      banded
+        .withColumn("rnk", rank().over(w1).cast("long"))
+        .withColumn("drnk", dense_rank().over(w1).cast("long"))
+        .withColumn("prnk", Canon.r4(percent_rank().over(w1)))
+        .withColumn("tile", ntile(4).over(w2).cast("long"))
+        .orderBy("o_orderkey")
+    }),
+    "window_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("next_event", lead(col("event_id"), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"),
+          col("next_event"))
+        .orderBy("event_id")
+    }),
+    "window_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("cum_spend", Canon.r4(sum(col("o_totalprice")).over(w)))
+        .select("o_custkey", "o_orderkey", "cum_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "window_sliding_avg" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-3, 0)
+      Tables.orders(s, d)
+        .withColumn("mavg", Canon.r4(avg(col("o_totalprice")).over(w)))
+        .select("o_orderkey", "o_orderstatus", "mavg")
+        .orderBy("o_orderkey")
+    }),
+    "window_range_frame" -> ((s, d) => {
+      // RANGE frame over a value column. Aggregates inside the frame
+      // are integer-exact (count + key sum) so segment-tree vs
+      // sequential evaluation order cannot drift.
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").asc)
+        .rangeBetween(-10000L, 0L)
+      Tables.orders(s, d)
+        .withColumn("n_in_range", count(lit(1)).over(w))
+        .withColumn("key_sum", sum(col("o_orderkey")).over(w))
+        .select("o_orderkey", "o_orderstatus", "n_in_range", "key_sum")
+        .orderBy("o_orderkey")
+    }),
+    // ---- §2.6 sort / limit / top-k ----
+    "sort_multikey" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+        .orderBy(col("o_orderstatus").asc, col("o_orderpriority").desc, col("o_orderkey").asc)
+    }),
+    "topk_global" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+    }),
+    "limit_offset" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderkey").asc)
+        .offset(10).limit(20)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "window_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, rn, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_ranks" ->
+      s"""WITH t AS (SELECT o_orderkey,
+        |             CAST(floor(o_totalprice / 10000) AS BIGINT) AS band FROM orders)
+        |SELECT o_orderkey, band,
+        |  CAST(rank() OVER w1 AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w1 AS BIGINT) AS drnk,
+        |  ${O.r4("percent_rank() OVER w1")} AS prnk,
+        |  CAST(ntile(4) OVER w2 AS BIGINT) AS tile
+        |FROM t
+        |WINDOW w1 AS (ORDER BY band DESC),
+        |       w2 AS (ORDER BY band DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_lag_lead" ->
+      """SELECT event_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) AS gap_us,
+        |  lead(event_id) OVER w AS next_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
+    "window_running_sum" ->
+      s"""SELECT o_custkey, o_orderkey,
+        |  ${O.r4("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS cum_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_sliding_avg" ->
+      s"""SELECT o_orderkey, o_orderstatus,
+        |  ${O.r4("avg(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")} AS mavg
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  count(*) OVER w AS n_in_range,
+        |  CAST(sum(o_orderkey) OVER w AS BIGINT) AS key_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sort_multikey" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |ORDER BY o_orderstatus ASC, o_orderpriority DESC, o_orderkey ASC""".stripMargin,
+    "topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin
+  )
+}
