@@ -17,7 +17,11 @@ object SparkEntry {
     (operators.Aggregates.queries, operators.Aggregates.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SetOps.queries, operators.SetOps.oracles),
-    (operators.Scalars.queries, operators.Scalars.oracles)
+    (operators.Scalars.queries, operators.Scalars.oracles),
+    (operators.TextOps.queries, operators.TextOps.oracles),
+    (operators.SimilarityOps.queries, operators.SimilarityOps.oracles),
+    (ml.MlOps.queries, ml.MlOps.oracles),
+    (streaming.StreamOps.queries, streaming.StreamOps.oracles)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,135 @@
+package graft.ml
+
+import graft.{Canon, Q, Tables}
+import graft.Canon.{sql => O}
+import graft.functions.Kernels
+import org.apache.spark.sql.functions._
+
+/** §2.11 — ML-integration surface: the reference's computational shape
+  * (broadcast weights → per-row forward pass → relational evaluation →
+  * data-parallel gradient aggregation), re-expressed Spark-first.
+  *
+  * The reference family (pyspark-caffe / SparkNet / CaffeOnSpark) runs
+  * `mapPartitions(net.forward)` over broadcast `.caffemodel` weights
+  * and tree-reduces gradients. Here: the forward pass is a compiled
+  * UDF over a broadcast-captured weight vector (scales: weights ship
+  * once per executor); training is `treeAggregate` (shuffle-free tree
+  * reduction, the same pattern the reference used, which scales to
+  * 1000 executors with O(dims) driver state).
+  */
+object MlOps {
+  /** Deterministic stand-in for trained weights: w(i) = sin(i+1),
+    * rounded to 6dp so the SQL literal and the JVM value are the same
+    * double exactly. */
+  val weights: Array[Double] =
+    Array.tabulate(64)(i => BigDecimal(math.sin(i + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  private def weightsSqlLit: String =
+    weights.map(w => BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
+      .mkString("[", ", ", "]")
+
+  /** score = σ(w·x), rounded — shared by infer + eval + feature keys. */
+  private def scored(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+      .withColumn("score", Canon.r4(Kernels.linearScoreUdf(weights)(col("embedding"))))
+
+  private def duckScore: String = {
+    val dot = s"list_dot_product(CAST(embedding AS DOUBLE[]), CAST($weightsSqlLit AS DOUBLE[]))"
+    O.r4(s"1.0 / (1.0 + exp(-($dot)))")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ml_infer_linear_udf" -> ((s, d) => {
+      scored(s, d).select("vec_id", "score").orderBy("vec_id")
+    }),
+    "ml_eval_confusion" -> ((s, d) => {
+      scored(s, d)
+        .select(col("score"), (col("label") % 2).as("y"))
+        .agg(
+          sum(when(col("score") >= 0.5 && col("y") === 1, 1).otherwise(0)).cast("long").as("tp"),
+          sum(when(col("score") >= 0.5 && col("y") === 0, 1).otherwise(0)).cast("long").as("fp"),
+          sum(when(col("score") < 0.5 && col("y") === 0, 1).otherwise(0)).cast("long").as("tn"),
+          sum(when(col("score") < 0.5 && col("y") === 1, 1).otherwise(0)).cast("long").as("fn"))
+    }),
+    "ml_batch_stats" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          ceil(count(lit(1)) / lit(32.0)).cast("long").as("n_batches"))
+        .orderBy("label")
+    }),
+    "ml_train_logreg_gd" -> ((s, d) => {
+      // Full-batch GD, k=10 steps, lr=0.1, w0=0 (✘ no oracle — checked
+      // against a numpy reimplementation in unit tests). treeAggregate
+      // sums per-partition gradients in a 2-level tree: no shuffle,
+      // driver holds only O(dims).
+      val data = Tables.embeddings(s, d)
+        .select(col("embedding"), (col("label") % 2).cast("double").as("y"))
+        .rdd.map { r =>
+          val e = r.getAs[scala.collection.Seq[Float]](0)
+          val x = new Array[Double](e.length)
+          var i = 0; while (i < e.length) { x(i) = e(i).toDouble; i += 1 }
+          (x, r.getDouble(1))
+        }.cache()
+      val dims = 64
+      val w = new Array[Double](dims)
+      for (_ <- 1 to 10) {
+        val (grad, n) = data.treeAggregate((new Array[Double](dims), 0L))(
+          seqOp = { case ((g, cnt), (x, y)) =>
+            val err = Kernels.sigmoid({
+              var acc = 0.0; var i = 0
+              while (i < dims) { acc += w(i) * x(i); i += 1 }; acc
+            }) - y
+            var i = 0; while (i < dims) { g(i) += err * x(i); i += 1 }
+            (g, cnt + 1L)
+          },
+          combOp = { case ((g1, n1), (g2, n2)) =>
+            var i = 0; while (i < dims) { g1(i) += g2(i); i += 1 }
+            (g1, n1 + n2)
+          },
+          depth = 2)
+        var i = 0
+        while (i < dims) { w(i) -= 0.1 * grad(i) / n; i += 1 }
+      }
+      data.unpersist(blocking = false)
+      val rows = w.zipWithIndex.map { case (v, i) =>
+        (i.toLong, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.toIndexedSeq
+      import s.implicits._
+      rows.toDF("dim", "weight").orderBy("dim")
+    }),
+    "ml_feature_extract" -> ((s, d) => {
+      Tables.embeddings(s, d).select(
+        col("vec_id"), col("label"),
+        Canon.r4(Kernels.l2norm(col("embedding"))).as("norm"),
+        Canon.r4(Kernels.l2norm(slice(col("embedding"), 1, 8))).as("norm8"),
+        Canon.r4(element_at(col("embedding"), 1).cast("double")).as("f0"))
+        .orderBy("vec_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ml_infer_linear_udf" ->
+      s"""SELECT vec_id, $duckScore AS score
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "ml_eval_confusion" ->
+      s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings)
+        |SELECT
+        |  CAST(sum(CASE WHEN score >= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN score >= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN score < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(sum(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |FROM t""".stripMargin,
+    "ml_batch_stats" ->
+      """SELECT label, count(*) AS n,
+        |  CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_batches
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "ml_feature_extract" ->
+      s"""SELECT vec_id, label,
+        |  ${O.r4("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")} AS norm,
+        |  ${O.r4("sqrt(list_dot_product(CAST(embedding[1:8] AS DOUBLE[]), CAST(embedding[1:8] AS DOUBLE[])))")} AS norm8,
+        |  ${O.r4("CAST(embedding[1] AS DOUBLE)")} AS f0
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import graft.{Canon, Q, Tables}
+import graft.Canon.{sql => O}
+import org.apache.spark.sql.functions._
+
+/** §2.10 — event-time windowing over the events table.
+  *
+  * Declared queries run batch semantics (the driver's Verify harness
+  * is batch-only); the unit suite replays the same frames through
+  * Structured Streaming (MemoryStream) and asserts stream == batch.
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregations
+  * keyed by (window, type) — partial-aggregated before the shuffle.
+  * Session windows keep per-user state; at cluster scale the streaming
+  * variant should run on the RocksDB state store
+  * (spark.sql.streaming.stateStore.providerClass) so state spills off
+  * heap — noted here, not wired at fixture scale.
+  */
+object StreamOps {
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling_counts" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Canon.sumDec(col("value"), 2).as("sum_val"))
+        .select(Canon.tsStr(col("window.start")).as("win_start"), col("event_type"),
+          col("n"), col("sum_val"))
+        .orderBy("win_start", "event_type")
+    }),
+    "stream_sliding_counts" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Canon.sumDec(col("value"), 2).as("sum_val"))
+        .select(Canon.tsStr(col("window.start")).as("win_start"), col("event_type"),
+          col("n"), col("sum_val"))
+        .orderBy("win_start", "event_type")
+    }),
+    "stream_session_windows" -> ((s, d) => {
+      // Spark session semantics: a session is [first, last+gap); an
+      // event at exactly prev+gap starts a NEW session — the oracle's
+      // gaps-and-islands break uses >= accordingly.
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          Canon.tsStrMicros(col("session_window.start")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+    "stream_dedup_ids" -> ((s, d) => {
+      // Batch dropDuplicates on the id key; the streaming twin
+      // (dropDuplicatesWithinWatermark) is exercised in the unit suite.
+      Tables.events(s, d)
+        .dropDuplicates("event_id")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+    "stream_watermark_late" -> ((s, d) => {
+      // ✘ no oracle: watermarking is a no-op in batch; the unit suite
+      // injects late rows through MemoryStream and asserts they drop.
+      Tables.events(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(Canon.tsStr(col("window.start")).as("win_start"), col("n"))
+        .orderBy("win_start")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling_counts" ->
+      s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n, ${O.sumDec("value", 2)} AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "stream_sliding_counts" ->
+      s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |               - k.k * INTERVAL '15 minutes' AS win_start,
+        |             event_type, value
+        |      FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |  count(*) AS n, ${O.sumDec("value", 2)} AS sum_val
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "stream_session_windows" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+        |             WHEN ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1
+        |             ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                       ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "stream_dedup_ids" ->
+      """SELECT event_type, count(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
