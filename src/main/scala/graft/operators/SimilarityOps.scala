@@ -26,7 +26,10 @@ object SimilarityOps {
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      // round-robin repartition the probe side: the fixture parquet is
+      // one split, which would pin all O(n²) pair work on one core.
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val a = e.repartition(p).select(col("vec_id").as("id1"), col("embedding").as("e1"))
       val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
       a.join(broadcast(b), col("id1") < col("id2"))
         .select(col("id1"), col("id2"), Canon.r4(Kernels.cosine(col("e1"), col("e2"))).as("sim"))
@@ -36,9 +39,10 @@ object SimilarityOps {
     "sim_knn_per_query" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val c = e.select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val c = e.repartition(p).select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-      broadcast(q).join(c, col("qid") =!= col("cid"))
+      c.join(broadcast(q), col("qid") =!= col("cid"))
         .withColumn("sim", Canon.r4(Kernels.cosine(col("qe"), col("ce"))))
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
@@ -47,7 +51,8 @@ object SimilarityOps {
     }),
     "sim_threshold_join" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id1"), col("label"), col("embedding").as("e1"))
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val a = e.repartition(p).select(col("vec_id").as("id1"), col("label"), col("embedding").as("e1"))
       val b = e.select(col("vec_id").as("id2"), col("label").as("label2"), col("embedding").as("e2"))
       a.join(broadcast(b), col("label") === col("label2") && col("id1") < col("id2"))
         .withColumn("sim", Canon.r4(Kernels.cosine(col("e1"), col("e2"))))

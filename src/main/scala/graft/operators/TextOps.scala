@@ -3,7 +3,6 @@ package graft.operators
 import graft.{Canon, Q, Tables}
 import graft.Canon.{sql => O}
 import graft.functions.Kernels
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.functions._
 
 /** §2.9 (text half) — LLM-data-pipeline text analysis + deduplication.
@@ -11,9 +10,9 @@ import org.apache.spark.sql.functions._
   * Scale design: `dedup_exact` is a hash groupBy (shuffle ∝ distinct
   * hashes). `dedup_near_jaccard` is the exact O(n²)-within-language
   * baseline — correct at fixture scale, quadratic at 100 TB; its
-  * scalable twin `dedup_minhash_lsh` (MinHash + banded LSH via MLlib)
+  * scalable twin `dedup_minhash_lsh` (hand-rolled banded MinHash)
   * turns the self-join into a bucket-join on hash bands and is the
-  * path to run at cluster scale, with brute-force Jaccard applied only
+  * path to run at cluster scale, with exact Jaccard applied only
   * within candidate buckets.
   */
 object TextOps {
@@ -50,31 +49,51 @@ object TextOps {
         .orderBy("h")
     }),
     "dedup_near_jaccard" -> ((s, d) => {
+      // Hash+sort the token set ONCE per doc; the O(n²-within-lang)
+      // pair loop then runs an allocation-free primitive merge per
+      // pair (identical Jaccard values — hashing is injective w.h.p.).
       val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("toks"))
-      val a = t.select(col("doc_id").as("id1"), col("lang"), col("toks").as("t1"))
-      val b = t.select(col("doc_id").as("id2"), col("lang").as("lang2"), col("toks").as("t2"))
-      a.join(b, col("lang") === col("lang2") && col("id1") < col("id2"))
-        .withColumn("jac", Kernels.jaccard(col("t1"), col("t2")))
+        .select(col("doc_id"), col("lang"),
+          Kernels.tokenHashesUdf(split(col("text"), " ")).as("th"))
+      // lang has only 5 values: a shuffle join would cap parallelism at
+      // 5. Broadcast one side and round-robin repartition the other so
+      // every core generates pairs. (At 100 TB: block-partitioned
+      // self-join or the LSH twin below.)
+      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val a = t.repartition(p).select(col("doc_id").as("id1"), col("lang"), col("th").as("t1"))
+      val b = t.select(col("doc_id").as("id2"), col("lang").as("lang2"), col("th").as("t2"))
+      a.join(broadcast(b), col("lang") === col("lang2") && col("id1") < col("id2"))
+        .withColumn("jac", Kernels.jaccardLongsUdf(col("t1"), col("t2")))
         .filter(col("jac") >= 0.8)
         .select(col("id1"), col("id2"), Canon.r4(col("jac")).as("jac"))
         .orderBy("id1", "id2")
     }),
     "dedup_minhash_lsh" -> ((s, d) => {
-      // Scalable near-dup candidates (✘ no oracle — probabilistic;
-      // unit-tested for recall ≥0.9 against the exact Jaccard truth).
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-      val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
-        .setNumFeatures(1 << 16).setBinary(true)
-      val v = tf.transform(t)
-      val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-        .setNumHashTables(8).setSeed(42L)
-      val model = mh.fit(v)
-      model.approxSimilarityJoin(v, v, 0.4, "dist")
-        .select(col("datasetA.doc_id").as("id1"), col("datasetB.doc_id").as("id2"),
-          Canon.r4(lit(1.0) - col("dist")).as("est_jaccard"))
-        .filter(col("id1") < col("id2"))
+      // Scalable near-dup dedup (✘ no oracle — probabilistic recall;
+      // unit-tested ≥0.9 against the exact Jaccard truth set).
+      //
+      // Banded MinHash-LSH, Spark-first: signature UDF (once per doc)
+      // → explode 8 band hashes → equi-join on (band, hash) bucket →
+      // distinct candidate pairs → exact Jaccard verify within
+      // candidates only. At 100 TB this shuffles by band bucket — the
+      // O(n²) loop runs only inside buckets, which is exactly the
+      // LSH contract. (MLlib's approxSimilarityJoin measured 727 s on
+      // sf0.1's duplicate-heavy corpus; this shape runs in seconds.)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), Kernels.tokenHashesUdf(split(col("text"), " ")).as("th"))
+      val banded = docs
+        .select(col("doc_id"), posexplode(Kernels.minhashBandsUdf(8, 4)(col("th"))).as(Seq("band", "bh")))
+      val x = banded.select(col("doc_id").as("id1"), col("band"), col("bh"))
+      val y = banded.select(col("doc_id").as("id2"), col("band").as("band2"), col("bh").as("bh2"))
+      val cand = x.join(y, col("band") === col("band2") && col("bh") === col("bh2")
+          && col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+      cand
+        .join(docs.select(col("doc_id").as("id1"), col("th").as("t1")), "id1")
+        .join(docs.select(col("doc_id").as("id2"), col("th").as("t2")), "id2")
+        .withColumn("jac", Kernels.jaccardLongsUdf(col("t1"), col("t2")))
+        .filter(col("jac") >= 0.8)
+        .select(col("id1"), col("id2"), Canon.r4(col("jac")).as("jac"))
         .orderBy("id1", "id2")
     })
   )

@@ -18,35 +18,40 @@ import org.apache.spark.sql.functions._
   * heap — noted here, not wired at fixture scale.
   */
 object StreamOps {
+  import org.apache.spark.sql.DataFrame
+
+  /** Transform cores shared by the batch-declared queries and the
+    * Structured-Streaming parity tests (same plan applied to
+    * readStream/MemoryStream input). */
+  def tumblingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Canon.sumDec(col("value"), 2).as("sum_val"))
+      .select(Canon.tsStr(col("window.start")).as("win_start"), col("event_type"),
+        col("n"), col("sum_val"))
+
+  def slidingAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Canon.sumDec(col("value"), 2).as("sum_val"))
+      .select(Canon.tsStr(col("window.start")).as("win_start"), col("event_type"),
+        col("n"), col("sum_val"))
+
+  def sessionAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        Canon.tsStrMicros(col("session_window.start")).as("session_start"),
+        col("n_events"))
+
   val queries: Map[String, Q] = Map(
-    "stream_tumbling_counts" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), Canon.sumDec(col("value"), 2).as("sum_val"))
-        .select(Canon.tsStr(col("window.start")).as("win_start"), col("event_type"),
-          col("n"), col("sum_val"))
-        .orderBy("win_start", "event_type")
-    }),
-    "stream_sliding_counts" -> ((s, d) => {
-      Tables.events(s, d)
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), Canon.sumDec(col("value"), 2).as("sum_val"))
-        .select(Canon.tsStr(col("window.start")).as("win_start"), col("event_type"),
-          col("n"), col("sum_val"))
-        .orderBy("win_start", "event_type")
-    }),
-    "stream_session_windows" -> ((s, d) => {
-      // Spark session semantics: a session is [first, last+gap); an
-      // event at exactly prev+gap starts a NEW session — the oracle's
-      // gaps-and-islands break uses >= accordingly.
-      Tables.events(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"),
-          Canon.tsStrMicros(col("session_window.start")).as("session_start"),
-          col("n_events"))
-        .orderBy("user_id", "session_start")
-    }),
+    "stream_tumbling_counts" -> ((s, d) =>
+      tumblingAgg(Tables.events(s, d)).orderBy("win_start", "event_type")),
+    "stream_sliding_counts" -> ((s, d) =>
+      slidingAgg(Tables.events(s, d)).orderBy("win_start", "event_type")),
+    // Spark session semantics: a session is [first, last+gap); an
+    // event at exactly prev+gap starts a NEW session — the oracle's
+    // gaps-and-islands break uses >= accordingly.
+    "stream_session_windows" -> ((s, d) =>
+      sessionAgg(Tables.events(s, d)).orderBy("user_id", "session_start")),
     "stream_dedup_ids" -> ((s, d) => {
       // Batch dropDuplicates on the id key; the streaming twin
       // (dropDuplicatesWithinWatermark) is exercised in the unit suite.
