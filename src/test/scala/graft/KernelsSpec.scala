@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.Kernels
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Property-style tests over seeded random inputs (SURVEY §5.3#2). */
+class KernelsSpec extends AnyFunSuite {
+  private val rnd = new Random(42)
+  private def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat() * 20 - 10)
+  private val vocab = Vector("scan", "column", "window", "order", "sort", "agg", "part")
+  private def toks(): List[String] = List.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+
+  test("cosine is symmetric, bounded, and 1 on itself") {
+    for (_ <- 1 to 200) {
+      val a = vec(); val b = vec()
+      val c = Kernels.cosineArr(a, b)
+      assert(math.abs(c - Kernels.cosineArr(b, a)) < 1e-12)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(math.abs(Kernels.cosineArr(a, a) - 1.0) < 1e-9)
+    }
+  }
+
+  test("jaccard variants agree, are bounded, and are 1.0 iff equal sets") {
+    for (_ <- 1 to 500) {
+      val a = toks(); val b = toks()
+      val sa = a.distinct.sorted; val sb = b.distinct.sorted
+      val viaSets = Kernels.jaccardSets(sa, sb)
+      val viaSorted = Kernels.jaccardSorted(sa, sb)
+      val viaLongs = Kernels.jaccardLongs(
+        Kernels.tokenHashes(a).toIndexedSeq, Kernels.tokenHashes(b).toIndexedSeq)
+      assert(viaSets >= 0.0 && viaSets <= 1.0)
+      assert(math.abs(viaSets - viaSorted) < 1e-12)
+      assert(math.abs(viaSets - viaLongs) < 1e-12)
+      assert((viaSets == 1.0) == (sa == sb))
+    }
+  }
+
+  test("minhash bands are deterministic and multiplicity-insensitive") {
+    for (_ <- 1 to 200) {
+      val a = toks()
+      val h = Kernels.tokenHashes(a).toIndexedSeq
+      val b1 = Kernels.minhashBands(h, 8, 4)
+      assert(Kernels.minhashBands(h, 8, 4).sameElements(b1))
+      val h2 = Kernels.tokenHashes(a ++ a).toIndexedSeq
+      assert(Kernels.minhashBands(h2, 8, 4).sameElements(b1))
+    }
+  }
+
+  test("identical sets share every band; disjoint sets share none (w.h.p.)") {
+    val a = List("scan", "column", "window", "order")
+    val b = List("alpha", "beta", "gamma", "delta")
+    val ha = Kernels.tokenHashes(a).toIndexedSeq
+    val hb = Kernels.tokenHashes(b).toIndexedSeq
+    assert(Kernels.minhashBands(ha, 8, 4).sameElements(Kernels.minhashBands(ha, 8, 4)))
+    val shared = Kernels.minhashBands(ha, 8, 4).intersect(Kernels.minhashBands(hb, 8, 4))
+    assert(shared.isEmpty)
+  }
+
+  test("sigmoid is bounded and centered") {
+    assert(Kernels.sigmoid(0.0) == 0.5)
+    assert(Kernels.sigmoid(100.0) > 0.999)
+    assert(Kernels.sigmoid(-100.0) < 0.001)
+  }
+
+  test("dotW matches naive zip-sum") {
+    for (_ <- 1 to 100) {
+      val a = vec()
+      val w = Array.tabulate(64)(i => math.sin(i + 1.0))
+      val expected = a.zip(w).map { case (x, y) => x.toDouble * y }.sum
+      assert(math.abs(Kernels.dotW(a, w) - expected) < 1e-9)
+    }
+  }
+}

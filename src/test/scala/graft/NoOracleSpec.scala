@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.Kernels
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 4 declared-without-oracle keys (SURVEY §5.3#3). */
+class NoOracleSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = TestSpark.sf0001
+
+  test("agg_approx_distinct within 5% of exact per group") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n <= 0.05, s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("dedup_minhash_lsh recall >= 0.9 against exact jaccard truth") {
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = SparkEntry.queries("dedup_near_jaccard")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-duplicates")
+    val recall = truth.count(lsh.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall over ${truth.size} true pairs")
+  }
+
+  test("ml_train_logreg_gd matches a sequential reference and loss decreases") {
+    // Reference: same 10-step full-batch GD, computed sequentially on
+    // the driver (the numpy twin lives in tools/check_gd.py).
+    val rows = Tables.embeddings(spark, sf)
+      .select("embedding", "label").collect()
+      .map(r => (r.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray,
+        (r.getInt(1) % 2).toDouble))
+    val n = rows.length
+    val dims = 64
+    val w = new Array[Double](dims)
+    def loss(): Double = rows.map { case (x, y) =>
+      val p = Kernels.sigmoid(x.indices.map(i => w(i) * x(i)).sum)
+      val eps = 1e-12
+      -(y * math.log(p + eps) + (1 - y) * math.log(1 - p + eps))
+    }.sum / n
+    val losses = scala.collection.mutable.ArrayBuffer(loss())
+    for (_ <- 1 to 10) {
+      val grad = new Array[Double](dims)
+      rows.foreach { case (x, y) =>
+        val err = Kernels.sigmoid(x.indices.map(i => w(i) * x(i)).sum) - y
+        var i = 0; while (i < dims) { grad(i) += err * x(i); i += 1 }
+      }
+      var i = 0; while (i < dims) { w(i) -= 0.1 * grad(i) / n; i += 1 }
+      losses += loss()
+    }
+    losses.toSeq.sliding(2).foreach { w2 =>
+      assert(w2(1) <= w2(0) + 1e-12, s"loss rose: ${w2(0)} -> ${w2(1)}")
+    }
+
+    val dist = SparkEntry.queries("ml_train_logreg_gd")(spark, sf)
+      .collect().map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    assert(dist.size == dims)
+    (0 until dims).foreach { i =>
+      assert(math.abs(dist(i) - w(i)) < 2e-6, s"dim $i: dist=${dist(i)} ref=${w(i)}")
+    }
+  }
+
+  test("stream_watermark_late returns full hourly coverage in batch mode") {
+    val df = SparkEntry.queries("stream_watermark_late")(spark, sf)
+    assert(df.count() > 0)
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** §2.10 parity: each declared batch-semantics key re-run through
+  * Structured Streaming (file-replay source) must equal the batch
+  * result; plus watermark late-row dropping (SURVEY §5.3#4).
+  */
+class StreamingParitySpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private lazy val batchEvents = Tables.events(spark, TestSpark.sf0001).cache()
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  /** Replay `df` through the file source in ≥4 micro-batches. */
+  private def startReplay(src: String, name: String, mode: String,
+      transform: DataFrame => DataFrame) = {
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    transform(stream).writeStream.format("memory").queryName(name).outputMode(mode).start()
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toIndexedSeq.sorted
+
+  test("tumbling window: stream == batch") {
+    val dir = freshDir()
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = startReplay(dir, "t_tumbling", "complete", StreamOps.tumblingAgg)
+    q.processAllAvailable(); q.stop()
+    assert(sortedRows(spark.table("t_tumbling")) ==
+      sortedRows(StreamOps.tumblingAgg(batchEvents)))
+  }
+
+  test("sliding window: stream == batch") {
+    val dir = freshDir()
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = startReplay(dir, "t_sliding", "complete", StreamOps.slidingAgg)
+    q.processAllAvailable(); q.stop()
+    assert(sortedRows(spark.table("t_sliding")) ==
+      sortedRows(StreamOps.slidingAgg(batchEvents)))
+  }
+
+  test("session windows: stream (append + watermark) == batch once finalized") {
+    val dir = freshDir()
+    // one file = one trigger: replaying random splits would advance the
+    // watermark past later files and drop their rows as late
+    batchEvents.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = startReplay(dir, "t_session", "append",
+      ev => StreamOps.sessionAgg(ev.withWatermark("ts", "10 minutes")))
+    q.processAllAvailable()
+    // sentinel event far in the future pushes the watermark past every
+    // real session so append mode finalizes them all
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
+    // two sentinel batches: the first advances the watermark, the
+    // second supplies the extra trigger in which finalized sessions emit
+    Seq(10L, 20L).foreach { days =>
+      batchEvents.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + days * 24 * 3600 * 1000)))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("t_session").filter(col("user_id") =!= -1L)
+    assert(sortedRows(streamed) == sortedRows(StreamOps.sessionAgg(batchEvents)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes injected duplicate ids") {
+    val dir = freshDir()
+    batchEvents.coalesce(1).write.mode("overwrite").parquet(dir)
+    // re-inject the 50 most recent events (inside the watermark) as a
+    // later file — they must be recognized as duplicates
+    batchEvents.orderBy(col("ts").desc).limit(50).write.mode("append").parquet(dir)
+    val q = startReplay(dir, "t_dedup", "append",
+      ev => ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(Seq("event_id")))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t_dedup").select("event_id").distinct().count() ==
+      spark.table("t_dedup").count(), "emitted duplicates")
+    assert(spark.table("t_dedup").count() == batchEvents.count())
+  }
+
+  test("watermark drops late rows from finalized windows") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:30:00")
+    val main = (0 to 6).map(h => (h.toLong, ts(h), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    main.coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = startReplay(dir, "t_late", "append",
+      ev => ev.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(Canon.tsStr(col("window.start")).as("win_start"), col("n")))
+    q.processAllAvailable()
+    // late row for hour 1 (watermark is already at 06:20) + a sentinel
+    // that pushes the watermark far ahead to flush remaining windows
+    Seq((100L, ts(1), 1L, "click", 1.0, "{}"), (101L, ts(23), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("t_late").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("2024-03-01 01:00:00") == 1L, s"late row was counted: $out")
+  }
+}
