@@ -20,6 +20,7 @@ object SparkEntry {
     (operators.Scalars.queries, operators.Scalars.oracles),
     (operators.TextOps.queries, operators.TextOps.oracles),
     (operators.SimilarityOps.queries, operators.SimilarityOps.oracles),
+    (operators.MultimodalOps.queries, operators.MultimodalOps.oracles),
     (ml.MlOps.queries, ml.MlOps.oracles),
     (streaming.StreamOps.queries, streaming.StreamOps.oracles)
   )

@@ -5,14 +5,15 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The driver-contract invariants (SURVEY §0/§2). */
 class ContractSpec extends AnyFunSuite {
   private val noOracle = Set(
-    "agg_approx_distinct", "dedup_minhash_lsh", "stream_watermark_late", "ml_train_logreg_gd")
+    "agg_approx_distinct", "dedup_minhash_lsh", "stream_watermark_late",
+    "ml_train_logreg_gd", "multimodal_decode_stub")
 
   test("entry returns rows on sf0.001 (t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
 
-  test("all 69 contract keys are declared") {
-    assert(SparkEntry.queries.size == 69)
+  test("all contract keys are declared (69 from SURVEY §2 + 3 multimodal)") {
+    assert(SparkEntry.queries.size == 72)
   }
 
   test("every oracle key has a query; only the 4 no-oracle keys are unchecked") {

@@ -72,4 +72,16 @@ class NoOracleSpec extends AnyFunSuite {
     val df = SparkEntry.queries("stream_watermark_late")(spark, sf)
     assert(df.count() > 0)
   }
+
+  test("multimodal_decode_stub matches a driver-side recompute") {
+    val decoded = SparkEntry.queries("multimodal_decode_stub")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toVector).toMap
+    val decoder = new graft.operators.MultimodalOps.FakeDecoder
+    val expected = Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val f = decoder.decode(r.getString(1).getBytes("UTF-8"))
+      r.getLong(0) -> f.map(v =>
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toVector
+    }.toMap
+    assert(decoded == expected)
+  }
 }
