@@ -1,0 +1,39 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+/** Dev-only: assert the physical-plan shapes we rely on at scale. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    def plan(k: String): String =
+      graft.SparkEntry.queries(k)(spark, d).queryExecution.executedPlan.toString
+    val checks: Seq[(String, String, String)] = Seq(
+      ("join_inner_broadcast", "BroadcastHashJoin", "dim join must broadcast"),
+      ("join_inner_shufflemerge", "SortMergeJoin", "fact-fact join must sort-merge"),
+      ("join_multiway_revenue", "BroadcastHashJoin", "customer/nation sides broadcast"),
+      ("join_semi", "LeftSemi", "semi join planned"),
+      ("join_anti", "LeftAnti", "anti join planned"),
+      ("join_asof", "Window", "as-of via single window, not per-row subquery"),
+      ("topk_global", "TakeOrderedAndProject", "top-k must not globally sort"),
+      ("agg_groupby_q1", "HashAggregate", "partial+final hash agg"),
+      ("scan_parquet_project_filter", "PushedFilters: [IsNotNull", "filter pushdown reaches scan"),
+      ("sim_knn_bruteforce", "BroadcastNestedLoopJoin", "pair join broadcasts small side"),
+      ("dedup_minhash_lsh", "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin", "bucket equi-join"),
+      ("stream_tumbling_counts", "HashAggregate", "window agg is hash agg")
+    )
+    var fail = 0
+    checks.foreach { case (k, pat, why) =>
+      val p = plan(k)
+      val ok = pat.split('|').exists(p.contains)
+      if (!ok) fail += 1
+      println(s"PLAN ${if (ok) "OK  " else "FAIL"} $k [$pat] ($why)")
+    }
+    println(s"PLAN AUDIT: ${checks.size - fail}/${checks.size} ok")
+    spark.stop()
+    if (fail > 0) sys.exit(1)
+  }
+}
