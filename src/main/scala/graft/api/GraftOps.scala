@@ -1,0 +1,245 @@
+package graft.api
+
+import graft.Canon
+import graft.functions.Kernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Public, fixture-independent operator API — what a user of the
+  * reference library would call against their own tables. The declared
+  * contract queries (graft.operators.*) are thin bindings of these
+  * onto the test corpus.
+  *
+  * Every operation takes a DataFrame plus column names and returns a
+  * DataFrame (lazy, optimizer-visible); nothing here collects to the
+  * driver except `MlPipeline.trainLogisticGD`'s O(dims) weights.
+  */
+object Dedup {
+  /** Exact-duplicate groups keyed on a content hash; shuffle carries
+    * one 128-bit hash per row, never the content. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+      .filter(col("n") > 1)
+
+  /** All pairs with token-set Jaccard ≥ threshold, exact. O(n²) within
+    * each `partitionCol` group — the correctness baseline; use
+    * `minhashPairs` at scale. Token sets are hashed+sorted once per
+    * row; pair comparisons are primitive merges. */
+  def nearJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, partitionCol: Option[String] = None): DataFrame = {
+    val hashed = df.select(col(idCol), partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = hashed.repartition(p)
+      .select(col(idCol).as("id1"), col("_grp"), col("_th").as("_t1"))
+    val b = hashed.select(col(idCol).as("id2"), col("_grp").as("_grp2"), col("_th").as("_t2"))
+    a.join(broadcast(b), col("_grp") === col("_grp2") && col("id1") < col("id2"))
+      .withColumn("jaccard", Kernels.jaccardLongsUdf(col("_t1"), col("_t2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Scalable near-dup pairs: banded MinHash-LSH candidates, verified
+    * with exact Jaccard inside buckets only. Probabilistic recall
+    * 1-(1-t^rows)^bands at similarity t. The 100 TB path: one shuffle
+    * by (band, bucket), O(n²) only within buckets. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val docs = df.select(col(idCol).as("_id"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
+    val banded = docs.select(col("_id"),
+      posexplode(Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th"))).as(Seq("_band", "_bh")))
+    val x = banded.select(col("_id").as("id1"), col("_band"), col("_bh"))
+    val y = banded.select(col("_id").as("id2"), col("_band").as("_band2"), col("_bh").as("_bh2"))
+    val cand = x.join(y, col("_band") === col("_band2") && col("_bh") === col("_bh2")
+        && col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    cand
+      .join(docs.select(col("_id").as("id1"), col("_th").as("_t1")), "id1")
+      .join(docs.select(col("_id").as("id2"), col("_th").as("_t2")), "id2")
+      .withColumn("jaccard", Kernels.jaccardLongsUdf(col("_t1"), col("_t2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+}
+
+object Similarity {
+  private def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Global top-k most-similar pairs, brute force (broadcast × fanout).
+    * The exactness baseline and the per-bucket inner loop of an
+    * LSH/IVF layout at scale. `simRound` rounds similarities BEFORE
+    * ordering so the top-k cutoff cannot straddle a float epsilon
+    * across engines/runs. */
+  def cosineTopKPairs(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      simRound: Option[Int] = None): DataFrame = {
+    val a = fanout(df).select(col(idCol).as("id1"), col(vecCol).as("_e1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("_e2"))
+    val sim = Kernels.cosine(col("_e1"), col("_e2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .orderBy(col("sim").desc, col("id1"), col("id2"))
+      .limit(k)
+  }
+
+  /** Top-k neighbors for each row matching `queryPred`. */
+  def cosineKnn(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, simRound: Option[Int] = None): DataFrame = {
+    val q = df.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+    val c = fanout(df).select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val sim = Kernels.cosine(col("_qe"), col("_ce"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
+  /** All same-group pairs with cosine ≥ minSim. */
+  def cosineThresholdJoin(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, minSim: Double, simRound: Option[Int] = None): DataFrame = {
+    val a = fanout(df).select(col(idCol).as("id1"), col(groupCol).as("_g1"), col(vecCol).as("_e1"))
+    val b = df.select(col(idCol).as("id2"), col(groupCol).as("_g2"), col(vecCol).as("_e2"))
+    val sim = Kernels.cosine(col("_e1"), col("_e2"))
+    a.join(broadcast(b), col("_g1") === col("_g2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("_g1").as(groupCol),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Mean vector per label as (label, dim, value) rows. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(avg(col("_v").cast("double")).as("centroid"))
+}
+
+object TimeSeriesOps {
+  /** As-of join: for each `left` row, the greatest `right` timestamp
+    * ≤ its own, per key — one shuffle by key + one window pass, no
+    * per-row subquery. Returns left rows + `asof_ts`. */
+  def asofPrior(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, leftIdCol: String): DataFrame = {
+    val r = right.select(col(keyCol), col(tsCol)).distinct()
+      .select(col(keyCol), col(tsCol), lit(null).cast("long").as(leftIdCol), lit(0).as("_kind"))
+    val l = left.select(col(keyCol), col(tsCol), col(leftIdCol), lit(1).as("_kind"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("_kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_ts", last(when(col("_kind") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("_kind") === 1)
+      .drop("_kind")
+  }
+
+  /** Session assignment with an inactivity gap (batch; the streaming
+    * twin is graft.streaming.StreamOps.sessionAgg). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: String): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+}
+
+object TextAnalysis {
+  /** Whitespace token stats per group. */
+  def tokenStats(df: DataFrame, textCol: String, groupCol: String): DataFrame =
+    df.select(col(groupCol), size(split(col(textCol), " ")).cast("long").as("_n_tok"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n_tok")).as("n_tokens"),
+        (sum(col("_n_tok")) / count(lit(1))).as("avg_tokens"))
+
+  /** Per-doc quality signals: token-type ratio, average token length,
+    * stopword ratio, BPE-ish size estimate (chars/4 — the standard
+    * subword approximation), vowel density. All ratios of exact
+    * integers → engine-portable. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    val sw = stopwords.map(w => s"'$w'").mkString(", ")
+    df.select(col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("n_distinct"),
+      expr(s"size(filter(split($textCol, ' '), x -> x IN ($sw)))").cast("long").as("n_stop"),
+      length(regexp_replace(col(textCol), "[^aeiou]", "")).cast("long").as("n_vowels"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("bpe_est", ceil(col("n_chars") / lit(4.0)).cast("long"))
+  }
+
+  /** Unigram-profile language ID: score(doc, lang) = Σ over doc token
+    * occurrences of that token's frequency in lang's corpus slice;
+    * prediction = argmax. Integer scores → deterministic ranking. The
+    * profile is itself a DataFrame, so at scale it is just another
+    * (broadcastable) aggregate. */
+  def languageId(df: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame = {
+    val tok = df.select(col(idCol), col(langCol),
+      explode(split(col(textCol), " ")).as("_token"))
+    val profile = tok.groupBy(col(langCol).as("_plang"), col("_token"))
+      .agg(count(lit(1)).as("_cnt"))
+    val scores = tok.join(broadcast(profile), "_token")
+      .groupBy(col(idCol), col(langCol), col("_plang"))
+      .agg(sum(col("_cnt")).as("score"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("_plang").asc)
+    scores.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(idCol), col(langCol), col("_plang").as("pred_lang"),
+        (col(langCol) === col("_plang")).cast("int").as("correct"),
+        col("score"))
+  }
+
+  /** Canonical token-set fingerprint (md5 of the sorted distinct
+    * tokens) + winnowing rolling-hash fingerprint (shift-robust). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(concat_ws(" ", sort_array(array_distinct(split(col(textCol), " "))))
+        .cast("binary")).as("set_fp"),
+      Kernels.rollingFingerprintUdf(col(textCol)).as("roll_fp"),
+      size(array_distinct(split(col(textCol), " "))).cast("long").as("n_distinct"))
+}
+
+object MlPipeline {
+  /** σ(w·x) per row against a fixed weight vector — the reference's
+    * broadcast-weights forward pass. */
+  def linearScore(df: DataFrame, vecCol: String, weights: Array[Double]): DataFrame =
+    df.withColumn("score", Kernels.linearScoreUdf(weights)(col(vecCol)))
+
+  /** Full-batch logistic-regression GD via treeAggregate: shuffle-free
+    * tree reduction per step, O(dims) driver state — the reference's
+    * broadcast+reduce training loop, which scales to 1000 executors. */
+  def trainLogisticGD(df: DataFrame, vecCol: String, labelCol: String,
+      steps: Int, lr: Double, dims: Int): Array[Double] = {
+    val data = df.select(col(vecCol), col(labelCol).cast("double"))
+      .rdd.map { r =>
+        val e = r.getAs[scala.collection.Seq[Float]](0)
+        val x = new Array[Double](e.length)
+        var i = 0; while (i < e.length) { x(i) = e(i).toDouble; i += 1 }
+        (x, r.getDouble(1))
+      }.cache()
+    val w = new Array[Double](dims)
+    for (_ <- 1 to steps) {
+      val (grad, n) = data.treeAggregate((new Array[Double](dims), 0L))(
+        seqOp = { case ((g, cnt), (x, y)) =>
+          var acc = 0.0
+          var i = 0; while (i < dims) { acc += w(i) * x(i); i += 1 }
+          val err = Kernels.sigmoid(acc) - y
+          i = 0; while (i < dims) { g(i) += err * x(i); i += 1 }
+          (g, cnt + 1L)
+        },
+        combOp = { case ((g1, n1), (g2, n2)) =>
+          var i = 0; while (i < dims) { g1(i) += g2(i); i += 1 }
+          (g1, n1 + n2)
+        },
+        depth = 2)
+      var i = 0
+      while (i < dims) { w(i) -= lr * grad(i) / n; i += 1 }
+    }
+    data.unpersist(blocking = false)
+    w
+  }
+}

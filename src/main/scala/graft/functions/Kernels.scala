@@ -130,6 +130,33 @@ object Kernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Winnowing-style document fingerprint: polynomial rolling hash
+    * over a sliding byte window, fingerprint = min window hash.
+    * Deterministic, shift-robust (a shared window anywhere in two docs
+    * yields a chance of an identical fingerprint), O(n) single pass. */
+  def rollingFingerprint(text: String, window: Int = 8): Long = {
+    if (text == null || text.isEmpty) return 0L
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length <= window) return splitmix64(java.util.Arrays.hashCode(bytes).toLong)
+    val B = 257L
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    var minH = splitmix64(h)
+    while (i < bytes.length) {
+      h = (h - (bytes(i - window) & 0xff) * pow) * B + (bytes(i) & 0xff)
+      val m = splitmix64(h)
+      if (m < minH) minH = m
+      i += 1
+    }
+    minH
+  }
+
+  val rollingFingerprintUdf = udf((t: String) => rollingFingerprint(t))
+
   /** Banded MinHash signature over pre-hashed tokens: `bands` band
     * hashes, each summarizing `rows` min-hash values. Two docs share a
     * (band, hash) bucket with prob 1-(1-j^rows)^bands — at j=0.8,

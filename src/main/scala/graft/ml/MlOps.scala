@@ -2,6 +2,7 @@ package graft.ml
 
 import graft.{Canon, Q, Tables}
 import graft.Canon.{sql => O}
+import graft.api.MlPipeline
 import graft.functions.Kernels
 import org.apache.spark.sql.functions._
 
@@ -30,9 +31,10 @@ object MlOps {
       .mkString("[", ", ", "]")
 
   /** score = σ(w·x), rounded — shared by infer + eval + feature keys. */
-  private def scored(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.embeddings(s, d)
-      .withColumn("score", Canon.r4(Kernels.linearScoreUdf(weights)(col("embedding"))))
+  private def scored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val raw = MlPipeline.linearScore(Tables.embeddings(s, d), "embedding", weights)
+    raw.withColumn("score", Canon.r4(col("score")))
+  }
 
   private def duckScore: String = {
     val dot = s"list_dot_product(CAST(embedding AS DOUBLE[]), CAST($weightsSqlLit AS DOUBLE[]))"
@@ -61,38 +63,11 @@ object MlOps {
     }),
     "ml_train_logreg_gd" -> ((s, d) => {
       // Full-batch GD, k=10 steps, lr=0.1, w0=0 (✘ no oracle — checked
-      // against a numpy reimplementation in unit tests). treeAggregate
-      // sums per-partition gradients in a 2-level tree: no shuffle,
-      // driver holds only O(dims).
+      // against sequential Scala + numpy references in tests/tools).
       val data = Tables.embeddings(s, d)
-        .select(col("embedding"), (col("label") % 2).cast("double").as("y"))
-        .rdd.map { r =>
-          val e = r.getAs[scala.collection.Seq[Float]](0)
-          val x = new Array[Double](e.length)
-          var i = 0; while (i < e.length) { x(i) = e(i).toDouble; i += 1 }
-          (x, r.getDouble(1))
-        }.cache()
-      val dims = 64
-      val w = new Array[Double](dims)
-      for (_ <- 1 to 10) {
-        val (grad, n) = data.treeAggregate((new Array[Double](dims), 0L))(
-          seqOp = { case ((g, cnt), (x, y)) =>
-            val err = Kernels.sigmoid({
-              var acc = 0.0; var i = 0
-              while (i < dims) { acc += w(i) * x(i); i += 1 }; acc
-            }) - y
-            var i = 0; while (i < dims) { g(i) += err * x(i); i += 1 }
-            (g, cnt + 1L)
-          },
-          combOp = { case ((g1, n1), (g2, n2)) =>
-            var i = 0; while (i < dims) { g1(i) += g2(i); i += 1 }
-            (g1, n1 + n2)
-          },
-          depth = 2)
-        var i = 0
-        while (i < dims) { w(i) -= 0.1 * grad(i) / n; i += 1 }
-      }
-      data.unpersist(blocking = false)
+        .select(col("embedding"), (col("label") % 2).as("y"))
+      val w = MlPipeline.trainLogisticGD(data, "embedding", "y",
+        steps = 10, lr = 0.1, dims = 64)
       val rows = w.zipWithIndex.map { case (v, i) =>
         (i.toLong, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }.toIndexedSeq

@@ -82,24 +82,18 @@ object Joins {
     }),
     "join_asof" -> ((s, d) => {
       // For each error event: most recent click (ts <= error ts) by the
-      // same user. Union + running `last(click_ts)` = one shuffle by
-      // user_id; DuckDB oracle uses its native ASOF LEFT JOIN.
+      // same user. Union + running `last` = one shuffle by user_id
+      // (graft.api.TimeSeriesOps.asofPrior); DuckDB oracle uses its
+      // native ASOF LEFT JOIN.
       val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts")).distinct()
-        .select(col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
-          lit(0).as("kind"))
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("kind"))
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("kind").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(errors)
-        .withColumn("click_ts", last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
+      graft.api.TimeSeriesOps.asofPrior(
+          left = ev.filter(col("event_type") === "error")
+            .select("user_id", "ts", "event_id"),
+          right = ev.filter(col("event_type") === "click"),
+          keyCol = "user_id", tsCol = "ts", leftIdCol = "event_id")
         .select(col("event_id"), col("user_id"),
           Canon.tsStrMicros(col("ts")).as("error_ts"),
-          Canon.tsStrMicros(col("click_ts")).as("click_ts"))
+          Canon.tsStrMicros(col("asof_ts")).as("click_ts"))
         .orderBy("event_id")
     }),
     "join_cross_small" -> ((s, d) => {

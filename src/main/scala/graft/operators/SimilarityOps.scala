@@ -2,8 +2,8 @@ package graft.operators
 
 import graft.{Canon, Q, Tables}
 import graft.Canon.{sql => O}
+import graft.api.Similarity
 import graft.functions.Kernels
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.9 (vector half) — similarity search over the embedding column.
@@ -25,39 +25,19 @@ object SimilarityOps {
 
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      // round-robin repartition the probe side: the fixture parquet is
-      // one split, which would pin all O(n²) pair work on one core.
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val a = e.repartition(p).select(col("vec_id").as("id1"), col("embedding").as("e1"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"))
-      a.join(broadcast(b), col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), Canon.r4(Kernels.cosine(col("e1"), col("e2"))).as("sim"))
+      Similarity.cosineTopKPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 100, simRound = Some(4))
         .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
-        .limit(100)
     }),
     "sim_knn_per_query" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val c = e.repartition(p).select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-      c.join(broadcast(q), col("qid") =!= col("cid"))
-        .withColumn("sim", Canon.r4(Kernels.cosine(col("qe"), col("ce"))))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .filter(col("rn") <= 5)
-        .select("qid", "cid", "sim", "rn")
+      Similarity.cosineKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5, simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
     "sim_threshold_join" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val a = e.repartition(p).select(col("vec_id").as("id1"), col("label"), col("embedding").as("e1"))
-      val b = e.select(col("vec_id").as("id2"), col("label").as("label2"), col("embedding").as("e2"))
-      a.join(broadcast(b), col("label") === col("label2") && col("id1") < col("id2"))
-        .withColumn("sim", Canon.r4(Kernels.cosine(col("e1"), col("e2"))))
-        .filter(col("sim") >= 0.95)
-        .select("id1", "id2", "label", "sim")
+      Similarity.cosineThresholdJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+          groupCol = "label", minSim = 0.95, simRound = Some(4))
         .orderBy("id1", "id2")
     }),
     "multimodal_embed_norm" -> ((s, d) => {
@@ -66,13 +46,10 @@ object SimilarityOps {
         .orderBy("vec_id")
     }),
     "embed_centroid_by_label" -> ((s, d) => {
-      // Mean vector per label, exploded to (label, dim, value) rows —
-      // row output avoids array-encoding equivalence issues and the
+      // Row output avoids array-encoding equivalence issues and the
       // groupBy(label, dim) partial-aggregates before the shuffle.
-      Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy(col("label"), col("dim").cast("long").as("dim"))
-        .agg(Canon.r4(avg(col("v").cast("double"))).as("centroid"))
+      Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")
+        .select(col("label"), col("dim"), Canon.r4(col("centroid")).as("centroid"))
         .orderBy("label", "dim")
     })
   )

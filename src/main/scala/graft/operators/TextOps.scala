@@ -2,10 +2,12 @@ package graft.operators
 
 import graft.{Canon, Q, Tables}
 import graft.Canon.{sql => O}
-import graft.functions.Kernels
+import graft.api.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
-/** §2.9 (text half) — LLM-data-pipeline text analysis + deduplication.
+/** §2.9 (text half) + §2.12-adjacent text analysis — thin bindings of
+  * the public API (graft.api.Dedup / TextAnalysis) onto the fixture
+  * corpus, plus the Canon determinism layer for oracle parity.
   *
   * Scale design: `dedup_exact` is a hash groupBy (shuffle ∝ distinct
   * hashes). `dedup_near_jaccard` is the exact O(n²)-within-language
@@ -16,6 +18,8 @@ import org.apache.spark.sql.functions._
   * within candidate buckets.
   */
 object TextOps {
+  private val stopwords = Seq("scan", "column", "window")
+
   val queries: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) => {
       Tables.documents(s, d)
@@ -39,61 +43,42 @@ object TextOps {
         .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "source")
     }),
+    "text_quality_score" -> ((s, d) => {
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text", stopwords)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
+          col("n_stop"), col("n_vowels"),
+          Canon.r4(col("ttr")).as("ttr"),
+          Canon.r4(col("stop_ratio")).as("stop_ratio"),
+          col("bpe_est"))
+        .orderBy("doc_id")
+    }),
+    "text_lang_id" -> ((s, d) => {
+      TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, d) => {
+      // roll_fp (winnowing rolling hash) is engine-side code with no
+      // SQL twin — it stays in the API (unit-tested); the declared
+      // query emits the oracle-checkable canonical set fingerprint.
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "set_fp", "n_distinct")
+        .orderBy("doc_id")
+    }),
     "dedup_exact" -> ((s, d) => {
-      // Exact dedup keyed on md5(text): shuffle carries one hash per
-      // doc, not the text itself. May return 0 groups (valid result).
-      Tables.documents(s, d)
-        .groupBy(md5(col("text").cast("binary")).as("h"))
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
-        .filter(col("n") > 1)
-        .orderBy("h")
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text").orderBy("h")
     }),
     "dedup_near_jaccard" -> ((s, d) => {
-      // Hash+sort the token set ONCE per doc; the O(n²-within-lang)
-      // pair loop then runs an allocation-free primitive merge per
-      // pair (identical Jaccard values — hashing is injective w.h.p.).
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"),
-          Kernels.tokenHashesUdf(split(col("text"), " ")).as("th"))
-      // lang has only 5 values: a shuffle join would cap parallelism at
-      // 5. Broadcast one side and round-robin repartition the other so
-      // every core generates pairs. (At 100 TB: block-partitioned
-      // self-join or the LSH twin below.)
-      val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val a = t.repartition(p).select(col("doc_id").as("id1"), col("lang"), col("th").as("t1"))
-      val b = t.select(col("doc_id").as("id2"), col("lang").as("lang2"), col("th").as("t2"))
-      a.join(broadcast(b), col("lang") === col("lang2") && col("id1") < col("id2"))
-        .withColumn("jac", Kernels.jaccardLongsUdf(col("t1"), col("t2")))
-        .filter(col("jac") >= 0.8)
-        .select(col("id1"), col("id2"), Canon.r4(col("jac")).as("jac"))
+      Dedup.nearJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.8, Some("lang"))
+        .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     }),
     "dedup_minhash_lsh" -> ((s, d) => {
-      // Scalable near-dup dedup (✘ no oracle — probabilistic recall;
-      // unit-tested ≥0.9 against the exact Jaccard truth set).
-      //
-      // Banded MinHash-LSH, Spark-first: signature UDF (once per doc)
-      // → explode 8 band hashes → equi-join on (band, hash) bucket →
-      // distinct candidate pairs → exact Jaccard verify within
-      // candidates only. At 100 TB this shuffles by band bucket — the
-      // O(n²) loop runs only inside buckets, which is exactly the
-      // LSH contract. (MLlib's approxSimilarityJoin measured 727 s on
-      // sf0.1's duplicate-heavy corpus; this shape runs in seconds.)
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), Kernels.tokenHashesUdf(split(col("text"), " ")).as("th"))
-      val banded = docs
-        .select(col("doc_id"), posexplode(Kernels.minhashBandsUdf(8, 4)(col("th"))).as(Seq("band", "bh")))
-      val x = banded.select(col("doc_id").as("id1"), col("band"), col("bh"))
-      val y = banded.select(col("doc_id").as("id2"), col("band").as("band2"), col("bh").as("bh2"))
-      val cand = x.join(y, col("band") === col("band2") && col("bh") === col("bh2")
-          && col("id1") < col("id2"))
-        .select("id1", "id2").distinct()
-      cand
-        .join(docs.select(col("doc_id").as("id1"), col("th").as("t1")), "id1")
-        .join(docs.select(col("doc_id").as("id2"), col("th").as("t2")), "id2")
-        .withColumn("jac", Kernels.jaccardLongsUdf(col("t1"), col("t2")))
-        .filter(col("jac") >= 0.8)
-        .select(col("id1"), col("id2"), Canon.r4(col("jac")).as("jac"))
+      // ✘ no oracle — probabilistic recall (unit-tested ≥0.9 against
+      // the exact truth set). MLlib's approxSimilarityJoin measured
+      // 727 s on sf0.1's duplicate-heavy corpus; the banded form runs
+      // the same semantics in seconds.
+      Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
+        .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     })
   )
@@ -112,6 +97,36 @@ object TextOps {
     "text_lang_source_matrix" ->
       """SELECT lang, source, count(*) AS n_docs
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "text_quality_score" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('scan', 'column', 'window'))) AS BIGINT) AS n_stop,
+        |  CAST(strlen(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+        |FROM documents)
+        |SELECT doc_id, n_chars, n_tokens, n_distinct, n_stop, n_vowels,
+        |  ${O.r4("CAST(n_distinct AS DOUBLE) / n_tokens")} AS ttr,
+        |  ${O.r4("CAST(n_stop AS DOUBLE) / n_tokens")} AS stop_ratio,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |prof AS (SELECT lang AS plang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |scores AS (SELECT t.doc_id, t.lang, p.plang, CAST(sum(p.cnt) AS BIGINT) AS score
+        |           FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2, 3),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY score DESC, plang) AS rn FROM scores)
+        |SELECT doc_id, lang, plang AS pred_lang,
+        |  CAST(lang = plang AS INT) AS correct, score
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_fp,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,

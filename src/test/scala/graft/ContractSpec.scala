@@ -12,8 +12,8 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
 
-  test("all contract keys are declared (69 from SURVEY §2 + 3 multimodal)") {
-    assert(SparkEntry.queries.size == 72)
+  test("all contract keys are declared (69 from SURVEY §2 + 3 multimodal + 3 text-analysis)") {
+    assert(SparkEntry.queries.size == 75)
   }
 
   test("every oracle key has a query; only the 4 no-oracle keys are unchecked") {

@@ -58,6 +58,16 @@ class KernelsSpec extends AnyFunSuite {
     assert(shared.isEmpty)
   }
 
+  test("rolling fingerprint is deterministic and window-sensitive") {
+    val t1 = "scan column window order sort part agg"
+    assert(Kernels.rollingFingerprint(t1) == Kernels.rollingFingerprint(t1))
+    // a shared 8-byte window appearing in both texts can produce the
+    // same min-hash; fully distinct byte streams must not
+    assert(Kernels.rollingFingerprint(t1) != Kernels.rollingFingerprint("zzz qqq xxx yyy www vvv uuu"))
+    assert(Kernels.rollingFingerprint("") == 0L)
+    assert(Kernels.rollingFingerprint("short") == Kernels.rollingFingerprint("short"))
+  }
+
   test("sigmoid is bounded and centered") {
     assert(Kernels.sigmoid(0.0) == 0.5)
     assert(Kernels.sigmoid(100.0) > 0.999)
