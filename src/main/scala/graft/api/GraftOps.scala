@@ -69,6 +69,13 @@ object Similarity {
   private def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
+  /** Cosine via the native codegen expression (no UDF boundary);
+    * bit-identical to Kernels.cosineArr. */
+  private def cos(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.CosineSim.register(df.sparkSession)
+    call_function("graft_cosine", a, b)
+  }
+
   /** Global top-k most-similar pairs, brute force (broadcast × fanout).
     * The exactness baseline and the per-bucket inner loop of an
     * LSH/IVF layout at scale. `simRound` rounds similarities BEFORE
@@ -78,7 +85,7 @@ object Similarity {
       simRound: Option[Int] = None): DataFrame = {
     val a = fanout(df).select(col(idCol).as("id1"), col(vecCol).as("_e1"))
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("_e2"))
-    val sim = Kernels.cosine(col("_e1"), col("_e2"))
+    val sim = cos(df)(col("_e1"), col("_e2"))
     a.join(broadcast(b), col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
@@ -92,7 +99,7 @@ object Similarity {
     val q = df.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("_qe"))
     val c = fanout(df).select(col(idCol).as("cid"), col(vecCol).as("_ce"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-    val sim = Kernels.cosine(col("_qe"), col("_ce"))
+    val sim = cos(df)(col("_qe"), col("_ce"))
     c.join(broadcast(q), col("qid") =!= col("cid"))
       .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -105,11 +112,40 @@ object Similarity {
       groupCol: String, minSim: Double, simRound: Option[Int] = None): DataFrame = {
     val a = fanout(df).select(col(idCol).as("id1"), col(groupCol).as("_g1"), col(vecCol).as("_e1"))
     val b = df.select(col(idCol).as("id2"), col(groupCol).as("_g2"), col(vecCol).as("_e2"))
-    val sim = Kernels.cosine(col("_e1"), col("_e2"))
+    val sim = cos(df)(col("_e1"), col("_e2"))
     a.join(broadcast(b), col("_g1") === col("_g2") && col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("_g1").as(groupCol),
         simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
       .filter(col("sim") >= minSim)
+  }
+
+  /** IVF-style approximate kNN — the scale path for similarity search.
+    *
+    * Coarse quantization: every vector is assigned to its nearest of
+    * `centroids` cells (one pass, broadcastable centroid table);
+    * queries probe their `nprobe` nearest cells and rank only those
+    * candidates. At 100 TB the cell assignment is a write-time
+    * partition key: a query touches nprobe/|cells| of the data instead
+    * of all of it. Recall is tested against the brute-force baseline.
+    */
+  def ivfKnn(df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, centroids: Array[Array[Float]], nprobe: Int,
+      simRound: Option[Int] = None): DataFrame = {
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nprobe))
+    val cands = fanout(df)
+      .select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+      .withColumn("_cell", cellOf(col("_ce")))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+      .withColumn("_probe", explode(probesOf(col("_qe"))))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val sim = cos(df)(col("_qe"), col("_ce"))
+    cands.join(broadcast(q), col("_cell") === col("_probe") && col("qid") =!= col("cid"))
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
   }
 
   /** Mean vector per label as (label, dim, value) rows. */

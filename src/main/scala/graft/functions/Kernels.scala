@@ -157,6 +157,14 @@ object Kernels {
 
   val rollingFingerprintUdf = udf((t: String) => rollingFingerprint(t))
 
+  /** Indices of the `nprobe` nearest centroids by cosine, best first;
+    * ties break toward the lower index (deterministic). */
+  def nearestCells(v: Seq[Float], centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {
+    val x = floats(v)
+    val scored = Array.tabulate(centroids.length)(i => (cosineArr(x, centroids(i)), i))
+    scored.sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+  }
+
   /** Banded MinHash signature over pre-hashed tokens: `bands` band
     * hashes, each summarizing `rows` min-hash values. Two docs share a
     * (band, hash) bucket with prob 1-(1-j^rows)^bands — at j=0.8,

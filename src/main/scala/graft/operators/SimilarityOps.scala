@@ -35,6 +35,22 @@ object SimilarityOps {
         .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
+    "sim_knn_ivf" -> ((s, d) => {
+      // ✘ no oracle (approximate by design): IVF-quantized kNN for the
+      // same queries as sim_knn_per_query; recall vs the brute-force
+      // baseline is unit-tested. Centroids: the 16 lowest-id vectors
+      // (deterministic coarse quantizer at fixture scale; at 100 TB a
+      // k-means sample or learned codebook replaces this one-liner).
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      Similarity.ivfKnn(e, "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5,
+          centroids = cents, nprobe = 4, simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
     "sim_threshold_join" -> ((s, d) => {
       Similarity.cosineThresholdJoin(Tables.embeddings(s, d), "vec_id", "embedding",
           groupCol = "label", minSim = 0.95, simRound = Some(4))

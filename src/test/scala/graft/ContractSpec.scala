@@ -6,17 +6,17 @@ import org.scalatest.funsuite.AnyFunSuite
 class ContractSpec extends AnyFunSuite {
   private val noOracle = Set(
     "agg_approx_distinct", "dedup_minhash_lsh", "stream_watermark_late",
-    "ml_train_logreg_gd", "multimodal_decode_stub")
+    "ml_train_logreg_gd", "multimodal_decode_stub", "sim_knn_ivf")
 
   test("entry returns rows on sf0.001 (t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
 
-  test("all contract keys are declared (69 from SURVEY §2 + 3 multimodal + 3 text-analysis)") {
-    assert(SparkEntry.queries.size == 75)
+  test("all contract keys are declared (69 from SURVEY §2 + 7 extensions)") {
+    assert(SparkEntry.queries.size == 76)
   }
 
-  test("every oracle key has a query; only the 4 no-oracle keys are unchecked") {
+  test("every oracle key has a query; only declared no-oracle keys are unchecked") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle-only keys: ${o -- q}")

@@ -73,6 +73,16 @@ class NoOracleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("sim_knn_ivf recall vs brute-force top-5 is usable") {
+    val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_knn_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // nprobe=4 of 16 cells searches ~25% of the corpus
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("multimodal_decode_stub matches a driver-side recompute") {
     val decoded = SparkEntry.queries("multimodal_decode_stub")(spark, sf)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toVector).toMap
