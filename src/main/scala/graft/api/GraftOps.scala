@@ -63,6 +63,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
+
+  /** Character n-gram (shingle) Jaccard near-dup pairs — robust to
+    * token-boundary edits where word-level Jaccard is not. Same
+    * exact-O(n²)-within-group shape as `nearJaccardPairs`; shingles are
+    * hashed once per row, pairs compared by primitive merge. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, partitionCol: Option[String] = None): DataFrame = {
+    val hashed = df.select(col(idCol), partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+      Kernels.charNgramHashesUdf(n)(col(textCol)).as("_gh"))
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = hashed.repartition(p)
+      .select(col(idCol).as("id1"), col("_grp"), col("_gh").as("_g1"))
+    val b = hashed.select(col(idCol).as("id2"), col("_grp").as("_grp2"), col("_gh").as("_g2"))
+    a.join(broadcast(b), col("_grp") === col("_grp2") && col("id1") < col("id2"))
+      .withColumn("jaccard", Kernels.jaccardLongsUdf(col("_g1"), col("_g2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit per-doc fingerprint, candidate
+    * generation by banded bucket-join (pigeonhole guarantees zero false
+    * negatives for hamming < bands), then an exact Hamming filter.
+    * State per row is ONE i64 — the cheapest scalable near-dup
+    * signature; at 100 TB the (band, chunk) join replaces the O(n²)
+    * self-join entirely. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    val docs = df.select(col(idCol).as("_id"),
+      Kernels.simhashUdf(Kernels.tokenHashesUdf(split(col(textCol), " "))).as("_sh"))
+    val banded = docs.select(col("_id"), col("_sh"),
+      explode(Kernels.simhashChunksUdf(bands)(col("_sh"))).as("_chunk"))
+    val x = banded.select(col("_id").as("id1"), col("_sh").as("_sh1"), col("_chunk"))
+    val y = banded.select(col("_id").as("id2"), col("_sh").as("_sh2"), col("_chunk").as("_chunk2"))
+    x.join(y, col("_chunk") === col("_chunk2") && col("id1") < col("id2"))
+      .select("id1", "id2", "_sh1", "_sh2").distinct()
+      .withColumn("hamming", Kernels.hammingUdf(col("_sh1"), col("_sh2")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
+  }
 }
 
 object Similarity {
@@ -115,6 +155,21 @@ object Similarity {
     val sim = cos(df)(col("_e1"), col("_e2"))
     a.join(broadcast(b), col("_g1") === col("_g2") && col("id1") < col("id2"))
       .select(col("id1"), col("id2"), col("_g1").as(groupCol),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** All pairs with cosine ≥ minSim, no blocking key — embedding-space
+    * near-duplicate candidates. The exact baseline; at 100 TB route
+    * through `ivfKnn`-style cell assignment so only same/adjacent-cell
+    * pairs are compared. */
+  def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, simRound: Option[Int] = None): DataFrame = {
+    val a = fanout(df).select(col(idCol).as("id1"), col(vecCol).as("_e1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("_e2"))
+    val sim = cos(df)(col("_e1"), col("_e2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
         simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
       .filter(col("sim") >= minSim)
   }

@@ -197,6 +197,63 @@ object Kernels {
     out
   }
 
+  /** 64-bit SimHash over pre-hashed tokens: per-bit majority vote of
+    * the token hashes. Near-identical token sets differ in few bits, so
+    * near-dup detection becomes a Hamming-distance test on one i64 per
+    * doc — constant state per row, trivially shuffle-able at 100 TB. */
+  def simhash64(hashes: Seq[Long]): Long = {
+    val hs = longs(hashes)
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < hs.length) {
+      val h = hs(t)
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Split a SimHash into `bands` equal bit-chunks (band index encoded
+    * in the high bits so distinct bands never collide across positions).
+    * Pigeonhole: two hashes within Hamming distance < bands share at
+    * least one identical band → a bucket-join on (band, chunk) finds
+    * every such pair with zero false negatives. */
+  def simhashChunks(sh: Long, bands: Int): Array[Long] = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    Array.tabulate(bands)(b => (b.toLong << 58) | ((sh >>> (b * width)) & mask))
+  }
+
+  /** Character n-gram set → sorted distinct 64-bit hashes (the shingle
+    * step of n-gram Jaccard / MinHash dedup). One pass over the string;
+    * downstream pair comparisons run on primitive longs. */
+  def charNgramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null || text.length < n) return Array.emptyLongArray
+    val m = text.length - n + 1
+    val arr = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h = h * 1099511628211L + text.charAt(i + j); j += 1 }
+      arr(i) = splitmix64(h)
+      i += 1
+    }
+    java.util.Arrays.sort(arr)
+    var w = 0; var r = 0
+    while (r < m) {
+      if (w == 0 || arr(r) != arr(w - 1)) { arr(w) = arr(r); w += 1 }
+      r += 1
+    }
+    if (w == m) arr else java.util.Arrays.copyOf(arr, w)
+  }
+
   // ---- Column-level wrappers (compiled Scala UDFs, not SQL lambdas) ----
   val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosineArr(floats(a), floats(b)))
   val dotUdf    = udf((a: Seq[Float], b: Seq[Float]) => dotArr(floats(a), floats(b)))
@@ -207,6 +264,10 @@ object Kernels {
   val jaccardLongsUdf = udf((a: Seq[Long], b: Seq[Long]) => jaccardLongs(a, b))
   def minhashBandsUdf(bands: Int, rows: Int) =
     udf((hashes: Seq[Long]) => minhashBands(hashes, bands, rows))
+  val simhashUdf = udf((hashes: Seq[Long]) => simhash64(hashes))
+  val hammingUdf = udf((a: Long, b: Long) => hamming64(a, b))
+  def simhashChunksUdf(bands: Int) = udf((sh: Long) => simhashChunks(sh, bands))
+  def charNgramHashesUdf(n: Int) = udf((t: String) => charNgramHashes(t, n))
 
   def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
   def dot(a: Column, b: Column): Column    = dotUdf(a, b)

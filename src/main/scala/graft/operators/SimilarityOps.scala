@@ -51,6 +51,15 @@ object SimilarityOps {
         .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
+    "dedup_embed_cosine" -> ((s, d) => {
+      // embedding-space near-dup candidates: all pairs above a cosine
+      // threshold, no blocking key. The fixture embeddings are random-
+      // ish (max pairwise cos ≈ 0.51), so 0.4 exercises the operator;
+      // production corpora use 0.95+. Scale path: IVF cell-local pairs.
+      Similarity.cosinePairsAbove(Tables.embeddings(s, d), "vec_id", "embedding",
+          minSim = 0.4, simRound = Some(4))
+        .orderBy("id1", "id2")
+    }),
     "sim_threshold_join" -> ((s, d) => {
       Similarity.cosineThresholdJoin(Tables.embeddings(s, d), "vec_id", "embedding",
           groupCol = "label", minSim = 0.95, simRound = Some(4))
@@ -86,6 +95,12 @@ object SimilarityOps {
         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rn
         |      FROM j)
         |SELECT qid, cid, sim, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "dedup_embed_cosine" ->
+      s"""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ${O.r4(duckCosine("a.embedding", "b.embedding"))} AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, sim FROM p WHERE sim >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
     "sim_threshold_join" ->
       s"""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label,
         |  ${O.r4(duckCosine("a.embedding", "b.embedding"))} AS sim

@@ -72,6 +72,20 @@ object TextOps {
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     }),
+    "dedup_ngram_jaccard" -> ((s, d) => {
+      // character-3-gram (shingle) Jaccard — catches boundary edits
+      // word-level jaccard misses; same lang-blocked exact baseline
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.7, Some("lang"))
+        .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
+        .orderBy("id1", "id2")
+    }),
+    "dedup_simhash" -> ((s, d) => {
+      // ✘ no oracle — the 64-bit fingerprint depends on our hash
+      // function (no DuckDB twin). Unit-tested: pigeonhole recall of
+      // exact dups, hamming bound, pair validity.
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("id1", "id2")
+    }),
     "dedup_minhash_lsh" -> ((s, d) => {
       // ✘ no oracle — probabilistic recall (unit-tested ≥0.9 against
       // the exact truth set). MLlib's approxSimilarityJoin measured
@@ -130,6 +144,16 @@ object TextOps {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(generate_series(1, greatest(strlen(text)-2, 0)),
+        |                i -> substr(text, i, 3))) AS gs FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |        CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        |          / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac
+        |      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, ${O.r4("jac")} AS jac
+        |FROM p WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
     "dedup_near_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |             list_distinct(string_split(text, ' ')) AS toks FROM documents),
