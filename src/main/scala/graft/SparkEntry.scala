@@ -38,4 +38,15 @@ object SparkEntry {
     * driver's weaker rows-only check and are unit-tested instead. */
   def oracleSql: Map[String, String] =
     modules.map(_._2).reduce(_ ++ _)
+
+  /** The declared no-oracle keys (SURVEY §2's ✘ rows): results are
+    * probabilistic / stateful / environment-stubbed, so no DuckDB SQL
+    * twin exists; each is covered by a unit test instead (NoOracleSpec,
+    * StreamingParitySpec). ContractSpec asserts this is EXACTLY
+    * `queries.keySet -- oracleSql.keySet`, so adding an operator
+    * without either an oracle or a declaration here fails the build. */
+  val noOracleKeys: Set[String] = Set(
+    "agg_approx_distinct", "dedup_minhash_lsh", "dedup_simhash",
+    "stream_watermark_late", "ml_train_logreg_gd",
+    "multimodal_decode_stub", "sim_knn_ivf")
 }

@@ -23,30 +23,63 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .filter(col("n") > 1)
 
-  /** All pairs with token-set Jaccard ≥ threshold, exact. O(n²) within
-    * each `partitionCol` group — the correctness baseline; use
-    * `minhashPairs` at scale. Token sets are hashed+sorted once per
-    * row; pair comparisons are primitive merges. */
-  def nearJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, partitionCol: Option[String] = None): DataFrame = {
-    val hashed = df.select(col(idCol), partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
-      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val a = hashed.repartition(p)
-      .select(col(idCol).as("id1"), col("_grp"), col("_th").as("_t1"))
-    val b = hashed.select(col(idCol).as("id2"), col("_grp").as("_grp2"), col("_th").as("_t2"))
-    a.join(broadcast(b), col("_grp") === col("_grp2") && col("id1") < col("id2"))
-      .withColumn("jaccard", Kernels.jaccardLongsUdf(col("_t1"), col("_t2")))
+  /** Exact Jaccard ≥ threshold pairs from a pre-hashed shingle table
+    * `(id, _grp, _h: sorted distinct Array[Long])` — the shared core of
+    * `nearJaccardPairs` / `ngramJaccardPairs`.
+    *
+    * Shape (the 100 TB-safe one, replacing the r1 all-pairs broadcast):
+    *  1. explode each doc's shingle hashes into an inverted index
+    *     `(grp, shingle) → (id, |set|)` — narrow rows, no arrays;
+    *  2. self-equi-join the index on (grp, shingle) with `id1 < id2`
+    *     AND the exact length filter (J(A,B) ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t),
+    *     so only size-compatible co-occurrences survive;
+    *  3. count co-occurrences per pair = |A∩B| (map-side partial agg
+    *     shrinks the shuffle), then J = ∩ / (|A|+|B|−∩), filter ≥ t.
+    *
+    * No broadcast of the corpus, no per-pair array materialization —
+    * every stage is an equi-shuffle or hash aggregate, and AQE's skew
+    * handling covers hot shingles. Empty shingle sets are excluded
+    * (J(∅,∅) is defined as 0 here — two empty docs are not duplicates),
+    * matching a `len(set) > 0` guard in the SQL oracle. */
+  private[api] def jaccardPairsFromHashes(hashed: DataFrame, threshold: Double): DataFrame = {
+    val sized = hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
+    val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
+    val a = posts.select(col("_id").as("id1"), col("_grp"), col("_sz").as("_sz1"), col("_s"))
+    val b = posts.select(col("_id").as("id2"), col("_grp").as("_grp2"),
+      col("_sz").as("_sz2"), col("_s").as("_s2"))
+    a.join(b, col("_s") === col("_s2") && col("_grp") === col("_grp2")
+        && col("id1") < col("id2")
+        && col("_sz2") >= col("_sz1") * threshold && col("_sz1") >= col("_sz2") * threshold)
+      .groupBy("id1", "id2", "_sz1", "_sz2")
+      .agg(count(lit(1)).as("_inter"))
+      .withColumn("jaccard",
+        col("_inter").cast("double") / (col("_sz1") + col("_sz2") - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
 
+  /** All pairs with token-set Jaccard ≥ threshold, exact — via the
+    * inverted-index count join (`jaccardPairsFromHashes`): sub-quadratic
+    * in practice and shuffle-only, vs the naive all-pairs self-join.
+    * `minhashPairs` is the probabilistic twin when even the index join
+    * is too hot. */
+  def nearJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, partitionCol: Option[String] = None): DataFrame = {
+    val hashed = df.select(col(idCol).as("_id"),
+      partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
+    jaccardPairsFromHashes(hashed, threshold)
+  }
+
   /** Scalable near-dup pairs: banded MinHash-LSH candidates, verified
     * with exact Jaccard inside buckets only. Probabilistic recall
-    * 1-(1-t^rows)^bands at similarity t. The 100 TB path: one shuffle
-    * by (band, bucket), O(n²) only within buckets. */
+    * 1-(1-t^rows)^bands at similarity t — the defaults (16 bands × 4
+    * rows) give ≥0.9997 at j=0.8, matching the Kernels.minhashBands
+    * math. The 100 TB path: one shuffle by (band, bucket), O(n²) only
+    * within buckets. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val docs = df.select(col(idCol).as("_id"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
     val banded = docs.select(col("_id"),
@@ -65,21 +98,17 @@ object Dedup {
   }
 
   /** Character n-gram (shingle) Jaccard near-dup pairs — robust to
-    * token-boundary edits where word-level Jaccard is not. Same
-    * exact-O(n²)-within-group shape as `nearJaccardPairs`; shingles are
-    * hashed once per row, pairs compared by primitive merge. */
+    * token-boundary edits where word-level Jaccard is not. Shingles are
+    * hashed once per row (over Unicode code points, not UTF-16 units);
+    * pairs come from the same inverted-index count join as
+    * `nearJaccardPairs`. Sub-n-char docs have no shingles and are
+    * excluded (J(∅,·) = 0), mirrored by the oracle's `len(gs) > 0`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, partitionCol: Option[String] = None): DataFrame = {
-    val hashed = df.select(col(idCol), partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
-      Kernels.charNgramHashesUdf(n)(col(textCol)).as("_gh"))
-    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val a = hashed.repartition(p)
-      .select(col(idCol).as("id1"), col("_grp"), col("_gh").as("_g1"))
-    val b = hashed.select(col(idCol).as("id2"), col("_grp").as("_grp2"), col("_gh").as("_g2"))
-    a.join(broadcast(b), col("_grp") === col("_grp2") && col("id1") < col("id2"))
-      .withColumn("jaccard", Kernels.jaccardLongsUdf(col("_g1"), col("_g2")))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    val hashed = df.select(col(idCol).as("_id"),
+      partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+      Kernels.charNgramHashesUdf(n)(col(textCol)).as("_h"))
+    jaccardPairsFromHashes(hashed, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit per-doc fingerprint, candidate

@@ -232,16 +232,21 @@ object Kernels {
 
   /** Character n-gram set → sorted distinct 64-bit hashes (the shingle
     * step of n-gram Jaccard / MinHash dedup). One pass over the string;
-    * downstream pair comparisons run on primitive longs. */
+    * downstream pair comparisons run on primitive longs. Shingles are
+    * formed over Unicode CODE POINTS (not UTF-16 units) so non-BMP text
+    * (surrogate pairs) shingles the same way SQL engines' substr does;
+    * sub-n-codepoint docs yield the empty set (callers treat J(∅,·)=0). */
   def charNgramHashes(text: String, n: Int): Array[Long] = {
-    if (text == null || text.length < n) return Array.emptyLongArray
-    val m = text.length - n + 1
+    if (text == null || text.isEmpty) return Array.emptyLongArray
+    val cps = text.codePoints().toArray
+    val m = cps.length - n + 1
+    if (m <= 0) return Array.emptyLongArray
     val arr = new Array[Long](m)
     var i = 0
     while (i < m) {
       var h = 0L
       var j = 0
-      while (j < n) { h = h * 1099511628211L + text.charAt(i + j); j += 1 }
+      while (j < n) { h = h * 1099511628211L + cps(i + j); j += 1 }
       arr(i) = splitmix64(h)
       i += 1
     }

@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * corpus, plus the Canon determinism layer for oracle parity.
   *
   * Scale design: `dedup_exact` is a hash groupBy (shuffle ∝ distinct
-  * hashes). `dedup_near_jaccard` is the exact O(n²)-within-language
-  * baseline — correct at fixture scale, quadratic at 100 TB; its
-  * scalable twin `dedup_minhash_lsh` (hand-rolled banded MinHash)
-  * turns the self-join into a bucket-join on hash bands and is the
-  * path to run at cluster scale, with exact Jaccard applied only
-  * within candidate buckets.
+  * hashes). `dedup_near_jaccard` / `dedup_ngram_jaccard` are EXACT but
+  * no longer all-pairs: an inverted shingle index is self-equi-joined
+  * on (group, shingle) with a length filter, and |A∩B| is recovered by
+  * counting co-occurrences (api.Dedup.jaccardPairsFromHashes) — every
+  * stage is an equi-shuffle or hash aggregate, nothing is broadcast.
+  * `dedup_minhash_lsh` (hand-rolled banded MinHash) remains the
+  * probabilistic twin when even the index join is too hot: one shuffle
+  * by (band, bucket), exact Jaccard only within candidate buckets.
   */
 object TextOps {
   private val stopwords = Seq("scan", "column", "window")
@@ -147,7 +149,8 @@ object TextOps {
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(generate_series(1, greatest(strlen(text)-2, 0)),
-        |                i -> substr(text, i, 3))) AS gs FROM documents),
+        |                i -> substr(text, i, 3))) AS gs
+        |  FROM documents WHERE strlen(text) >= 3),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
         |        CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
         |          / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac

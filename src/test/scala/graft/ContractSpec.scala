@@ -4,23 +4,49 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver-contract invariants (SURVEY §0/§2). */
 class ContractSpec extends AnyFunSuite {
-  private val noOracle = Set(
-    "agg_approx_distinct", "dedup_minhash_lsh", "stream_watermark_late",
-    "ml_train_logreg_gd", "multimodal_decode_stub", "sim_knn_ivf")
+  /** The 72 SURVEY §2 contract keys, verbatim. Extensions beyond this
+    * list are welcome; dropping one of these is a contract break. */
+  private val surveyContractKeys = Set(
+    "scan_parquet_project_filter", "scan_events_nanos", "scan_union_rowcounts",
+    "project_arith", "filter_predicates", "filter_null_semantics", "case_when_cast",
+    "join_inner_broadcast", "join_inner_shufflemerge", "join_multiway_revenue",
+    "join_left_outer", "join_full_outer", "join_semi", "join_anti",
+    "join_range_theta", "join_asof", "join_cross_small",
+    "agg_groupby_q1", "agg_having", "agg_distinct_count", "agg_multi_distinct",
+    "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_stats", "agg_percentile", "agg_collect_sorted",
+    "window_topk_per_group", "window_ranks", "window_lag_lead",
+    "window_running_sum", "window_sliding_avg", "window_range_frame",
+    "sort_multikey", "topk_global", "limit_offset",
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "str_funcs", "str_regexp", "date_funcs", "math_funcs",
+    "json_extract_props", "array_funcs", "split_explode_tokens",
+    "text_tokenize_stats", "text_term_freq", "text_lang_source_matrix",
+    "dedup_exact", "dedup_near_jaccard", "dedup_minhash_lsh",
+    "sim_knn_bruteforce", "sim_knn_per_query", "sim_threshold_join",
+    "multimodal_embed_norm", "embed_centroid_by_label",
+    "stream_tumbling_counts", "stream_sliding_counts", "stream_session_windows",
+    "stream_dedup_ids", "stream_watermark_late",
+    "ml_infer_linear_udf", "ml_eval_confusion", "ml_batch_stats",
+    "ml_train_logreg_gd", "ml_feature_extract",
+    "multimodal_binary_meta", "multimodal_frame_sample", "multimodal_decode_stub")
 
   test("entry returns rows on sf0.001 (t1 smoke)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
 
-  test("all contract keys are declared (69 from SURVEY §2 + 7 extensions)") {
-    assert(SparkEntry.queries.size == 76)
+  test("every SURVEY §2 contract key is declared") {
+    val missing = surveyContractKeys -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"missing contract keys: $missing")
   }
 
   test("every oracle key has a query; only declared no-oracle keys are unchecked") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle-only keys: ${o -- q}")
-    assert((q -- o) == noOracle, s"unexpected no-oracle keys: ${(q -- o) -- noOracle}")
+    assert((q -- o) == SparkEntry.noOracleKeys,
+      s"undeclared no-oracle keys: ${(q -- o) -- SparkEntry.noOracleKeys}; " +
+        s"declared-but-oracled: ${SparkEntry.noOracleKeys -- (q -- o)}")
   }
 
   test("every query runs on sf0.001 and returns a deterministic row count") {
