@@ -33,18 +33,23 @@ object Bench {
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-28s $dt%8.3f s")
+        name -> dt
       }
+    // explicit locale: the default-locale f"" interpolator would emit
+    // "654,756" (invalid JSON) under comma-decimal locales
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(entries: Iterable[(String, Double)]): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
     val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${fmt(head)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(head)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   * driver except `MlPipeline.trainLogisticGD`'s O(dims) weights.
   */
 object Dedup {
+  /** Spread the probe side of a broadcast-join pipeline across all
+    * cores: a small parquet input arrives as ONE scan partition, and a
+    * map-side BHJ chain would otherwise run the whole candidate
+    * generation + verify on a single core. Explicit numPartitions so
+    * AQE does not coalesce it away; at cluster scale the input is
+    * many-partitioned already and this is one narrow round-robin pass. */
+  private def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
   /** Exact-duplicate groups keyed on a content hash; shuffle carries
     * one 128-bit hash per row, never the content. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -27,34 +35,60 @@ object Dedup {
     * `(id, _grp, _h: sorted distinct Array[Long])` — the shared core of
     * `nearJaccardPairs` / `ngramJaccardPairs`.
     *
-    * Shape (the 100 TB-safe one, replacing the r1 all-pairs broadcast):
-    *  1. explode each doc's shingle hashes into an inverted index
-    *     `(grp, shingle) → (id, |set|)` — narrow rows, no arrays;
-    *  2. self-equi-join the index on (grp, shingle) with `id1 < id2`
-    *     AND the exact length filter (J(A,B) ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t),
-    *     so only size-compatible co-occurrences survive;
-    *  3. count co-occurrences per pair = |A∩B| (map-side partial agg
-    *     shrinks the shuffle), then J = ∩ / (|A|+|B|−∩), filter ≥ t.
+    * Shape: PPJoin-style prefix filtering under a FREQUENCY-ordered
+    * canonical shingle order, then exact verification:
+    *  1. one aggregate computes each shingle's document frequency per
+    *     group; every doc orders its shingles rarest-first under the
+    *     global order (df asc, hash asc);
+    *  2. prefix-filter theorem: J(A,B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, so any
+    *     qualifying pair must collide inside the first
+    *     |A| − ⌈t·|A|⌉ + 1 shingles of BOTH docs under the shared
+    *     order. Only those prefixes are indexed — rarest-first means
+    *     hot shingles ("the", common 3-grams) almost never enter a
+    *     prefix, which is what keeps the candidate join sub-quadratic
+    *     on skewed corpora;
+    *  3. candidates = prefix self-equi-join on (grp, shingle) with
+    *     id1 < id2 and the exact length filter
+    *     (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t), deduped;
+    *  4. exact verify: join the two hash arrays back (equi-shuffle on
+    *     id; AQE broadcasts when small) and keep pairs with
+    *     `Kernels.jaccardLongs ≥ t`.
     *
-    * No broadcast of the corpus, no per-pair array materialization —
-    * every stage is an equi-shuffle or hash aggregate, and AQE's skew
-    * handling covers hot shingles. Empty shingle sets are excluded
-    * (J(∅,∅) is defined as 0 here — two empty docs are not duplicates),
-    * matching a `len(set) > 0` guard in the SQL oracle. */
+    * No broadcast of the corpus, no all-pairs stage — every step is an
+    * equi-shuffle, hash aggregate, or per-doc window; candidate volume
+    * tracks true-pair volume, not n². Empty shingle sets are excluded
+    * (J(∅,·) is defined as 0 here — two empty docs are not duplicates;
+    * DuckDB oracles are vacuously consistent because string_split never
+    * returns an empty list). Requires threshold > 0: with t ≤ 0 the
+    * prefix bound degenerates and every pair (including J=0 ones, which
+    * this index join can never emit) would qualify. */
   private[api] def jaccardPairsFromHashes(hashed: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     val sized = hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
     val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
-    val a = posts.select(col("_id").as("id1"), col("_grp"), col("_sz").as("_sz1"), col("_s"))
-    val b = posts.select(col("_id").as("id2"), col("_grp").as("_grp2"),
+    val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
+    // prefix length |X| − ⌈t·|X|⌉ + 1, with a 1e-9 slack so float
+    // rounding can only LENGTHEN a prefix (safe) never shorten it
+    val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+    val prefix = posts.join(dfreq, Seq("_grp", "_s"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
+      .select("_id", "_grp", "_sz", "_s")
+    val a = prefix.select(col("_id").as("id1"), col("_grp"), col("_sz").as("_sz1"), col("_s"))
+    val b = prefix.select(col("_id").as("id2"), col("_grp").as("_grp2"),
       col("_sz").as("_sz2"), col("_s").as("_s2"))
-    a.join(b, col("_s") === col("_s2") && col("_grp") === col("_grp2")
+    val cand = a.join(b, col("_s") === col("_s2") && col("_grp") === col("_grp2")
         && col("id1") < col("id2")
-        && col("_sz2") >= col("_sz1") * threshold && col("_sz1") >= col("_sz2") * threshold)
-      .groupBy("id1", "id2", "_sz1", "_sz2")
-      .agg(count(lit(1)).as("_inter"))
-      .withColumn("jaccard",
-        col("_inter").cast("double") / (col("_sz1") + col("_sz2") - col("_inter")))
+        && col("_sz2") >= col("_sz1") * threshold - 1e-9
+        && col("_sz1") >= col("_sz2") * threshold - 1e-9)
+      .select("id1", "id2").distinct()
+    val docs = sized.select(col("_id"), col("_h"))
+    cand
+      .join(docs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
+      .join(docs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
+      .withColumn("jaccard", Kernels.jaccardLongsUdf(col("_h1"), col("_h2")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -74,21 +108,36 @@ object Dedup {
 
   /** Scalable near-dup pairs: banded MinHash-LSH candidates, verified
     * with exact Jaccard inside buckets only. Probabilistic recall
-    * 1-(1-t^rows)^bands at similarity t — the defaults (16 bands × 4
-    * rows) give ≥0.9997 at j=0.8, matching the Kernels.minhashBands
-    * math. The 100 TB path: one shuffle by (band, bucket), O(n²) only
-    * within buckets. */
+    * 1-(1-j^rows)^bands at similarity j — the defaults (16 bands × 8
+    * rows) give ≈0.947 at j=0.8 and ≥0.9996 at j=0.9. rows=8 (not 4)
+    * keeps the S-curve steep: on duplicate-heavy corpora with high
+    * ambient similarity, a flat curve (rows=4 admits 34% of j=0.4
+    * pairs) floods the bucket join with sub-threshold candidates and
+    * the "LSH" silently degenerates to all-pairs. The 100 TB path: one
+    * shuffle by (band, bucket), O(n²) only within buckets. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, bands: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     val docs = df.select(col(idCol).as("_id"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
-    val banded = docs.select(col("_id"),
-      posexplode(Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th"))).as(Seq("_band", "_bh")))
-    val x = banded.select(col("_id").as("id1"), col("_band"), col("_bh"))
-    val y = banded.select(col("_id").as("id2"), col("_band").as("_band2"), col("_bh").as("_bh2"))
+    val sigs = docs.select(col("_id"),
+      Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
+    val banded = sigs.select(col("_id"), col("_sig"),
+      posexplode(col("_sig")).as(Seq("_band", "_bh")))
+    val x = fanout(banded).select(col("_id").as("id1"), col("_sig").as("_sig1"),
+      col("_band"), col("_bh"))
+    val y = banded.select(col("_id").as("id2"), col("_sig").as("_sig2"),
+      col("_band").as("_band2"), col("_bh").as("_bh2"))
+    // A pair colliding in k bands would surface k times; instead of a
+    // global `distinct` shuffle over the inflated pair stream, each side
+    // carries its full signature and only the FIRST band where the two
+    // signatures agree emits the pair — exact dedup, zero extra shuffle,
+    // all in codegen'd builtins (zip_with + array_position).
+    val firstBand = array_position(
+      zip_with(col("_sig1"), col("_sig2"), (a, b) => (a === b).cast("long")), 1L)
     val cand = x.join(y, col("_band") === col("_band2") && col("_bh") === col("_bh2")
         && col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      .filter(firstBand === col("_band") + 1)
+      .select("id1", "id2")
     cand
       .join(docs.select(col("_id").as("id1"), col("_th").as("_t1")), "id1")
       .join(docs.select(col("_id").as("id2"), col("_th").as("_t2")), "id2")
@@ -123,11 +172,21 @@ object Dedup {
     val docs = df.select(col(idCol).as("_id"),
       Kernels.simhashUdf(Kernels.tokenHashesUdf(split(col(textCol), " "))).as("_sh"))
     val banded = docs.select(col("_id"), col("_sh"),
-      explode(Kernels.simhashChunksUdf(bands)(col("_sh"))).as("_chunk"))
-    val x = banded.select(col("_id").as("id1"), col("_sh").as("_sh1"), col("_chunk"))
-    val y = banded.select(col("_id").as("id2"), col("_sh").as("_sh2"), col("_chunk").as("_chunk2"))
+      posexplode(Kernels.simhashChunksUdf(bands)(col("_sh"))).as(Seq("_cix", "_chunk")))
+    val x = fanout(banded).select(col("_id").as("id1"), col("_sh").as("_sh1"),
+      col("_cix"), col("_chunk"))
+    val y = banded.select(col("_id").as("id2"), col("_sh").as("_sh2"),
+      col("_cix").as("_cix2"), col("_chunk").as("_chunk2"))
+    // chunk values embed their position (simhashChunks packs the band
+    // index into the high bits), so recomputing both chunk arrays and
+    // keeping only the first agreeing position dedups pairs that match
+    // in several chunks without a `distinct` shuffle.
+    val firstChunk = array_position(zip_with(
+      Kernels.simhashChunksUdf(bands)(col("_sh1")),
+      Kernels.simhashChunksUdf(bands)(col("_sh2")),
+      (a, b) => (a === b).cast("long")), 1L)
     x.join(y, col("_chunk") === col("_chunk2") && col("id1") < col("id2"))
-      .select("id1", "id2", "_sh1", "_sh2").distinct()
+      .filter(firstChunk === col("_cix") + 1)
       .withColumn("hamming", Kernels.hammingUdf(col("_sh1"), col("_sh2")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id1"), col("id2"), col("hamming").cast("int").as("hamming"))
@@ -203,6 +262,62 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** EXACT all-pairs cosine ≥ minSim through cell-pair pruning — the
+    * blocked twin of `cosinePairsAbove` whose output is guaranteed
+    * identical on ANY data:
+    *
+    *  1. every vector is assigned to its nearest centroid cell (one
+    *     map pass over a broadcast codebook) along with its angle to
+    *     that centroid;
+    *  2. one tiny aggregate yields each cell's angular radius
+    *     r_c = max member angle;
+    *  3. a cell pair (a, b) can only contain a qualifying pair if the
+    *     MINIMUM possible angle between members,
+    *     max(0, θ(centroid_a, centroid_b) − r_a − r_b), still has
+    *     cosine ≥ minSim (triangle inequality on the sphere) — the
+    *     surviving pairs form a broadcast-able candidate cell table;
+    *  4. vectors join through the allowed cell pairs (equi-join on the
+    *     cell id, never an unblocked cross join) and the exact cosine
+    *     filter keeps the true pairs.
+    *
+    * On clustered corpora (dedup thresholds like 0.95) almost every
+    * cross-cell pair is pruned and the join degenerates to cell-local
+    * work — the 100 TB shape, with the cell id doubling as a write-time
+    * partition key. On isotropic random data with a loose threshold
+    * nothing is prunable by ANY exact method; the plan is then the same
+    * all-pairs volume, but still expressed through the blocked join. */
+  def cosinePairsAboveCellBlocked(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, centroids: Array[Array[Float]],
+      simRound: Option[Int] = None): DataFrame = {
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val angToCell = udf((v: Seq[Float], c: Int) =>
+      math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(v, centroids(c))))))
+    val vecs = fanout(df).select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .withColumn("_cell", cellOf(col("_v")))
+      .withColumn("_ang", angToCell(col("_v"), col("_cell")))
+    val radii = vecs.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
+    val centAng = udf((a: Int, b: Int) =>
+      math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(centroids(a).toSeq, centroids(b))))))
+    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, minSim)))
+    val allowed = radii.select(col("_cell").as("_ca"), col("_rad").as("_ra"))
+      .crossJoin(radii.select(col("_cell").as("_cb"), col("_rad").as("_rb")))
+      .filter(col("_ca") <= col("_cb"))
+      .filter(greatest(centAng(col("_ca"), col("_cb")) - col("_ra") - col("_rb"), lit(0.0))
+        <= thetaMax + 1e-12)
+      .select(col("_ca"), col("_cb").as("_cbAllowed"))
+    val a = vecs.select(col("_vid").as("_ida"), col("_v").as("_va"), col("_cell").as("_ca"))
+    val b = df.select(col(idCol).as("_idb"), col(vecCol).as("_vb"))
+      .withColumn("_cb", cellOf(col("_vb")))
+    val sim = cos(df)(col("_va"), col("_vb"))
+    a.join(broadcast(allowed), "_ca")
+      .join(b, col("_cbAllowed") === col("_cb") && (col("_ca") < col("_cbAllowed")
+        || (col("_ca") === col("_cbAllowed") && col("_ida") < col("_idb"))))
+      .select(least(col("_ida"), col("_idb")).as("id1"),
+        greatest(col("_ida"), col("_idb")).as("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** IVF-style approximate kNN — the scale path for similarity search.
     *
     * Coarse quantization: every vector is assigned to its nearest of
@@ -237,6 +352,54 @@ object Similarity {
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "_v")))
       .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
       .agg(avg(col("_v").cast("double")).as("centroid"))
+}
+
+object Ranking {
+  /** Global rank / dense_rank / percent_rank / ntile over
+    * (bandCol DESC, tieCol ASC) with NO single-partition window over
+    * the data — the two-pass decomposition of a global ranking:
+    *
+    *  1. one aggregate computes per-band row counts; a window over that
+    *     TINY table (cardinality = #bands, not #rows) yields each
+    *     band's cumulative preceding count and dense rank;
+    *  2. rank / dense_rank / percent_rank depend only on the band (all
+    *     rows in a band tie), so they broadcast-join back as lookups;
+    *  3. the global row number needed by ntile = band's preceding count
+    *     + row_number within the band (a per-band window, parallel over
+    *     bands); the tile index then follows in closed form from the
+    *     SQL ntile bucket sizes (first n%k buckets get ⌈n/k⌉ rows).
+    *
+    * At extreme skew (one band ≫ executor memory) step 3's per-band
+    * window would recurse once more on a sub-bucket of tieCol — same
+    * pattern, cumulative counts per (band, sub-bucket). */
+  def bandedRanks(df: DataFrame, bandCol: String, tieCol: String, tiles: Int): DataFrame = {
+    val stats = df.groupBy(bandCol).agg(count(lit(1)).as("_bn"))
+    val ws = Window.orderBy(col(bandCol).desc)
+    val cum = stats
+      .withColumn("_before", coalesce(
+        sum(col("_bn")).over(ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_drnk", row_number().over(ws).cast("long"))
+      .crossJoin(broadcast(stats.agg(sum(col("_bn")).as("_n"))))
+    val wb = Window.partitionBy(bandCol).orderBy(col(tieCol).asc)
+    val k = lit(tiles.toLong)
+    val rn = col("_before") + row_number().over(wb).cast("long") // global row number
+    // Column `/` is double division; floor+cast keeps the arithmetic
+    // exact for n < 2^53
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val base = idiv(col("_n"), k)                                // ⌊n/k⌋
+    val rem = col("_n") % k
+    val boundary = rem * (base + 1)                              // rows in the fat buckets
+    df.join(broadcast(cum), bandCol)
+      .withColumn("rnk", col("_before") + 1)
+      .withColumn("drnk", col("_drnk"))
+      .withColumn("prnk", when(col("_n") > 1,
+        col("_before").cast("double") / (col("_n") - 1).cast("double")).otherwise(0.0))
+      .withColumn("_rn", rn)
+      .withColumn("tile",
+        when(col("_rn") <= boundary, idiv(col("_rn") - 1, base + 1) + 1)
+          .otherwise(rem + idiv(col("_rn") - boundary - 1, base) + 1))
+      .drop("_bn", "_before", "_n", "_rn")
+  }
 }
 
 object TimeSeriesOps {

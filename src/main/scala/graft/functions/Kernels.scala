@@ -260,6 +260,9 @@ object Kernels {
   }
 
   // ---- Column-level wrappers (compiled Scala UDFs, not SQL lambdas) ----
+  /** Cosine between a row vector and a codebook entry (cell math). */
+  def cosineWith(v: Seq[Float], c: Array[Float]): Double = cosineArr(floats(v), c)
+
   val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosineArr(floats(a), floats(b)))
   val dotUdf    = udf((a: Seq[Float], b: Seq[Float]) => dotArr(floats(a), floats(b)))
   val normUdf   = udf((a: Seq[Float]) => normArr(floats(a)))

@@ -52,12 +52,21 @@ object SimilarityOps {
         .orderBy("qid", "rn")
     }),
     "dedup_embed_cosine" -> ((s, d) => {
-      // embedding-space near-dup candidates: all pairs above a cosine
-      // threshold, no blocking key. The fixture embeddings are random-
-      // ish (max pairwise cos ≈ 0.51), so 0.4 exercises the operator;
-      // production corpora use 0.95+. Scale path: IVF cell-local pairs.
-      Similarity.cosinePairsAbove(Tables.embeddings(s, d), "vec_id", "embedding",
-          minSim = 0.4, simRound = Some(4))
+      // embedding-space near-dup pairs above a cosine threshold via the
+      // EXACT cell-blocked join (cosinePairsAboveCellBlocked): vectors
+      // route through allowed cell pairs (triangle-inequality pruning),
+      // never an unblocked cross join. On this fixture's random-ish
+      // embeddings a 0.4 threshold admits every cell pair (nothing is
+      // exactly prunable), but the output is provably identical to
+      // brute force on ANY data, and on clustered production corpora
+      // (thresholds 0.95+) the same plan is cell-local. Centroids: the
+      // 16 lowest-id vectors, as sim_knn_ivf.
+      val e = Tables.embeddings(s, d)
+      val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      Similarity.cosinePairsAboveCellBlocked(e, "vec_id", "embedding",
+          minSim = 0.4, centroids = cents, simRound = Some(4))
         .orderBy("id1", "id2")
     }),
     "sim_threshold_join" -> ((s, d) => {

@@ -148,9 +148,9 @@ object TextOps {
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang,
-        |  list_distinct(list_transform(generate_series(1, greatest(strlen(text)-2, 0)),
+        |  list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 0)),
         |                i -> substr(text, i, 3))) AS gs
-        |  FROM documents WHERE strlen(text) >= 3),
+        |  FROM documents WHERE length(text) >= 3),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
         |        CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
         |          / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jac

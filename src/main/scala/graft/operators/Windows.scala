@@ -28,18 +28,16 @@ object Windows {
     "window_ranks" -> ((s, d) => {
       // Rank over a coarse band so ties are REAL (rank vs dense_rank
       // differ); ntile gets a fully tie-broken order so its arbitrary
-      // tie-splitting is deterministic. A single global window like
-      // this is fine at fixture scale; at 100 TB rank over a band
-      // column would be computed per-range-partition then offset.
+      // tie-splitting is deterministic. Computed via the two-pass
+      // api.Ranking.bandedRanks (per-band cumulative counts broadcast
+      // back) — NO global single-partition window in the plan, same
+      // output as rank()/dense_rank()/percent_rank()/ntile() over
+      // Window.orderBy(band desc).
       val banded = Tables.orders(s, d)
         .select(col("o_orderkey"), floor(col("o_totalprice") / 10000).cast("long").as("band"))
-      val w1 = Window.orderBy(col("band").desc)
-      val w2 = Window.orderBy(col("band").desc, col("o_orderkey").asc)
-      banded
-        .withColumn("rnk", rank().over(w1).cast("long"))
-        .withColumn("drnk", dense_rank().over(w1).cast("long"))
-        .withColumn("prnk", Canon.r4(percent_rank().over(w1)))
-        .withColumn("tile", ntile(4).over(w2).cast("long"))
+      graft.api.Ranking.bandedRanks(banded, "band", "o_orderkey", 4)
+        .select(col("o_orderkey"), col("band"), col("rnk"), col("drnk"),
+          Canon.r4(col("prnk")).as("prnk"), col("tile"))
         .orderBy("o_orderkey")
     }),
     "window_lag_lead" -> ((s, d) => {
