@@ -476,6 +476,70 @@ object TextAnalysis {
         col("score"))
   }
 
+  /** Per-(doc, token) raw term frequency plus doc length — the shared
+    * first aggregate of tfidf / bm25. One explode + one groupBy with
+    * map-side partial aggregation; shuffle ∝ distinct (doc, token). */
+  private def termCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(idCol)))
+
+  /** TF-IDF term weighting: tfidf(d, t) = tf · ln(N / df_t).
+    *
+    * Scale shape: document frequency is ONE aggregate over the term
+    * table (shuffle ∝ vocabulary); N is a broadcast scalar; the join
+    * back to the term table is an equi-join on token that AQE
+    * broadcasts while the vocabulary is small. No driver-side state. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = termCounts(df, idCol, textCol)
+    val dfreq = tc.groupBy("token").agg(count(lit(1)).as("dft"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    tc.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("_n").cast("double") / col("dft").cast("double")))
+      .select(col(idCol), col("token"), col("tf"), col("dft"), col("tfidf"))
+  }
+
+  /** Okapi BM25 term weighting with the standard k1/b defaults:
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    * score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * Same one-aggregate-per-statistic shape as `tfidf`. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tc = termCounts(df, idCol, textCol)
+    val dfreq = tc.groupBy("token").agg(count(lit(1)).as("dft"))
+    // exact integer sum, ONE division — engines must agree bitwise on
+    // avgdl, and incremental double averaging is accumulation-order-
+    // dependent while Σlong/len is not
+    val stats = df.agg(count(lit(1)).as("_n"))
+      .crossJoin(broadcast(tc.select(col(idCol), col("dl")).distinct()
+        .agg((sum(col("dl")).cast("double") / count(lit(1))).as("_avgdl"))))
+    val idf = log(lit(1.0) +
+      (col("_n").cast("double") - col("dft") + lit(0.5)) / (col("dft").cast("double") + lit(0.5)))
+    val norm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("_avgdl")))
+    tc.join(dfreq, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("bm25", idf * norm)
+      .select(col(idCol), col("token"), col("tf"), col("dft"), col("bm25"))
+  }
+
+  /** Quality gate: keep rows whose score is at or above the p-quantile
+    * of their group — "top 25% per source" style data selection. The
+    * per-group quantile is one aggregate (exact interpolated
+    * percentile, matching SQL quantile_cont) broadcast-joined back. */
+  def qualityFilter(df: DataFrame, scoreCol: String, groupCol: String,
+      p: Double): DataFrame = {
+    val cuts = df.groupBy(groupCol)
+      .agg(percentile(col(scoreCol), lit(p)).as("_cut"))
+    df.join(broadcast(cuts), groupCol)
+      .filter(col(scoreCol) >= col("_cut"))
+      .drop("_cut")
+  }
+
   /** Canonical token-set fingerprint (md5 of the sorted distinct
     * tokens) + winnowing rolling-hash fingerprint (shift-robust). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -58,6 +58,35 @@ object TextOps {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text", "lang")
         .orderBy("doc_id")
     }),
+    "text_tfidf" -> ((s, d) => {
+      // TF-IDF term weighting (api.TextAnalysis.tfidf): df from one
+      // vocabulary aggregate, N broadcast — the first statistic a
+      // data-quality pipeline derives after raw counts
+      TextAnalysis.tfidf(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("token"), col("tf"), col("dft"),
+          Canon.r4(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "token")
+    }),
+    "text_bm25" -> ((s, d) => {
+      // Okapi BM25 with standard k1=1.2, b=0.75
+      TextAnalysis.bm25(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("token"), col("tf"), col("dft"),
+          Canon.r4(col("bm25")).as("bm25"))
+        .orderBy("doc_id", "token")
+    }),
+    "text_quality_filter" -> ((s, d) => {
+      // top-quartile type-token-ratio docs per source: a per-group
+      // exact percentile broadcast back as the keep/drop cut. The score
+      // is pre-rounded so the >=-at-the-cut decision cannot straddle
+      // the one-ulp difference between the two engines' quantile
+      // interpolation formulas.
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        Canon.r4(size(array_distinct(split(col("text"), " "))).cast("double")
+          / size(split(col("text"), " "))).as("ttr"))
+      TextAnalysis.qualityFilter(scored, "ttr", "source", 0.75)
+        .select("doc_id", "source", "ttr")
+        .orderBy("doc_id")
+    }),
     "text_fingerprint" -> ((s, d) => {
       // roll_fp (winnowing rolling hash) is engine-side code with no
       // SQL twin — it stays in the API (unit-tested); the declared
@@ -143,6 +172,35 @@ object TextOps {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_fp,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS dft FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfq.dft,
+        |  ${O.r4("CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfq.dft AS DOUBLE))")} AS tfidf
+        |FROM tf JOIN dfq USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+    "text_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS dft FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |ad AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfq.dft,
+        |  ${O.r4("ln(1.0 + (CAST(n.n AS DOUBLE) - dfq.dft + 0.5) / (CAST(dfq.dft AS DOUBLE) + 0.5))" +
+           " * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))" +
+           " / (CAST(tf.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / ad.avgdl)))")} AS bm25
+        |FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN ad
+        |ORDER BY doc_id, token""".stripMargin,
+    "text_quality_filter" ->
+      s"""WITH scored AS (SELECT doc_id, source,
+        |  ${O.r4("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))")} AS ttr
+        |  FROM documents),
+        |cuts AS (SELECT source, quantile_cont(ttr, 0.75) AS cut FROM scored GROUP BY source)
+        |SELECT s.doc_id, s.source, s.ttr FROM scored s JOIN cuts c USING (source)
+        |WHERE s.ttr >= c.cut ORDER BY s.doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,

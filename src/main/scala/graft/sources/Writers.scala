@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Write-path layouts for the 100 TB warehouse side of the engine.
+  *
+  * A scan that cannot prune is the first thing that breaks at scale:
+  * `writePartitioned` lays data out as one directory per key value
+  * (language, IVF cell id, date) so a filter on that key skips whole
+  * directories at planning time, and `writeBucketed` pre-shuffles rows
+  * into a fixed number of bucket files per key so later equi-joins and
+  * aggregations on that key run with NO exchange at all — the
+  * "cell id as a write-time partition key" layout the IVF and dedup
+  * operators assume downstream.
+  */
+object Writers {
+  /** Directory-partitioned parquet: one `col=value/` dir per distinct
+    * value. Use for low-cardinality derived keys (lang, cell id); reads
+    * filtering on `partitionCol` prune at the file-index level and the
+    * column is encoded in the path, not the data files. */
+  def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Bucketed + sorted external table at `path`: rows hash into
+    * `buckets` files per partition by `bucketCol`, each file sorted by
+    * it. Joins/aggs keyed on `bucketCol` between tables with the same
+    * bucket spec are exchange-free (and sort-free). Bucket counts
+    * should divide evenly into cluster cores; 100 TB guidance is
+    * buckets ≈ data / (256 MB · partitions). */
+  def writeBucketed(df: DataFrame, bucketCol: String, buckets: Int,
+      table: String, path: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+}

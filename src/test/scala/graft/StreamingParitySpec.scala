@@ -38,6 +38,32 @@ class StreamingParitySpec extends AnyFunSuite {
       sortedRows(StreamOps.tumblingAgg(batchEvents)))
   }
 
+  test("tumbling window parity holds under the RocksDB state store provider") {
+    // the 100 TB state backend (state larger than executor heap) —
+    // exercised, not just recommended in comments
+    val dir = freshDir()
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = startReplay(dir, "t_tumbling_rocks", "complete", StreamOps.tumblingAgg)
+      q.processAllAvailable()
+      val prog = q.lastProgress
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      assert(prog.stateOperators.nonEmpty &&
+        prog.stateOperators(0).customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"RocksDB state store not engaged: ${prog.stateOperators.headOption}")
+      assert(sortedRows(spark.table("t_tumbling_rocks")) ==
+        sortedRows(StreamOps.tumblingAgg(batchEvents)))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sliding window: stream == batch") {
     val dir = freshDir()
     batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
