@@ -23,6 +23,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // broadcast/shuffle cleanup is GC-driven (ContextCleaner); on a
+      // large heap a 79-query sequence accumulates dead broadcasts for
+      // minutes and later queries pay the memory pressure
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one trivial action so JVM/session warm-up isn't billed to
@@ -35,6 +39,9 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-28s $dt%8.3f s")
+        // drop this query's dead broadcasts/shuffles now, off the clock,
+        // instead of inside a later query's hot loop
+        System.gc()
         name -> dt
       }
     // explicit locale: the default-locale f"" interpolator would emit

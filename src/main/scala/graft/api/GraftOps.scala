@@ -24,6 +24,13 @@ object Dedup {
     * many-partitioned already and this is one narrow round-robin pass. */
   private def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
+  /** Exact Jaccard via the native codegen expression (no UDF boundary);
+    * bit-identical to Kernels.jaccardLongs. */
+  private def jac(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.JaccardSim.register(df.sparkSession)
+    call_function("graft_jaccard", a, b)
+  }
   /** Exact-duplicate groups keyed on a content hash; shuffle carries
     * one 128-bit hash per row, never the content. */
   def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -88,7 +95,7 @@ object Dedup {
     cand
       .join(docs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
       .join(docs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
-      .withColumn("jaccard", Kernels.jaccardLongsUdf(col("_h1"), col("_h2")))
+      .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }
@@ -141,7 +148,7 @@ object Dedup {
     cand
       .join(docs.select(col("_id").as("id1"), col("_th").as("_t1")), "id1")
       .join(docs.select(col("_id").as("id2"), col("_th").as("_t2")), "id2")
-      .withColumn("jaccard", Kernels.jaccardLongsUdf(col("_t1"), col("_t2")))
+      .withColumn("jaccard", jac(df)(col("_t1"), col("_t2")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
   }

@@ -17,6 +17,21 @@ import org.apache.spark.sql.functions._
   * (spark.sql.streaming.stateStore.providerClass) so state spills off
   * heap — noted here, not wired at fixture scale.
   */
+/** Typed event row for the custom-state (KeyValueGroupedDataset) path. */
+case class GraftEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Accumulated per-user state for `StreamOps.userStatsStateful`; the
+  * distinct-type set is bounded by the event-type vocabulary, so state
+  * per key is O(1) — the shape that keeps a 100 TB keyed stream inside
+  * the (RocksDB) state store. */
+case class UserStatsState(n: Long, firstTs: java.sql.Timestamp,
+    lastTs: java.sql.Timestamp, types: Set[String])
+
+/** Output row of the stateful per-user aggregate. */
+case class UserStats(user_id: Long, n_events: Long,
+    first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp, n_types: Long)
+
 object StreamOps {
   import org.apache.spark.sql.DataFrame
 
@@ -34,6 +49,43 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), Canon.sumDec(col("value"), 2).as("sum_val"))
       .select(Canon.tsStr(col("window.start")).as("win_start"), col("event_type"),
         col("n"), col("sum_val"))
+
+  /** Batch twin of the custom-state aggregate (integer/timestamp only —
+    * no float accumulation, so stream arrival order cannot drift the
+    * result). */
+  def userStatsBatch(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        countDistinct(col("event_type")).as("n_types"))
+
+  /** Custom arbitrary-state streaming aggregate via
+    * flatMapGroupsWithState (update mode): the KeyValueGroupedDataset
+    * path for semantics the built-in window aggregates cannot express.
+    * Each trigger emits the group's refreshed totals; the LAST emitted
+    * row per user equals `userStatsBatch` once the replay drains
+    * (asserted in StreamingParitySpec). */
+  def userStatsStateful(ev: org.apache.spark.sql.Dataset[GraftEvent])
+      : org.apache.spark.sql.Dataset[UserStats] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = ev.sparkSession
+    import spark.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, events: Iterator[GraftEvent], state: GroupState[UserStatsState]) =>
+          var s = state.getOption.getOrElse(
+            UserStatsState(0L, null, null, Set.empty))
+          events.foreach { e =>
+            s = UserStatsState(
+              s.n + 1,
+              if (s.firstTs == null || e.ts.before(s.firstTs)) e.ts else s.firstTs,
+              if (s.lastTs == null || e.ts.after(s.lastTs)) e.ts else s.lastTs,
+              s.types + e.event_type)
+          }
+          state.update(s)
+          Iterator(UserStats(uid, s.n, s.firstTs, s.lastTs, s.types.size.toLong))
+      }
+  }
 
   def sessionAgg(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -59,6 +111,16 @@ object StreamOps {
         .dropDuplicates("event_id")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+    "stream_stateful_user_stats" -> ((s, d) => {
+      // custom-state aggregate, batch semantics (declared); the
+      // flatMapGroupsWithState streaming twin is parity-tested
+      userStatsBatch(Tables.events(s, d))
+        .select(col("user_id"), col("n_events"),
+          Canon.tsStrMicros(col("first_ts")).as("first_ts"),
+          Canon.tsStrMicros(col("last_ts")).as("last_ts"),
+          col("n_types"))
+        .orderBy("user_id")
     }),
     "stream_watermark_late" -> ((s, d) => {
       // ✘ no oracle: watermarking is a no-op in batch; the unit suite
@@ -104,6 +166,12 @@ object StreamOps {
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "stream_dedup_ids" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_stateful_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+        |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

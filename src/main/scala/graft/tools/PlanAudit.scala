@@ -23,7 +23,11 @@ object PlanAudit {
       ("scan_parquet_project_filter", "PushedFilters: [IsNotNull", "filter pushdown reaches scan"),
       ("sim_knn_bruteforce", "BroadcastNestedLoopJoin", "pair join broadcasts small side"),
       ("dedup_minhash_lsh", "ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin", "bucket equi-join"),
-      ("stream_tumbling_counts", "HashAggregate", "window agg is hash agg")
+      ("stream_tumbling_counts", "HashAggregate", "window agg is hash agg"),
+      ("window_ranks", "BroadcastHashJoin", "ranks are a per-band-aggregate lookup, not a global window"),
+      ("dedup_embed_cosine", "BroadcastHashJoin", "vectors route through allowed cell pairs (equi-join)"),
+      ("text_tfidf", "HashAggregate", "document frequency from one aggregate"),
+      ("text_quality_filter", "percentile", "per-group exact percentile computes the cut")
     )
     var fail = 0
     checks.foreach { case (k, pat, why) =>

@@ -82,4 +82,21 @@ class KernelsSpec extends AnyFunSuite {
       assert(math.abs(Kernels.dotW(a, w) - expected) < 1e-9)
     }
   }
+
+  test("JaccardSim codegen expression is bit-identical to the kernel") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.JaccardSim.register(spark)
+    val rnd = new Random(7)
+    def set() = Array.fill(rnd.nextInt(40))(rnd.nextInt(50).toLong)
+      .distinct.sorted.toSeq
+    val rows = Seq.fill(200)((set(), set())) :+
+      ((Seq.empty[Long], Seq.empty[Long])) :+ ((Seq(1L, 2L), Seq.empty[Long]))
+    val got = rows.toDF("a", "b")
+      .select(call_function("graft_jaccard", col("a"), col("b"))).as[Double].collect()
+    rows.zip(got).foreach { case ((a, b), j) =>
+      assert(j == Kernels.jaccardLongs(a, b), s"mismatch for $a vs $b")
+    }
+  }
 }

@@ -98,6 +98,27 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(StreamOps.sessionAgg(batchEvents)))
   }
 
+  test("flatMapGroupsWithState user stats: last update per user == batch") {
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.streaming.StreamOps.userStatsStateful(stream.as[graft.streaming.GraftEvent])
+      .writeStream.format("memory").queryName("t_userstats").outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    // update mode emits a row per (trigger, touched user); the final
+    // accumulated row per user must equal the batch aggregate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val last = spark.table("t_userstats")
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    assert(sortedRows(last) ==
+      sortedRows(graft.streaming.StreamOps.userStatsBatch(batchEvents)
+        .select("user_id", "n_events", "first_ts", "last_ts", "n_types")))
+  }
+
   test("dropDuplicatesWithinWatermark removes injected duplicate ids") {
     val dir = freshDir()
     batchEvents.coalesce(1).write.mode("overwrite").parquet(dir)
