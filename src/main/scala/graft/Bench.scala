@@ -27,6 +27,7 @@ object Bench {
       // large heap a 79-query sequence accumulates dead broadcasts for
       // minutes and later queries pay the memory pressure
       .config("spark.cleaner.periodicGC.interval", "30s")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one trivial action so JVM/session warm-up isn't billed to
