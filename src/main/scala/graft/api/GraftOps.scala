@@ -153,6 +153,41 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Connected components over an undirected pair graph (id1, id2) —
+    * the cluster-resolution step after near-dup pair generation: every
+    * document gets the MINIMUM id reachable through duplicate pairs as
+    * its cluster id, so "keep one doc per cluster" is a filter on
+    * id == cluster.
+    *
+    * Min-label propagation with a driver-side convergence loop: each
+    * round joins labels across edges and takes the per-node min; a
+    * round is two equi-shuffles, rounds needed = graph diameter (near-
+    * dup clusters are dense, so a handful). `localCheckpoint` cuts the
+    * growing lineage each round. At extreme scale the same loop is the
+    * standard large-star/small-star alternation; the per-round shape
+    * here is already the shuffle-only one. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels.withColumnRenamed("id", "b"), "b")
+        .select(col("a").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "_old"), "id")
+        .filter(col("label") =!= col("_old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Character n-gram (shingle) Jaccard near-dup pairs — robust to
     * token-boundary edits where word-level Jaccard is not. Shingles are
     * hashed once per row (over Unicode code points, not UTF-16 units);
@@ -555,6 +590,33 @@ object TextAnalysis {
         .cast("binary")).as("set_fp"),
       Kernels.rollingFingerprintUdf(col(textCol)).as("roll_fp"),
       size(array_distinct(split(col(textCol), " "))).cast("long").as("n_distinct"))
+}
+
+object Sampling {
+  /** Deterministic hex digest column for id-keyed selection: lowercase
+    * md5 of the id's decimal string — identical in every engine, stable
+    * across runs/partitions (unlike RNG-based `sample`), and uniform in
+    * each hex position. */
+  private def idHex(idCol: String): Column =
+    md5(col(idCol).cast("string").cast("binary"))
+
+  /** Reproducible subsample: keep rows whose digest prefix is below a
+    * hex threshold — e.g. prefixLen=2, threshold "1a" keeps 26/256 ≈
+    * 10.2%. A pure rowwise filter: pushes into the scan, no shuffle,
+    * and the same rows are kept at any scale or partitioning. */
+  def hashSample(df: DataFrame, idCol: String, prefixLen: Int,
+      thresholdHex: String): DataFrame =
+    df.filter(substring(idHex(idCol), 1, prefixLen) < thresholdHex)
+
+  /** Deterministic train/test assignment from the same digest: ids
+    * with first hex char < trainHexMax go to "train" (e.g. "d" →
+    * 13/16 ≈ 81%). Membership is a pure function of the id, so a doc
+    * never leaks across splits between runs. */
+  def trainTestSplit(df: DataFrame, idCol: String,
+      trainHexMax: String): DataFrame =
+    df.withColumn("split",
+      when(substring(idHex(idCol), 1, 1) < trainHexMax, lit("train"))
+        .otherwise(lit("test")))
 }
 
 object MlPipeline {

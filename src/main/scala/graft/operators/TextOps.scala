@@ -95,6 +95,20 @@ object TextOps {
         .select("doc_id", "set_fp", "n_distinct")
         .orderBy("doc_id")
     }),
+    "data_sample_hash" -> ((s, d) => {
+      // reproducible ~10% subsample by id-hash threshold — partition-
+      // and engine-independent, unlike RNG sample()
+      graft.api.Sampling.hashSample(Tables.documents(s, d), "doc_id", 2, "1a")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+    "data_split_counts" -> ((s, d) => {
+      // deterministic train/test split (~81/19) with per-lang counts —
+      // membership is a pure function of doc_id
+      graft.api.Sampling.trainTestSplit(Tables.documents(s, d), "doc_id", "d")
+        .groupBy("split", "lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "lang")
+    }),
     "dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text").orderBy("h")
     }),
@@ -109,6 +123,16 @@ object TextOps {
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.7, Some("lang"))
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
+    }),
+    "dedup_clusters" -> ((s, d) => {
+      // duplicate-cluster resolution: connected components over the
+      // exact near-dup pair graph; cluster id = min doc_id reachable,
+      // so keep-one-per-cluster is `doc_id == cluster`
+      val pairs = Dedup.nearJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", 0.8, Some("lang"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .orderBy("doc_id")
     }),
     "dedup_simhash" -> ((s, d) => {
       // ✘ no oracle — the 64-bit fingerprint depends on our hash
@@ -201,6 +225,15 @@ object TextOps {
         |cuts AS (SELECT source, quantile_cont(ttr, 0.75) AS cut FROM scored GROUP BY source)
         |SELECT s.doc_id, s.source, s.ttr FROM scored s JOIN cuts c USING (source)
         |WHERE s.ttr >= c.cut ORDER BY s.doc_id""".stripMargin,
+    "data_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+    "data_split_counts" ->
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
+        |            THEN 'train' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
@@ -223,6 +256,21 @@ object TextOps {
         |          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
         |      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id1, id2, ${O.r4("jac")} AS jac
-        |FROM p WHERE jac >= 0.8 ORDER BY id1, id2""".stripMargin
+        |FROM p WHERE jac >= 0.8 ORDER BY id1, id2""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT id1, id2 FROM (
+        |        SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |          CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+        |        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |      WHERE jac >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p
+        |          UNION ALL SELECT id2, id1 FROM p),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
   )
 }
