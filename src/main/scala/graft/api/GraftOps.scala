@@ -172,17 +172,23 @@ object Dedup {
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // labels only ever DECREASE, so Σlabel is strictly monotone until
+    // the fixpoint: one cheap aggregate per round detects convergence
+    // without a join against the previous round
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = sym.join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("label"))
-      val next = labels.union(prop)
+      labels = labels.union(prop)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "_old"), "id")
-        .filter(col("label") =!= col("_old")).isEmpty
-      labels = next
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     labels
