@@ -167,11 +167,18 @@ object Dedup {
     * standard large-star/small-star alternation; the per-round shape
     * here is already the shuffle-only one. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val n = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    // hash-partition the (static) edge list by the probe key ONCE; each
+    // round's join then only shuffles the much smaller label table
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(n, col("b")).localCheckpoint()
+    // round 1 needs no join: labels are the ids themselves, so the
+    // neighbor-min is a single aggregate over the edge list
+    var labels = sym.groupBy(col("b"))
+      .agg(least(min(col("a")), col("b")).as("label"))
+      .select(col("b").as("id"), col("label"))
       .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
     // labels only ever DECREASE, so Σlabel is strictly monotone until
     // the fixpoint: one cheap aggregate per round detects convergence
     // without a join against the previous round
