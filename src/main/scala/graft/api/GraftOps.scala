@@ -605,6 +605,25 @@ object TextAnalysis {
       size(array_distinct(split(col(textCol), " "))).cast("long").as("n_distinct"))
 }
 
+object SkewJoins {
+  /** Equi-join hardened against heavy-hitter keys: every probe row
+    * picks a deterministic salt from a unique column's hash, the build
+    * side is replicated `salts` times, and the join runs on
+    * (key, salt) — one hot key spreads across `salts` tasks instead of
+    * pinning one. Result is identical to the plain equi-join (each
+    * probe row matches exactly the one build replica with its salt).
+    * AQE's runtime skew split handles moderate skew on its own; this
+    * is the explicit pre-salting for the pathological key at 100 TB,
+    * at the cost of a `salts`× build-side shuffle. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      probeUniqueCol: String, salts: Int): DataFrame = {
+    val salted = probe.withColumn("_salt", pmod(hash(col(probeUniqueCol)), lit(salts)))
+    val replicated = build.withColumn("_salt",
+      explode(lit((0 until salts).toArray)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}
+
 object Sampling {
   /** Deterministic hex digest column for id-keyed selection: lowercase
     * md5 of the id's decimal string — identical in every engine, stable

@@ -39,6 +39,21 @@ object Joins {
         .agg(Canon.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
         .orderBy("n_name")
     }),
+    "join_skew_salted" -> ((s, d) => {
+      // explicit pre-salting for a pathological probe key: orders'
+      // custkey salted by the unique o_orderkey hash, customer
+      // replicated 8x, join on (key, salt) — result identical to the
+      // plain equi-join (oracle is the unsalted SQL), hot key spread
+      // over 8 tasks
+      graft.api.SkewJoins.saltedJoin(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+        "o_custkey", "o_orderkey", 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Canon.sumDec(col("o_totalprice"), 2).as("sum_total"))
+        .orderBy("c_mktsegment")
+    }),
     "join_left_outer" -> ((s, d) => {
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
@@ -119,8 +134,13 @@ object Joins {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "join_skew_salted" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+        |  ${O.sumDec("o_totalprice", 2)} AS sum_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_left_outer" ->
-      """SELECT c_custkey, count(o_orderkey) AS n_orders
+"""SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "join_full_outer" ->

@@ -87,6 +87,20 @@ object StreamOps {
       }
   }
 
+  /** Interval join core: for each purchase, the same user's clicks in
+    * the preceding hour — the stream-stream join shape (equi-key +
+    * event-time range). In batch it is a plain range-condition join;
+    * in streaming both sides carry watermarks and the range condition
+    * bounds join state, so state size tracks the hour window, not the
+    * stream length. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    clicks.alias("c").join(purchases.alias("p"),
+      col("c.user_id") === col("p.user_id") &&
+        col("c.ts") >= col("p.ts") - expr("INTERVAL 1 HOUR") &&
+        col("c.ts") <= col("p.ts"))
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"), col("p.user_id").as("user_id"))
+
   def sessionAgg(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -111,6 +125,15 @@ object StreamOps {
         .dropDuplicates("event_id")
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
+    }),
+    "stream_stream_join" -> ((s, d) => {
+      // event-time interval join, batch semantics declared; the
+      // watermarked stream-stream twin is parity-tested
+      val ev = Tables.events(s, d)
+      clickPurchaseJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+        .orderBy("purchase_id", "click_id")
     }),
     "stream_stateful_user_stats" -> ((s, d) => {
       // custom-state aggregate, batch semantics (declared); the
@@ -167,6 +190,15 @@ object StreamOps {
     "stream_dedup_ids" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "stream_stateful_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,

@@ -98,6 +98,24 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(sortedRows(streamed) == sortedRows(StreamOps.sessionAgg(batchEvents)))
   }
 
+  test("stream-stream interval join: watermarked streaming == batch") {
+    val dir = freshDir()
+    // one file = one trigger (file replay order is not time order, so
+    // multi-file replay would advance the watermark past rows that a
+    // later file delivers and evict their join state)
+    batchEvents.coalesce(1).write.mode("overwrite").parquet(dir)
+    def side(tpe: String) = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .filter(col("event_type") === tpe).withWatermark("ts", "2 hours")
+    val q = graft.streaming.StreamOps.clickPurchaseJoin(side("click"), side("purchase"))
+      .writeStream.format("memory").queryName("t_ssjoin").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(sortedRows(spark.table("t_ssjoin")) ==
+      sortedRows(graft.streaming.StreamOps.clickPurchaseJoin(
+        batchEvents.filter(col("event_type") === "click"),
+        batchEvents.filter(col("event_type") === "purchase"))))
+  }
+
   test("flatMapGroupsWithState user stats: last update per user == batch") {
     val s = spark
     import s.implicits._
