@@ -34,4 +34,29 @@ object Writers {
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Line-delimited JSON sink — the interchange format for pipelines
+    * that hand off to non-columnar consumers. Lossy for binary/exotic
+    * types; parquet stays the canonical format. */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Header'd CSV sink for flat (scalar-typed) frames. */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+}
+
+/** Read-side twins of [[Writers]] — schema-explicit so a 100 TB read
+  * never pays schema inference (a full extra pass) and malformed rows
+  * fail loudly instead of silently becoming nulls. */
+object Readers {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.types.StructType
+
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("mode", "FAILFAST").csv(path)
 }

@@ -1,0 +1,46 @@
+package graft
+
+import graft.api.{Ranking, SkewJoins}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct equivalence of the scale-shaped API operators against the
+  * Spark built-ins they replace — same values, different plan. */
+class ApiParitySpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("Ranking.bandedRanks equals the global-window built-ins") {
+    val banded = Tables.orders(spark, TestSpark.sf0001)
+      .select(col("o_orderkey"), floor(col("o_totalprice") / 10000).cast("long").as("band"))
+    val w1 = Window.orderBy(col("band").desc)
+    val w2 = Window.orderBy(col("band").desc, col("o_orderkey").asc)
+    val builtIn = banded
+      .withColumn("rnk", rank().over(w1).cast("long"))
+      .withColumn("drnk", dense_rank().over(w1).cast("long"))
+      .withColumn("prnk", percent_rank().over(w1))
+      .withColumn("tile", ntile(4).over(w2).cast("long"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+    val ours = Ranking.bandedRanks(banded, "band", "o_orderkey", 4)
+      .select("o_orderkey", "rnk", "drnk", "prnk", "tile")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(ours.keySet == builtIn.keySet)
+    ours.foreach { case (k, v) => assert(v == builtIn(k), s"orderkey $k") }
+  }
+
+  test("SkewJoins.saltedJoin equals the plain equi-join") {
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, TestSpark.sf0001)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val plain = orders.join(cust, "o_custkey")
+      .select("o_orderkey", "c_mktsegment")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = SkewJoins.saltedJoin(orders, cust, "o_custkey", "o_orderkey", 8)
+      .select("o_orderkey", "c_mktsegment")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+  }
+}

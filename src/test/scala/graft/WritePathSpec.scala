@@ -33,6 +33,19 @@ class WritePathSpec extends AnyFunSuite {
       s"partition pruning did not engage: read $filesRead of $totalFiles files")
   }
 
+  test("csv and json-lines round-trip flat frames losslessly") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "lang", "source", "n_chars")
+    val base = Files.createTempDirectory("graft-fmt")
+    graft.sources.Writers.writeCsv(docs, s"$base/csv")
+    graft.sources.Writers.writeJsonLines(docs, s"$base/json")
+    val fromCsv = graft.sources.Readers.csv(spark, s"$base/csv", docs.schema)
+    val fromJson = graft.sources.Readers.jsonLines(spark, s"$base/json", docs.schema)
+    val want = docs.collect().map(_.toString).sorted.toSeq
+    assert(fromCsv.collect().map(_.toString).sorted.toSeq == want)
+    assert(fromJson.collect().map(_.toString).sorted.toSeq == want)
+  }
+
   test("bucketed tables join on the bucket key with no shuffle exchange") {
     val base = Files.createTempDirectory("graft-buck")
     val docs = Tables.documents(spark, TestSpark.sf0001)
