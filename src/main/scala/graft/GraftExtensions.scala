@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("graft_token_count", classOf[TokenCount],
       exprs => TokenCount(exprs.head)))
     ext.injectOptimizerRule(_ => TokenCountRewrite)
+    // whole-operator extension: filter(row_number() <= k) over a window
+    // becomes the bounded-heap TopKPerGroupExec (no per-partition sort)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -6,6 +6,7 @@ object PlanAudit {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -27,7 +28,9 @@ object PlanAudit {
       ("window_ranks", "BroadcastHashJoin", "ranks are a per-band-aggregate lookup, not a global window"),
       ("dedup_embed_cosine", "BroadcastHashJoin", "vectors route through allowed cell pairs (equi-join)"),
       ("text_tfidf", "HashAggregate", "document frequency from one aggregate"),
-      ("text_quality_filter", "percentile", "per-group exact percentile computes the cut")
+      ("text_quality_filter", "percentile", "per-group exact percentile computes the cut"),
+      ("window_topk_per_group", "TopKPerGroup", "row_number<=k rewritten to the bounded-heap operator"),
+      ("sim_knn_per_query", "TopKPerGroup", "per-query knn rank also takes the native top-k")
     )
     var fail = 0
     checks.foreach { case (k, pat, why) =>

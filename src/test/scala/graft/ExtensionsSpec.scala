@@ -47,6 +47,32 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("filter(row_number <= k) plans as TopKPerGroupExec and matches the window result") {
+    withExtSession { s =>
+      val q = SparkEntry.queries("window_topk_per_group")
+      val df = q(s, TestSpark.sf0001)
+      val physical = df.queryExecution.executedPlan.toString
+      // the exec node prints without its Exec suffix; assert it replaced
+      // the Window (no Window/Sort-on-group below the final orderBy)
+      assert(physical.contains("TopKPerGroup"),
+        s"top-k rewrite did not reach the physical plan:\n$physical")
+      assert(!physical.contains("Window ["),
+        s"stock Window still present:\n$physical")
+      val got = df.collect().map(_.toString).toSeq
+      val want = q(TestSpark.spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+      assert(got == want)
+    }
+  }
+
+  test("row_number == 1 (not <=) keeps the stock Window plan") {
+    withExtSession { s =>
+      val physical = SparkEntry.queries("text_lang_id")(s, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!physical.contains("TopKPerGroup"))
+      assert(physical.contains("Window"))
+    }
+  }
+
   test("size(split(text, ' ')) is rewritten to TokenCount and agrees with the built-in") {
     withExtSession { s =>
       val docs = Tables.documents(s, TestSpark.sf0001)
