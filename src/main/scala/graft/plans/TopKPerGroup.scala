@@ -43,7 +43,12 @@ case class TopKPerGroup(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerGroup(parts, order, k, rank, child) =>
-      TopKPerGroupExec(parts, order, k, rank, planLater(child)) :: Nil
+      // partial pass before the exchange prunes each map partition to
+      // ≤ k rows per group, so shuffle volume tracks groups·k, not n —
+      // the same partial/final split as hash aggregation
+      TopKPerGroupExec(parts, order, k, rank, partial = false,
+        TopKPerGroupExec(parts, order, k, rank, partial = true,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -63,11 +68,15 @@ case class TopKPerGroupExec(
     orderSpec: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
+    partial: Boolean,
     child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output :+ rankAttr
-  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output :+ rankAttr
+  override def producedAttributes: AttributeSet =
+    if (partial) AttributeSet.empty else AttributeSet(rankAttr)
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partitionSpec.isEmpty) AllTuples :: Nil
+    if (partial) super.requiredChildDistribution
+    else if (partitionSpec.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(partitionSpec) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -75,6 +84,7 @@ case class TopKPerGroupExec(
     val parts = partitionSpec
     val order = orderSpec
     val kk = k
+    val emitRank = !partial
     val rankIsLong = rankAttr.dataType == LongType
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(parts, childOutput)
@@ -96,7 +106,8 @@ case class TopKPerGroupExec(
             heaps.put(key.copy(), pq)
         }
       }
-      heaps.valuesIterator.flatMap { pq =>
+      if (!emitRank) heaps.valuesIterator.flatMap(_.iterator)
+      else heaps.valuesIterator.flatMap { pq =>
         val rows = pq.dequeueAll.reverse // best-first
         rows.iterator.zipWithIndex.map { case (row, i) =>
           val rank = new GenericInternalRow(1)
