@@ -72,8 +72,12 @@ object Dedup {
   private[api] def jaccardPairsFromHashes(hashed: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
+    // the hashed-doc table feeds FOUR plan branches (df aggregate,
+    // prefix window, and both verify sides); a lazy local checkpoint
+    // materializes the shingle hashing once per action instead of 4×
     val sized = hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
+      .localCheckpoint(false)
     val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
     val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
     // prefix length |X| − ⌈t·|X|⌉ + 1, with a 1e-9 slack so float
@@ -124,6 +128,9 @@ object Dedup {
     * shuffle by (band, bucket), O(n²) only within buckets. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    // NOTE: deliberately NOT checkpointed — a checkpointed probe table
+    // loses its size estimate and the banded bucket join degrades from
+    // broadcast to a skew-sensitive shuffle join (measured 4 s → 32 s)
     val docs = df.select(col(idCol).as("_id"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
     val sigs = docs.select(col("_id"),
