@@ -30,9 +30,17 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one trivial action so JVM/session warm-up isn't billed to
-    // whichever query happens to iterate first
+    // warm-up actions so JVM/codegen/parquet-reader initialization
+    // isn't billed to whichever query happens to iterate first
+    // (measured ~2 s on the first real query otherwise)
     spark.range(1000).selectExpr("sum(id)").collect()
+    locally {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val reg = spark.read.parquet(s"$sfDir/region.parquet")
+      val c0 = reg.columns.head
+      reg.as("a").join(reg.as("b"), col(s"a.$c0") === col(s"b.$c0"))
+        .agg(count(lit(1))).collect()
+    }
     val results = SparkEntry.queries
       .filter(q => only.isEmpty || only(q._1))
       .map { case (name, fn) =>
