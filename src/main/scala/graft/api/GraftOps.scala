@@ -482,6 +482,31 @@ object TimeSeriesOps {
       .drop("_kind")
   }
 
+  /** Resample events into fixed epoch-aligned bins per key, emitting a
+    * DENSE grid: every (key, bin) between the corpus min and max bin
+    * appears, empty bins zero-filled — the gap-fill shape every
+    * time-series consumer (charting, anomaly windows, rate limits)
+    * needs before it can difference or smooth.
+    *
+    * Scale: the observed bins are one hash aggregate; the dense grid is
+    * keys × `sequence(min, max, step)` — cardinality bins·keys, NOT
+    * rows — built from a broadcast 1-row range and joined back with a
+    * left join on (key, bin). No window, no per-row state. */
+  def resampleGapfill(df: DataFrame, tsCol: String, keyCol: String,
+      binSeconds: Int): DataFrame = {
+    val bin = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / binSeconds).cast("long") * binSeconds)
+    val counts = df.select(col(keyCol), bin.as("bin"))
+      .groupBy(keyCol, "bin").agg(count(lit(1)).as("n"))
+    val range = counts.agg(min(col("bin")).as("_minb"), max(col("bin")).as("_maxb"))
+    val grid = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(range))
+      .select(col(keyCol), explode(sequence(col("_minb"), col("_maxb"),
+        expr(s"INTERVAL $binSeconds SECONDS"))).as("bin"))
+    grid.join(counts, Seq(keyCol, "bin"), "left")
+      .select(col(keyCol), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Session assignment with an inactivity gap (batch; the streaming
     * twin is graft.streaming.StreamOps.sessionAgg). */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: String): DataFrame =

@@ -126,6 +126,13 @@ object StreamOps {
         .groupBy("event_type").agg(count(lit(1)).as("n"))
         .orderBy("event_type")
     }),
+    "ts_resample_gapfill" -> ((s, d) => {
+      // dense 5-minute grid per event_type with zero-filled gaps —
+      // the resample step before any differencing/smoothing
+      graft.api.TimeSeriesOps.resampleGapfill(Tables.events(s, d), "ts", "event_type", 300)
+        .select(col("event_type"), Canon.tsStr(col("bin")).as("win_start"), col("n"))
+        .orderBy("event_type", "win_start")
+    }),
     "stream_stream_join" -> ((s, d) => {
       // event-time interval join, batch semantics declared; the
       // watermarked stream-stream twin is parity-tested
@@ -190,6 +197,19 @@ object StreamOps {
     "stream_dedup_ids" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ts_resample_gapfill" ->
+      """WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',
+        |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(bin) AS minb, max(bin) AS maxb FROM c),
+        |g AS (SELECT t.event_type, gs.bin
+        |      FROM (SELECT DISTINCT event_type FROM events) t
+        |      CROSS JOIN (SELECT unnest(generate_series(minb, maxb,
+        |                    INTERVAL '5 minutes')) AS bin FROM r) gs)
+        |SELECT g.event_type, strftime(g.bin, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  COALESCE(c.n, 0) AS n
+        |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin
+        |ORDER BY g.event_type, win_start""".stripMargin,
     "stream_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id
         |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
