@@ -97,6 +97,20 @@ object Aggregates {
         .agg(Canon.r4(expr("percentile(o_totalprice, 0.5)")).as("median_price"))
         .orderBy("o_orderstatus")
     }),
+    "agg_pivot" -> ((s, d) => {
+      // PIVOT: order counts and money by status, statuses as columns.
+      // Explicit value list so the plan is a single agg pass (no
+      // distinct-values pre-query) and the schema is static — the
+      // 100 TB posture for pivot.
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f").withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")
+        .orderBy("o_orderpriority")
+    }),
     "agg_collect_sorted" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy("o_orderstatus")
@@ -160,6 +174,12 @@ object Aggregates {
     "agg_percentile" ->
       s"""SELECT o_orderstatus, ${O.r4("quantile_cont(o_totalprice, 0.5)")} AS median_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_collect_sorted" ->
       """SELECT o_orderstatus, string_agg(p, ',' ORDER BY p) AS priorities
         |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority AS p FROM orders)
