@@ -15,15 +15,26 @@ import org.apache.spark.sql.functions._
   * DataFrame (lazy, optimizer-visible); nothing here collects to the
   * driver except `MlPipeline.trainLogisticGD`'s O(dims) weights.
   */
-object Dedup {
+private[api] object Fanout {
   /** Spread the probe side of a broadcast-join pipeline across all
     * cores: a small parquet input arrives as ONE scan partition, and a
     * map-side BHJ chain would otherwise run the whole candidate
     * generation + verify on a single core. Explicit numPartitions so
-    * AQE does not coalesce it away; at cluster scale the input is
-    * many-partitioned already and this is one narrow round-robin pass. */
-  private def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    * AQE does not coalesce it away. GATED on the input's actual
+    * partition count: on a cluster-scale input that is already at least
+    * as parallel as the target, the repartition would be a gratuitous
+    * extra shuffle, so it is skipped (planning the RDD to read the
+    * count runs no job). */
+  def apply(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+}
+
+object Dedup {
+  private def fanout(df: DataFrame): DataFrame = Fanout(df)
+  /** Test hook for the fanout gating (PlanShapeSpec). */
+  private[graft] def fanoutForTest(df: DataFrame): DataFrame = Fanout(df)
 
   /** Exact Jaccard via the native codegen expression (no UDF boundary);
     * bit-identical to Kernels.jaccardLongs. */
@@ -125,16 +136,34 @@ object Dedup {
     * ambient similarity, a flat curve (rows=4 admits 34% of j=0.4
     * pairs) floods the bucket join with sub-threshold candidates and
     * the "LSH" silently degenerates to all-pairs. The 100 TB path: one
-    * shuffle by (band, bucket), O(n²) only within buckets. */
+    * shuffle by (band, bucket), O(n²) only within buckets.
+    *
+    * Join strategy is PINNED, not stats-derived: `broadcastJoins=true`
+    * (the single-node / small-corpus default) puts an explicit
+    * `broadcast()` on the bucket-join build side and both verify-join
+    * doc sides, so a checkpoint or a stats miss can never flip the plan
+    * to a skew-sensitive shuffle join (a silent flip measured 11 s →
+    * 27 s on the same code). `broadcastJoins=false` is the 100 TB
+    * setting: the same joins carry a SHUFFLE_HASH hint — an equi-
+    * shuffle on (band, bucket) / id, never a sort, never a broadcast of
+    * a corpus that no longer fits. With the plan pinned, the hashing
+    * work is safely materialized once per action (lazy localCheckpoint)
+    * instead of re-running the token + signature UDFs per plan branch. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    // NOTE: deliberately NOT checkpointed — a checkpointed probe table
-    // loses its size estimate and the banded bucket join degrades from
-    // broadcast to a skew-sensitive shuffle join (measured 4 s → 32 s)
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
+      broadcastJoins: Boolean = true): DataFrame = {
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
+    // docs feeds both verify joins; sigs feeds both bucket-join sides —
+    // checkpointing each makes the expensive UDFs (tokenHashes;
+    // bands·rows splitmix rounds per token) run once, and the pinned
+    // strategy above makes losing their size estimates harmless
     val docs = df.select(col(idCol).as("_id"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
+      .localCheckpoint(false)
     val sigs = docs.select(col("_id"),
       Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
+      .localCheckpoint(false)
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(col("_sig")).as(Seq("_band", "_bh")))
     val x = fanout(banded).select(col("_id").as("id1"), col("_sig").as("_sig1"),
@@ -148,13 +177,13 @@ object Dedup {
     // all in codegen'd builtins (zip_with + array_position).
     val firstBand = array_position(
       zip_with(col("_sig1"), col("_sig2"), (a, b) => (a === b).cast("long")), 1L)
-    val cand = x.join(y, col("_band") === col("_band2") && col("_bh") === col("_bh2")
+    val cand = x.join(pin(y), col("_band") === col("_band2") && col("_bh") === col("_bh2")
         && col("id1") < col("id2"))
       .filter(firstBand === col("_band") + 1)
       .select("id1", "id2")
     cand
-      .join(docs.select(col("_id").as("id1"), col("_th").as("_t1")), "id1")
-      .join(docs.select(col("_id").as("id2"), col("_th").as("_t2")), "id2")
+      .join(pin(docs.select(col("_id").as("id1"), col("_th").as("_t1"))), "id1")
+      .join(pin(docs.select(col("_id").as("id2"), col("_th").as("_t2"))), "id2")
       .withColumn("jaccard", jac(df)(col("_t1"), col("_t2")))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
@@ -256,8 +285,7 @@ object Dedup {
 }
 
 object Similarity {
-  private def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  private def fanout(df: DataFrame): DataFrame = Fanout(df)
 
   /** Cosine via the native codegen expression (no UDF boundary);
     * bit-identical to Kernels.cosineArr. */

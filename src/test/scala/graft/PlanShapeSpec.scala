@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The plan-shape regression gate: the physical-plan properties the
+  * engine's scale story depends on, asserted inside `sbt test` so a
+  * plan flip (like round 3's minhash broadcast→shuffle, 11 s → 27 s on
+  * identical code) cannot ship silently again. All checks inspect the
+  * INITIAL executed plan string — pure planning, no job execution —
+  * which is exactly the stats regime where flips happen.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private def plan(s: SparkSession, k: String): String =
+    SparkEntry.queries(k)(s, TestSpark.sf0001).queryExecution.executedPlan.toString
+
+  /** (key, any-of pattern, why) — the per-key shape contract. */
+  private val shapeChecks: Seq[(String, String, String)] = Seq(
+    ("join_inner_broadcast", "BroadcastHashJoin", "dim join must broadcast"),
+    ("join_inner_shufflemerge", "SortMergeJoin", "fact-fact join must sort-merge"),
+    ("join_multiway_revenue", "BroadcastHashJoin", "customer/nation sides broadcast"),
+    ("join_semi", "LeftSemi", "semi join planned as semi, not inner+distinct"),
+    ("join_anti", "LeftAnti", "anti join planned as anti, not outer+filter"),
+    ("join_asof", "Window", "as-of via single window pass, not per-row subquery"),
+    ("topk_global", "TakeOrderedAndProject", "global top-k must not globally sort"),
+    ("agg_groupby_q1", "HashAggregate", "partial+final hash agg"),
+    ("scan_parquet_project_filter", "PushedFilters: [IsNotNull",
+      "filter pushdown reaches the parquet scan"),
+    ("sim_knn_bruteforce", "BroadcastNestedLoopJoin", "pair join broadcasts the small side"),
+    ("stream_tumbling_counts", "HashAggregate", "window agg is a hash agg"),
+    ("window_ranks", "BroadcastHashJoin",
+      "global ranks are a per-band-aggregate lookup, not a single-partition window"),
+    ("dedup_embed_cosine", "BroadcastHashJoin",
+      "vectors route through the allowed-cell-pairs equi-join"),
+    ("text_tfidf", "HashAggregate", "document frequency from one aggregate"),
+    ("text_quality_filter", "percentile", "per-group exact percentile computes the cut"),
+    ("window_topk_per_group", "TopKPerGroup",
+      "row_number<=k rewritten to the bounded-heap operator"),
+    ("sim_knn_per_query", "TopKPerGroup", "per-query knn rank also takes the native top-k")
+  )
+
+  shapeChecks.foreach { case (k, pat, why) =>
+    test(s"$k plan contains ${pat.takeWhile(_ != ' ')} ($why)") {
+      TestSpark.withExtSession { s =>
+        val p = plan(s, k)
+        assert(pat.split('|').exists(p.contains), s"expected [$pat] in plan:\n$p")
+      }
+    }
+  }
+
+  test("dedup_minhash_lsh joins are pinned broadcast — no shuffle join can appear") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "dedup_minhash_lsh")
+      assert(!p.contains("SortMergeJoin"), s"minhash plan fell back to SMJ:\n$p")
+      assert(!p.contains("ShuffledHashJoin"), s"minhash plan fell back to SHJ:\n$p")
+      val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+      assert(bhj >= 3, s"expected bucket + 2 verify joins broadcast, got $bhj BHJs:\n$p")
+    }
+  }
+
+  test("minhashPairs(broadcastJoins=false) plans every join as an equi-shuffle") {
+    TestSpark.withExtSession { s =>
+      val docs = Tables.documents(s, TestSpark.sf0001)
+      val p = graft.api.Dedup.minhashPairs(docs, "doc_id", "text", 0.8,
+        broadcastJoins = false).queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), s"expected SHJ-hinted joins at scale:\n$p")
+      assert(!p.contains("BroadcastHashJoin"), s"scale setting must not broadcast:\n$p")
+    }
+  }
+
+  test("no CartesianProduct in any declared query plan except join_cross_small") {
+    TestSpark.withExtSession { s =>
+      val offenders = SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(_ == "join_cross_small")
+        .filter(k => plan(s, k).contains("CartesianProduct"))
+      assert(offenders.isEmpty, s"unblocked cartesian products in: $offenders")
+    }
+  }
+
+  test("scan_parquet_project_filter prunes columns at the scan (ReadSchema)") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "scan_parquet_project_filter")
+      // the query projects 5 of lineitem's 16 columns; the scan schema
+      // must carry none of the unprojected ones
+      assert(p.contains("ReadSchema"), s"no ReadSchema in plan:\n$p")
+      Seq("l_comment", "l_returnflag", "l_tax").foreach { c =>
+        assert(!p.contains(c + ":"), s"unpruned column $c reached the scan:\n$p")
+      }
+    }
+  }
+
+  test("fanout does not add an exchange to an already-parallel input") {
+    TestSpark.withExtSession { s =>
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val wide = Tables.documents(s, TestSpark.sf0001).repartition(n, col("doc_id"))
+      val p = graft.api.Dedup.fanoutForTest(wide).queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges == 1, s"fanout on $n-partition input added an exchange:\n$p")
+    }
+  }
+}
