@@ -437,6 +437,55 @@ object Similarity {
       .select("qid", "cid", "sim", "rank")
   }
 
+  /** Deterministic sampled k-means codebook — the trained coarse
+    * quantizer behind `ivfKnn` and `cosinePairsAboveCellBlocked`.
+    *
+    * Sampling is hash-ordered, not RNG: the `sampleSize` rows with the
+    * smallest md5(id) digests form the sample (a TakeOrdered — one scan
+    * pass, O(sampleSize) driver memory, identical at any partitioning
+    * or scale: at 100 TB the same line samples the same rows). Lloyd
+    * iterations then run locally on the bounded sample: assignment by
+    * cosine (ties to the lower index, matching `Kernels.nearestCells`),
+    * update = member mean, empty cells keep their previous centroid.
+    * Init = first k sample vectors in hash order. Everything is
+    * deterministic, so the codebook — and every query built on it — is
+    * reproducible run to run.
+    *
+    * An untrained codebook (e.g. "first k vectors by id") wrecks IVF
+    * recall and cell-pruning rates on clustered corpora; a few Lloyd
+    * rounds over a hash sample is the standard fix and is enough — the
+    * quantizer only has to be good, not optimal, because `ivfKnn`
+    * recall is tuned by nprobe and cell-blocked exactness never depends
+    * on the codebook at all. */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 8, sampleSize: Int = 2048): Array[Array[Float]] = {
+    require(k > 0 && iters >= 0 && sampleSize >= k,
+      s"need sampleSize >= k > 0, got k=$k sampleSize=$sampleSize")
+    val sample: Array[Array[Float]] = df
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .orderBy(md5(col("_id").cast("binary")), col("_id"))
+      .limit(sampleSize)
+      .select("_v").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    var cents = sample.take(k).map(_.clone())
+    val dims = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = Kernels.nearestCells(scala.collection.immutable.ArraySeq.unsafeWrapArray(v),
+          cents, 1).head
+        counts(c) += 1
+        var i = 0; while (i < dims) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dims)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
   /** Mean vector per label as (label, dim, value) rows. */
   def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "_v")))

@@ -38,13 +38,12 @@ object SimilarityOps {
     "sim_knn_ivf" -> ((s, d) => {
       // ✘ no oracle (approximate by design): IVF-quantized kNN for the
       // same queries as sim_knn_per_query; recall vs the brute-force
-      // baseline is unit-tested. Centroids: the 16 lowest-id vectors
-      // (deterministic coarse quantizer at fixture scale; at 100 TB a
-      // k-means sample or learned codebook replaces this one-liner).
+      // baseline is unit-tested. Centroids: deterministic sampled
+      // k-means (hash-ordered sample + Lloyd rounds) — the trained
+      // coarse quantizer; the same call scales to 100 TB because the
+      // sample is a bounded TakeOrdered.
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val cents = Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
       Similarity.ivfKnn(e, "vec_id", "embedding",
           queryPred = col("vec_id") < 10, k = 5,
           centroids = cents, nprobe = 4, simRound = Some(4))
@@ -60,11 +59,10 @@ object SimilarityOps {
       // exactly prunable), but the output is provably identical to
       // brute force on ANY data, and on clustered production corpora
       // (thresholds 0.95+) the same plan is cell-local. Centroids: the
-      // 16 lowest-id vectors, as sim_knn_ivf.
+      // trained k-means codebook, as sim_knn_ivf — exactness never
+      // depends on the codebook, only pruning quality does.
       val e = Tables.embeddings(s, d)
-      val cents = e.filter(col("vec_id") < 16).orderBy("vec_id")
-        .select("embedding").collect()
-        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val cents = Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
       Similarity.cosinePairsAboveCellBlocked(e, "vec_id", "embedding",
           minSim = 0.4, centroids = cents, simRound = Some(4))
         .orderBy("id1", "id2")

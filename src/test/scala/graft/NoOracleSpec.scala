@@ -85,7 +85,8 @@ class NoOracleSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
-  test("sim_knn_ivf recall vs brute-force top-5 is usable") {
+  test("sim_knn_ivf recall vs brute-force top-5 is usable, and the trained codebook beats untrained") {
+    import org.apache.spark.sql.functions.col
     val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val ivf = SparkEntry.queries("sim_knn_ivf")(spark, sf)
@@ -93,6 +94,27 @@ class NoOracleSpec extends AnyFunSuite {
     val recall = exact.count(ivf.contains).toDouble / exact.size
     // nprobe=4 of 16 cells searches ~25% of the corpus
     assert(recall >= 0.5, s"IVF recall too low: $recall")
+    // The trained quantizer must beat every HONEST untrained codebook
+    // (16 data vectors chosen away from the queries). NOT compared:
+    // the r3 codebook "vec_id < 16" — it contained the 10 query
+    // vectors themselves, so each query's top probe was its own
+    // centroid's cell where its neighbors concentrate; that
+    // query-leakage inflated recall to 0.94 while honest untrained
+    // choices measure 0.38–0.56 on this fixture (trained: 0.62).
+    val e = Tables.embeddings(spark, sf)
+    val untrained = Seq(100L, 250L, 400L).map { start =>
+      val cents = e.filter(col("vec_id") >= start && col("vec_id") < start + 16)
+        .orderBy("vec_id").select("embedding").collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      val got = graft.api.Similarity.ivfKnn(e, "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5,
+          centroids = cents, nprobe = 4, simRound = Some(4))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    assert(untrained.forall(recall >= _),
+      s"trained codebook recall $recall not above untrained recalls $untrained")
+    info(f"trained recall $recall%.3f vs untrained ${untrained.map(u => f"$u%.3f")}")
   }
 
   test("multimodal_decode_stub matches a driver-side recompute") {
