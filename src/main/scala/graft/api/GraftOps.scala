@@ -128,6 +128,70 @@ object Dedup {
     jaccardPairsFromHashes(hashed, threshold)
   }
 
+  /** Incremental near-dup detection: all (index_id, probe_id) pairs
+    * with token-set Jaccard ≥ threshold BETWEEN a new batch (probe) and
+    * an existing corpus (index) — the production shape "dedup today's
+    * crawl against the corpus" where re-running corpus-vs-itself would
+    * redo almost all of yesterday's work.
+    *
+    * The asymmetric PPJoin: the canonical shingle order is (index
+    * document frequency asc, hash asc), computed from the INDEX side
+    * only — so it is a property of the corpus, stable as batches
+    * arrive, and probe shingles unseen in the corpus order as df=0
+    * (rarest: they cannot collide with any index prefix anyway). Each
+    * side takes its own prefix |X| − ⌈t·|X|⌉ + 1 under that shared
+    * order; the prefix-filter lemma (with α = max(⌈t|A|⌉, ⌈t|B|⌉) ≤
+    * |A∩B|) guarantees every qualifying cross pair collides inside both
+    * prefixes. Candidates come from the probe-prefix ⋈ index-prefix
+    * equi-join on (grp, shingle) with the two-sided length filter, then
+    * exact verification on the hash arrays.
+    *
+    * At scale the index-side postings/prefix table is computed once and
+    * persisted (it is a pure function of the corpus); each new batch
+    * pays only its own hashing + the candidate and verify equi-shuffles
+    * — cost tracks the BATCH size, not the corpus size. */
+  def jaccardPairsAgainstIndex(probe: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      partitionCol: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    def hashed(df: DataFrame): DataFrame = df.select(col(idCol).as("_id"),
+      partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
+      .filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
+      .localCheckpoint(false)
+    val idx = hashed(index)
+    val prb = hashed(probe)
+    val idxPosts = idx.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
+    val dfreq = idxPosts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
+    def prefix(posts: DataFrame): DataFrame = {
+      val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+      posts.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
+        .select("_id", "_grp", "_sz", "_s")
+    }
+    val ip = prefix(idxPosts.join(dfreq, Seq("_grp", "_s")))
+    val pp = prefix(prb
+      .select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
+      .join(dfreq, Seq("_grp", "_s"), "left")
+      .withColumn("_df", coalesce(col("_df"), lit(0L))))
+    val cand = pp.select(col("_id").as("probe_id"), col("_grp"),
+        col("_sz").as("_szp"), col("_s"))
+      .join(ip.select(col("_id").as("index_id"), col("_grp").as("_grp2"),
+          col("_sz").as("_szi"), col("_s").as("_s2")),
+        col("_s") === col("_s2") && col("_grp") === col("_grp2")
+          && col("_szi") >= col("_szp") * threshold - 1e-9
+          && col("_szp") >= col("_szi") * threshold - 1e-9)
+      .select("index_id", "probe_id").distinct()
+    cand
+      .join(idx.select(col("_id").as("index_id"), col("_h").as("_h1")), "index_id")
+      .join(prb.select(col("_id").as("probe_id"), col("_h").as("_h2")), "probe_id")
+      .withColumn("jaccard", jac(probe)(col("_h1"), col("_h2")))
+      .filter(col("jaccard") >= threshold)
+      .select("index_id", "probe_id", "jaccard")
+  }
+
   /** Scalable near-dup pairs: banded MinHash-LSH candidates, verified
     * with exact Jaccard inside buckets only. Probabilistic recall
     * 1-(1-j^rows)^bands at similarity j — the defaults (16 bands × 8

@@ -117,6 +117,18 @@ object TextOps {
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     }),
+    "dedup_incremental" -> ((s, d) => {
+      // incremental dedup: the ~19% of docs with md5(doc_id) first hex
+      // >= 'd' play the "new batch"; the rest are the existing corpus
+      // (the same deterministic hash split as data_split_counts). Pairs
+      // are new-vs-corpus only — the asymmetric PPJoin probe.
+      val docs = Tables.documents(s, d)
+      val isNew = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "d"
+      Dedup.jaccardPairsAgainstIndex(docs.filter(isNew), docs.filter(!isNew),
+          "doc_id", "text", 0.8, Some("lang"))
+        .select(col("index_id"), col("probe_id"), Canon.r4(col("jaccard")).as("jac"))
+        .orderBy("index_id", "probe_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       // character-3-gram (shingle) Jaccard — catches boundary edits
       // word-level jaccard misses; same lang-blocked exact baseline
@@ -257,6 +269,18 @@ object TextOps {
         |      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id1, id2, ${O.r4("jac")} AS jac
         |FROM p WHERE jac >= 0.8 ORDER BY id1, id2""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks,
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= 'd' AS is_new
+        |           FROM documents),
+        |p AS (SELECT a.doc_id AS index_id, b.doc_id AS probe_id,
+        |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+        |      FROM t a JOIN t b ON a.lang = b.lang
+        |        AND NOT a.is_new AND b.is_new)
+        |SELECT index_id, probe_id, ${O.r4("jac")} AS jac
+        |FROM p WHERE jac >= 0.8 ORDER BY index_id, probe_id""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, lang,
         |             list_distinct(string_split(text, ' ')) AS toks FROM documents),
