@@ -263,40 +263,60 @@ object Dedup {
     * round joins labels across edges and takes the per-node min; a
     * round is two equi-shuffles, rounds needed = graph diameter (near-
     * dup clusters are dense, so a handful). `localCheckpoint` cuts the
-    * growing lineage each round. At extreme scale the same loop is the
-    * standard large-star/small-star alternation; the per-round shape
-    * here is already the shuffle-only one. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * growing lineage each round, and the convergence probe rides the
+    * SAME action via `observe` — labels only ever DECREASE, so Σlabel
+    * is strictly monotone until the fixpoint, and the checkpoint job's
+    * CollectMetrics yields it for free: exactly ONE job per round, no
+    * separate driver aggregate.
+    *
+    * Convergence is a hard contract: rounds needed = graph diameter, so
+    * a duplicate chain longer than `maxIter` hops would exit the loop
+    * with labels that are NOT the reachable minimum. Rather than return
+    * silently wrong cluster ids, the non-converged exit throws (set
+    * `strict = false` to get the partial labels plus a warning — e.g.
+    * for exploratory runs). At extreme diameter swap the loop body for
+    * large-star/small-star alternation, which converges in O(log n)
+    * rounds with the same per-round equi-shuffle shape. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      strict: Boolean = true): DataFrame = {
     val n = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
     // hash-partition the (static) edge list by the probe key ONCE; each
     // round's join then only shuffles the much smaller label table
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .repartition(n, col("b")).localCheckpoint()
+    // the eager checkpoint IS the round's one action; Σlabel rides it
+    // as an observed metric instead of costing a second job
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, coalesce(sum(col("label")), lit(0L)).as("lsum"))
+        .localCheckpoint()
+      (ck, obs.get("lsum").asInstanceOf[Long])
+    }
     // round 1 needs no join: labels are the ids themselves, so the
     // neighbor-min is a single aggregate over the edge list
-    var labels = sym.groupBy(col("b"))
+    var (labels, prevSum) = checkpointWithSum(sym.groupBy(col("b"))
       .agg(least(min(col("a")), col("b")).as("label"))
-      .select(col("b").as("id"), col("label"))
-      .localCheckpoint()
-    // labels only ever DECREASE, so Σlabel is strictly monotone until
-    // the fixpoint: one cheap aggregate per round detects convergence
-    // without a join against the previous round
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).head().getLong(0)
-    var prevSum = labelSum(labels)
+      .select(col("b").as("id"), col("label")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = sym.join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("label"))
-      labels = labels.union(prop)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val s = labelSum(labels)
+      val (next, s) = checkpointWithSum(labels.union(prop)
+        .groupBy("id").agg(min(col("label")).as("label")))
+      labels = next
       converged = s == prevSum
       prevSum = s
       i += 1
+    }
+    if (!converged) {
+      val msg = s"connectedComponents did not converge in $maxIter rounds: " +
+        "a duplicate chain is longer than maxIter hops, so labels are not yet " +
+        "the reachable minimum. Raise maxIter, or for extreme-diameter graphs " +
+        "use large-star/small-star alternation (O(log n) rounds)."
+      if (strict) throw new IllegalStateException(msg)
+      else org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(msg)
     }
     labels
   }

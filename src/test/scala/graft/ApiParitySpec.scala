@@ -43,4 +43,25 @@ class ApiParitySpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(salted == plain)
   }
+
+  test("connectedComponents resolves a long chain and enforces the convergence contract") {
+    val s = spark
+    import s.implicits._
+    // a 40-hop chain: label propagation moves the min one hop per
+    // round, so this needs > 40 rounds — and with a smaller budget it
+    // must THROW, not return labels that are silently not the
+    // reachable minimum (exactly the failure mode the contract guards)
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = graft.api.Dedup.connectedComponents(chain, maxIter = 45)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 41 && labels.values.forall(_ == 0L),
+      s"chain must collapse to cluster 0: $labels")
+    val ex = intercept[IllegalStateException] {
+      graft.api.Dedup.connectedComponents(chain, maxIter = 3)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // non-strict mode returns the partial labels instead of throwing
+    val partial = graft.api.Dedup.connectedComponents(chain, maxIter = 3, strict = false)
+    assert(partial.count() == 41)
+  }
 }
