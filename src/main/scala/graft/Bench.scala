@@ -41,17 +41,33 @@ object Bench {
       reg.as("a").join(reg.as("b"), col(s"a.$c0") === col(s"b.$c0"))
         .agg(count(lit(1))).collect()
     }
+    // the plan-diagnostic summary per query: counts of the operators a
+    // plan flip would change (join strategies, exchanges, the custom
+    // top-k). Extracted from the POST-execution plan, i.e. AQE's final
+    // choices — so a stats-dependent broadcast->shuffle flip is visible
+    // in the bench artifact itself, not only as a timing anomaly.
+    val planOps = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct", "TopKPerGroup", "Exchange")
+    def planSummary(p: String): String =
+      planOps.flatMap { op =>
+        val c = op.r.findAllIn(p).size
+        if (c == 0) None else Some(s"$op*$c")
+      }.mkString(",")
     val results = SparkEntry.queries
       .filter(q => only.isEmpty || only(q._1))
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val plan = try {
+          val df = fn(spark, sfDir)
+          df.count()
+          planSummary(df.queryExecution.executedPlan.toString)
+        } catch { case _: Throwable => "ERROR" }
         val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-28s $dt%8.3f s")
+        System.err.println(f"[bench] $name%-28s $dt%8.3f s  [$plan]")
         // drop this query's dead broadcasts/shuffles now, off the clock,
         // instead of inside a later query's hot loop
         System.gc()
-        name -> dt
+        name -> (dt, plan)
       }
     // explicit locale: the default-locale f"" interpolator would emit
     // "654,756" (invalid JSON) under comma-decimal locales
@@ -59,13 +75,16 @@ object Bench {
     def fmt(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val times = results.map { case (k, (dt, _)) => k -> dt }
+    val plans = results.map { case (k, (_, plan)) => "\"" + k + "\":\"" + plan + "\"" }
+      .mkString("{", ",", "}")
+    val total = if (times.nonEmpty) times.values.sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(times)},"plans":$plans,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
-    val head = results.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(head)},"n_queries":${results.size},"full":"$outPath","sf":"$sfDir"}""")
+    val head = times.filter(r => headline.contains(r._1))
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(head)},"n_queries":${times.size},"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
