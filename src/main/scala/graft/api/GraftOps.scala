@@ -612,6 +612,11 @@ object Ranking {
     val base = idiv(col("_n"), k)                                // ⌊n/k⌋
     val rem = col("_n") % k
     val boundary = rem * (base + 1)                              // rows in the fat buckets
+    // base = 0 only when n < tiles, where boundary = n makes the
+    // otherwise-branch unreachable — but guard the divisor anyway so
+    // the expression stays ANSI-safe if a refactor ever hoists it out
+    // of the CaseWhen short-circuit (floor(x/0) throws under ANSI mode)
+    val safeBase = greatest(base, lit(1L))
     df.join(broadcast(cum), bandCol)
       .withColumn("rnk", col("_before") + 1)
       .withColumn("drnk", col("_drnk"))
@@ -620,7 +625,7 @@ object Ranking {
       .withColumn("_rn", rn)
       .withColumn("tile",
         when(col("_rn") <= boundary, idiv(col("_rn") - 1, base + 1) + 1)
-          .otherwise(rem + idiv(col("_rn") - boundary - 1, base) + 1))
+          .otherwise(rem + idiv(col("_rn") - boundary - 1, safeBase) + 1))
       .drop("_bn", "_before", "_n", "_rn")
   }
 }

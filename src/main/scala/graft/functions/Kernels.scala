@@ -167,9 +167,13 @@ object Kernels {
 
   /** Banded MinHash signature over pre-hashed tokens: `bands` band
     * hashes, each summarizing `rows` min-hash values. Two docs share a
-    * (band, hash) bucket with prob 1-(1-j^rows)^bands — at j=0.8,
-    * bands=16, rows=4 that is ≥0.9997, so bucket-join recall vs exact
-    * Jaccard is ~1. Deterministic (seeded by index). */
+    * (band, hash) bucket with prob 1-(1-j^rows)^bands — the recall/
+    * selectivity trade is the CALLER's, set by its (bands, rows):
+    * `Dedup.minhashPairs` defaults to bands=16, rows=8, which is
+    * ≈0.947 at j=0.8 and ≥0.9996 at j=0.9 (the steeper S-curve that
+    * keeps sub-threshold pairs out of the bucket join on duplicate-
+    * heavy corpora); bands=16, rows=4 would be ≥0.9997 at j=0.8 but
+    * admits 34% of j=0.4 pairs. Deterministic (seeded by index). */
   def minhashBands(hashes: Seq[Long], bands: Int, rows: Int): Array[Long] = {
     val hs = longs(hashes)
     val k = bands * rows

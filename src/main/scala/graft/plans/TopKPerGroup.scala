@@ -128,8 +128,21 @@ case class TopKPerGroupExec(
   * `row_number()` (optionally cast), a deterministic `<=` literal
   * bound, and the filtered attribute being that window output — so
   * rank semantics, output attributes (same exprIds), and values are
-  * identical; everything else keeps the stock Window plan. */
+  * identical; everything else keeps the stock Window plan.
+  *
+  * Guard rails (the exec holds one k-heap per group in memory with no
+  * spill path, so groups·k rows must fit an executor): the rewrite is
+  * gated on `spark.graft.topk.enabled` (default true) and fires only
+  * for k ≤ `spark.graft.topk.maxK` (default 100000) — above that, or
+  * with the flag off, the query keeps the stock sort-and-spill Window,
+  * trading speed for the spill path. Group cardinality is not knowable
+  * at rewrite time; the conf pair is the explicit escape hatch for
+  * high-cardinality workloads. */
 object TopKRewrite extends Rule[LogicalPlan] {
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.topk.enabled", "true").toBoolean
+  private def maxK: Long =
+    conf.getConfString("spark.graft.topk.maxK", "100000").toLong
   private object RowNumberAlias {
     def unapply(e: NamedExpression): Option[Alias] = e match {
       case a @ Alias(WindowExpression(RowNumber(), _), _) => Some(a)
@@ -145,13 +158,15 @@ object TopKRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case org.apache.spark.sql.catalyst.plans.logical.Filter(
-          LessThanOrEqual(attr: Attribute, IntLike(limit)),
-          w: org.apache.spark.sql.catalyst.plans.logical.Window)
-        if w.windowExpressions.size == 1 && limit > 0 && limit <= 100000 &&
-          RowNumberAlias.unapply(w.windowExpressions.head)
-            .exists(_.toAttribute.semanticEquals(attr)) =>
-      TopKPerGroup(w.partitionSpec, w.orderSpec, limit.toInt, attr, w.child)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(
+            LessThanOrEqual(attr: Attribute, IntLike(limit)),
+            w: org.apache.spark.sql.catalyst.plans.logical.Window)
+          if w.windowExpressions.size == 1 && limit > 0 && limit <= maxK &&
+            RowNumberAlias.unapply(w.windowExpressions.head)
+              .exists(_.toAttribute.semanticEquals(attr)) =>
+        TopKPerGroup(w.partitionSpec, w.orderSpec, limit.toInt, attr, w.child)
+    }
 }
