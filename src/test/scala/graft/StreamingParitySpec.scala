@@ -137,6 +137,57 @@ class StreamingParitySpec extends AnyFunSuite {
         .select("user_id", "n_events", "first_ts", "last_ts", "n_types")))
   }
 
+  test("flatMapGroupsWithState holds 100k-key state under RocksDB with batch parity") {
+    // real state VOLUME, not just provider wiring: 200k synthetic
+    // events across 100k distinct users — the state store must carry
+    // one entry per user (asserted via numRowsTotal) and the final
+    // per-user rows must still equal the batch aggregate
+    val s = spark
+    import s.implicits._
+    val dir = freshDir()
+    val users = 100000L
+    val synth = spark.range(2 * users).select(
+      col("id").as("event_id"),
+      expr("timestamp_millis(1700000000000 + id * 10)").as("ts"),
+      (col("id") % users).as("user_id"),
+      element_at(array(lit("click"), lit("view"), lit("purchase")),
+        (col("id") % 3 + 1).cast("int")).as("event_type"),
+      (col("id") % 97).cast("double").as("value"),
+      lit("{}").as("props"))
+    synth.repartition(4).write.mode("overwrite").parquet(dir)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(synth.schema)
+        .option("maxFilesPerTrigger", 2).parquet(dir)
+      val q = graft.streaming.StreamOps
+        .userStatsStateful(stream.as[graft.streaming.GraftEvent])
+        .writeStream.format("memory").queryName("t_rocks100k")
+        .outputMode("update").start()
+      q.processAllAvailable()
+      val prog = q.lastProgress
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      assert(prog.stateOperators.nonEmpty &&
+        prog.stateOperators(0).customMetrics.keySet.asScala.exists(_.startsWith("rocksdb")),
+        s"RocksDB state store not engaged: ${prog.stateOperators.headOption}")
+      assert(prog.stateOperators(0).numRowsTotal == users,
+        s"expected $users state rows, got ${prog.stateOperators(0).numRowsTotal}")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val last = spark.table("t_rocks100k")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      assert(sortedRows(last) ==
+        sortedRows(graft.streaming.StreamOps.userStatsBatch(synth)
+          .select("user_id", "n_events", "first_ts", "last_ts", "n_types")))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes injected duplicate ids") {
     val dir = freshDir()
     batchEvents.coalesce(1).write.mode("overwrite").parquet(dir)
