@@ -122,7 +122,9 @@ object Dedup {
     * is too hot. */
   def nearJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, partitionCol: Option[String] = None): DataFrame = {
-    val hashed = df.select(col(idCol).as("_id"),
+    // fanout BEFORE the hashing UDF: a single-partition scan would
+    // otherwise run the whole corpus's token hashing on one core
+    val hashed = fanout(df).select(col(idCol).as("_id"),
       partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
     jaccardPairsFromHashes(hashed, threshold)
@@ -155,9 +157,10 @@ object Dedup {
       partitionCol: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
-    def hashed(df: DataFrame): DataFrame = df.select(col(idCol).as("_id"),
-      partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
-      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
+    def hashed(df: DataFrame): DataFrame = fanout(df)
+      .select(col(idCol).as("_id"),
+        partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+        Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
       .filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
       .localCheckpoint(false)
@@ -220,9 +223,11 @@ object Dedup {
       if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
     // docs feeds both verify joins; sigs feeds both bucket-join sides —
     // checkpointing each makes the expensive UDFs (tokenHashes;
-    // bands·rows splitmix rounds per token) run once, and the pinned
-    // strategy above makes losing their size estimates harmless
-    val docs = df.select(col(idCol).as("_id"),
+    // bands·rows splitmix rounds per token) run once, the pinned
+    // strategy above makes losing their size estimates harmless, and
+    // the fanout BEFORE the UDFs spreads the hashing across cores
+    // instead of computing it inside a single-partition scan task
+    val docs = fanout(df).select(col(idCol).as("_id"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
       .localCheckpoint(false)
     val sigs = docs.select(col("_id"),
@@ -230,7 +235,7 @@ object Dedup {
       .localCheckpoint(false)
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(col("_sig")).as(Seq("_band", "_bh")))
-    val x = fanout(banded).select(col("_id").as("id1"), col("_sig").as("_sig1"),
+    val x = banded.select(col("_id").as("id1"), col("_sig").as("_sig1"),
       col("_band"), col("_bh"))
     val y = banded.select(col("_id").as("id2"), col("_sig").as("_sig2"),
       col("_band").as("_band2"), col("_bh").as("_bh2"))
@@ -329,7 +334,7 @@ object Dedup {
     * excluded (J(∅,·) = 0), mirrored by the oracle's `len(gs) > 0`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, partitionCol: Option[String] = None): DataFrame = {
-    val hashed = df.select(col(idCol).as("_id"),
+    val hashed = fanout(df).select(col(idCol).as("_id"),
       partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
       Kernels.charNgramHashesUdf(n)(col(textCol)).as("_h"))
     jaccardPairsFromHashes(hashed, threshold)
@@ -344,11 +349,11 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
-    val docs = df.select(col(idCol).as("_id"),
+    val docs = fanout(df).select(col(idCol).as("_id"),
       Kernels.simhashUdf(Kernels.tokenHashesUdf(split(col(textCol), " "))).as("_sh"))
     val banded = docs.select(col("_id"), col("_sh"),
       posexplode(Kernels.simhashChunksUdf(bands)(col("_sh"))).as(Seq("_cix", "_chunk")))
-    val x = fanout(banded).select(col("_id").as("id1"), col("_sh").as("_sh1"),
+    val x = banded.select(col("_id").as("id1"), col("_sh").as("_sh1"),
       col("_cix"), col("_chunk"))
     val y = banded.select(col("_id").as("id2"), col("_sh").as("_sh2"),
       col("_cix").as("_cix2"), col("_chunk").as("_chunk2"))
