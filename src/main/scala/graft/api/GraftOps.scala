@@ -264,28 +264,44 @@ object Dedup {
     * its cluster id, so "keep one doc per cluster" is a filter on
     * id == cluster.
     *
-    * Min-label propagation with a driver-side convergence loop: each
-    * round joins labels across edges and takes the per-node min; a
-    * round is two equi-shuffles, rounds needed = graph diameter (near-
-    * dup clusters are dense, so a handful). `localCheckpoint` cuts the
-    * growing lineage each round, and the convergence probe rides the
-    * SAME action via `observe` — labels only ever DECREASE, so Σlabel
-    * is strictly monotone until the fixpoint, and the checkpoint job's
+    * Min-label propagation PLUS pointer halving, with a driver-side
+    * convergence loop. Each round: (1) propagate — every node takes
+    * the min of its own and its neighbors' labels (one equi-join + one
+    * hash aggregate over the pre-partitioned edge list); (2) shortcut —
+    * each node follows its refreshed label's OWN previous label
+    * (`L'(v) = L_prev(merged(v))`, one more equi-join on the small
+    * label table). The shortcut contracts label chains geometrically
+    * (reach ~doubles per round), so rounds needed are O(log diameter),
+    * not O(diameter) — the round complexity of large-star/small-star
+    * contraction with a strictly simpler per-round shape. The fixpoint
+    * is unchanged: labels only ever DECREASE and stay inside their
+    * component (L(x) ≤ x always, and L(x) is reachable from x, so the
+    * composition is still a reachable node), and an unchanged Σlabel
+    * forces both steps to have been the identity, which forces
+    * component-constant labels = the reachable minimum.
+    *
+    * `localCheckpoint` cuts the growing lineage each round, and the
+    * convergence probe rides the SAME action via `observe` — Σlabel is
+    * strictly monotone until the fixpoint, and the checkpoint job's
     * CollectMetrics yields it for free: exactly ONE job per round, no
     * separate driver aggregate.
     *
-    * Convergence is a hard contract: rounds needed = graph diameter, so
-    * a duplicate chain longer than `maxIter` hops would exit the loop
-    * with labels that are NOT the reachable minimum. Rather than return
+    * Convergence is a hard contract: exiting the loop early means
+    * labels are NOT yet the reachable minimum. Rather than return
     * silently wrong cluster ids, the non-converged exit throws (set
     * `strict = false` to get the partial labels plus a warning — e.g.
-    * for exploratory runs). At extreme diameter swap the loop body for
-    * large-star/small-star alternation, which converges in O(log n)
-    * rounds with the same per-round equi-shuffle shape. */
+    * for exploratory runs). With pointer halving the default budget
+    * covers diameters beyond 2^20 — any practical graph. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       strict: Boolean = true): DataFrame = {
     val n = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // materialize the input pairs ONCE before fanning out: `sym` below
+    // references the edge list twice (forward + swapped), and two
+    // stages racing to compute a shared lazy upstream (e.g. the whole
+    // near-dup verify pipeline) can each run it in full — measured as
+    // a 10 s → 37 s swing on dedup_clusters depending on stage timing
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .localCheckpoint()
     // hash-partition the (static) edge list by the probe key ONCE; each
     // round's join then only shuffles the much smaller label table
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -308,8 +324,25 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = sym.join(labels.withColumnRenamed("id", "b"), "b")
         .select(col("a").as("id"), col("label"))
-      val (next, s) = checkpointWithSum(labels.union(prop)
-        .groupBy("id").agg(min(col("label")).as("label")))
+      val merged = labels.union(prop)
+        .groupBy("id").agg(min(col("label")).as("label"))
+      // pointer halving: look the fresh label up in the PREVIOUS
+      // round's (already checkpointed) table — L_prev(x) <= x keeps the
+      // decrease monotone, and chains contract geometrically. Label
+      // values are node ids, so the lookup always hits; the left join +
+      // coalesce is belt-and-braces for the first round's self-labels.
+      // ADAPTIVE: dense near-dup graphs (diameter ~2-4) converge on
+      // plain propagation before the shortcut could help, so its two
+      // extra exchanges only start after round 3 — by then the graph
+      // has demonstrated real diameter and the log-round contraction
+      // is what bounds the loop.
+      val short =
+        if (i < 3) merged
+        else merged
+          .join(labels.select(col("id").as("_lid"), col("label").as("_ll")),
+            col("label") === col("_lid"), "left")
+          .select(col("id"), coalesce(col("_ll"), col("label")).as("label"))
+      val (next, s) = checkpointWithSum(short)
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -47,12 +47,13 @@ class ApiParitySpec extends AnyFunSuite {
   test("connectedComponents resolves a long chain and enforces the convergence contract") {
     val s = spark
     import s.implicits._
-    // a 40-hop chain: label propagation moves the min one hop per
-    // round, so this needs > 40 rounds — and with a smaller budget it
-    // must THROW, not return labels that are silently not the
-    // reachable minimum (exactly the failure mode the contract guards)
+    // a 40-hop chain: plain propagation would need >40 rounds; the
+    // pointer-halving shortcut must resolve it within ~6 (O(log d)) —
+    // asserted by the squeezed maxIter=10 budget. And with a budget
+    // below the log bound it must THROW, not return labels that are
+    // silently not the reachable minimum.
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val labels = graft.api.Dedup.connectedComponents(chain, maxIter = 45)
+    val labels = graft.api.Dedup.connectedComponents(chain, maxIter = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 41 && labels.values.forall(_ == 0L),
       s"chain must collapse to cluster 0: $labels")
