@@ -242,10 +242,13 @@ object Dedup {
     // A pair colliding in k bands would surface k times; instead of a
     // global `distinct` shuffle over the inflated pair stream, each side
     // carries its full signature and only the FIRST band where the two
-    // signatures agree emits the pair — exact dedup, zero extra shuffle,
-    // all in codegen'd builtins (zip_with + array_position).
-    val firstBand = array_position(
-      zip_with(col("_sig1"), col("_sig2"), (a, b) => (a === b).cast("long")), 1L)
+    // signatures agree emits the pair — exact dedup, zero extra
+    // shuffle. The raw collision stream is the hottest row count in
+    // the pipeline (~20M rows for 5k docs at sf0.1), so the first-
+    // agreement test is the native codegen FirstEqIndex (fused loop,
+    // early exit) rather than an allocating zip_with lambda.
+    graft.functions.FirstEqIndex.register(df.sparkSession)
+    val firstBand = call_function("graft_first_eq", col("_sig1"), col("_sig2"))
     val cand = x.join(pin(y), col("_band") === col("_band2") && col("_bh") === col("_bh2")
         && col("id1") < col("id2"))
       .filter(firstBand === col("_band") + 1)
@@ -390,14 +393,18 @@ object Dedup {
       col("_cix"), col("_chunk"))
     val y = banded.select(col("_id").as("id2"), col("_sh").as("_sh2"),
       col("_cix").as("_cix2"), col("_chunk").as("_chunk2"))
-    // chunk values embed their position (simhashChunks packs the band
-    // index into the high bits), so recomputing both chunk arrays and
-    // keeping only the first agreeing position dedups pairs that match
-    // in several chunks without a `distinct` shuffle.
-    val firstChunk = array_position(zip_with(
-      Kernels.simhashChunksUdf(bands)(col("_sh1")),
-      Kernels.simhashChunksUdf(bands)(col("_sh2")),
-      (a, b) => (a === b).cast("long")), 1L)
+    // Pairs matching in several chunks dedup by keeping only the first
+    // agreeing position — and "chunk b agrees" is just "the b-th bit
+    // slice of sh1 XOR sh2 is zero", so the first-agreement index is a
+    // when-chain of shift/mask tests on ONE xor: pure codegen integer
+    // ops per collision row, no per-row chunk arrays, no lambda.
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val xor = col("_sh1").bitwiseXOR(col("_sh2"))
+    val firstChunk = (0 until bands).reverse.foldLeft(lit(0): Column) { (acc, b) =>
+      when(shiftrightunsigned(xor, b * width).bitwiseAND(lit(mask)) === 0, b + 1)
+        .otherwise(acc)
+    }
     x.join(y, col("_chunk") === col("_chunk2") && col("id1") < col("id2"))
       .filter(firstChunk === col("_cix") + 1)
       .withColumn("hamming", Kernels.hammingUdf(col("_sh1"), col("_sh2")))

@@ -28,6 +28,21 @@ object LshProbe {
     val banded = sig.select(posexplode(col("_sig")).as(Seq("_b", "_bh")))
     t("banded explode")(banded.count())
     t("banded fanout")(banded.repartition(32).count())
+    // raw bucket-collision volume BEFORE the first-band dedup filter —
+    // the number of rows the firstBand expression actually evaluates on
+    val th2 = docs0.repartition(32)
+      .select(col("doc_id").as("_id"), Kernels.tokenHashesUdf(split(col("text"), " ")).as("_th"))
+      .localCheckpoint()
+    val sig2 = th2.select(col("_id"),
+      Kernels.minhashBandsUdf(16, 8)(col("_th")).as("_sig")).localCheckpoint()
+    val banded2 = sig2.select(col("_id"), col("_sig"),
+      posexplode(col("_sig")).as(Seq("_band", "_bh")))
+    val xx = banded2.select(col("_id").as("id1"), col("_band"), col("_bh"))
+    val yy = banded2.select(col("_id").as("id2"),
+      col("_band").as("_band2"), col("_bh").as("_bh2"))
+    t("raw bucket collisions")(xx.join(broadcast(yy),
+      col("_band") === col("_band2") && col("_bh") === col("_bh2")
+        && col("id1") < col("id2")).count())
     val pairs = Dedup.minhashPairs(docs0, "doc_id", "text", 0.8)
     t("end-to-end count")(pairs.count())
     spark.stop()
