@@ -84,16 +84,22 @@ object Dedup {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     // the hashed-doc table feeds FOUR plan branches (df aggregate,
-    // prefix window, and both verify sides); a lazy local checkpoint
-    // materializes the shingle hashing once per action instead of 4×
+    // prefix window, and both verify sides); an EAGER local checkpoint
+    // materializes the shingle hashing exactly once — lazy would leave
+    // the branches racing to compute the shared blocks in parallel
+    // stages, each potentially running the full hashing
     val sized = hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
     val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
     // prefix length |X| − ⌈t·|X|⌉ + 1, with a 1e-9 slack so float
     // rounding can only LENGTHEN a prefix (safe) never shorten it
     val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+    // the prefix table feeds both sides of the candidate self-join, but
+    // its exchange is shared via ReusedExchange within the action and
+    // the post-shuffle window recompute is cheap codegen — an explicit
+    // checkpoint here measured SLOWER on large shingle tables (ngram)
     val prefix = posts.join(dfreq, Seq("_grp", "_s"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
@@ -163,7 +169,7 @@ object Dedup {
         Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
       .filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val idx = hashed(index)
     val prb = hashed(probe)
     val idxPosts = idx.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
