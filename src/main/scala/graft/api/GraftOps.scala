@@ -235,10 +235,10 @@ object Dedup {
     // instead of computing it inside a single-partition scan task
     val docs = fanout(df).select(col(idCol).as("_id"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val sigs = docs.select(col("_id"),
       Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(col("_sig")).as(Seq("_band", "_bh")))
     val x = banded.select(col("_id").as("id1"), col("_sig").as("_sig1"),
