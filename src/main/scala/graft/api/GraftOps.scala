@@ -844,6 +844,28 @@ object TextAnalysis {
       .drop("_cut")
   }
 
+  /** Within-document repetition: the fraction of duplicated token
+    * n-grams (1 − distinct/total), the classic repetition quality gate
+    * for LLM training data — high values flag boilerplate, template
+    * spam, and decoding loops. Pure rowwise codegen (split → sliding
+    * n-grams via transform/slice → distinct count): no shuffle, no
+    * state, scales embarrassingly. Documents shorter than n tokens
+    * have no n-grams and score 0. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = split(col(textCol), " ")
+    val cnt = (size(toks) - (n - 1)).cast("int")
+    val grams = when(cnt > 0,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), size(grams).cast("long").as("n_grams"),
+        size(array_distinct(grams)).cast("long").as("n_distinct"))
+      .withColumn("rep_ratio", when(col("n_grams") > 0,
+        lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
+        .otherwise(lit(0.0)))
+  }
+
   /** Canonical token-set fingerprint (md5 of the sorted distinct
     * tokens) + winnowing rolling-hash fingerprint (shift-robust). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -117,6 +117,12 @@ object TextOps {
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     }),
+    "text_repetition_ratio" -> ((s, d) => {
+      // fraction of duplicated token bigrams per doc — the repetition
+      // quality gate (boilerplate / template spam / decode loops)
+      graft.api.TextAnalysis.repetitionRatio(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "dedup_incremental" -> ((s, d) => {
       // incremental dedup: the ~19% of docs with md5(doc_id) first hex
       // >= 'd' play the "new batch"; the rest are the existing corpus
@@ -269,6 +275,18 @@ object TextOps {
         |      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id1, id2, ${O.r4("jac")} AS jac
         |FROM p WHERE jac >= 0.8 ORDER BY id1, id2""".stripMargin,
+    "text_repetition_ratio" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, CASE WHEN len(toks) >= 2
+        |        THEN list_transform(range(1, len(toks)),
+        |               i -> array_to_string(toks[i:i+1], ' '))
+        |        ELSE CAST([] AS VARCHAR[]) END AS bg FROM t)
+        |SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_grams,
+        |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(bg) > 0
+        |    THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+        |    ELSE 0.0 END AS rep_ratio
+        |FROM b ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |             list_distinct(string_split(text, ' ')) AS toks,
