@@ -152,6 +152,27 @@ object TextOps {
         .select(col("id").as("doc_id"), col("label").as("cluster"))
         .orderBy("doc_id")
     }),
+    "dedup_keep_best" -> ((s, d) => {
+      // the full dedup pipeline composite: near-dup pairs → connected
+      // components → keep the HIGHEST-QUALITY doc per cluster (distinct-
+      // token count, doc_id tiebreak) — production dedup keeps the best
+      // canonical doc, not the min-id one. Singleton docs (no dup pair)
+      // keep themselves. The per-cluster argmax is row_number<=1, which
+      // the TopKRewrite turns into the bounded-heap operator.
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.nearJaccardPairs(docs, "doc_id", "text", 0.8, Some("lang"))
+      val clusters = Dedup.connectedComponents(pairs)
+      val scored = docs.select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("quality"))
+      val labeled = scored
+        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster").orderBy(col("quality").desc, col("doc_id").asc)
+      labeled.withColumn("rn", row_number().over(w)).filter(col("rn") <= 1)
+        .select(col("cluster"), col("doc_id").as("keep_id"), col("quality"))
+        .orderBy("cluster")
+    }),
     "dedup_simhash" -> ((s, d) => {
       // ✘ no oracle — the 64-bit fingerprint depends on our hash
       // function (no DuckDB twin). Unit-tested: pigeonhole recall of
@@ -313,6 +334,30 @@ object TextOps {
         |reach AS (SELECT a, b FROM edges
         |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT id1, id2 FROM (
+        |        SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |          CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+        |        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |      WHERE jac >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p
+        |          UNION ALL SELECT id2, id1 FROM p),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |        FROM reach GROUP BY a),
+        |sc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS quality FROM t),
+        |j AS (SELECT s.doc_id, COALESCE(l.cluster, s.doc_id) AS cluster, s.quality
+        |      FROM sc s LEFT JOIN lab l ON s.doc_id = l.doc_id),
+        |r AS (SELECT cluster, doc_id, quality,
+        |        row_number() OVER (PARTITION BY cluster
+        |                           ORDER BY quality DESC, doc_id) AS rn
+        |      FROM j)
+        |SELECT cluster, doc_id AS keep_id, quality FROM r
+        |WHERE rn <= 1 ORDER BY cluster""".stripMargin
   )
 }
