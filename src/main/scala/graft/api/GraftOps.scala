@@ -911,6 +911,23 @@ object Sampling {
       thresholdHex: String): DataFrame =
     df.filter(substring(idHex(idCol), 1, prefixLen) < thresholdHex)
 
+  /** Stratified subsample: a different digest threshold per group —
+    * the language/source rebalancing step of a training-data pipeline
+    * ("keep 25% of en, 10% of everything else"). The per-group
+    * threshold is a tiny CASE expression over the group column, so the
+    * whole thing stays a pure rowwise filter that pushes to the scan:
+    * no shuffle, no per-group pass, identical rows kept at any scale
+    * or partitioning. Groups absent from `thresholds` fall back to
+    * `defaultThreshold` ("00" = keep nothing). */
+  def stratifiedHashSample(df: DataFrame, idCol: String, groupCol: String,
+      thresholds: Map[String, String], prefixLen: Int = 2,
+      defaultThreshold: String = "00"): DataFrame = {
+    val thr = thresholds.foldLeft(lit(defaultThreshold)) { case (acc, (g, t)) =>
+      when(col(groupCol) === g, lit(t)).otherwise(acc)
+    }
+    df.filter(substring(idHex(idCol), 1, prefixLen) < thr)
+  }
+
   /** Deterministic train/test assignment from the same digest: ids
     * with first hex char < trainHexMax go to "train" (e.g. "d" →
     * 13/16 ≈ 81%). Membership is a pure function of the id, so a doc

@@ -102,6 +102,16 @@ object TextOps {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+    "data_sample_stratified" -> ((s, d) => {
+      // rebalancing subsample: keep ~25% of en (digest < '40') and
+      // ~10% of de/es/fr/zh (digest < '1a') — per-group thresholds in
+      // one rowwise CASE filter, no shuffle, no per-group pass
+      graft.api.Sampling.stratifiedHashSample(Tables.documents(s, d),
+          "doc_id", "lang",
+          Map("en" -> "40", "de" -> "1a", "es" -> "1a", "fr" -> "1a", "zh" -> "1a"))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     "data_split_counts" -> ((s, d) => {
       // deterministic train/test split (~81/19) with per-lang counts —
       // membership is a pure function of doc_id
@@ -267,6 +277,13 @@ object TextOps {
     "data_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin,
+    "data_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '40'
+        |       WHEN lang IN ('de', 'es', 'fr', 'zh') THEN '1a'
+        |       ELSE '00' END
         |ORDER BY doc_id""".stripMargin,
     "data_split_counts" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
