@@ -83,6 +83,53 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("FirstEqIndex codegen expression matches a reference loop") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.FirstEqIndex.register(spark)
+    def ref(a: Seq[Long], b: Seq[Long]): Int = {
+      val n = math.min(a.length, b.length)
+      (0 until n).find(i => a(i) == b(i)).map(_ + 1).getOrElse(0)
+    }
+    val rnd = new Random(11)
+    // small value domain so positional agreements actually occur
+    def sig() = Seq.fill(rnd.nextInt(20))(rnd.nextInt(4).toLong)
+    val rows = Seq.fill(300)((sig(), sig())) :+
+      ((Seq.empty[Long], Seq.empty[Long])) :+ ((Seq(5L), Seq(5L, 9L)))
+    val got = rows.toDF("a", "b")
+      .select(call_function("graft_first_eq", col("a"), col("b"))).as[Int].collect()
+    rows.zip(got).foreach { case ((a, b), r) =>
+      assert(r == ref(a, b), s"mismatch for $a vs $b")
+    }
+  }
+
+  test("simhash XOR first-chunk logic agrees with the chunk-array definition") {
+    // simhashPairs dedups on "first band whose bit slice of sh1^sh2 is
+    // zero"; that must equal the first index where the two chunk
+    // arrays (position-tagged) agree — for random hashes and all band
+    // widths that divide 64
+    val rnd = new Random(13)
+    for (_ <- 1 to 500; bands <- Seq(2, 4, 8)) {
+      val s1 = rnd.nextLong()
+      // flip a few bits of s1 half the time, else fully random
+      val s2 = if (rnd.nextBoolean()) s1 ^ (1L << rnd.nextInt(64)) ^ (1L << rnd.nextInt(64))
+               else rnd.nextLong()
+      val c1 = Kernels.simhashChunks(s1, bands)
+      val c2 = Kernels.simhashChunks(s2, bands)
+      val viaChunks = c1.zip(c2).indexWhere { case (a, b) => a == b } match {
+        case -1 => 0
+        case i => i + 1
+      }
+      val width = 64 / bands
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      val xor = s1 ^ s2
+      val viaXor = (0 until bands)
+        .find(b => ((xor >>> (b * width)) & mask) == 0L).map(_ + 1).getOrElse(0)
+      assert(viaXor == viaChunks, f"bands=$bands s1=$s1%x s2=$s2%x")
+    }
+  }
+
   test("JaccardSim codegen expression is bit-identical to the kernel") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
