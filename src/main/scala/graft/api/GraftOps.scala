@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * DataFrame (lazy, optimizer-visible); nothing here collects to the
   * driver except `MlPipeline.trainLogisticGD`'s O(dims) weights.
   */
-private[api] object Fanout {
+private[graft] object Fanout {
   /** Spread the probe side of a broadcast-join pipeline across all
     * cores: a small parquet input arrives as ONE scan partition, and a
     * map-side BHJ chain would otherwise run the whole candidate
