@@ -33,6 +33,33 @@ class WritePathSpec extends AnyFunSuite {
       s"partition pruning did not engage: read $filesRead of $totalFiles files")
   }
 
+  test("IVF cell id as write-time partition key: a probe reads only its cells") {
+    // the §2.13 ANN scale claim made concrete: embeddings written
+    // partitioned by their (trained-codebook) cell id, then an
+    // nprobe=4 query's scan must touch only 4 of the 16 cell
+    // directories — the layout IS the index
+    val out = Files.createTempDirectory("graft-ivf").toString
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val cents = graft.api.Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+    val cellOf = udf((v: Seq[Float]) =>
+      graft.functions.Kernels.nearestCells(v, cents, 1).head)
+    Writers.writePartitioned(e.withColumn("cell", cellOf(col("embedding"))), "cell", out)
+    // one query vector probes its 4 nearest cells
+    val qvec = e.filter(col("vec_id") === 3).select("embedding")
+      .head().getAs[scala.collection.Seq[Float]](0).toIndexedSeq
+    val probes = graft.functions.Kernels.nearestCells(qvec, cents, 4)
+    val rd = spark.read.parquet(out).filter(col("cell").isin(probes.map(Int.box): _*))
+    val qe = rd.queryExecution
+    assert(qe.executedPlan.executeCollect().nonEmpty)
+    val scans = qe.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val filesRead = scans.head.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(out).inputFiles.length
+    assert(filesRead < totalFiles / 2,
+      s"cell-partition pruning did not engage: read $filesRead of $totalFiles files")
+  }
+
   test("csv and json-lines round-trip flat frames losslessly") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select("doc_id", "lang", "source", "n_chars")
