@@ -46,11 +46,16 @@ object Bench {
     // top-k). Extracted from the POST-execution plan, i.e. AQE's final
     // choices — so a stats-dependent broadcast->shuffle flip is visible
     // in the bench artifact itself, not only as a timing anomaly.
+    // \b-anchored so "Exchange" counts ONLY shuffle exchanges, not
+    // BroadcastExchange/ReusedExchange (tracked separately) — the
+    // artifact exists to catch broadcast<->shuffle flips, so the two
+    // kinds must not be conflated in one number
     val planOps = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-      "BroadcastNestedLoopJoin", "CartesianProduct", "TopKPerGroup", "Exchange")
+      "BroadcastNestedLoopJoin", "CartesianProduct", "TopKPerGroup",
+      "Exchange", "BroadcastExchange", "ReusedExchange")
     def planSummary(p: String): String =
       planOps.flatMap { op =>
-        val c = op.r.findAllIn(p).size
+        val c = ("\\b" + op).r.findAllIn(p).size
         if (c == 0) None else Some(s"$op*$c")
       }.mkString(",")
     val results = SparkEntry.queries

@@ -12,20 +12,39 @@ import org.apache.spark.sql.functions._
   * onto the test corpus.
   *
   * Every operation takes a DataFrame plus column names and returns a
-  * DataFrame (lazy, optimizer-visible); nothing here collects to the
-  * driver except `MlPipeline.trainLogisticGD`'s O(dims) weights.
+  * DataFrame (optimizer-visible). Driver-side state is bounded:
+  * `MlPipeline.trainLogisticGD` collects O(dims) weights and
+  * `Similarity.trainCodebook` O(sampleSize) vectors; nothing else
+  * collects. The multi-branch dedup constructors (`minhashPairs`,
+  * `nearJaccardPairs`/`ngramJaccardPairs`, `jaccardPairsAgainstIndex`,
+  * `connectedComponents`) materialize their shared hash tables EAGERLY
+  * at call time (localCheckpoint) — building the frame runs those
+  * jobs; see the r4 known-trap on lazy-checkpoint races for why.
   */
 private[graft] object Fanout {
-  /** Spread the probe side of a broadcast-join pipeline across all
-    * cores: a small parquet input arrives as ONE scan partition, and a
-    * map-side BHJ chain would otherwise run the whole candidate
-    * generation + verify on a single core. Explicit numPartitions so
-    * AQE does not coalesce it away. GATED on the input's actual
-    * partition count: on a cluster-scale input that is already at least
-    * as parallel as the target, the repartition would be a gratuitous
-    * extra shuffle, so it is skipped (planning the RDD to read the
-    * count runs no job). */
+  /** Spread a SCAN-shaped input across all cores: a small parquet
+    * input arrives as ONE scan partition, and a map-side UDF/BHJ chain
+    * would otherwise run the whole corpus's work on a single core.
+    * Explicit numPartitions so AQE does not coalesce it away.
+    *
+    * Two gates keep this a no-op everywhere else:
+    *  1. only NARROW plans (scan + project/filter/generate) are
+    *     probed — anything containing a join/aggregate/repartition is
+    *     already parallelized by its own exchange, and probing it via
+    *     `df.rdd` under AQE would EXECUTE the upstream stages just to
+    *     read a partition count. For narrow plans the probe is pure
+    *     planning (no exchange ⇒ no stage to run).
+    *  2. a narrow input already at or above the target partition count
+    *     is returned unchanged — on cluster-scale inputs the
+    *     repartition would be a gratuitous extra shuffle. */
   def apply(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val narrow = df.queryExecution.optimizedPlan.collect {
+      case p if !(p.isInstanceOf[LeafNode] || p.isInstanceOf[Project] ||
+        p.isInstanceOf[Filter] || p.isInstanceOf[Generate] ||
+        p.isInstanceOf[SubqueryAlias]) => p
+    }.isEmpty
+    if (!narrow) return df
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
@@ -33,8 +52,6 @@ private[graft] object Fanout {
 
 object Dedup {
   private def fanout(df: DataFrame): DataFrame = Fanout(df)
-  /** Test hook for the fanout gating (PlanShapeSpec). */
-  private[graft] def fanoutForTest(df: DataFrame): DataFrame = Fanout(df)
 
   /** Exact Jaccard via the native codegen expression (no UDF boundary);
     * bit-identical to Kernels.jaccardLongs. */
@@ -220,8 +237,8 @@ object Dedup {
     * setting: the same joins carry a SHUFFLE_HASH hint — an equi-
     * shuffle on (band, bucket) / id, never a sort, never a broadcast of
     * a corpus that no longer fits. With the plan pinned, the hashing
-    * work is safely materialized once per action (lazy localCheckpoint)
-    * instead of re-running the token + signature UDFs per plan branch. */
+    * work is safely materialized once, eagerly, at call time instead
+    * of re-running the token + signature UDFs per plan branch. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
       broadcastJoins: Boolean = true): DataFrame = {
@@ -323,6 +340,13 @@ object Dedup {
         .localCheckpoint()
       (ck, obs.get("lsum").asInstanceOf[Long])
     }
+    // free a superseded round's checkpoint blocks instead of leaving
+    // them to GC-driven cleanup — a long loop would otherwise pin every
+    // round's label table in executor storage
+    def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
     // round 1 needs no join: labels are the ids themselves, so the
     // neighbor-min is a single aggregate over the edge list
     var (labels, prevSum) = checkpointWithSum(sym.groupBy(col("b"))
@@ -352,6 +376,7 @@ object Dedup {
             col("label") === col("_lid"), "left")
           .select(col("id"), coalesce(col("_ll"), col("label")).as("label"))
       val (next, s) = checkpointWithSum(short)
+      freeCheckpoint(labels)
       labels = next
       converged = s == prevSum
       prevSum = s
@@ -365,6 +390,8 @@ object Dedup {
       if (strict) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(msg)
     }
+    freeCheckpoint(edges)
+    freeCheckpoint(sym)
     labels
   }
 
@@ -602,18 +629,21 @@ object Similarity {
       .limit(sampleSize)
       .select("_v").collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
-    var cents = sample.take(k).map(_.clone())
+    // an input smaller than k yields that many cells (every vector its
+    // own centroid) instead of indexing past the sample
+    val kk = math.min(k, sample.length)
+    var cents = sample.take(kk).map(_.clone())
     val dims = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 1 to iters) {
-      val sums = Array.fill(k)(new Array[Double](dims))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kk)(new Array[Double](dims))
+      val counts = new Array[Long](kk)
       sample.foreach { v =>
         val c = Kernels.nearestCells(scala.collection.immutable.ArraySeq.unsafeWrapArray(v),
           cents, 1).head
         counts(c) += 1
         var i = 0; while (i < dims) { sums(c)(i) += v(i); i += 1 }
       }
-      cents = Array.tabulate(k) { c =>
+      cents = Array.tabulate(kk) { c =>
         if (counts(c) == 0) cents(c)
         else Array.tabulate(dims)(i => (sums(c)(i) / counts(c)).toFloat)
       }

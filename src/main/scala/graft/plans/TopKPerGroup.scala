@@ -141,8 +141,11 @@ case class TopKPerGroupExec(
 object TopKRewrite extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString("spark.graft.topk.enabled", "true").toBoolean
+  // clamp to Int.MaxValue: the limit flows into TopKPerGroup's Int k,
+  // so a huge configured cap must not make limit.toInt wrap negative
   private def maxK: Long =
-    conf.getConfString("spark.graft.topk.maxK", "100000").toLong
+    math.min(conf.getConfString("spark.graft.topk.maxK", "100000").toLong,
+      Int.MaxValue.toLong)
   private object RowNumberAlias {
     def unapply(e: NamedExpression): Option[Alias] = e match {
       case a @ Alias(WindowExpression(RowNumber(), _), _) => Some(a)

@@ -8,8 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * engine's scale story depends on, asserted inside `sbt test` so a
   * plan flip (like round 3's minhash broadcast→shuffle, 11 s → 27 s on
   * identical code) cannot ship silently again. All checks inspect the
-  * INITIAL executed plan string — pure planning, no job execution —
-  * which is exactly the stats regime where flips happen.
+  * INITIAL executed plan string — the stats regime where flips happen.
+  * Note: constructing the dedup_* queries is not free — their shared
+  * hash tables materialize eagerly at call time (the r4 race fix), so
+  * the sweep below runs those jobs at sf0.001; the plan ASSERTIONS
+  * still run against un-executed final stages.
   */
 class PlanShapeSpec extends AnyFunSuite {
 
@@ -95,7 +98,7 @@ class PlanShapeSpec extends AnyFunSuite {
     TestSpark.withExtSession { s =>
       val n = s.conf.get("spark.sql.shuffle.partitions").toInt
       val wide = Tables.documents(s, TestSpark.sf0001).repartition(n, col("doc_id"))
-      val p = graft.api.Dedup.fanoutForTest(wide).queryExecution.executedPlan.toString
+      val p = graft.api.Fanout(wide).queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(p).size
       assert(exchanges == 1, s"fanout on $n-partition input added an exchange:\n$p")
     }
