@@ -130,6 +130,15 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("trainCodebook survives inputs smaller than k (one cell per vector)") {
+    val spark = TestSpark.spark
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val cents = graft.api.Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+    assert(cents.length == 10, s"expected 10 cells for a 10-row input, got ${cents.length}")
+    assert(cents.forall(_.length == 64))
+  }
+
   test("JaccardSim codegen expression is bit-identical to the kernel") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._

@@ -87,6 +87,21 @@ class TopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("an over-Int maxK cannot make a long bound wrap into a tiny int k") {
+    TestSpark.withExtSession { s =>
+      s.conf.set("spark.graft.topk.maxK", "10000000000") // > Int.MaxValue
+      try {
+        val df = Tables.orders(s, sf)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3000000000L) // would wrap negative as an Int
+        assert(!plan(df).contains("TopKPerGroup"),
+          "rewrite fired with a bound beyond Int range")
+        // semantics: every row survives a bound larger than any group
+        assert(df.count() == Tables.orders(s, sf).count())
+      } finally s.conf.unset("spark.graft.topk.maxK")
+    }
+  }
+
   test("spark.graft.topk.enabled=false disables the rewrite entirely") {
     TestSpark.withExtSession { s =>
       s.conf.set("spark.graft.topk.enabled", "false")
