@@ -284,6 +284,52 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Incremental MinHash-LSH: banded candidates BETWEEN a new batch
+    * (probe) and an existing corpus (index), verified with exact
+    * Jaccard — the probabilistic twin of `jaccardPairsAgainstIndex`
+    * and the at-scale production shape: the corpus's banded signature
+    * table is a pure function of the corpus (persist it once,
+    * partitioned by (band, bucket)); each arriving batch pays only its
+    * own hashing + one bucket equi-join sized by the BATCH. Recall per
+    * pair is the same 1-(1-j^rows)^bands S-curve as `minhashPairs`;
+    * the first-agreeing-band test (native `graft_first_eq`) dedups
+    * multi-band collisions without a distinct shuffle. Join pinning
+    * follows `minhashPairs`: broadcast by default (single-node /
+    * small-batch), SHUFFLE_HASH hints with `broadcastJoins=false`. */
+  def minhashPairsAgainstIndex(probe: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 8,
+      broadcastJoins: Boolean = true): DataFrame = {
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val docs = fanout(df).select(col(idCol).as("_id"),
+        Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
+        .localCheckpoint()
+      val banded = docs.select(col("_id"),
+          Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
+        .select(col("_id"), col("_sig"), posexplode(col("_sig")).as(Seq("_band", "_bh")))
+      (docs, banded)
+    }
+    val (idxDocs, idxBanded) = prep(index)
+    val (prbDocs, prbBanded) = prep(probe)
+    graft.functions.FirstEqIndex.register(probe.sparkSession)
+    val firstBand = call_function("graft_first_eq", col("_sigP"), col("_sigI"))
+    val cand = prbBanded
+      .select(col("_id").as("probe_id"), col("_sig").as("_sigP"), col("_band"), col("_bh"))
+      .join(pin(idxBanded.select(col("_id").as("index_id"), col("_sig").as("_sigI"),
+          col("_band").as("_bandI"), col("_bh").as("_bhI"))),
+        col("_band") === col("_bandI") && col("_bh") === col("_bhI"))
+      .filter(firstBand === col("_band") + 1)
+      .select("index_id", "probe_id")
+    cand
+      .join(pin(idxDocs.select(col("_id").as("index_id"), col("_th").as("_t1"))), "index_id")
+      .join(pin(prbDocs.select(col("_id").as("probe_id"), col("_th").as("_t2"))), "probe_id")
+      .withColumn("jaccard", jac(probe)(col("_t1"), col("_t2")))
+      .filter(col("jaccard") >= threshold)
+      .select("index_id", "probe_id", "jaccard")
+  }
+
   /** Connected components over an undirected pair graph (id1, id2) —
     * the cluster-resolution step after near-dup pair generation: every
     * document gets the MINIMUM id reachable through duplicate pairs as

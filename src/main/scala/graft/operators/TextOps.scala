@@ -145,6 +145,18 @@ object TextOps {
         .select(col("index_id"), col("probe_id"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("index_id", "probe_id")
     }),
+    "dedup_incremental_minhash" -> ((s, d) => {
+      // ✘ no oracle — the probabilistic twin of dedup_incremental:
+      // banded LSH candidates between the new batch and the corpus
+      // index, exact-verified. Recall vs the exact incremental truth
+      // set is unit-tested against the banding formula bound.
+      val docs = Tables.documents(s, d)
+      val isNew = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "d"
+      Dedup.minhashPairsAgainstIndex(docs.filter(isNew), docs.filter(!isNew),
+          "doc_id", "text", 0.8)
+        .select(col("index_id"), col("probe_id"), Canon.r4(col("jaccard")).as("jac"))
+        .orderBy("index_id", "probe_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       // character-3-gram (shingle) Jaccard — catches boundary edits
       // word-level jaccard misses; same lang-blocked exact baseline

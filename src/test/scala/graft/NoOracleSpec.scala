@@ -43,6 +43,27 @@ class NoOracleSpec extends AnyFunSuite {
       s"recall=$recall expected>=${expected - 3 * sigma} over ${truth.size} true pairs")
   }
 
+  test("dedup_incremental_minhash recall vs the exact incremental truth set") {
+    // same banding-formula bound as dedup_minhash_lsh, but for the
+    // asymmetric batch-vs-corpus probe against the EXACT incremental
+    // pairs (dedup_incremental). The LSH variant is unblocked, so it
+    // may emit extra cross-lang pairs; recall only counts truth.
+    val lsh = SparkEntry.queries("dedup_incremental_minhash")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = SparkEntry.queries("dedup_incremental")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(truth.nonEmpty, "fixture should contain cross-batch near-duplicates")
+    val (bands, rows) = (16, 8)
+    def pCollide(j: Double) = 1.0 - math.pow(1.0 - math.pow(j, rows), bands)
+    val expected = truth.map { case (_, j) => pCollide(j) }.sum / truth.size
+    val sigma = math.sqrt(truth.map { case (_, j) =>
+      val p = pCollide(j); p * (1 - p)
+    }.sum) / truth.size
+    val recall = truth.count { case (pair, _) => lsh.contains(pair) }.toDouble / truth.size
+    assert(recall >= expected - 3 * sigma - 1e-9,
+      s"recall=$recall expected>=${expected - 3 * sigma} over ${truth.size} true pairs")
+  }
+
   test("ml_train_logreg_gd matches a sequential reference and loss decreases") {
     // Reference: same 10-step full-batch GD, computed sequentially on
     // the driver (the numpy twin lives in tools/check_gd.py).
