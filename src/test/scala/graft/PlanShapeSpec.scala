@@ -63,6 +63,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_incremental_minhash joins are pinned broadcast too") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "dedup_incremental_minhash")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"incremental LSH plan fell back to a shuffle join:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+        s"expected bucket + 2 verify joins broadcast:\n$p")
+    }
+  }
+
   test("minhashPairs(broadcastJoins=false) plans every join as an equi-shuffle") {
     TestSpark.withExtSession { s =>
       val docs = Tables.documents(s, TestSpark.sf0001)
