@@ -44,6 +44,23 @@ class ApiParitySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("minhash scale mode (shuffle-hash joins) returns the same pairs as broadcast mode") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val bc = graft.api.Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
+    val sh = graft.api.Dedup.minhashPairs(docs, "doc_id", "text", 0.8,
+      broadcastJoins = false)
+    assert(rows(sh) == rows(bc), "shuffle-hash mode changed the pair set")
+    val isNew = col("doc_id") % 5 === 0
+    val bcI = graft.api.Dedup.minhashPairsAgainstIndex(
+      docs.filter(isNew), docs.filter(!isNew), "doc_id", "text", 0.8)
+    val shI = graft.api.Dedup.minhashPairsAgainstIndex(
+      docs.filter(isNew), docs.filter(!isNew), "doc_id", "text", 0.8,
+      broadcastJoins = false)
+    assert(rows(shI) == rows(bcI), "incremental shuffle-hash mode changed the pair set")
+  }
+
   test("connectedComponents resolves a long chain and enforces the convergence contract") {
     val s = spark
     import s.implicits._
