@@ -61,6 +61,41 @@ class ApiParitySpec extends AnyFunSuite {
     assert(rows(shI) == rows(bcI), "incremental shuffle-hash mode changed the pair set")
   }
 
+  test("connectedComponents matches a driver union-find on a 200k-edge random graph") {
+    val s = spark
+    import s.implicits._
+    // seeded pseudo-random graph over 100k nodes: enough volume that
+    // the loop's shuffles and checkpoints carry real data, validated
+    // EXACTLY against a local union-find (not just spot properties)
+    val n = 100000L
+    val edgesDf = s.range(200000).select(
+      pmod(hash(col("id") * 2 + 1), lit(n)).cast("long").as("id1"),
+      pmod(hash(col("id") * 2 + 2), lit(n)).cast("long").as("id2"))
+      .filter(col("id1") =!= col("id2"))
+      .localCheckpoint()
+    val got = graft.api.Dedup.connectedComponents(edgesDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side union-find with path compression
+    val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // expected label = MIN member of the component, matching the contract
+    val members = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val minOf = members.groupBy(find).map { case (root, ms) => root -> ms.min }
+    val expected = members.map(m => m -> minOf(find(m))).toMap
+    assert(got.size == expected.size,
+      s"node count mismatch: got ${got.size}, expected ${expected.size}")
+    val bad = expected.iterator.filter { case (k, v) => got(k) != v }.take(3).toList
+    assert(bad.isEmpty, s"label mismatches (first 3): $bad")
+  }
+
   test("connectedComponents resolves a long chain and enforces the convergence contract") {
     val s = spark
     import s.implicits._
