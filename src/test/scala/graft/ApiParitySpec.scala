@@ -44,6 +44,58 @@ class ApiParitySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("PPJoin pair sets equal brute force on a random synthetic corpus") {
+    val s = spark
+    import s.implicits._
+    // 300 docs over a tiny vocab (dups and near-dups arise naturally),
+    // plus adversarial rows: empty text, single token, exact clones.
+    // The prefix-filter + length-filter + verify pipeline must emit
+    // EXACTLY the brute-force pair set at every threshold tested —
+    // this is the correctness of the ⌈t·|X|⌉ prefix bound and its
+    // 1e-9 float slack, not reachable through the fixture oracle alone.
+    val rnd = new scala.util.Random(99)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g", "hhh")
+    val docs = (0L until 300L).map { i =>
+      val text =
+        if (i % 97 == 0) ""
+        else if (i % 89 == 0) "a"
+        else if (i % 7 == 0) "a bb ccc dd e" // clone cluster
+        else List.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i, text)
+    }
+    val df = docs.toDF("doc_id", "text")
+    // token set matches the engine/oracle convention: split on single
+    // spaces KEEPS empty strings, so "" tokenizes to {""} (one token)
+    // — the same thing Spark's split and DuckDB's string_split produce
+    def jac(x: String, y: String): Double = {
+      val (a, b) = (x.split(" ", -1).toSet, y.split(" ", -1).toSet)
+      (a & b).size.toDouble / (a | b).size.toDouble
+    }
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val expected = (for {
+        (i, x) <- docs; (j, y) <- docs
+        if i < j && jac(x, y) >= t
+      } yield (i, j)).toSet
+      val got = graft.api.Dedup.nearJaccardPairs(df, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"t=$t: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    }
+    // the asymmetric probe must emit exactly the cross-side subset
+    val isNew: Long => Boolean = _ % 3 == 0
+    val expectedCross = (for {
+      (i, x) <- docs; (j, y) <- docs
+      if !isNew(i) && isNew(j) && jac(x, y) >= 0.8
+    } yield (i, j)).toSet
+    val gotCross = graft.api.Dedup.jaccardPairsAgainstIndex(
+        df.filter(col("doc_id") % 3 === 0), df.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCross == expectedCross,
+      s"asymmetric: missing=${(expectedCross -- gotCross).take(3)} " +
+        s"extra=${(gotCross -- expectedCross).take(3)}")
+  }
+
   test("minhash scale mode (shuffle-hash joins) returns the same pairs as broadcast mode") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =
