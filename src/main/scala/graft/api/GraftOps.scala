@@ -50,6 +50,31 @@ private[graft] object Fanout {
   }
 }
 
+/** Lifecycle for the eager `localCheckpoint`s some constructors pin.
+  *
+  * RETENTION CONTRACT: `Dedup.minhashPairs`, `minhashPairsAgainstIndex`,
+  * `jaccardPairsFromHashes` (via `nearJaccardPairs` / `ngramJaccardPairs`)
+  * and `jaccardPairsAgainstIndex` materialize their hashed-doc /
+  * signature tables with eager local checkpoints at CALL time (to run
+  * the expensive hashing once across plan branches). Those blocks stay
+  * pinned in executor storage until the returned frame is garbage
+  * collected (ContextCleaner) — fine for batch jobs, but a long-lived
+  * session constructing many pipelines should release them
+  * deterministically with `Checkpoints.free(result)` once the result is
+  * fully materialized (written / collected / checkpointed itself).
+  * Freeing earlier BREAKS the frame: a local checkpoint truncates
+  * lineage, so its blocks cannot be recomputed. */
+object Checkpoints {
+  /** Unpersist every localCheckpoint block in `df`'s lineage. Call only
+    * after `df` (and anything else derived from the same constructor
+    * call) has been fully materialized and is no longer needed. */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+}
+
 object Dedup {
   private def fanout(df: DataFrame): DataFrame = Fanout(df)
 
@@ -238,7 +263,9 @@ object Dedup {
     * shuffle on (band, bucket) / id, never a sort, never a broadcast of
     * a corpus that no longer fits. With the plan pinned, the hashing
     * work is safely materialized once, eagerly, at call time instead
-    * of re-running the token + signature UDFs per plan branch. */
+    * of re-running the token + signature UDFs per plan branch.
+    * Checkpoint retention: see [[Checkpoints]] — release with
+    * `Checkpoints.free(result)` after materializing. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
       broadcastJoins: Boolean = true): DataFrame = {
@@ -379,12 +406,16 @@ object Dedup {
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .repartition(n, col("b")).localCheckpoint()
     // the eager checkpoint IS the round's one action; Σlabel rides it
-    // as an observed metric instead of costing a second job
-    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+    // as an observed metric instead of costing a second job. The sum is
+    // taken as decimal(38,0), not long: labels are node ids, and a raw
+    // i64 sum over billions of large ids could wrap, silently breaking
+    // the strict-monotonicity argument the early-exit relies on.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, coalesce(sum(col("label")), lit(0L)).as("lsum"))
+      val ck = df.observe(obs, coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("lsum"))
         .localCheckpoint()
-      (ck, obs.get("lsum").asInstanceOf[Long])
+      (ck, obs.get("lsum").asInstanceOf[java.math.BigDecimal])
     }
     // free a superseded round's checkpoint blocks instead of leaving
     // them to GC-driven cleanup — a long loop would otherwise pin every
@@ -395,9 +426,16 @@ object Dedup {
     }
     // round 1 needs no join: labels are the ids themselves, so the
     // neighbor-min is a single aggregate over the edge list
-    var (labels, prevSum) = checkpointWithSum(sym.groupBy(col("b"))
+    // every checkpoint pinned by the loop is released on ALL exit
+    // paths: superseded rounds are freed as the loop runs, edges/sym in
+    // the finally, and the last labels table too when we exit by throw
+    // (only the successfully returned frame keeps its blocks)
+    var labels: DataFrame = null
+    try {
+    var (l0, prevSum) = checkpointWithSum(sym.groupBy(col("b"))
       .agg(least(min(col("a")), col("b")).as("label"))
       .select(col("b").as("id"), col("label")))
+    labels = l0
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -424,7 +462,7 @@ object Dedup {
       val (next, s) = checkpointWithSum(short)
       freeCheckpoint(labels)
       labels = next
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }
@@ -433,12 +471,14 @@ object Dedup {
         "a duplicate chain is longer than maxIter hops, so labels are not yet " +
         "the reachable minimum. Raise maxIter, or for extreme-diameter graphs " +
         "use large-star/small-star alternation (O(log n) rounds)."
-      if (strict) throw new IllegalStateException(msg)
+      if (strict) { freeCheckpoint(labels); throw new IllegalStateException(msg) }
       else org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(msg)
     }
-    freeCheckpoint(edges)
-    freeCheckpoint(sym)
     labels
+    } finally {
+      freeCheckpoint(edges)
+      freeCheckpoint(sym)
+    }
   }
 
   /** Character n-gram (shingle) Jaccard near-dup pairs — robust to
@@ -675,6 +715,10 @@ object Similarity {
       .limit(sampleSize)
       .select("_v").collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    // fail here, by name, rather than let an empty codebook surface as
+    // an opaque NoSuchElementException inside Kernels.nearestCells
+    require(sample.nonEmpty,
+      s"trainCodebook: input '$vecCol' has no rows to sample — cannot train a codebook")
     // an input smaller than k yields that many cells (every vector its
     // own centroid) instead of indexing past the sample
     val kk = math.min(k, sample.length)
