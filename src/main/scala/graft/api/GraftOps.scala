@@ -357,6 +357,52 @@ object Dedup {
       .select("index_id", "probe_id", "jaccard")
   }
 
+  /** Driver union-find over a collected edge list — the exact same
+    * min-reachable-label contract as the distributed loop, for graphs
+    * small enough to fit the driver (id + label only, never content).
+    * Union-by-min keeps every root the minimum member of its set, so
+    * `find` directly yields the contract label; path halving keeps
+    * lookups near-constant. Output is sorted by id for determinism. */
+  private def localUnionFind(edges: DataFrame, parts: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("a").dataType
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Any, Any](rows.length * 2)
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val g = parent.getOrDefault(p, p)
+        parent.put(x, g)
+        x = g
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y.asInstanceOf[Comparable[Any]]) < 0
+    val seen = new java.util.LinkedHashSet[Any]()
+    rows.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      seen.add(a); seen.add(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val members: Array[AnyRef] = seen.toArray
+    java.util.Arrays.sort(members, new java.util.Comparator[AnyRef] {
+      def compare(x: AnyRef, y: AnyRef): Int =
+        x.asInstanceOf[Comparable[AnyRef]].compareTo(y)
+    })
+    val out = members.map(m => org.apache.spark.sql.Row(m, find(m)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("label", idType)))
+    val np = math.max(1, math.min(parts, 1 + out.length / 65536))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(scala.collection.immutable.ArraySeq.unsafeWrapArray(out), np),
+      schema)
+  }
+
   /** Connected components over an undirected pair graph (id1, id2) —
     * the cluster-resolution step after near-dup pair generation: every
     * document gets the MINIMUM id reachable through duplicate pairs as
@@ -390,10 +436,18 @@ object Dedup {
     * silently wrong cluster ids, the non-converged exit throws (set
     * `strict = false` to get the partial labels plus a warning — e.g.
     * for exploratory runs). With pointer halving the default budget
-    * covers diameters beyond 2^20 — any practical graph. */
+    * covers diameters beyond 2^20 — any practical graph.
+    *
+    * Edge lists at or below `spark.graft.cc.localEdgeThreshold`
+    * (default 2M edges) skip the loop entirely for a driver union-find
+    * over the collected (id1, id2) pairs — identical labels, one job
+    * instead of one per round. This is the broadcast-join analogue:
+    * pick the local plan when the input provably fits, keep the
+    * shuffle plan for when it doesn't. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       strict: Boolean = true): DataFrame = {
-    val n = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val spark = pairs.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // materialize the input pairs ONCE before fanning out: `sym` below
     // references the edge list twice (forward + swapped), and two
     // stages racing to compute a shared lazy upstream (e.g. the whole
@@ -401,6 +455,24 @@ object Dedup {
     // a 10 s → 37 s swing on dedup_clusters depending on stage timing
     val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
       .localCheckpoint()
+    // SMALL-GRAPH FAST PATH — the broadcast-join analogue for CC: a
+    // near-dup pair graph is usually orders of magnitude smaller than
+    // the corpus that produced it, and below this edge budget a driver
+    // union-find beats the iterative loop's per-round job latency by an
+    // order of magnitude (and is immune to ambient-load stragglers).
+    // The count is O(1)-ish: `edges` is already checkpointed, so this
+    // never re-runs the pair pipeline. Set
+    // spark.graft.cc.localEdgeThreshold=0 to force the distributed
+    // loop (tests do, and a 100 TB graph exceeds any sane threshold).
+    val localMax =
+      spark.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
+    if (edges.count() <= localMax) {
+      try return localUnionFind(edges, n)
+      finally { edges.queryExecution.logical match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      } }
+    }
     // hash-partition the (static) edge list by the probe key ONCE; each
     // round's join then only shuffles the much smaller label table
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -971,19 +1043,52 @@ object TextAnalysis {
     * n-grams via transform/slice → distinct count): no shuffle, no
     * state, scales embarrassingly. Documents shorter than n tokens
     * have no n-grams and score 0. */
+  /** Sliding word n-grams of `textCol` as an array column — pure
+    * codegen (split → transform/slice/concat_ws), empty when the doc
+    * has fewer than n tokens. */
+  private def wordNgrams(textCol: String, n: Int): Column = {
+    val toks = split(col(textCol), " ")
+    val cnt = (size(toks) - (n - 1)).cast("int")
+    when(cnt > 0,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val toks = split(col(textCol), " ")
-    val cnt = (size(toks) - (n - 1)).cast("int")
-    val grams = when(cnt > 0,
-      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = wordNgrams(textCol, n)
     df.select(col(idCol), size(grams).cast("long").as("n_grams"),
         size(array_distinct(grams)).cast("long").as("n_distinct"))
       .withColumn("rep_ratio", when(col("n_grams") > 0,
         lit(1.0) - col("n_distinct").cast("double") / col("n_grams").cast("double"))
         .otherwise(lit(0.0)))
+  }
+
+  /** Benchmark decontamination: for each corpus document, how many
+    * DISTINCT word n-grams it shares with a benchmark/eval set — the
+    * standard "n-gram overlap" test run before training so that eval
+    * questions leaking into the corpus are caught (n = 8 words is the
+    * commonly published choice; lower n over-flags, higher n misses
+    * paraphrases of short items). Returns (idCol, n_hits) for corpus
+    * docs with at least one hit; a pipeline drops or audits them.
+    *
+    * Scale shape: the benchmark gram set is DISTINCT-ed and explicitly
+    * broadcast — eval suites are bounded (thousands of items, at most
+    * millions of grams) no matter how big the corpus, so the corpus
+    * side streams map-side against the broadcast hash set: one scan,
+    * one aggregate, no corpus-sized shuffle beyond the per-doc count.
+    * Corpus grams are per-doc distinct BEFORE the join (array_distinct
+    * inside the row), so the count after the join is already the
+    * distinct-gram hit count — no count(distinct) shuffle. */
+  def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val grams = explode(array_distinct(wordNgrams(textCol, n))).as("_g")
+    val benchGrams = bench.select(grams).distinct()
+    corpus.select(col(idCol), grams)
+      .join(broadcast(benchGrams), "_g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 
   /** Canonical token-set fingerprint (md5 of the sorted distinct

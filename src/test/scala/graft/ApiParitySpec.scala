@@ -125,8 +125,18 @@ class ApiParitySpec extends AnyFunSuite {
       pmod(hash(col("id") * 2 + 2), lit(n)).cast("long").as("id2"))
       .filter(col("id1") =!= col("id2"))
       .localCheckpoint()
-    val got = graft.api.Dedup.connectedComponents(edgesDf)
+    // force the DISTRIBUTED loop (200k edges would otherwise take the
+    // driver union-find fast path), then run the default local path too
+    // and require bit-identical labels from both
+    val got =
+      try {
+        s.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+        graft.api.Dedup.connectedComponents(edgesDf)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally s.conf.unset("spark.graft.cc.localEdgeThreshold")
+    val gotLocal = graft.api.Dedup.connectedComponents(edgesDf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotLocal == got, "local union-find path must match the distributed loop")
     // driver-side union-find with path compression
     val edges = edgesDf.collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -157,16 +167,27 @@ class ApiParitySpec extends AnyFunSuite {
     // below the log bound it must THROW, not return labels that are
     // silently not the reachable minimum.
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val labels = graft.api.Dedup.connectedComponents(chain, maxIter = 10)
+    // the convergence contract is a property of the DISTRIBUTED loop;
+    // pin the conf so the tiny chain doesn't take the local fast path
+    try {
+      val s2 = spark
+      s2.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+      val labels = graft.api.Dedup.connectedComponents(chain, maxIter = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 41 && labels.values.forall(_ == 0L),
+        s"chain must collapse to cluster 0: $labels")
+      val ex = intercept[IllegalStateException] {
+        graft.api.Dedup.connectedComponents(chain, maxIter = 3)
+      }
+      assert(ex.getMessage.contains("did not converge"))
+      // non-strict mode returns the partial labels instead of throwing
+      val partial = graft.api.Dedup.connectedComponents(chain, maxIter = 3, strict = false)
+      assert(partial.count() == 41)
+    } finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    // the default (local union-find) path must resolve the same chain
+    val local = graft.api.Dedup.connectedComponents(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 41 && labels.values.forall(_ == 0L),
-      s"chain must collapse to cluster 0: $labels")
-    val ex = intercept[IllegalStateException] {
-      graft.api.Dedup.connectedComponents(chain, maxIter = 3)
-    }
-    assert(ex.getMessage.contains("did not converge"))
-    // non-strict mode returns the partial labels instead of throwing
-    val partial = graft.api.Dedup.connectedComponents(chain, maxIter = 3, strict = false)
-    assert(partial.count() == 41)
+    assert(local.size == 41 && local.values.forall(_ == 0L),
+      s"local path must collapse the chain to cluster 0: $local")
   }
 }
