@@ -757,6 +757,75 @@ object Similarity {
       .select("qid", "cid", "sim", "rank")
   }
 
+  /** Random-hyperplane LSH approximate kNN — the DATA-INDEPENDENT
+    * scale path for cosine similarity search, complementing `ivfKnn`:
+    * no codebook to train (and so no drift as the corpus grows), at
+    * the cost of weaker pruning on clustered data than a trained
+    * quantizer. `tables` independent hash tables of `bits` hyperplane
+    * sign bits each; a data vector and a query collide if they share
+    * any table's bucket (recall per neighbor at angle θ is
+    * 1-(1-(1-θ/π)^bits)^tables). Planes are seeded Gaussians, so
+    * signatures — and results — are reproducible, and since planes are
+    * data-independent there is no query-leakage question at all.
+    *
+    * Scale shape mirrors `ivfKnn`: signatures are one narrow map pass;
+    * candidates come from the (table, bucket) equi-join against the
+    * broadcast query side (query sets are bounded); multi-table
+    * collisions dedup via the first-agreeing-table test (native
+    * `graft_first_eq`, no distinct shuffle); the final per-query top-k
+    * is the row_number≤k idiom the TopKPerGroup rewrite turns into a
+    * bounded heap. At 100 TB the (table, bucket) pair is a write-time
+    * partition key exactly like the IVF cell. `bits` sizes buckets
+    * (aim ~n/2^bits candidates per table); the 6/16 defaults suit the
+    * fixture's ~unit-norm 64-d corpus. */
+  def rpLshKnn(df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, dims: Int, tables: Int = 16, bits: Int = 6, seed: Long = 42L,
+      simRound: Option[Int] = None): DataFrame = {
+    require(dims > 0, s"dims must be > 0, got $dims")
+    require(tables > 0 && bits > 0 && bits <= 63,
+      s"need tables > 0 and bits in [1, 63], got tables=$tables bits=$bits")
+    val rnd = new java.util.Random(seed)
+    val planes: Array[Array[Array[Float]]] =
+      Array.fill(tables, bits)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val sigUdf = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      planes.map { tp =>
+        var h = 0L
+        var i = 0
+        while (i < tp.length) {
+          val p = tp(i)
+          var dp = 0.0
+          var j = 0
+          val lim = math.min(dims, arr.length)
+          while (j < lim) { dp += arr(j) * p(j); j += 1 }
+          h = (h << 1) | (if (dp >= 0) 1L else 0L)
+          i += 1
+        }
+        h
+      }.toSeq
+    })
+    graft.functions.FirstEqIndex.register(df.sparkSession)
+    val data = fanout(df).select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+      .withColumn("_sig", sigUdf(col("_ce")))
+      .select(col("cid"), col("_ce"), col("_sig"),
+        posexplode(col("_sig")).as(Seq("_t", "_h")))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+      .withColumn("_qsig", sigUdf(col("_qe")))
+      .select(col("qid"), col("_qe"), col("_qsig"),
+        posexplode(col("_qsig")).as(Seq("_qt", "_qh")))
+    val firstTable = call_function("graft_first_eq", col("_sig"), col("_qsig"))
+    val sim = cos(df)(col("_qe"), col("_ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    data.join(broadcast(q), col("_t") === col("_qt") && col("_h") === col("_qh")
+        && col("qid") =!= col("cid"))
+      .filter(firstTable === col("_t") + 1)
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
   /** Deterministic sampled k-means codebook — the trained coarse
     * quantizer behind `ivfKnn` and `cosinePairsAboveCellBlocked`.
     *
@@ -1157,6 +1226,47 @@ object Sampling {
     * with first hex char < trainHexMax go to "train" (e.g. "d" →
     * 13/16 ≈ 81%). Membership is a pure function of the id, so a doc
     * never leaks across splits between runs. */
+  /** Deterministic training-shard packing: within each group, documents
+    * are laid out in a reproducible pseudo-random order (md5 digest of
+    * the id, then id) and greedily packed into shards of ~`budget`
+    * size-units (tokens) — shard k = the docs whose EXCLUSIVE running
+    * size prefix lands in [k·budget, (k+1)·budget). A doc may straddle
+    * a boundary (standard packing-with-overflow); the layout is a pure
+    * function of (ids, sizes), so re-runs and incremental re-packs
+    * agree.
+    *
+    * Scale shape: the running sum is NOT one window per group (a single
+    * partition per group would serialize 100 TB through few tasks).
+    * It is the exact two-pass banded form: the digest's first
+    * `bandChars` hex chars split each group into 16^bandChars ORDERED
+    * bands (digest order = band order), each band cumsums in its own
+    * partition, and a tiny per-(group, band) total table — running-
+    * summed over band order and broadcast back — supplies each band's
+    * global offset. Identical output to the single window, parallelism
+    * ∝ groups × bands. */
+  def packShards(df: DataFrame, idCol: String, groupCol: String,
+      sizeCol: String, budget: Long, bandChars: Int = 1): DataFrame = {
+    require(budget > 0, s"shard budget must be > 0, got $budget")
+    require(bandChars >= 1 && bandChars <= 4,
+      s"bandChars must be in [1, 4], got $bandChars")
+    val digest = idHex(idCol)
+    val banded = df.select(col(idCol), col(groupCol),
+      col(sizeCol).cast("long").as(sizeCol),
+      digest.as("_dig"), substring(digest, 1, bandChars).as("_band"))
+    val w = Window.partitionBy(col(groupCol), col("_band"))
+      .orderBy(col("_dig"), col(idCol))
+    val within = banded.withColumn("_cs", sum(col(sizeCol)).over(w))
+    val ow = Window.partitionBy(col(groupCol)).orderBy(col("_band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = banded.groupBy(col(groupCol), col("_band"))
+      .agg(sum(col(sizeCol)).as("_bandSum"))
+      .withColumn("_off", coalesce(sum(col("_bandSum")).over(ow), lit(0L)))
+      .select(col(groupCol), col("_band"), col("_off"))
+    within.join(broadcast(offsets), Seq(groupCol, "_band"))
+      .withColumn("shard", expr(s"(_cs - `$sizeCol` + _off) div ${budget}L"))
+      .select(col(idCol), col(groupCol), col(sizeCol), col("shard"))
+  }
+
   def trainTestSplit(df: DataFrame, idCol: String,
       trainHexMax: String): DataFrame =
     df.withColumn("split",

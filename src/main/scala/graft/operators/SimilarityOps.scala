@@ -50,6 +50,18 @@ object SimilarityOps {
         .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
+    "sim_knn_rplsh" -> ((s, d) => {
+      // ✘ no oracle (approximate by design): random-hyperplane LSH kNN
+      // for the same queries as sim_knn_per_query — the data-
+      // independent twin of sim_knn_ivf (no codebook, seeded planes,
+      // fully reproducible). Recall vs the brute-force baseline is
+      // unit-tested.
+      Similarity.rpLshKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5, dims = 64,
+          simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
     "dedup_embed_cosine" -> ((s, d) => {
       // embedding-space near-dup pairs above a cosine threshold via the
       // EXACT cell-blocked join (cosinePairsAboveCellBlocked): vectors

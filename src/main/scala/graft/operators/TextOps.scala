@@ -202,6 +202,27 @@ object TextOps {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy("id1", "id2")
     }),
+    "data_pack_shards" -> ((s, d) => {
+      // deterministic training-shard packing: per-lang reproducible
+      // shuffle order (md5 digest), greedy fill into ~2048-token
+      // shards via the banded exact global running sum
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.api.Sampling.packShards(docs, "doc_id", "lang", "n_tokens", 2048L)
+        .orderBy("lang", "doc_id")
+    }),
+    "text_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs with md5(doc_id) first hex
+      // < '2' (~1/8) play the held-out eval set; every remaining
+      // corpus doc is scored by how many distinct word 8-grams it
+      // shares with that set — nonzero means an eval item (or its
+      // near-duplicate) leaked into the training corpus
+      val docs = Tables.documents(s, d)
+      val isBench = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "2"
+      TextAnalysis.ngramOverlap(docs.filter(!isBench), docs.filter(isBench),
+          "doc_id", "text", 8)
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) => {
       // ✘ no oracle — probabilistic recall (unit-tested ≥0.9 against
       // the exact truth set). MLlib's approxSimilarityJoin measured
@@ -214,6 +235,25 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "data_pack_shards" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |             md5(doc_id::VARCHAR) AS dig FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY dig, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048
+        |    AS BIGINT) AS shard
+        |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+        |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-7)) AS i) t),
+        |bench AS (SELECT DISTINCT g FROM grams
+        |          WHERE substring(md5(doc_id::VARCHAR), 1, 1) < '2')
+        |SELECT gr.doc_id, count(DISTINCT gr.g) AS n_hits
+        |FROM grams gr JOIN bench b ON gr.g = b.g
+        |WHERE substring(md5(gr.doc_id::VARCHAR), 1, 1) >= '2'
+        |GROUP BY gr.doc_id ORDER BY gr.doc_id""".stripMargin,
     "text_tokenize_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

@@ -138,6 +138,31 @@ class NoOracleSpec extends AnyFunSuite {
     info(f"trained recall $recall%.3f vs untrained ${untrained.map(u => f"$u%.3f")}")
   }
 
+  test("sim_knn_rplsh recall vs brute-force top-5 is usable and deterministic") {
+    val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("sim_knn_rplsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    // 16 tables × 6 bits on a ~unit-norm random 64-d corpus: the
+    // 1-(1-(1-θ/π)^6)^16 curve predicts ~0.6-0.8 for true-neighbor
+    // angles here; planes are seeded so this number is exactly
+    // reproducible, not flaky
+    assert(recall >= 0.4, s"rpLSH recall too low: $recall")
+    // every returned neighbor must carry the true cosine (the filter
+    // is approximate, the scoring is exact): spot-check one query's
+    // ranks are 1..k with descending sims
+    val rows = SparkEntry.queries("sim_knn_rplsh")(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("qid") === 0L)
+      .orderBy("rn").collect()
+    assert(rows.map(_.getLong(3)).sameElements(1L to rows.length.toLong),
+      "ranks must be dense 1..k")
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.drop(1)).forall { case (a, b) => a >= b },
+      "sims must be non-increasing in rank")
+    info(f"rpLSH recall $recall%.3f over ${exact.size} truth pairs")
+  }
+
   test("multimodal_decode_stub matches a driver-side recompute") {
     val decoded = SparkEntry.queries("multimodal_decode_stub")(spark, sf)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toVector).toMap

@@ -41,7 +41,13 @@ class PlanShapeSpec extends AnyFunSuite {
     ("text_quality_filter", "percentile", "per-group exact percentile computes the cut"),
     ("window_topk_per_group", "TopKPerGroup",
       "row_number<=k rewritten to the bounded-heap operator"),
-    ("sim_knn_per_query", "TopKPerGroup", "per-query knn rank also takes the native top-k")
+    ("sim_knn_per_query", "TopKPerGroup", "per-query knn rank also takes the native top-k"),
+    ("text_decontaminate", "BroadcastHashJoin",
+      "the bounded benchmark gram set is broadcast; the corpus streams map-side"),
+    ("data_pack_shards", "BroadcastHashJoin",
+      "band offsets are a tiny broadcast lookup, not a corpus-wide shuffle join"),
+    ("sim_knn_rplsh", "TopKPerGroup",
+      "the LSH candidate ranking takes the native bounded-heap top-k")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
