@@ -121,10 +121,22 @@ object Dedup {
     * DuckDB oracles are vacuously consistent because string_split never
     * returns an empty list). Requires threshold > 0: with t ≤ 0 the
     * prefix bound degenerates and every pair (including J=0 ones, which
-    * this index join can never emit) would qualify. */
-  private[api] def jaccardPairsFromHashes(hashed: DataFrame, threshold: Double): DataFrame = {
+    * this index join can never emit) would qualify.
+    *
+    * Join strategy is PINNED per regime, exactly like `minhashPairs`:
+    * `broadcastJoins=true` (single-node / small-corpus default) puts an
+    * explicit `broadcast()` on every build side (df table, candidate
+    * index side, both verify doc sides) so a checkpoint-erased stat can
+    * never flip a join to a skew-sensitive sort-merge mid-composite;
+    * `broadcastJoins=false` is the 100 TB setting — the same joins
+    * carry a SHUFFLE_HASH hint: equi-shuffles on (grp, shingle) / id,
+    * never a sort, never a broadcast of corpus-sized sides. */
+  private[api] def jaccardPairsFromHashes(hashed: DataFrame, threshold: Double,
+      broadcastJoins: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
     // the hashed-doc table feeds FOUR plan branches (df aggregate,
     // prefix window, and both verify sides); an EAGER local checkpoint
     // materializes the shingle hashing exactly once — lazy would leave
@@ -133,6 +145,22 @@ object Dedup {
     val sized = hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
       .localCheckpoint()
+    val cand = jaccardCandStage(sized, threshold, pin)
+    val docs = sized.select(col("_id"), col("_h"))
+    cand
+      .join(pin(docs.select(col("_id").as("id1"), col("_h").as("_h1"))), "id1")
+      .join(pin(docs.select(col("_id").as("id2"), col("_h").as("_h2"))), "id2")
+      .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** The PPJoin candidate stage (postings → df order → prefixes →
+    * candidate self-join): shared by `jaccardPairsFromHashes` and the
+    * scale-probe hook [[jaccardCandidatePairs]]. `sized` must carry
+    * (_id, _grp, _h, _sz). */
+  private def jaccardCandStage(sized: DataFrame, threshold: Double,
+      pin: DataFrame => DataFrame): DataFrame = {
     val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
     val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
     // prefix length |X| − ⌈t·|X|⌉ + 1, with a 1e-9 slack so float
@@ -142,25 +170,39 @@ object Dedup {
     // its exchange is shared via ReusedExchange within the action and
     // the post-shuffle window recompute is cheap codegen — an explicit
     // checkpoint here measured SLOWER on large shingle tables (ngram)
-    val prefix = posts.join(dfreq, Seq("_grp", "_s"))
+    val prefix = posts.join(pin(dfreq), Seq("_grp", "_s"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
       .select("_id", "_grp", "_sz", "_s")
     val a = prefix.select(col("_id").as("id1"), col("_grp"), col("_sz").as("_sz1"), col("_s"))
     val b = prefix.select(col("_id").as("id2"), col("_grp").as("_grp2"),
       col("_sz").as("_sz2"), col("_s").as("_s2"))
-    val cand = a.join(b, col("_s") === col("_s2") && col("_grp") === col("_grp2")
+    a.join(pin(b), col("_s") === col("_s2") && col("_grp") === col("_grp2")
         && col("id1") < col("id2")
         && col("_sz2") >= col("_sz1") * threshold - 1e-9
         && col("_sz1") >= col("_sz2") * threshold - 1e-9)
       .select("id1", "id2").distinct()
-    val docs = sized.select(col("_id"), col("_h"))
-    cand
-      .join(docs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
-      .join(docs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
-      .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+  }
+
+  /** Scale-probe hook: the CANDIDATE pairs the PPJoin prefix filter
+    * admits for `nearJaccardPairs(df, …, threshold)` — before exact
+    * verification. The engine's sub-quadraticity claim is that this
+    * count tracks c·(true pairs + n), not n²; a spec generates a
+    * corpus with a controlled duplicate rate and asserts exactly that.
+    * The hashed table is checkpointed like the real path — release
+    * with `Checkpoints.free` after counting. */
+  private[graft] def jaccardCandidatePairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      partitionCol: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    val hashed = fanout(df).select(col(idCol).as("_id"),
+      partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
+    val sized = hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
+      .localCheckpoint()
+    jaccardCandStage(sized, threshold, broadcast)
   }
 
   /** All pairs with token-set Jaccard ≥ threshold, exact — via the
@@ -169,13 +211,14 @@ object Dedup {
     * `minhashPairs` is the probabilistic twin when even the index join
     * is too hot. */
   def nearJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double, partitionCol: Option[String] = None): DataFrame = {
+      threshold: Double, partitionCol: Option[String] = None,
+      broadcastJoins: Boolean = true): DataFrame = {
     // fanout BEFORE the hashing UDF: a single-partition scan would
     // otherwise run the whole corpus's token hashing on one core
     val hashed = fanout(df).select(col(idCol).as("_id"),
       partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
-    jaccardPairsFromHashes(hashed, threshold)
+    jaccardPairsFromHashes(hashed, threshold, broadcastJoins)
   }
 
   /** Incremental near-dup detection: all (index_id, probe_id) pairs
@@ -199,12 +242,17 @@ object Dedup {
     * At scale the index-side postings/prefix table is computed once and
     * persisted (it is a pure function of the corpus); each new batch
     * pays only its own hashing + the candidate and verify equi-shuffles
-    * — cost tracks the BATCH size, not the corpus size. */
+    * — cost tracks the BATCH size, not the corpus size. Join pinning
+    * follows `jaccardPairsFromHashes`: explicit broadcast by default,
+    * SHUFFLE_HASH hints with `broadcastJoins=false`. */
   def jaccardPairsAgainstIndex(probe: DataFrame, index: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      partitionCol: Option[String] = None): DataFrame = {
+      partitionCol: Option[String] = None,
+      broadcastJoins: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
     def hashed(df: DataFrame): DataFrame = fanout(df)
       .select(col(idCol).as("_id"),
         partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
@@ -222,22 +270,22 @@ object Dedup {
         .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
         .select("_id", "_grp", "_sz", "_s")
     }
-    val ip = prefix(idxPosts.join(dfreq, Seq("_grp", "_s")))
+    val ip = prefix(idxPosts.join(pin(dfreq), Seq("_grp", "_s")))
     val pp = prefix(prb
       .select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
-      .join(dfreq, Seq("_grp", "_s"), "left")
+      .join(pin(dfreq), Seq("_grp", "_s"), "left")
       .withColumn("_df", coalesce(col("_df"), lit(0L))))
     val cand = pp.select(col("_id").as("probe_id"), col("_grp"),
         col("_sz").as("_szp"), col("_s"))
-      .join(ip.select(col("_id").as("index_id"), col("_grp").as("_grp2"),
-          col("_sz").as("_szi"), col("_s").as("_s2")),
+      .join(pin(ip.select(col("_id").as("index_id"), col("_grp").as("_grp2"),
+          col("_sz").as("_szi"), col("_s").as("_s2"))),
         col("_s") === col("_s2") && col("_grp") === col("_grp2")
           && col("_szi") >= col("_szp") * threshold - 1e-9
           && col("_szp") >= col("_szi") * threshold - 1e-9)
       .select("index_id", "probe_id").distinct()
     cand
-      .join(idx.select(col("_id").as("index_id"), col("_h").as("_h1")), "index_id")
-      .join(prb.select(col("_id").as("probe_id"), col("_h").as("_h2")), "probe_id")
+      .join(pin(idx.select(col("_id").as("index_id"), col("_h").as("_h1"))), "index_id")
+      .join(pin(prb.select(col("_id").as("probe_id"), col("_h").as("_h2"))), "probe_id")
       .withColumn("jaccard", jac(probe)(col("_h1"), col("_h2")))
       .filter(col("jaccard") >= threshold)
       .select("index_id", "probe_id", "jaccard")
@@ -327,8 +375,6 @@ object Dedup {
       idCol: String, textCol: String, threshold: Double,
       bands: Int = 16, rowsPerBand: Int = 8,
       broadcastJoins: Boolean = true): DataFrame = {
-    def pin(side: DataFrame): DataFrame =
-      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
     def prep(df: DataFrame): (DataFrame, DataFrame) = {
       val docs = fanout(df).select(col(idCol).as("_id"),
         Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
@@ -340,7 +386,59 @@ object Dedup {
     }
     val (idxDocs, idxBanded) = prep(index)
     val (prbDocs, prbBanded) = prep(probe)
-    graft.functions.FirstEqIndex.register(probe.sparkSession)
+    minhashProbeJoin(prbDocs, prbBanded, idxDocs, idxBanded, threshold, broadcastJoins)
+  }
+
+  /** The persistable index tables behind `minhashPairsAgainstIndex` —
+    * both pure functions of the corpus, so at scale they are written
+    * ONCE (sources/Writers.writeBucketed: `banded` bucketed by
+    * (_band, _bh), `docs` by _id) and every arriving batch probes them
+    * via [[minhashProbePreparedIndex]] with NO exchange on the index
+    * side of any join — only the batch shuffles.
+    *
+    * Returns (docs, banded): docs = (_id, _th token hashes);
+    * banded = (_id, _sig, _band, _bh), one row per (doc, band). Each
+    * frame re-runs the hashing when materialized — write them in one
+    * pass each (no checkpoint here; the write IS the materialization). */
+  def minhashIndexTables(index: DataFrame, idCol: String, textCol: String,
+      bands: Int = 16, rowsPerBand: Int = 8): (DataFrame, DataFrame) = {
+    val docs = fanout(index).select(col(idCol).as("_id"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
+    val banded = docs.select(col("_id"),
+        Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
+      .select(col("_id"), col("_sig"), posexplode(col("_sig")).as(Seq("_band", "_bh")))
+    (docs, banded)
+  }
+
+  /** Probe a PREPARED minhash index — `idxDocs`/`idxBanded` as produced
+    * by [[minhashIndexTables]], typically round-tripped through
+    * bucketed tables. Semantics identical to
+    * `minhashPairsAgainstIndex` for the same (bands, rowsPerBand);
+    * with `broadcastJoins=false` and the index side bucketed on its
+    * join keys, the bucket join and the index verify join read the
+    * index exchange-free. */
+  def minhashProbePreparedIndex(probe: DataFrame, idxDocs: DataFrame,
+      idxBanded: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
+      broadcastJoins: Boolean = true): DataFrame = {
+    val prbDocs = fanout(probe).select(col(idCol).as("_id"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
+      .localCheckpoint()
+    val prbBanded = prbDocs.select(col("_id"),
+        Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
+      .select(col("_id"), col("_sig"), posexplode(col("_sig")).as(Seq("_band", "_bh")))
+    minhashProbeJoin(prbDocs, prbBanded, idxDocs, idxBanded, threshold, broadcastJoins)
+  }
+
+  /** Shared probe tail of the incremental minhash shapes: banded bucket
+    * join (first-agreeing-band dedup via native `graft_first_eq`) +
+    * exact verify, with the `minhashPairs` join-pinning regimes. */
+  private def minhashProbeJoin(prbDocs: DataFrame, prbBanded: DataFrame,
+      idxDocs: DataFrame, idxBanded: DataFrame, threshold: Double,
+      broadcastJoins: Boolean): DataFrame = {
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
+    graft.functions.FirstEqIndex.register(prbDocs.sparkSession)
     val firstBand = call_function("graft_first_eq", col("_sigP"), col("_sigI"))
     val cand = prbBanded
       .select(col("_id").as("probe_id"), col("_sig").as("_sigP"), col("_band"), col("_bh"))
@@ -352,7 +450,7 @@ object Dedup {
     cand
       .join(pin(idxDocs.select(col("_id").as("index_id"), col("_th").as("_t1"))), "index_id")
       .join(pin(prbDocs.select(col("_id").as("probe_id"), col("_th").as("_t2"))), "probe_id")
-      .withColumn("jaccard", jac(probe)(col("_t1"), col("_t2")))
+      .withColumn("jaccard", jac(prbDocs)(col("_t1"), col("_t2")))
       .filter(col("jaccard") >= threshold)
       .select("index_id", "probe_id", "jaccard")
   }
@@ -363,10 +461,9 @@ object Dedup {
     * Union-by-min keeps every root the minimum member of its set, so
     * `find` directly yields the contract label; path halving keeps
     * lookups near-constant. Output is sorted by id for determinism. */
-  private def localUnionFind(edges: DataFrame, parts: Int): DataFrame = {
-    val spark = edges.sparkSession
-    val idType = edges.schema("a").dataType
-    val rows = edges.collect()
+  private def localUnionFind(rows: Array[org.apache.spark.sql.Row],
+      idType: org.apache.spark.sql.types.DataType,
+      spark: SparkSession, parts: Int): DataFrame = {
     val parent = new java.util.HashMap[Any, Any](rows.length * 2)
     def find(x0: Any): Any = {
       var x = x0
@@ -460,18 +557,27 @@ object Dedup {
     // the corpus that produced it, and below this edge budget a driver
     // union-find beats the iterative loop's per-round job latency by an
     // order of magnitude (and is immune to ambient-load stragglers).
-    // The count is O(1)-ish: `edges` is already checkpointed, so this
-    // never re-runs the pair pipeline. Set
+    // ONE bounded action decides AND delivers: collect up to
+    // threshold+1 rows — fewer than the cap means the graph fits and
+    // the collected rows ARE the union-find input; hitting the cap
+    // cost only a bounded probe over already-checkpointed blocks (no
+    // pair-pipeline re-run) and we take the distributed loop. Driver
+    // memory is bounded by the conf: ~2M Row(id, id) ≈ tens-of-MB at
+    // the default — raise it only with driver heap to match. Set
     // spark.graft.cc.localEdgeThreshold=0 to force the distributed
     // loop (tests do, and a 100 TB graph exceeds any sane threshold).
     val localMax =
       spark.conf.get("spark.graft.cc.localEdgeThreshold", "2000000").toLong
-    if (edges.count() <= localMax) {
-      try return localUnionFind(edges, n)
-      finally { edges.queryExecution.logical match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        case _ => ()
-      } }
+    if (localMax > 0) {
+      val cap = (math.min(localMax, Int.MaxValue - 2L) + 1L).toInt
+      val head = edges.limit(cap).collect()
+      if (head.length < cap) {
+        try return localUnionFind(head, edges.schema("a").dataType, spark, n)
+        finally { edges.queryExecution.logical match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+          case _ => ()
+        } }
+      }
     }
     // hash-partition the (static) edge list by the probe key ONCE; each
     // round's join then only shuffles the much smaller label table
@@ -500,9 +606,12 @@ object Dedup {
     // neighbor-min is a single aggregate over the edge list
     // every checkpoint pinned by the loop is released on ALL exit
     // paths: superseded rounds are freed as the loop runs, edges/sym in
-    // the finally, and the last labels table too when we exit by throw
-    // (only the successfully returned frame keeps its blocks)
+    // the finally, and the current labels table too on ANY abnormal
+    // exit — the strict non-convergence throw AND unexpected mid-loop
+    // failures (a failed checkpoint/Observation job) alike; only the
+    // successfully returned frame keeps its blocks
     var labels: DataFrame = null
+    var returned = false
     try {
     var (l0, prevSum) = checkpointWithSum(sym.groupBy(col("b"))
       .agg(least(min(col("a")), col("b")).as("label"))
@@ -543,13 +652,15 @@ object Dedup {
         "a duplicate chain is longer than maxIter hops, so labels are not yet " +
         "the reachable minimum. Raise maxIter, or for extreme-diameter graphs " +
         "use large-star/small-star alternation (O(log n) rounds)."
-      if (strict) { freeCheckpoint(labels); throw new IllegalStateException(msg) }
+      if (strict) throw new IllegalStateException(msg)
       else org.slf4j.LoggerFactory.getLogger(Dedup.getClass).warn(msg)
     }
+    returned = true
     labels
     } finally {
       freeCheckpoint(edges)
       freeCheckpoint(sym)
+      if (!returned && labels != null) freeCheckpoint(labels)
     }
   }
 
@@ -560,11 +671,12 @@ object Dedup {
     * `nearJaccardPairs`. Sub-n-char docs have no shingles and are
     * excluded (J(∅,·) = 0), mirrored by the oracle's `len(gs) > 0`. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, partitionCol: Option[String] = None): DataFrame = {
+      n: Int, threshold: Double, partitionCol: Option[String] = None,
+      broadcastJoins: Boolean = true): DataFrame = {
     val hashed = fanout(df).select(col(idCol).as("_id"),
       partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
       Kernels.charNgramHashesUdf(n)(col(textCol)).as("_h"))
-    jaccardPairsFromHashes(hashed, threshold)
+    jaccardPairsFromHashes(hashed, threshold, broadcastJoins)
   }
 
   /** SimHash near-dup pairs: 64-bit per-doc fingerprint, candidate
@@ -789,6 +901,11 @@ object Similarity {
       Array.fill(tables, bits)(Array.fill(dims)(rnd.nextGaussian().toFloat))
     val sigUdf = udf((v: Seq[Float]) => {
       val arr = v.toArray
+      // fail loudly: a vector shorter/longer than the declared dims
+      // would otherwise yield a partial dot product and a plausible-
+      // but-wrong signature (silently broken recall)
+      require(arr.length == dims,
+        s"rpLshKnn: vector of length ${arr.length} does not match declared dims=$dims")
       planes.map { tp =>
         var h = 0L
         var i = 0
@@ -796,8 +913,7 @@ object Similarity {
           val p = tp(i)
           var dp = 0.0
           var j = 0
-          val lim = math.min(dims, arr.length)
-          while (j < lim) { dp += arr(j) * p(j); j += 1 }
+          while (j < dims) { dp += arr(j) * p(j); j += 1 }
           h = (h << 1) | (if (dp >= 0) 1L else 0L)
           i += 1
         }
@@ -1105,13 +1221,6 @@ object TextAnalysis {
       .drop("_cut")
   }
 
-  /** Within-document repetition: the fraction of duplicated token
-    * n-grams (1 − distinct/total), the classic repetition quality gate
-    * for LLM training data — high values flag boilerplate, template
-    * spam, and decoding loops. Pure rowwise codegen (split → sliding
-    * n-grams via transform/slice → distinct count): no shuffle, no
-    * state, scales embarrassingly. Documents shorter than n tokens
-    * have no n-grams and score 0. */
   /** Sliding word n-grams of `textCol` as an array column — pure
     * codegen (split → transform/slice/concat_ws), empty when the doc
     * has fewer than n tokens. */
@@ -1123,6 +1232,13 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Within-document repetition: the fraction of duplicated token
+    * n-grams (1 − distinct/total), the classic repetition quality gate
+    * for LLM training data — high values flag boilerplate, template
+    * spam, and decoding loops. Pure rowwise codegen (split → sliding
+    * n-grams via transform/slice → distinct count): no shuffle, no
+    * state, scales embarrassingly. Documents shorter than n tokens
+    * have no n-grams and score 0. */
   def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
@@ -1149,14 +1265,22 @@ object TextAnalysis {
     * one aggregate, no corpus-sized shuffle beyond the per-doc count.
     * Corpus grams are per-doc distinct BEFORE the join (array_distinct
     * inside the row), so the count after the join is already the
-    * distinct-gram hit count — no count(distinct) shuffle. */
+    * distinct-gram hit count — no count(distinct) shuffle.
+    *
+    * Grams cross the join as xxhash64 i64s, not strings: an 8-word
+    * gram is ~50 chars, so hashing shrinks the broadcast (and the
+    * bench-side distinct) ~10× at real eval-set sizes. Distinctness is
+    * taken on the STRING grams per doc (exact), then hashed; an i64
+    * collision between two distinct grams is ~n²/2⁶⁴ — the same
+    * tolerance every hash-keyed dedup step here already accepts. */
   def ngramOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val grams = explode(array_distinct(wordNgrams(textCol, n))).as("_g")
-    val benchGrams = bench.select(grams).distinct()
-    corpus.select(col(idCol), grams)
-      .join(broadcast(benchGrams), "_g")
+    val gramHashes =
+      explode(transform(array_distinct(wordNgrams(textCol, n)), g => xxhash64(g))).as("_gh")
+    val benchGrams = bench.select(gramHashes).distinct()
+    corpus.select(col(idCol), gramHashes)
+      .join(broadcast(benchGrams), "_gh")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
 

@@ -170,7 +170,12 @@ object TextOps {
       // so keep-one-per-cluster is `doc_id == cluster`
       val pairs = Dedup.nearJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", 0.8, Some("lang"))
-      Dedup.connectedComponents(pairs)
+      val clusters = Dedup.connectedComponents(pairs)
+      // CC materialized the pair graph into its own checkpoint, so the
+      // pair pipeline's hash-table checkpoints are dead weight now —
+      // release them deterministically instead of waiting for GC
+      graft.api.Checkpoints.free(pairs)
+      clusters
         .select(col("id").as("doc_id"), col("label").as("cluster"))
         .orderBy("doc_id")
     }),
@@ -184,10 +189,19 @@ object TextOps {
       val docs = Tables.documents(s, d)
       val pairs = Dedup.nearJaccardPairs(docs, "doc_id", "text", 0.8, Some("lang"))
       val clusters = Dedup.connectedComponents(pairs)
+      // the label table is CC's own materialized output — the pair
+      // pipeline's checkpoints are no longer reachable from it; free
+      // them now rather than at GC time
+      graft.api.Checkpoints.free(pairs)
       val scored = docs.select(col("doc_id"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("quality"))
+      // the cluster side is PINNED broadcast: it comes back as an RDD
+      // scan with no stats, and the stats-derived fallback here was the
+      // one SortMergeJoin left in the dedup family (r6 bench). At scale
+      // the label table ∝ docs-with-a-dup-pair — swap to a shuffle join
+      // only when that outgrows the broadcast budget.
       val labeled = scored
-        .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .join(broadcast(clusters.withColumnRenamed("id", "doc_id")), Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("label"), col("doc_id")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster").orderBy(col("quality").desc, col("doc_id").asc)

@@ -29,8 +29,18 @@ object Writers {
     * buckets ≈ data / (256 MB · partitions). */
   def writeBucketed(df: DataFrame, bucketCol: String, buckets: Int,
       table: String, path: String): Unit =
+    writeBucketed(df, Seq(bucketCol), buckets, table, path)
+
+  /** Composite-key variant: bucket (and sort) by several columns — the
+    * layout for equi-joins on a composite key, e.g. a minhash banded
+    * signature index bucketed by (_band, _bh) so batch probes join it
+    * exchange-free. Join keys must list the bucket columns (same
+    * hashing) for the bucketed side to skip its exchange. */
+  def writeBucketed(df: DataFrame, bucketCols: Seq[String], buckets: Int,
+      table: String, path: String): Unit =
     df.write.mode("overwrite")
-      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)

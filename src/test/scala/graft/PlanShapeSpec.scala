@@ -79,6 +79,43 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard-family joins are pinned broadcast — no shuffle join can appear") {
+    TestSpark.withExtSession { s =>
+      // the exact-dedup pipeline (PPJoin df/candidate/verify joins) and
+      // the keep_best cluster lookup were the last stats-derived joins
+      // in the dedup family — r6's dedup_keep_best regression read
+      // through exactly this gap (an SMJ appearing after a checkpoint
+      // erased the stats). Every one of these plans must now hold its
+      // pinned-broadcast shape at any stats regime.
+      Seq("dedup_near_jaccard", "dedup_ngram_jaccard", "dedup_incremental",
+          "dedup_clusters", "dedup_keep_best").foreach { k =>
+        val p = plan(s, k)
+        assert(!p.contains("SortMergeJoin"), s"$k plan fell back to SMJ:\n$p")
+        assert(!p.contains("ShuffledHashJoin"), s"$k plan fell back to SHJ:\n$p")
+      }
+    }
+  }
+
+  test("jaccard family (broadcastJoins=false) plans every join as an equi-shuffle") {
+    TestSpark.withExtSession { s =>
+      val docs = Tables.documents(s, TestSpark.sf0001)
+      val isNew = org.apache.spark.sql.functions.substring(
+        org.apache.spark.sql.functions.md5(col("doc_id").cast("string").cast("binary")),
+        1, 1) >= "d"
+      Seq(
+        graft.api.Dedup.nearJaccardPairs(docs, "doc_id", "text", 0.8,
+          Some("lang"), broadcastJoins = false),
+        graft.api.Dedup.jaccardPairsAgainstIndex(docs.filter(isNew), docs.filter(!isNew),
+          "doc_id", "text", 0.8, Some("lang"), broadcastJoins = false)
+      ).foreach { df =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("ShuffledHashJoin"), s"expected SHJ-hinted joins at scale:\n$p")
+        assert(!p.contains("BroadcastHashJoin"), s"scale setting must not broadcast:\n$p")
+        assert(!p.contains("SortMergeJoin"), s"scale setting must not sort-merge:\n$p")
+      }
+    }
+  }
+
   test("minhashPairs(broadcastJoins=false) plans every join as an equi-shuffle") {
     TestSpark.withExtSession { s =>
       val docs = Tables.documents(s, TestSpark.sf0001)
