@@ -1346,10 +1346,6 @@ object Sampling {
     df.filter(substring(idHex(idCol), 1, prefixLen) < thr)
   }
 
-  /** Deterministic train/test assignment from the same digest: ids
-    * with first hex char < trainHexMax go to "train" (e.g. "d" →
-    * 13/16 ≈ 81%). Membership is a pure function of the id, so a doc
-    * never leaks across splits between runs. */
   /** Deterministic training-shard packing: within each group, documents
     * are laid out in a reproducible pseudo-random order (md5 digest of
     * the id, then id) and greedily packed into shards of ~`budget`
@@ -1391,6 +1387,10 @@ object Sampling {
       .select(col(idCol), col(groupCol), col(sizeCol), col("shard"))
   }
 
+  /** Deterministic train/test assignment from the same digest: ids
+    * with first hex char < trainHexMax go to "train" (e.g. "d" →
+    * 13/16 ≈ 81%). Membership is a pure function of the id, so a doc
+    * never leaks across splits between runs. */
   def trainTestSplit(df: DataFrame, idCol: String,
       trainHexMax: String): DataFrame =
     df.withColumn("split",

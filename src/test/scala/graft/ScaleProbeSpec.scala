@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-behavior regression gates: the claims the 100 TB story rests
+  * on, probed on corpora synthesized in-memory (large enough to show
+  * the asymptote, unlike the tiny parquet fixtures).
+  *
+  * 1. PPJoin sub-quadraticity — the prefix filter's candidate volume
+  *    must track c·(true pairs + n), never n², even when every doc
+  *    shares a block of corpus-wide hot tokens. This converts the
+  *    "sub-quadratic in practice" comment on `jaccardPairsFromHashes`
+  *    into an executable bound.
+  * 2. packShards banding invariance — the banded two-pass running sum
+  *    must produce bit-identical shard assignments for any bandChars,
+  *    including docs that straddle a shard boundary and docs larger
+  *    than the whole budget, validated against an independent local
+  *    reference model.
+  */
+class ScaleProbeSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("PPJoin candidate volume tracks true pairs + n, not n^2") {
+    // 40k docs of exactly 38 distinct tokens each: ids with
+    // id % 10 == 1 are near-copies of id-1 (27 of 30 content tokens
+    // shared -> J = 35/41 ~ 0.854 >= 0.8); every doc also carries the
+    // same 8 corpus-wide stopword-like tokens. Under the frequency
+    // order those hot tokens must never enter a prefix (prefix length
+    // here is 38 - ceil(0.8*38) + 1 = 8, and each doc has >= 8 rarer
+    // content tokens), so candidates stay pinned to the true pairs.
+    val n = 40000L
+    val common = lit((1 to 8).map(i => s"the$i").mkString(" "))
+    val base = expr("concat_ws(' ', transform(sequence(0, 29), " +
+      "j -> concat('w', cast(id as string), '_', j)))")
+    val copyTxt = expr("concat_ws(' ', " +
+      "concat_ws(' ', transform(sequence(0, 26), " +
+      "j -> concat('w', cast(id - 1 as string), '_', j))), " +
+      "concat_ws(' ', transform(sequence(0, 2), " +
+      "j -> concat('u', cast(id as string), '_', j))))")
+    val docs = spark.range(n).select(col("id"),
+      concat_ws(" ",
+        when(col("id") % 10 === 1, copyTxt).otherwise(base),
+        common).as("text"))
+    val truePairs = (1L until n by 10).map(id => (id - 1, id)).toSet
+
+    val cand = graft.api.Dedup.jaccardCandidatePairs(docs, "id", "text", 0.8)
+    val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.api.Checkpoints.free(cand)
+
+    // completeness: the prefix filter may only ADD candidates, never
+    // drop a qualifying pair
+    assert(truePairs.subsetOf(got),
+      s"prefix filter dropped ${(truePairs -- got).take(3)} ...")
+    // the sub-quadraticity bound itself: candidates <= 2(true + n),
+    // about 10,000x below the n^2/2 all-pairs volume
+    val bound = 2L * (truePairs.size + n)
+    assert(got.size <= bound,
+      s"candidate volume ${got.size} exceeds 2(true+n) = $bound — " +
+        "the prefix filter is admitting hot-token pairs")
+
+    // and the end-to-end operator verifies exactly the true pairs
+    val verified = graft.api.Dedup.nearJaccardPairs(docs, "id", "text", 0.8)
+    val pairs = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.api.Checkpoints.free(verified)
+    assert(pairs == truePairs,
+      s"missing=${(truePairs -- pairs).take(3)} extra=${(pairs -- truePairs).take(3)}")
+  }
+
+  test("packShards assignment is invariant to bandChars (banded cumsum == one window)") {
+    // sizes ~U[1, 600] against a 2048 budget: straddling docs occur at
+    // almost every shard boundary, in every group
+    val df = spark.range(5000).select(col("id"),
+      concat(lit("g"), pmod(hash(col("id")), lit(3))).as("grp"),
+      (pmod(hash(col("id") * 7), lit(600)) + 1).cast("long").as("sz"))
+    val maps = (1 to 3).map { bc =>
+      graft.api.Sampling.packShards(df, "id", "grp", "sz", 2048L, bandChars = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    }
+    assert(maps(0).size == 5000)
+    assert(maps(0) == maps(1), "bandChars=2 changed shard assignment vs bandChars=1")
+    assert(maps(1) == maps(2), "bandChars=3 changed shard assignment vs bandChars=2")
+  }
+
+  test("packShards matches a local reference model, straddlers and oversize docs included") {
+    // independent reference: md5(id) hex order (then id), EXCLUSIVE
+    // running size prefix, shard = prefix div budget. Includes one doc
+    // larger than the entire budget (spans > 1 shard on its own).
+    val budget = 2048L
+    val sizes: Map[Long, Long] =
+      (0L until 64L).map(id => id -> (if (id == 13L) 5000L else (id % 7) * 300 + 100)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = sizes.keys.toSeq.sortBy(id => (hex(id), id))
+    val expected = ordered.zip(
+      ordered.map(sizes).scanLeft(0L)(_ + _).dropRight(1).map(_ / budget)).toMap
+
+    val s = spark
+    import s.implicits._
+    val df = sizes.toSeq.toDF("id", "sz").withColumn("grp", lit("g"))
+    (1 to 3).foreach { bc =>
+      val got = graft.api.Sampling.packShards(df, "id", "grp", "sz", budget, bandChars = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+      assert(got == expected,
+        s"bandChars=$bc diverged from the reference model: " +
+          s"${(got.toSet -- expected.toSet).take(3)}")
+    }
+  }
+}

@@ -94,4 +94,45 @@ class WritePathSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_buck_b")
     }
   }
+
+  test("a persisted bucketed minhash index probes with no exchange on the index side") {
+    // the production incremental-dedup layout: the corpus signature
+    // tables are written ONCE (banded bucketed by its join key
+    // (_band,_bh), docs by _id) and every arriving batch probes them —
+    // the scaladoc's "no exchange on the index side" promise, executed
+    val base = Files.createTempDirectory("graft-mhidx")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val isNew = col("doc_id") % 5 === 0
+    val (idxDocs, idxBanded) =
+      graft.api.Dedup.minhashIndexTables(docs.filter(!isNew), "doc_id", "text")
+    Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 4, "t_mh_banded", s"$base/banded")
+    Writers.writeBucketed(idxDocs, "_id", 4, "t_mh_docs", s"$base/docs")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val want = graft.api.Dedup.minhashPairsAgainstIndex(
+          docs.filter(isNew), docs.filter(!isNew), "doc_id", "text", 0.8)
+        .collect().map(_.toString).sorted.toSeq
+      val probe = graft.api.Dedup.minhashProbePreparedIndex(
+        docs.filter(isNew), spark.table("t_mh_docs"), spark.table("t_mh_banded"),
+        "doc_id", "text", 0.8, broadcastJoins = false)
+      val got = probe.collect().map(_.toString).sorted.toSeq
+      assert(got == want, "prepared-index probe changed the pair set")
+      assert(got.nonEmpty, "fixture should produce cross pairs")
+      // the index tables themselves must never be re-shuffled: flag any
+      // exchange whose ENTIRE subtree is index-table scans (exchanges
+      // over the candidate stream derived from a join are the probe
+      // side's cost and are expected)
+      val offenders = probe.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.collectLeaves().forall(_.toString.contains("t_mh_")) => e
+      }
+      assert(offenders.isEmpty,
+        s"the bucketed index side still shuffles:\n${offenders.headOption.getOrElse("")}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS t_mh_banded")
+      spark.sql("DROP TABLE IF EXISTS t_mh_docs")
+    }
+  }
 }
