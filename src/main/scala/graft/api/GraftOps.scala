@@ -161,19 +161,7 @@ object Dedup {
     * (_id, _grp, _h, _sz). */
   private def jaccardCandStage(sized: DataFrame, threshold: Double,
       pin: DataFrame => DataFrame): DataFrame = {
-    val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
-    val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
-    // prefix length |X| − ⌈t·|X|⌉ + 1, with a 1e-9 slack so float
-    // rounding can only LENGTHEN a prefix (safe) never shorten it
-    val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
-    // the prefix table feeds both sides of the candidate self-join, but
-    // its exchange is shared via ReusedExchange within the action and
-    // the post-shuffle window recompute is cheap codegen — an explicit
-    // checkpoint here measured SLOWER on large shingle tables (ngram)
-    val prefix = posts.join(pin(dfreq), Seq("_grp", "_s"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
-      .select("_id", "_grp", "_sz", "_s")
+    val prefix = prefixTable(sized, threshold, pin)
     val a = prefix.select(col("_id").as("id1"), col("_grp"), col("_sz").as("_sz1"), col("_s"))
     val b = prefix.select(col("_id").as("id2"), col("_grp").as("_grp2"),
       col("_sz").as("_sz2"), col("_s").as("_s2"))
@@ -182,6 +170,84 @@ object Dedup {
         && col("_sz2") >= col("_sz1") * threshold - 1e-9
         && col("_sz1") >= col("_sz2") * threshold - 1e-9)
       .select("id1", "id2").distinct()
+  }
+
+  /** Each doc's PPJoin prefix — the |X| − ⌈t·|X|⌉ + 1 rarest shingles
+    * under the canonical (document frequency asc, hash asc) order —
+    * as (_id, _grp, _sz, _s) rows, with TWO physical regimes:
+    *
+    * - SMALL SHINGLE UNIVERSE (the char-n-gram case: n-grams over a
+    *   finite alphabet are a bounded set no matter the corpus size —
+    *   sf0.1's 712k 3-gram postings collapse to 1,885 distinct
+    *   shingles): the df table is collected ONCE via a bounded probe
+    *   and each doc selects its prefix in a single narrow map-side
+    *   pass — no posting⋈df join, no per-doc window sort, and the
+    *   downstream index explode emits ONLY prefix rows (~30% of
+    *   postings at t=0.7). The broadcast-join analogue, gated exactly
+    *   like `connectedComponents`' union-find fast path: driver memory
+    *   is bounded by `spark.graft.jaccard.localDfThreshold` distinct
+    *   (group, shingle) entries (default 1M ≈ tens of MB; 0 disables).
+    * - UNBOUNDED UNIVERSE (word tokens: vocabulary grows with the
+    *   corpus — typos, ids, URLs): the distributed shape — posting⋈df
+    *   equi-join, per-doc row_number window, prefix filter. The
+    *   deciding probe costs one aggregate job, which this path was
+    *   about to run anyway as the join's build side.
+    *
+    * Both regimes order by (df asc, hash asc) with the same 1e-9
+    * ceil slack (float rounding may only LENGTHEN a prefix, never
+    * shorten it), so they produce IDENTICAL prefixes — parity-asserted
+    * in ApiParitySpec. */
+  private def prefixTable(sized: DataFrame, threshold: Double,
+      pin: DataFrame => DataFrame): DataFrame = {
+    val spark = sized.sparkSession
+    val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
+    val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
+    val maxLocal =
+      spark.conf.get("spark.graft.jaccard.localDfThreshold", "1000000").toLong
+    val localDf: Option[Array[org.apache.spark.sql.Row]] =
+      if (maxLocal <= 0) None
+      else {
+        // one bounded action decides AND delivers (the CC-gate shape):
+        // fewer rows than the cap ⇒ the universe fits and the rows ARE
+        // the df map; hitting the cap ⇒ fall through to the join path
+        val cap = (math.min(maxLocal, Int.MaxValue - 2L) + 1L).toInt
+        val head = dfreq.limit(cap).collect()
+        if (head.length < cap) Some(head) else None
+      }
+    localDf match {
+      case Some(rows) =>
+        def grpKey(v: Any): String = if (v == null) "\u0000" else v.toString
+        val byGrp: Map[String, scala.collection.mutable.LongMap[Long]] =
+          rows.groupBy(r => grpKey(r.get(0))).map { case (g, rs) =>
+            val m = new scala.collection.mutable.LongMap[Long](rs.length * 2)
+            rs.foreach(r => m.update(r.getLong(1), r.getLong(2)))
+            g -> m
+          }
+        val bc = spark.sparkContext.broadcast(byGrp)
+        val prefUdf = udf((grp: String, h: Seq[Long]) => {
+          val dfm = bc.value.getOrElse(if (grp == null) "\u0000" else grp,
+            scala.collection.mutable.LongMap.empty[Long])
+          val sz = h.length
+          val k = (sz - math.ceil(sz * threshold - 1e-9) + 1).toInt
+          if (k >= sz) h.toArray
+          else h.sortBy(s => (dfm.getOrElse(s, 1L), s)).take(k).toArray
+        })
+        sized.select(col("_id"), col("_grp"), col("_sz"),
+          explode(prefUdf(col("_grp").cast("string"), col("_h"))).as("_s"))
+      case None =>
+        // prefix length |X| − ⌈t·|X|⌉ + 1, with a 1e-9 slack so float
+        // rounding can only LENGTHEN a prefix (safe) never shorten it
+        val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+        // the prefix table feeds both sides of the candidate self-join,
+        // but its exchange is shared via ReusedExchange within the
+        // action and the post-shuffle window recompute is cheap codegen
+        // — an explicit checkpoint here measured SLOWER on large
+        // shingle tables (ngram)
+        posts.join(pin(dfreq), Seq("_grp", "_s"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
+          .select("_id", "_grp", "_sz", "_s")
+    }
   }
 
   /** Scale-probe hook: the CANDIDATE pairs the PPJoin prefix filter

@@ -96,6 +96,27 @@ class ApiParitySpec extends AnyFunSuite {
         s"extra=${(gotCross -- expectedCross).take(3)}")
   }
 
+  test("the local-df prefix fast path returns the same pairs as the window path") {
+    // both prefix regimes — map-side selection against the collected
+    // df table (small universe) vs posting⋈df join + window — must be
+    // bit-identical: same (df asc, hash asc) order, same ceil slack
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def both(f: => org.apache.spark.sql.DataFrame): (Seq[String], Seq[String]) = {
+      val local = rows(f) // sf0.001 universes are far below the 1M gate
+      spark.conf.set("spark.graft.jaccard.localDfThreshold", "0")
+      try (local, rows(f))
+      finally spark.conf.unset("spark.graft.jaccard.localDfThreshold")
+    }
+    val (wordL, wordW) = both(
+      graft.api.Dedup.nearJaccardPairs(docs, "doc_id", "text", 0.8, Some("lang")))
+    assert(wordL.nonEmpty && wordL == wordW, "word-jaccard regimes diverged")
+    val (ngL, ngW) = both(
+      graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7, Some("lang")))
+    assert(ngL.nonEmpty && ngL == ngW, "ngram-jaccard regimes diverged")
+  }
+
   test("minhash scale mode (shuffle-hash joins) returns the same pairs as broadcast mode") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =
