@@ -197,43 +197,58 @@ object Dedup {
     * ceil slack (float rounding may only LENGTHEN a prefix, never
     * shorten it), so they produce IDENTICAL prefixes — parity-asserted
     * in ApiParitySpec. */
+  /** The bounded decide-and-deliver probe for a local df map (the
+    * CC-gate shape): fewer rows than the cap ⇒ the universe fits and
+    * the rows ARE the df map; hitting the cap ⇒ caller falls through
+    * to the distributed join path. */
+  private def collectDfIfSmall(dfreq: DataFrame): Option[Array[org.apache.spark.sql.Row]] = {
+    val maxLocal = dfreq.sparkSession.conf
+      .get("spark.graft.jaccard.localDfThreshold", "1000000").toLong
+    if (maxLocal <= 0) None
+    else {
+      val cap = (math.min(maxLocal, Int.MaxValue - 2L) + 1L).toInt
+      val head = dfreq.limit(cap).collect()
+      if (head.length < cap) Some(head) else None
+    }
+  }
+
+  /** Map-side prefix selection against a collected (grp, shingle)→df
+    * table: emits (_id, _grp, _sz, _s) prefix rows from `sized` in one
+    * narrow pass — no posting⋈df join, no per-doc window. `defaultDf`
+    * is the df assumed for shingles ABSENT from the map (0 for probe
+    * docs scored against an index-side df table, matching the window
+    * path's left-join + coalesce(_df, 0)). */
+  private def localPrefixRows(sized: DataFrame,
+      rows: Array[org.apache.spark.sql.Row], threshold: Double,
+      defaultDf: Long): DataFrame = {
+    def grpKey(v: Any): String = if (v == null) "\u0000" else v.toString
+    val byGrp: Map[String, scala.collection.mutable.LongMap[Long]] =
+      rows.groupBy(r => grpKey(r.get(0))).map { case (g, rs) =>
+        val m = new scala.collection.mutable.LongMap[Long](rs.length * 2)
+        rs.foreach(r => m.update(r.getLong(1), r.getLong(2)))
+        g -> m
+      }
+    val bc = sized.sparkSession.sparkContext.broadcast(byGrp)
+    val prefUdf = udf((grp: String, h: Seq[Long]) => {
+      val dfm = bc.value.getOrElse(if (grp == null) "\u0000" else grp,
+        scala.collection.mutable.LongMap.empty[Long])
+      val sz = h.length
+      val k = (sz - math.ceil(sz * threshold - 1e-9) + 1).toInt
+      if (k >= sz) h.toArray
+      else h.sortBy(s => (dfm.getOrElse(s, defaultDf), s)).take(k).toArray
+    })
+    sized.select(col("_id"), col("_grp"), col("_sz"),
+      explode(prefUdf(col("_grp").cast("string"), col("_h"))).as("_s"))
+  }
+
   private def prefixTable(sized: DataFrame, threshold: Double,
       pin: DataFrame => DataFrame): DataFrame = {
-    val spark = sized.sparkSession
     val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
     val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
-    val maxLocal =
-      spark.conf.get("spark.graft.jaccard.localDfThreshold", "1000000").toLong
-    val localDf: Option[Array[org.apache.spark.sql.Row]] =
-      if (maxLocal <= 0) None
-      else {
-        // one bounded action decides AND delivers (the CC-gate shape):
-        // fewer rows than the cap ⇒ the universe fits and the rows ARE
-        // the df map; hitting the cap ⇒ fall through to the join path
-        val cap = (math.min(maxLocal, Int.MaxValue - 2L) + 1L).toInt
-        val head = dfreq.limit(cap).collect()
-        if (head.length < cap) Some(head) else None
-      }
-    localDf match {
+    collectDfIfSmall(dfreq) match {
       case Some(rows) =>
-        def grpKey(v: Any): String = if (v == null) "\u0000" else v.toString
-        val byGrp: Map[String, scala.collection.mutable.LongMap[Long]] =
-          rows.groupBy(r => grpKey(r.get(0))).map { case (g, rs) =>
-            val m = new scala.collection.mutable.LongMap[Long](rs.length * 2)
-            rs.foreach(r => m.update(r.getLong(1), r.getLong(2)))
-            g -> m
-          }
-        val bc = spark.sparkContext.broadcast(byGrp)
-        val prefUdf = udf((grp: String, h: Seq[Long]) => {
-          val dfm = bc.value.getOrElse(if (grp == null) "\u0000" else grp,
-            scala.collection.mutable.LongMap.empty[Long])
-          val sz = h.length
-          val k = (sz - math.ceil(sz * threshold - 1e-9) + 1).toInt
-          if (k >= sz) h.toArray
-          else h.sortBy(s => (dfm.getOrElse(s, 1L), s)).take(k).toArray
-        })
-        sized.select(col("_id"), col("_grp"), col("_sz"),
-          explode(prefUdf(col("_grp").cast("string"), col("_h"))).as("_s"))
+        // every shingle is in its own df table, so defaultDf is moot
+        localPrefixRows(sized, rows, threshold, defaultDf = 1L)
       case None =>
         // prefix length |X| − ⌈t·|X|⌉ + 1, with a 1e-9 slack so float
         // rounding can only LENGTHEN a prefix (safe) never shorten it
@@ -330,17 +345,26 @@ object Dedup {
     val prb = hashed(probe)
     val idxPosts = idx.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
     val dfreq = idxPosts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
-    def prefix(posts: DataFrame): DataFrame = {
-      val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
-      posts.withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
-        .select("_id", "_grp", "_sz", "_s")
+    // same two prefix regimes as `prefixTable`, under the INDEX-side
+    // canonical order: probe shingles absent from the corpus have df 0
+    // and sort first (the window path's left join + coalesce(_df, 0))
+    val (ip, pp) = collectDfIfSmall(dfreq) match {
+      case Some(rows) =>
+        (localPrefixRows(idx, rows, threshold, defaultDf = 1L),
+          localPrefixRows(prb, rows, threshold, defaultDf = 0L))
+      case None =>
+        def prefix(posts: DataFrame): DataFrame = {
+          val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+          posts.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
+            .select("_id", "_grp", "_sz", "_s")
+        }
+        (prefix(idxPosts.join(pin(dfreq), Seq("_grp", "_s"))),
+          prefix(prb
+            .select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
+            .join(pin(dfreq), Seq("_grp", "_s"), "left")
+            .withColumn("_df", coalesce(col("_df"), lit(0L)))))
     }
-    val ip = prefix(idxPosts.join(pin(dfreq), Seq("_grp", "_s")))
-    val pp = prefix(prb
-      .select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
-      .join(pin(dfreq), Seq("_grp", "_s"), "left")
-      .withColumn("_df", coalesce(col("_df"), lit(0L))))
     val cand = pp.select(col("_id").as("probe_id"), col("_grp"),
         col("_sz").as("_szp"), col("_s"))
       .join(pin(ip.select(col("_id").as("index_id"), col("_grp").as("_grp2"),

@@ -115,6 +115,12 @@ class ApiParitySpec extends AnyFunSuite {
     val (ngL, ngW) = both(
       graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7, Some("lang")))
     assert(ngL.nonEmpty && ngL == ngW, "ngram-jaccard regimes diverged")
+    val isNew = col("doc_id") % 5 === 0
+    val (incL, incW) = both(
+      graft.api.Dedup.jaccardPairsAgainstIndex(docs.filter(isNew), docs.filter(!isNew),
+        "doc_id", "text", 0.8, Some("lang")))
+    assert(incL.nonEmpty && incL == incW,
+      "asymmetric-jaccard regimes diverged (probe-side df-0 order?)")
   }
 
   test("minhash scale mode (shuffle-hash joins) returns the same pairs as broadcast mode") {
