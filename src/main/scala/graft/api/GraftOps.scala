@@ -91,6 +91,20 @@ object Dedup {
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
       .filter(col("n") > 1)
 
+  /** Prefix-fingerprint duplicate groups: docs sharing the md5 of their
+    * first `k` whitespace tokens — the crawl-dedup shortcut for pages
+    * that differ only in a mutable tail (timestamps, session ids,
+    * trailing boilerplate). Same shuffle shape as [[exactGroups]]: one
+    * narrow rowwise digest, one hash aggregate carrying a 128-bit hash
+    * per row; docs shorter than k tokens fingerprint their whole text. */
+  def prefixGroups(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"prefix length must be > 0, got $k")
+    df.groupBy(md5(concat_ws(" ",
+        slice(split(col(textCol), " "), 1, k)).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+      .filter(col("n") > 1)
+  }
+
   /** Exact Jaccard ≥ threshold pairs from a pre-hashed shingle table
     * `(id, _grp, _h: sorted distinct Array[Long])` — the shared core of
     * `nearJaccardPairs` / `ngramJaccardPairs`.
@@ -1198,6 +1212,40 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col(keyCol), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Ordered conversion funnel: for each user, stage i+1 counts only if
+    * an event of `stages(i+1)`'s type occurs STRICTLY AFTER the user's
+    * stage-i time and within `stepUs` microseconds of it; a user's
+    * stage time is the EARLIEST qualifying event. Returns one row per
+    * stage: (stage 1-based, event_type, users).
+    *
+    * Scale shape: one filtered aggregate per stage over the event
+    * stream plus an equi-join on user against the (monotonically
+    * shrinking) reached-users table — never a window over a per-user
+    * sort of the full stream. The join is stats-derived by design: the
+    * reached side starts at |users| and only shrinks, so AQE broadcasts
+    * it when it fits and equi-shuffles otherwise. */
+  def conversionFunnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], stepUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stepUs > 0, s"stage window must be > 0 us, got $stepUs")
+    val base = df.select(col(userCol).as("_u"), col(typeCol).as("_e"),
+      unix_micros(col(tsCol)).as("_us"))
+    var reached = base.filter(col("_e") === stages.head)
+      .groupBy("_u").agg(min(col("_us")).as("_t"))
+    val perStage = scala.collection.mutable.Buffer(stages.head -> reached)
+    stages.tail.foreach { st =>
+      reached = base.filter(col("_e") === st)
+        .join(reached.select(col("_u"), col("_t").as("_pt")), "_u")
+        .filter(col("_us") > col("_pt") && col("_us") <= col("_pt") + stepUs)
+        .groupBy("_u").agg(min(col("_us")).as("_t"))
+      perStage += st -> reached
+    }
+    perStage.zipWithIndex.map { case ((st, d), i) =>
+      d.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("users"))
+    }.reduce(_ union _)
+  }
 }
 
 object TextAnalysis {
@@ -1309,6 +1357,31 @@ object TextAnalysis {
     df.join(broadcast(cuts), groupCol)
       .filter(col(scoreCol) >= col("_cut"))
       .drop("_cut")
+  }
+
+  /** Unigram language-model score per document: the mean log
+    * probability of the doc's tokens under the corpus's own unigram
+    * distribution — the cheap stand-in for an LM-perplexity quality
+    * filter (template spam and gibberish score low, fluent text high).
+    * score(d) = (Σ_t tf_{d,t}·ln(cnt_t) − n_d·ln(total)) / n_d.
+    *
+    * Scale shape: the unigram table is ONE aggregate over the term
+    * counts (shuffle ∝ vocabulary), the total is a broadcast scalar,
+    * and the join back is the same vocabulary equi-join as [[tfidf]].
+    * No driver state. Returns (idCol, n_tok, logprob — unrounded). */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val cnts = tc.groupBy("token").agg(sum(col("tf")).as("_ct"))
+    val tot = tc.agg(sum(col("tf")).as("_total"))
+    tc.join(cnts, "token")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf").cast("double") * log(col("_ct").cast("double"))).as("_s"),
+        sum(col("tf")).as("n_tok"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol), col("n_tok"),
+        ((col("_s") - col("n_tok").cast("double") * log(col("_total").cast("double")))
+          / col("n_tok").cast("double")).as("logprob"))
   }
 
   /** Sliding word n-grams of `textCol` as an array column — pure

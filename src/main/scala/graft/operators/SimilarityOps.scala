@@ -95,6 +95,22 @@ object SimilarityOps {
       Similarity.centroids(Tables.embeddings(s, d), "label", "embedding")
         .select(col("label"), col("dim"), Canon.r4(col("centroid")).as("centroid"))
         .orderBy("label", "dim")
+    }),
+    "dedup_embed_clusters" -> ((s, d) => {
+      // SEMANTIC duplicate clusters: the embedding-space twin of
+      // dedup_clusters — exact cell-blocked cosine pairs (same plan as
+      // dedup_embed_cosine) resolved into connected components, cluster
+      // id = min reachable vec_id. The full semantic-dedup composite a
+      // training pipeline runs before packing: pairs → graph → keep one
+      // per cluster.
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+      val pairs = Similarity.cosinePairsAboveCellBlocked(e, "vec_id", "embedding",
+          minSim = 0.4, centroids = cents, simRound = Some(4))
+        .select(col("id1"), col("id2"))
+      graft.api.Dedup.connectedComponents(pairs)
+        .select(col("id").as("vec_id"), col("label").as("cluster"))
+        .orderBy("vec_id")
     })
   )
 
@@ -135,6 +151,18 @@ object SimilarityOps {
       s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |  ${O.r4("avg(CAST(embedding[i] AS DOUBLE))")} AS centroid
         |FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin
+        |GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+    "dedup_embed_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT id1, id2 FROM (
+        |    SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |      ${O.r4(duckCosine("a.embedding", "b.embedding"))} AS sim
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |  WHERE sim >= 0.4),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p
+        |          UNION ALL SELECT id2, id1 FROM p),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS vec_id, least(a, min(b)) AS cluster
+        |FROM reach GROUP BY a ORDER BY vec_id""".stripMargin
   )
 }

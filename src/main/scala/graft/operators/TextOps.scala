@@ -122,6 +122,17 @@ object TextOps {
     "dedup_exact" -> ((s, d) => {
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text").orderBy("h")
     }),
+    "dedup_token_prefix" -> ((s, d) => {
+      // crawl-style prefix dedup: pages differing only in a mutable
+      // tail collapse on the first-8-token fingerprint
+      Dedup.prefixGroups(Tables.documents(s, d), "doc_id", "text", k = 8).orderBy("h")
+    }),
+    "text_unigram_logprob" -> ((s, d) => {
+      // unigram-LM quality score (the cheap perplexity-filter stand-in)
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_tok"), Canon.r4(col("logprob")).as("logprob"))
+        .orderBy("doc_id")
+    }),
     "dedup_near_jaccard" -> ((s, d) => {
       Dedup.nearJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.8, Some("lang"))
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
@@ -359,6 +370,21 @@ object TextOps {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "dedup_token_prefix" ->
+      """SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+        |  count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "text_unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS ct FROM tc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tc),
+        |agg AS (SELECT doc_id, sum(CAST(tf AS DOUBLE) * ln(CAST(ct AS DOUBLE))) AS s,
+        |          CAST(sum(tf) AS BIGINT) AS n_tok
+        |        FROM tc JOIN cnt USING (token) GROUP BY 1)
+        |SELECT doc_id, n_tok,
+        |  ${O.r4("(s - CAST(n_tok AS DOUBLE) * ln(CAST(total AS DOUBLE))) / CAST(n_tok AS DOUBLE)")} AS logprob
+        |FROM agg CROSS JOIN tot ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 0)),

@@ -98,6 +98,15 @@ object Windows {
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_orderkey").asc)
         .offset(10).limit(20)
+    }),
+    "events_funnel" -> ((s, d) => {
+      // ordered conversion funnel view → click → purchase, each stage
+      // within 24 h of the previous stage's first qualifying event —
+      // one filtered aggregate per stage, never a per-user full sort
+      graft.api.TimeSeriesOps.conversionFunnel(Tables.events(s, d),
+          "user_id", "event_type", "ts",
+          stages = Seq("view", "click", "purchase"), stepUs = 86400000000L)
+        .orderBy("stage")
     })
   )
 
@@ -156,6 +165,18 @@ object Windows {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "limit_offset" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 10""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS et,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |s1 AS (SELECT u, min(us) AS t FROM e WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.u, min(us) AS t FROM e JOIN s1 USING (u)
+        |       WHERE et = 'click' AND us > s1.t AND us <= s1.t + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.u, min(us) AS t FROM e JOIN s2 USING (u)
+        |       WHERE et = 'purchase' AND us > s2.t AND us <= s2.t + 86400000000 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS event_type, (SELECT count(*) FROM s1) AS users
+        |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+        |ORDER BY stage""".stripMargin
   )
 }
