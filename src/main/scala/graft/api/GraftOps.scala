@@ -1246,6 +1246,59 @@ object TimeSeriesOps {
         .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("users"))
     }.reduce(_ union _)
   }
+
+  /** Batch sessionization: split each user's event stream into sessions
+    * wherever the gap to the previous event exceeds `gapUs`, then emit
+    * one row per session (user, session_id, n_events, start_us,
+    * duration_us). `session_id` is the 1-based session ordinal within
+    * the user, so output is a pure function of the input rows.
+    *
+    * Scale shape: ONE shuffle on the user key; the gap flag (lag) and
+    * the session ordinal (running sum of flags) are two passes over the
+    * same sort order inside that partitioning, and the final per-session
+    * aggregate map-side-combines before its (user, session) exchange.
+    * Never a global sort, never per-user driver state — the batch twin
+    * of the streaming session_window operator. Ordering ties on the
+    * timestamp break on `idCol`, so the split is deterministic. */
+  def sessionize(df: DataFrame, userCol: String, idCol: String,
+      tsCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"session gap must be > 0 us, got $gapUs")
+    val w = Window.partitionBy("_u").orderBy(col("_us").asc, col("_id").asc)
+    df.select(col(userCol).as("_u"), col(idCol).as("_id"),
+        unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_new",
+        when(col("_us") - lag(col("_us"), 1).over(w) <= gapUs, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("session_id", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_u"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("_us")).as("start_us"),
+        (max(col("_us")) - min(col("_us"))).as("duration_us"))
+      .withColumnRenamed("_u", userCol)
+  }
+
+  /** Cohort retention: cohort = the epoch-day of a user's FIRST event;
+    * for every (cohort_day, day_offset) cell, how many of that cohort's
+    * users were active `day_offset` days after joining — the standard
+    * retention triangle.
+    *
+    * Scale shape: (user, day) pairs are distinct-ed first (shuffle ∝
+    * active user-days, not events), first-touch is one aggregate on the
+    * user key, and the join back is user-keyed equi — each stage an
+    * equi-shuffle with partial aggregation; after the distinct, each
+    * user contributes at most one row per day, so the cell count is a
+    * plain count(*), no count-distinct shuffle. Day arithmetic is
+    * integral (`div`), identical in any engine. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(userCol).as("_u"),
+        expr(s"unix_micros(`$tsCol`) div 86400000000").as("_day"))
+      .distinct()
+    val first = days.groupBy("_u").agg(min(col("_day")).as("_cohort"))
+    days.join(first, "_u")
+      .groupBy(col("_cohort").as("cohort_day"),
+        (col("_day") - col("_cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }
 
 object TextAnalysis {
@@ -1445,6 +1498,64 @@ object TextAnalysis {
     corpus.select(col(idCol), gramHashes)
       .join(broadcast(benchGrams), "_gh")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Fixed-size overlapping context-window chunking: document → chunks
+    * of `chunkSize` tokens starting every `stride` tokens (the layout
+    * step before tokenize-and-pack for an LLM context window; stride <
+    * chunkSize gives the standard overlap so no span is split across a
+    * boundary unseen). Emits (id, chunk_id, n_tokens, chunk); the last
+    * chunk may be short.
+    *
+    * Scale shape: pure rowwise codegen — split once, explode a chunk
+    * ordinal sequence, slice per ordinal. No shuffle, no state; output
+    * rows ∝ input tokens / stride, produced map-side at the scan. */
+  def chunkFixed(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    df.select(col(idCol), split(col(textCol), " ").as("_w"))
+      .select(col(idCol), col("_w"),
+        explode(expr(s"sequence(0, CAST((size(_w) - 1) div $stride AS INT))"))
+          .as("_ci"))
+      .select(col(idCol), col("_ci").cast("long").as("chunk_id"),
+        size(slice(col("_w"), col("_ci") * stride + 1, lit(chunkSize)))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("_w"), col("_ci") * stride + 1, lit(chunkSize)))
+          .as("chunk"))
+  }
+
+  /** Corpus-wide top-k word n-grams by frequency (ties break on the
+    * gram) — the collocation/boilerplate report run over a crawl before
+    * choosing filter rules.
+    *
+    * Scale shape: map-side explode → hash aggregate with partial
+    * (map-side) combine, so the shuffle carries one row per DISTINCT
+    * gram per task, then a TakeOrderedAndProject global top-k — never a
+    * full sort of the gram table. */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(wordNgrams(textCol, n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Stopword pruning: drop the given tokens from each document,
+    * emitting the pruned text plus before/after token counts (the
+    * index-side normalization step; the count pair doubles as the
+    * stopword-density signal). Pure rowwise `filter` lambda — no
+    * shuffle, no UDF, stays inside whole-stage codegen. */
+  def stopwordPrune(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String]): DataFrame = {
+    require(stopwords.nonEmpty, "stopword list must be non-empty")
+    val sw = stopwords.map(w => s"'$w'").mkString(", ")
+    val kept = expr(s"filter(split($textCol, ' '), x -> NOT (x IN ($sw)))")
+    df.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      size(kept).cast("long").as("n_kept"),
+      concat_ws(" ", kept).as("pruned"))
   }
 
   /** Canonical token-set fingerprint (md5 of the sorted distinct

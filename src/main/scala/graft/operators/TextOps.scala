@@ -133,6 +133,23 @@ object TextOps {
         .select(col("doc_id"), col("n_tok"), Canon.r4(col("logprob")).as("logprob"))
         .orderBy("doc_id")
     }),
+    "text_chunk_fixed" -> ((s, d) => {
+      // context-window chunking: 64-token chunks every 48 tokens —
+      // pure map-side explode+slice, the layout step before packing
+      TextAnalysis.chunkFixed(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    }),
+    "text_top_bigrams" -> ((s, d) => {
+      // corpus top-20 bigrams: map-side explode → partial-agg shuffle
+      // ∝ distinct grams → global top-k (TakeOrderedAndProject)
+      TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
+    }),
+    "text_stopword_prune" -> ((s, d) => {
+      // stopword removal + density counts, rowwise filter() lambda
+      TextAnalysis.stopwordPrune(Tables.documents(s, d), "doc_id", "text", stopwords)
+        .orderBy("doc_id")
+    }),
     "dedup_near_jaccard" -> ((s, d) => {
       Dedup.nearJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.8, Some("lang"))
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
@@ -385,6 +402,29 @@ object TextOps {
         |SELECT doc_id, n_tok,
         |  ${O.r4("(s - CAST(n_tok AS DOUBLE) * ln(CAST(total AS DOUBLE))) / CAST(n_tok AS DOUBLE)")} AS logprob
         |FROM agg CROSS JOIN tot ORDER BY doc_id""".stripMargin,
+    "text_chunk_fixed" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        unnest(generate_series(0, (len(w) - 1) // 48)) AS i FROM t)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(len(w[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[(i*48 + 1):(i*48 + 64)], ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_top_bigrams" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1])) AS ngram FROM t)
+        |SELECT ngram, count(*) AS n FROM b
+        |GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""".stripMargin,
+    "text_stopword_prune" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    list_filter(string_split(text, ' '),
+        |      x -> x NOT IN ('scan', 'column', 'window')) AS kept
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, ' ') AS pruned
+        |FROM t ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 0)),

@@ -107,6 +107,20 @@ object Windows {
           "user_id", "event_type", "ts",
           stages = Seq("view", "click", "purchase"), stepUs = 86400000000L)
         .orderBy("stage")
+    }),
+    "events_sessionize" -> ((s, d) => {
+      // batch sessionization, 6 h inactivity gap — one shuffle on the
+      // user key, lag + running-sum passes over the same sort, the
+      // batch twin of stream_session_windows
+      graft.api.TimeSeriesOps.sessionize(Tables.events(s, d),
+          "user_id", "event_id", "ts", gapUs = 21600000000L)
+        .orderBy("user_id", "session_id")
+    }),
+    "events_retention" -> ((s, d) => {
+      // cohort retention triangle: first-event day × days-since-join →
+      // distinct active users; all stages user-keyed equi-shuffles
+      graft.api.TimeSeriesOps.retentionCohorts(Tables.events(s, d), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")
     })
   )
 
@@ -177,6 +191,29 @@ object Windows {
         |SELECT 1 AS stage, 'view' AS event_type, (SELECT count(*) FROM s1) AS users
         |UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |        CASE WHEN us - lag(us) OVER w <= 21600000000
+        |             THEN 0 ELSE 1 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(us) AS start_us,
+        |  max(us) - min(us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |firsts AS (SELECT user_id, min(day) AS cohort FROM days GROUP BY 1)
+        |SELECT cohort AS cohort_day, day - cohort AS day_offset,
+        |  count(*) AS n_users
+        |FROM days JOIN firsts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

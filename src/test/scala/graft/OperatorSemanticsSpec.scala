@@ -93,4 +93,99 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(inter.subsetOf(custNations) && inter.subsetOf(suppNations))
     assert(exc.subsetOf(custNations) && exc.intersect(suppNations).isEmpty)
   }
+
+  test("events_sessionize matches a sequential per-user recompute exactly") {
+    val gap = 21600000000L
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val ev = Tables.events(spark, sf).select("user_id", "event_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2))))
+    val expected = ev.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ts = rows.map(r => (r._3, r._2)).sorted.map(_._1)
+      val sessions = ts.foldLeft(List.empty[List[Long]]) {
+        case (acc, t) if acc.nonEmpty && t - acc.head.head <= gap =>
+          (t :: acc.head) :: acc.tail
+        case (acc, t) => List(t) :: acc
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (s, i) =>
+        (uid, (i + 1).toLong, s.length.toLong, s.head, s.last - s.head)
+      }
+    }.toSet
+    val got = SparkEntry.queries("events_sessionize")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == expected,
+      s"sessionize mismatch: ${(got diff expected).take(3)} vs ${(expected diff got).take(3)}")
+    assert(got.toSeq.map(_._3).sum == ev.length, "sessions must cover every event")
+  }
+
+  test("events_retention matches a recompute and offset 0 equals cohort size") {
+    val days = Tables.events(spark, sf)
+      .select("user_id", "ts").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), (t.getEpochSecond * 1000000L + t.getNano / 1000L) / 86400000000L)
+      }.distinct
+    val first = days.groupBy(_._1).map { case (u, d) => (u, d.map(_._2).min) }
+    val expected = days.groupBy { case (u, d) => (first(u), d - first(u)) }
+      .map { case (k, v) => (k._1, k._2, v.length.toLong) }.toSet
+    val got = SparkEntry.queries("events_retention")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    val cohortSizes = first.values.groupBy(identity).map { case (d, us) => (d, us.size.toLong) }
+    got.filter(_._2 == 0L).foreach { case (c, _, n) =>
+      assert(n == cohortSizes(c), s"cohort $c offset-0 cell $n != cohort size ${cohortSizes(c)}")
+    }
+  }
+
+  test("chunkFixed: chunks tile the document and the tail chunk is short") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq(
+      1L -> (0 until 1).map("t" + _).mkString(" "),
+      2L -> (0 until 48).map("t" + _).mkString(" "),
+      3L -> (0 until 64).map("t" + _).mkString(" "),
+      4L -> (0 until 65).map("t" + _).mkString(" "),
+      5L -> (0 until 200).map("t" + _).mkString(" ")).toDF("doc_id", "text")
+    val chunks = graft.api.TextAnalysis.chunkFixed(docs, "doc_id", "text", 64, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    docs.collect().foreach { r =>
+      val (id, toks) = (r.getLong(0), r.getString(1).split(" ", -1))
+      val mine = chunks.filter(_._1 == id).sortBy(_._2)
+      val expN = (toks.length - 1) / 48 + 1
+      assert(mine.length == expN, s"doc $id: ${mine.length} chunks, expected $expN")
+      mine.foreach { case (_, ci, n, chunk) =>
+        val exp = toks.slice(ci.toInt * 48, ci.toInt * 48 + 64)
+        assert(n == exp.length && chunk == exp.mkString(" "), s"doc $id chunk $ci")
+      }
+      // strides tile: first 48 tokens of each chunk + full tail = the doc
+      val rebuilt = mine.init.flatMap(_._4.split(" ", -1).take(48)) ++
+        mine.last._4.split(" ", -1)
+      assert(rebuilt.toSeq == toks.toSeq, s"doc $id does not rebuild")
+    }
+  }
+
+  test("topNgrams: exact counts, tie order, and no grams from 1-token docs") {
+    val ss = spark
+    import ss.implicits._
+    val docs = Seq("a b a b", "a b c", "solo", "c a b").toDF("text")
+    val got = graft.api.TextAnalysis.topNgrams(docs, "text", 2, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // bigrams: "a b"×4, "b a"×1, "b c"×1, "c a"×1 — ties break on gram asc
+    assert(got == Seq("a b" -> 4L, "b a" -> 1L, "b c" -> 1L, "c a" -> 1L))
+  }
+
+  test("stopwordPrune: counts reconcile and no stopword survives") {
+    val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val sw = Set("scan", "column", "window")
+    pruned.foreach { case (id, nTok, nKept, out) =>
+      val toks = texts(id).split(" ", -1)
+      assert(nTok == toks.length)
+      assert(out == toks.filterNot(sw).mkString(" "), s"doc $id pruned text")
+      assert(nKept == toks.count(!sw(_)))
+    }
+  }
 }
