@@ -1299,6 +1299,37 @@ object TimeSeriesOps {
         (col("_day") - col("_cohort")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Top-k most common length-`n` event-type sequences (user journeys):
+    * each user's events ordered by (timestamp, id) form a path string
+    * `a>b>c`; count every n-window of it corpus-wide — the path-mining
+    * report behind funnel design.
+    *
+    * Scale shape: one shuffle on the user key into `collect_list` +
+    * `sort_array` (per-user state ∝ that user's events — the same bound
+    * every sessionization carries; a pathological user is one group,
+    * not one partition), then a rowwise n-gram transform, explode, and
+    * a partially-aggregated count with a TakeOrderedAndProject top-k.
+    * Tie-break on the path string keeps the cut deterministic. */
+  def topEventPaths(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"path length must be >= 2, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams = expr(
+      s"""CASE WHEN size(_ets) >= $n
+         |  THEN transform(sequence(1, size(_ets) - ${n - 1}),
+         |         i -> concat_ws('>', slice(_ets, i, $n)))
+         |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    df.select(col(userCol).as("_u"),
+        struct(unix_micros(col(tsCol)).as("_us"), col(idCol).as("_id"),
+          col(typeCol).as("_e")).as("_s"))
+      .groupBy("_u").agg(sort_array(collect_list(col("_s"))).as("_arr"))
+      .select(expr("transform(_arr, x -> x._e)").as("_ets"))
+      .select(explode(grams).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
 }
 
 object TextAnalysis {
@@ -1659,6 +1690,19 @@ object Sampling {
     within.join(broadcast(offsets), Seq(groupCol, "_band"))
       .withColumn("shard", expr(s"(_cs - `$sizeCol` + _off) div ${budget}L"))
       .select(col(idCol), col(groupCol), col(sizeCol), col("shard"))
+  }
+
+  /** Weighted deterministic subsample: keep a row iff u(id) < weight,
+    * where u(id) = the digest's first 24 bits as a uniform [0,1) value
+    * — so a row with weight 0.9 is kept with probability 0.9, weight
+    * ≥ 1 always, weight ≤ 0 never, and the decision is a pure function
+    * of the id (reproducible across runs, partitionings, and engines —
+    * the quality-weighted downsampling step of a data pipeline without
+    * RNG nondeterminism). Pure rowwise filter; pushes to the scan. */
+  def weightedHashSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val u = conv(substring(idHex(idCol), 1, 6), 16, 10)
+      .cast("long").cast("double") / 16777216.0
+    df.filter(u < weight)
   }
 
   /** Deterministic train/test assignment from the same digest: ids

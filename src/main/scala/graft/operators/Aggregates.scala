@@ -116,6 +116,21 @@ object Aggregates {
         .groupBy("o_orderstatus")
         .agg(array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("priorities"))
         .orderBy("o_orderstatus")
+    }),
+    "agg_unpivot" -> ((s, d) => {
+      // UNPIVOT/melt: wide per-status metrics → (status, metric, value)
+      // long form — the inverse of agg_pivot. Native Dataset.unpivot
+      // (Spark's Expand), one pass, no join; metric count is static so
+      // output is rows × metrics at any scale.
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(Canon.sumDec(col("o_totalprice"), 2).as("sum_price"),
+          count(lit(1)).cast("double").as("n_orders"),
+          Canon.r4(Canon.sumDec(col("o_totalprice"), 2) / count(lit(1))).as("avg_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("sum_price"), col("n_orders"), col("avg_price")),
+          "metric", "value")
+        .orderBy("o_orderstatus", "metric")
     })
   )
 
@@ -183,6 +198,17 @@ object Aggregates {
     "agg_collect_sorted" ->
       """SELECT o_orderstatus, string_agg(p, ',' ORDER BY p) AS priorities
         |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority AS p FROM orders)
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_unpivot" ->
+      s"""WITH w AS (SELECT o_orderstatus,
+        |    ${O.sumDec("o_totalprice", 2)} AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_orders,
+        |    ${O.r4(O.sumDec("o_totalprice", 2) + " / count(*)")} AS avg_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, metric, value FROM (
+        |  SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM w
+        |  UNION ALL SELECT o_orderstatus, 'n_orders', n_orders FROM w
+        |  UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM w)
+        |ORDER BY o_orderstatus, metric""".stripMargin
   )
 }

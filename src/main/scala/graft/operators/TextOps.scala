@@ -112,6 +112,15 @@ object TextOps {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+    "data_sample_weighted" -> ((s, d) => {
+      // quality-weighted deterministic downsample: keep probability ∝
+      // doc length (n_chars/400, capped at 1), decided by the id digest
+      // — no RNG, pure rowwise filter that pushes to the scan
+      graft.api.Sampling.weightedHashSample(Tables.documents(s, d), "doc_id",
+          least(lit(1.0), col("n_chars") / 400.0))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     "data_split_counts" -> ((s, d) => {
       // deterministic train/test split (~81/19) with per-lang counts —
       // membership is a pure function of doc_id
@@ -378,6 +387,18 @@ object TextOps {
         |  CASE WHEN lang = 'en' THEN '40'
         |       WHEN lang IN ('de', 'es', 'fr', 'zh') THEN '1a'
         |       ELSE '00' END
+        |ORDER BY doc_id""".stripMargin,
+    "data_sample_weighted" ->
+      """WITH u AS (SELECT doc_id, lang, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT doc_id, lang, n_chars FROM u
+        |WHERE ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+        |     + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+        |     + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) / 16777216.0
+        |  < least(1.0, n_chars / 400.0)
         |ORDER BY doc_id""".stripMargin,
     "data_split_counts" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'

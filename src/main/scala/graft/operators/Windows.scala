@@ -121,6 +121,13 @@ object Windows {
       // distinct active users; all stages user-keyed equi-shuffles
       graft.api.TimeSeriesOps.retentionCohorts(Tables.events(s, d), "user_id", "ts")
         .orderBy("cohort_day", "day_offset")
+    }),
+    "events_top_paths" -> ((s, d) => {
+      // path mining: top-20 length-3 event-type journeys corpus-wide —
+      // one user-keyed shuffle into ordered per-user paths, rowwise
+      // n-gram transform, partial-agg count, global top-k
+      graft.api.TimeSeriesOps.topEventPaths(Tables.events(s, d),
+        "user_id", "event_type", "ts", "event_id", n = 3, k = 20)
     })
   )
 
@@ -214,6 +221,15 @@ object Windows {
         |SELECT cohort AS cohort_day, day - cohort AS day_offset,
         |  count(*) AS n_users
         |FROM days JOIN firsts USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_top_paths" ->
+      """WITH s AS (SELECT user_id,
+        |    list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS ets
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT unnest(list_transform(generate_series(1, len(ets) - 2),
+        |        i -> ets[i] || '>' || ets[i+1] || '>' || ets[i+2])) AS path
+        |      FROM s WHERE len(ets) >= 3)
+        |SELECT path, count(*) AS n FROM g
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
   )
 }

@@ -175,6 +175,58 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == Seq("a b" -> 4L, "b a" -> 1L, "b c" -> 1L, "c a" -> 1L))
   }
 
+  test("agg_unpivot: one row per (status, metric), values match a wide recompute") {
+    val got = SparkEntry.queries("agg_unpivot")(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val orders = Tables.orders(spark, sf).select("o_orderstatus", "o_totalprice")
+      .collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    orders.groupBy(_._1).foreach { case (st, rs) =>
+      val sum = rs.map(_._2).sum.toDouble
+      val n = rs.length.toDouble
+      assert(got((st, "sum_price")) == sum, s"$st sum_price")
+      assert(got((st, "n_orders")) == n, s"$st n_orders")
+      assert(got((st, "avg_price")) == math.floor(sum / n * 10000 + 0.5) / 10000,
+        s"$st avg_price")
+    }
+    assert(got.size == orders.map(_._1).distinct.length * 3)
+  }
+
+  test("weightedHashSample keeps exactly the rows whose digest-u is below the weight") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 6), 16).toDouble / 16777216.0
+    }
+    val expected = docs.filter { case (id, nc) => u(id) < math.min(1.0, nc / 400.0) }
+      .map(_._1).toSet
+    val got = SparkEntry.queries("data_sample_weighted")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(docs.filter(_._2 >= 400).map(_._1).toSet.subsetOf(got),
+      "weight >= 1 rows must always be kept")
+    assert(got.size < docs.length, "some short docs must be dropped")
+  }
+
+  test("events_top_paths matches a sequential recompute of path 3-gram counts") {
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), us(r.getTimestamp(2)), r.getString(3)))
+    val counts = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ets = rows.map(r => ((r._3, r._2), r._4)).sortBy(_._1).map(_._2)
+      ets.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+    val top = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = SparkEntry.queries("events_top_paths")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == top, s"got $got, expected $top")
+  }
+
   test("stopwordPrune: counts reconcile and no stopword survives") {
     val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
