@@ -1618,6 +1618,51 @@ object SkewJoins {
   }
 }
 
+object StatsOps {
+  /** Per-key z-score anomaly flags: rows whose value is at least
+    * `threshold` population standard deviations from their key's mean —
+    * the monitoring/outlier report over a metric stream.
+    *
+    * Scale shape: ONE aggregate per key (avg + stddev_pop, partial
+    * combine), the tiny per-key stats table broadcast back, and a
+    * rowwise filter — no second shuffle, no window. The z-score is
+    * pre-rounded (4 dp) so the >=-at-the-cut decision cannot straddle
+    * the one-ulp difference between engines' float aggregates (the
+    * same contract as [[TextAnalysis.qualityFilter]]). */
+  def zscoreFlags(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val stats = df.groupBy(keyCol)
+      .agg(avg(col(valueCol)).as("_mu"), stddev_pop(col(valueCol)).as("_sd"))
+    df.join(broadcast(stats), keyCol)
+      .withColumn("z", Canon.r4((col(valueCol) - col("_mu")) / col("_sd")))
+      .filter(abs(col("z")) >= threshold)
+      .select(col(keyCol), col(idCol), col(valueCol), col("z"))
+  }
+
+  /** Per-group Tukey-fence outliers: rows outside
+    * [q1 − k·IQR, q3 + k·IQR] (k = 1.5 is the standard fence) — the
+    * robust-to-skew cousin of the z-score filter.
+    *
+    * Scale shape: per-group exact percentiles are one aggregate, the
+    * per-group fence table is broadcast back, and the verdict is a
+    * rowwise filter. Fences are pre-rounded (4 dp) for the same
+    * engine-portability reason as [[zscoreFlags]]. */
+  def iqrOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Double = 1.5): DataFrame = {
+    require(k > 0, s"fence multiplier must be > 0, got $k")
+    val cuts = df.groupBy(groupCol)
+      .agg(expr(s"percentile(`$valueCol`, 0.25)").as("_q1"),
+        expr(s"percentile(`$valueCol`, 0.75)").as("_q3"))
+      .select(col(groupCol),
+        Canon.r4(col("_q1") - (col("_q3") - col("_q1")) * k).as("_lo"),
+        Canon.r4(col("_q3") + (col("_q3") - col("_q1")) * k).as("_hi"))
+    df.join(broadcast(cuts), groupCol)
+      .filter(col(valueCol) < col("_lo") || col(valueCol) > col("_hi"))
+      .select(col(groupCol), col(idCol), col(valueCol))
+  }
+}
+
 object Sampling {
   /** Deterministic hex digest column for id-keyed selection: lowercase
     * md5 of the id's decimal string — identical in every engine, stable

@@ -131,6 +131,14 @@ object Aggregates {
           Array(col("sum_price"), col("n_orders"), col("avg_price")),
           "metric", "value")
         .orderBy("o_orderstatus", "metric")
+    }),
+    "agg_outlier_iqr" -> ((s, d) => {
+      // Tukey-fence outliers per event type: exact per-group
+      // percentiles broadcast back as fences, rowwise verdict — robust
+      // to skew (events.value has a heavy tail, unlike order totals)
+      graft.api.StatsOps.iqrOutliers(Tables.events(s, d),
+          "event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")
     })
   )
 
@@ -209,6 +217,18 @@ object Aggregates {
         |  SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM w
         |  UNION ALL SELECT o_orderstatus, 'n_orders', n_orders FROM w
         |  UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM w)
-        |ORDER BY o_orderstatus, metric""".stripMargin
+        |ORDER BY o_orderstatus, metric""".stripMargin,
+    "agg_outlier_iqr" ->
+      s"""WITH c AS (SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT event_type,
+        |    ${O.r4("q1 - 1.5 * (q3 - q1)")} AS lo,
+        |    ${O.r4("q3 + 1.5 * (q3 - q1)")} AS hi FROM c)
+        |SELECT event_type, event_id, value
+        |FROM events JOIN b USING (event_type)
+        |WHERE value < lo OR value > hi
+        |ORDER BY event_type, event_id""".stripMargin
   )
 }

@@ -128,6 +128,13 @@ object Windows {
       // n-gram transform, partial-agg count, global top-k
       graft.api.TimeSeriesOps.topEventPaths(Tables.events(s, d),
         "user_id", "event_type", "ts", "event_id", n = 3, k = 20)
+    }),
+    "events_anomaly_zscore" -> ((s, d) => {
+      // metric anomalies: |z| >= 3 per event type — one stats
+      // aggregate broadcast back, rowwise verdict, no second shuffle
+      graft.api.StatsOps.zscoreFlags(Tables.events(s, d),
+          "event_type", "event_id", "value", threshold = 3.0)
+        .orderBy("event_type", "event_id")
     })
   )
 
@@ -230,6 +237,14 @@ object Windows {
         |        i -> ets[i] || '>' || ets[i+1] || '>' || ets[i+2])) AS path
         |      FROM s WHERE len(ets) >= 3)
         |SELECT path, count(*) AS n FROM g
-        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "events_anomaly_zscore" ->
+      s"""WITH s AS (SELECT event_type, avg(value) AS mu,
+        |             stddev_pop(value) AS sd FROM events GROUP BY 1),
+        |j AS (SELECT event_type, event_id, value,
+        |        ${graft.Canon.sql.r4("(value - mu) / sd")} AS z
+        |      FROM events JOIN s USING (event_type))
+        |SELECT event_type, event_id, value, z FROM j
+        |WHERE abs(z) >= 3.0 ORDER BY event_type, event_id""".stripMargin
   )
 }

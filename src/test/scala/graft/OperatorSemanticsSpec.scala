@@ -227,6 +227,52 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == top, s"got $got, expected $top")
   }
 
+  test("events_anomaly_zscore flags exactly the far-from-mean rows (banded)") {
+    val ev = Tables.events(spark, sf).select("event_type", "event_id", "value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val stats = ev.groupBy(_._1).map { case (t, rs) =>
+      val mu = rs.map(_._3).sum / rs.length
+      val sd = math.sqrt(rs.map(v => (v._3 - mu) * (v._3 - mu)).sum / rs.length)
+      (t, (mu, sd))
+    }
+    val got = SparkEntry.queries("events_anomaly_zscore")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))).toMap
+    ev.foreach { case (t, id, v) =>
+      val (mu, sd) = stats(t)
+      val z = (v - mu) / sd
+      // the query rounds z to 4dp before the cut; allow a band around
+      // the threshold where either verdict is legitimate
+      if (math.abs(z) >= 3.0001) assert(got.contains(id), s"event $id z=$z not flagged")
+      if (math.abs(z) <= 2.9999) assert(!got.contains(id), s"event $id z=$z wrongly flagged")
+      got.get(id).foreach(gz => assert(math.abs(gz - z) < 1e-3, s"event $id z mismatch"))
+    }
+  }
+
+  test("agg_outlier_iqr flags exactly the outside-the-fence rows (banded)") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def pct(sorted: Array[Double], p: Double): Double = {
+      val idx = (sorted.length - 1) * p
+      val lo = idx.toInt
+      if (lo == sorted.length - 1) sorted(lo)
+      else sorted(lo) + (idx - lo) * (sorted(lo + 1) - sorted(lo))
+    }
+    val fences = events.groupBy(_._1).map { case (st, rs) =>
+      val v = rs.map(_._3).sorted
+      val (q1, q3) = (pct(v, 0.25), pct(v, 0.75))
+      (st, (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)))
+    }
+    val got = SparkEntry.queries("agg_outlier_iqr")(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(got.nonEmpty, "the heavy-tailed value column must produce outliers")
+    events.foreach { case (st, k, v) =>
+      val (lo, hi) = fences(st)
+      if (v < lo - 0.001 || v > hi + 0.001) assert(got(k), s"event $k ($v) not flagged")
+      if (v > lo + 0.001 && v < hi - 0.001) assert(!got(k), s"event $k ($v) wrongly flagged")
+    }
+  }
+
   test("stopwordPrune: counts reconcile and no stopword survives") {
     val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

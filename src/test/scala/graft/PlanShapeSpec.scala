@@ -47,7 +47,15 @@ class PlanShapeSpec extends AnyFunSuite {
     ("data_pack_shards", "BroadcastHashJoin",
       "band offsets are a tiny broadcast lookup, not a corpus-wide shuffle join"),
     ("sim_knn_rplsh", "TopKPerGroup",
-      "the LSH candidate ranking takes the native bounded-heap top-k")
+      "the LSH candidate ranking takes the native bounded-heap top-k"),
+    ("events_anomaly_zscore", "BroadcastHashJoin",
+      "per-type stats are a tiny broadcast lookup, not a second shuffle"),
+    ("agg_outlier_iqr", "BroadcastHashJoin",
+      "per-group fences are a tiny broadcast lookup, not a second shuffle"),
+    ("text_top_bigrams", "TakeOrderedAndProject",
+      "top-k grams via bounded heap, never a full gram-table sort"),
+    ("events_top_paths", "TakeOrderedAndProject",
+      "top-k paths via bounded heap, never a full path-table sort")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
@@ -123,6 +131,21 @@ class PlanShapeSpec extends AnyFunSuite {
         broadcastJoins = false).queryExecution.executedPlan.toString
       assert(p.contains("ShuffledHashJoin"), s"expected SHJ-hinted joins at scale:\n$p")
       assert(!p.contains("BroadcastHashJoin"), s"scale setting must not broadcast:\n$p")
+    }
+  }
+
+  test("sessionize is exactly one user-keyed shuffle; chunkFixed is shuffle-free") {
+    TestSpark.withExtSession { s =>
+      val p1 = graft.api.TimeSeriesOps.sessionize(
+        Tables.events(s, TestSpark.sf0001), "user_id", "event_id", "ts",
+        21600000000L).queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(p1).size == 1,
+        s"sessionize must shuffle once on the user key (lag, running sum, and " +
+          s"the (user, session) aggregate all reuse that partitioning):\n$p1")
+      val p2 = graft.api.TextAnalysis.chunkFixed(
+        Tables.documents(s, TestSpark.sf0001), "doc_id", "text", 64, 48)
+        .queryExecution.executedPlan.toString
+      assert(!p2.contains("Exchange"), s"chunkFixed must not shuffle:\n$p2")
     }
   }
 
