@@ -1750,6 +1750,24 @@ object Sampling {
     df.filter(u < weight)
   }
 
+  /** Deterministic per-group cap: keep the `n` rows with the smallest
+    * id digest in each group — a reproducible "take at most n per
+    * language/source" rebalancer with no RNG (the digest order is a
+    * fixed pseudo-random shuffle, so the kept set is unbiased and
+    * identical across runs, partitionings, and engines).
+    *
+    * Scale shape: `row_number() <= n` over (digest, id) per group —
+    * exactly the pattern `GraftExtensions` rewrites to the bounded-heap
+    * TopKPerGroup operator, so each task keeps an n-row heap per group
+    * instead of sorting its partition. */
+  def groupCap(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"per-group cap must be >= 1, got $n")
+    val w = Window.partitionBy(groupCol).orderBy(idHex(idCol).asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= n)
+      .drop("_rn")
+  }
+
   /** Deterministic train/test assignment from the same digest: ids
     * with first hex char < trainHexMax go to "train" (e.g. "d" →
     * 13/16 ≈ 81%). Membership is a pure function of the id, so a doc

@@ -132,6 +132,16 @@ object Aggregates {
           "metric", "value")
         .orderBy("o_orderstatus", "metric")
     }),
+    "agg_percentiles_multi" -> ((s, d) => {
+      // the ops-report percentile ladder (p50/p90/p99/max) per event
+      // type — exact percentiles in ONE aggregate pass
+      Tables.events(s, d).groupBy("event_type").agg(
+        Canon.r4(expr("percentile(value, 0.5)")).as("p50"),
+        Canon.r4(expr("percentile(value, 0.9)")).as("p90"),
+        Canon.r4(expr("percentile(value, 0.99)")).as("p99"),
+        max(col("value")).as("pmax"))
+        .orderBy("event_type")
+    }),
     "agg_outlier_iqr" -> ((s, d) => {
       // Tukey-fence outliers per event type: exact per-group
       // percentiles broadcast back as fences, rowwise verdict — robust
@@ -218,6 +228,13 @@ object Aggregates {
         |  UNION ALL SELECT o_orderstatus, 'n_orders', n_orders FROM w
         |  UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM w)
         |ORDER BY o_orderstatus, metric""".stripMargin,
+    "agg_percentiles_multi" ->
+      s"""SELECT event_type,
+        |  ${O.r4("quantile_cont(value, 0.5)")} AS p50,
+        |  ${O.r4("quantile_cont(value, 0.9)")} AS p90,
+        |  ${O.r4("quantile_cont(value, 0.99)")} AS p99,
+        |  max(value) AS pmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_outlier_iqr" ->
       s"""WITH c AS (SELECT event_type,
         |    quantile_cont(value, 0.25) AS q1,

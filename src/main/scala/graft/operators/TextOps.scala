@@ -121,6 +121,14 @@ object TextOps {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+    "data_sample_group_topn" -> ((s, d) => {
+      // per-language cap: at most 50 docs per lang, chosen by digest
+      // order (deterministic, unbiased) — planned as the bounded-heap
+      // TopKPerGroup operator, not a per-group sort
+      graft.api.Sampling.groupCap(Tables.documents(s, d), "doc_id", "lang", 50)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
     "data_split_counts" -> ((s, d) => {
       // deterministic train/test split (~81/19) with per-lang counts —
       // membership is a pure function of doc_id
@@ -400,6 +408,13 @@ object TextOps {
         |     + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) / 16777216.0
         |  < least(1.0, n_chars / 400.0)
         |ORDER BY doc_id""".stripMargin,
+    "data_sample_group_topn" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY doc_id""".stripMargin,
     "data_split_counts" ->
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd'
         |            THEN 'train' ELSE 'test' END AS split,

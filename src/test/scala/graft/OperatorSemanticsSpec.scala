@@ -273,6 +273,20 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupCap keeps exactly the n smallest-digest rows per group") {
+    def hex(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).values.flatMap { rs =>
+      rs.sortBy(r => (hex(r._1), r._1)).take(50).map(_._1).toSeq
+    }.toSet
+    val got = SparkEntry.queries("data_sample_group_topn")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(docs.filter(d => got(d._1)).groupBy(_._2).values.forall(_.length <= 50))
+  }
+
   test("stopwordPrune: counts reconcile and no stopword survives") {
     val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

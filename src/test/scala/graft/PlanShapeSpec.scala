@@ -55,7 +55,9 @@ class PlanShapeSpec extends AnyFunSuite {
     ("text_top_bigrams", "TakeOrderedAndProject",
       "top-k grams via bounded heap, never a full gram-table sort"),
     ("events_top_paths", "TakeOrderedAndProject",
-      "top-k paths via bounded heap, never a full path-table sort")
+      "top-k paths via bounded heap, never a full path-table sort"),
+    ("data_sample_group_topn", "TopKPerGroup",
+      "the per-group cap takes the bounded-heap operator, not a per-group sort")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
