@@ -944,6 +944,46 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** Incremental EXACT embedding dedup: cosine ≥ minSim pairs between a
+    * new BATCH and an existing CORPUS (never corpus×corpus) — the
+    * embedding twin of `Dedup.jaccardPairsAgainstIndex`, completing the
+    * incremental family (exact text, MinHash, embeddings).
+    *
+    * Per-batch-vector cell pruning is tighter than the symmetric
+    * variant: corpus cell c can contain a match for batch vector v only
+    * if θ(v, centroid_c) − r_c ≤ θmax (triangle inequality on the
+    * sphere), so each batch vector probes only the cells that can
+    * possibly qualify. Output is provably identical to the brute-force
+    * batch×corpus join on ANY data — the codebook affects pruning
+    * quality, never correctness.
+    *
+    * Scale shape: the corpus cell assignment and per-cell radii are
+    * computable ONCE and persistable (cell id = write-time partition
+    * key); a daily ingest then pays one map pass over the batch, a
+    * broadcast of the tiny radius table, and an equi-join on the cell
+    * id — probe cost tracks BATCH size, not corpus size. */
+  def cosinePairsAgainstIndexCellBlocked(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, minSim: Double,
+      centroids: Array[Array[Float]], simRound: Option[Int] = None): DataFrame = {
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val angToCell = udf((v: Seq[Float], c: Int) =>
+      math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(v, centroids(c))))))
+    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, minSim)))
+    val corp = fanout(corpus).select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+      .withColumn("_cell", cellOf(col("_cv")))
+    val radii = corp.withColumn("_ang", angToCell(col("_cv"), col("_cell")))
+      .groupBy("_cell").agg(max(col("_ang")).as("_rad"))
+    val probes = fanout(batch).select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
+      .crossJoin(broadcast(radii))
+      .filter(angToCell(col("_bv"), col("_cell")) - col("_rad") <= thetaMax + 1e-12)
+      .select(col("_bid"), col("_bv"), col("_cell"))
+    val sim = cos(corpus)(col("_bv"), col("_cv"))
+    probes.join(corp, "_cell")
+      .select(col("_bid").as("id1"), col("_cid").as("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** IVF-style approximate kNN — the scale path for similarity search.
     *
     * Coarse quantization: every vector is assigned to its nearest of

@@ -79,6 +79,21 @@ object SimilarityOps {
           minSim = 0.4, centroids = cents, simRound = Some(4))
         .orderBy("id1", "id2")
     }),
+    "dedup_embed_incremental" -> ((s, d) => {
+      // incremental semantic dedup: new-batch vectors (id-digest split,
+      // ~19%) vs the existing corpus — EXACT batch×corpus cosine pairs
+      // via per-batch-vector cell pruning (cosinePairsAgainstIndexCell
+      // Blocked); probe cost tracks batch size, the corpus cell layout
+      // is the persistable index side. Codebook trained on the CORPUS
+      // only (the index side a real ingest would have on hand).
+      val e = Tables.embeddings(s, d)
+      val isNew = substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) >= "d"
+      val corpus = e.filter(!isNew)
+      val cents = Similarity.trainCodebook(corpus, "vec_id", "embedding", k = 16)
+      Similarity.cosinePairsAgainstIndexCellBlocked(e.filter(isNew), corpus,
+          "vec_id", "embedding", minSim = 0.4, centroids = cents, simRound = Some(4))
+        .orderBy("id1", "id2")
+    }),
     "sim_threshold_join" -> ((s, d) => {
       Similarity.cosineThresholdJoin(Tables.embeddings(s, d), "vec_id", "embedding",
           groupCol = "label", minSim = 0.95, simRound = Some(4))
@@ -134,6 +149,16 @@ object SimilarityOps {
       s"""WITH p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  ${O.r4(duckCosine("a.embedding", "b.embedding"))} AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id1, id2, sim FROM p WHERE sim >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+    "dedup_embed_incremental" ->
+      s"""WITH n AS (SELECT vec_id, embedding FROM embeddings
+        |       WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= 'd'),
+        |c AS (SELECT vec_id, embedding FROM embeddings
+        |      WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < 'd'),
+        |p AS (SELECT n.vec_id AS id1, c.vec_id AS id2,
+        |        ${O.r4(duckCosine("n.embedding", "c.embedding"))} AS sim
+        |      FROM n, c)
         |SELECT id1, id2, sim FROM p WHERE sim >= 0.4
         |ORDER BY id1, id2""".stripMargin,
     "sim_threshold_join" ->

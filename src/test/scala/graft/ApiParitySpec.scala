@@ -217,4 +217,30 @@ class ApiParitySpec extends AnyFunSuite {
     assert(local.size == 41 && local.values.forall(_ == 0L),
       s"local path must collapse the chain to cluster 0: $local")
   }
+
+  test("cosinePairsAgainstIndexCellBlocked equals the brute-force batch×corpus join") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def hex1(id: Long): Char = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    val (batch, corpus) = e.partition(v => hex1(v._1) >= 'd')
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var (dot, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (for {
+      (bid, bv) <- batch; (cid, cv) <- corpus
+      s = math.floor(cosine(bv, cv) * 10000 + 0.5) / 10000 if s >= 0.4
+    } yield (bid, cid, s)).toSet
+    val got = SparkEntry.queries("dedup_embed_incremental")(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "the fixture must produce at least one pair")
+    assert(got == expected,
+      s"missing: ${(expected diff got).take(3)}, extra: ${(got diff expected).take(3)}")
+  }
 }
