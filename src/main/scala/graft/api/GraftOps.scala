@@ -1825,6 +1825,33 @@ object MlPipeline {
   def linearScore(df: DataFrame, vecCol: String, weights: Array[Double]): DataFrame =
     df.withColumn("score", Kernels.linearScoreUdf(weights)(col(vecCol)))
 
+  /** ROC AUC via the rank-sum (Mann-Whitney U) formula over SCORE
+    * BINS: AUC = Σ_s nPos_s · (negBelow_s + nNeg_s / 2) / (P · N),
+    * ties (equal scores) contributing half — exact on the binned
+    * scores. Callers pass an already-rounded score column; binning on
+    * the rounded grid is what makes the statistic engine-portable.
+    *
+    * Scale shape: one hash aggregate per DISTINCT score (shuffle ∝
+    * bins, bounded by the rounding grid — ≤ ~10⁴ rows for 4 dp scores
+    * in [0,1], at ANY corpus size), then the ordered cumulative pass
+    * runs over that provably tiny table. Never a global sort or
+    * per-row rank window over the data — the reason plain
+    * rank-then-sum AUC breaks at 100 TB and this shape doesn't. The
+    * numerator sums half-integer products of exact counts, so it is
+    * order-independent in IEEE doubles (no decimal detour needed). */
+  def aucBinned(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val bins = df.select(col(scoreCol).as("_s"), col(labelCol).cast("long").as("_y"))
+      .groupBy("_s")
+      .agg(sum(col("_y")).as("_np"), (count(lit(1)) - sum(col("_y"))).as("_nn"))
+    val w = Window.orderBy(col("_s")).rowsBetween(Window.unboundedPreceding, -1)
+    bins.withColumn("_below", coalesce(sum(col("_nn")).over(w), lit(0L)))
+      .agg(sum(col("_np").cast("double")
+          * (col("_below").cast("double") + col("_nn").cast("double") / 2.0)).as("_num"),
+        sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"))
+      .select(Canon.r4(col("_num") / (col("n_pos") * col("n_neg"))).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
   /** Full-batch logistic-regression GD via treeAggregate: shuffle-free
     * tree reduction per step, O(dims) driver state — the reference's
     * broadcast+reduce training loop, which scales to 1000 executors. */

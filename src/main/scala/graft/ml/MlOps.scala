@@ -54,6 +54,14 @@ object MlOps {
           sum(when(col("score") < 0.5 && col("y") === 0, 1).otherwise(0)).cast("long").as("tn"),
           sum(when(col("score") < 0.5 && col("y") === 1, 1).otherwise(0)).cast("long").as("fn"))
     }),
+    "ml_eval_auc" -> ((s, d) => {
+      // ROC AUC over the binned (4 dp) scores — rank-sum formula, one
+      // aggregate per distinct score + a cumulative pass over the tiny
+      // bin table; never a per-row rank window
+      MlPipeline.aucBinned(
+        scored(s, d).select(col("score"), (col("label") % 2).as("y")),
+        "score", "y")
+    }),
     "ml_batch_stats" -> ((s, d) => {
       Tables.embeddings(s, d)
         .groupBy("label")
@@ -96,6 +104,19 @@ object MlOps {
         |  CAST(sum(CASE WHEN score < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
         |  CAST(sum(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |FROM t""".stripMargin,
+    "ml_eval_auc" ->
+      s"""WITH t AS (SELECT $duckScore AS s, label % 2 AS y FROM embeddings),
+        |b AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+        |        CAST(count(*) - sum(y) AS BIGINT) AS nn FROM t GROUP BY 1),
+        |c AS (SELECT s, np, nn,
+        |        CAST(coalesce(sum(nn) OVER (ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+        |      FROM b)
+        |SELECT
+        |  ${O.r4("sum(CAST(np AS DOUBLE) * (CAST(below AS DOUBLE) + CAST(nn AS DOUBLE) / 2)) / (sum(np) * sum(nn))")} AS auc,
+        |  CAST(sum(np) AS BIGINT) AS n_pos,
+        |  CAST(sum(nn) AS BIGINT) AS n_neg
+        |FROM c""".stripMargin,
     "ml_batch_stats" ->
       """SELECT label, count(*) AS n,
         |  CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_batches

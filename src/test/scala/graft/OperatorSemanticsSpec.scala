@@ -287,6 +287,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(docs.filter(d => got(d._1)).groupBy(_._2).values.forall(_.length <= 50))
   }
 
+  test("ml_eval_auc equals the pairwise Mann-Whitney statistic on binned scores") {
+    val r = SparkEntry.queries("ml_eval_auc")(spark, sf).collect().head
+    val (auc, nPos, nNeg) = (r.getDouble(0), r.getLong(1), r.getLong(2))
+    val rows = Tables.embeddings(spark, sf).select("embedding", "label").collect()
+      .map { row =>
+        val e = row.getSeq[Float](0)
+        val dot = e.zip(graft.ml.MlOps.weights).map { case (x, w) => x.toDouble * w }.sum
+        val s = math.floor((1.0 / (1.0 + math.exp(-dot))) * 10000 + 0.5) / 10000
+        (s, row.getInt(1) % 2)
+      }
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    var wins = 0.0
+    for (ps <- pos; ns <- neg)
+      wins += (if (ps > ns) 1.0 else if (ps == ns) 0.5 else 0.0)
+    val expected = math.floor(wins / (pos.length.toDouble * neg.length) * 10000 + 0.5) / 10000
+    assert(nPos == pos.length && nNeg == neg.length)
+    assert(math.abs(auc - expected) < 1e-9, s"auc $auc vs pairwise $expected")
+  }
+
   test("stopwordPrune: counts reconcile and no stopword survives") {
     val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
