@@ -924,7 +924,12 @@ object Similarity {
     val radii = vecs.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
     val centAng = udf((a: Int, b: Int) =>
       math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(centroids(a).toSeq, centroids(b))))))
-    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, minSim)))
+    // the output filter compares the ROUNDED sim to minSim, which
+    // admits true sims down to minSim − half an ulp of the rounding
+    // grid — the pruning bound must use that effective threshold or
+    // boundary pairs in tight cells would be silently dropped
+    val effMin = minSim - simRound.map(k => 0.5 * math.pow(10.0, -k)).getOrElse(0.0)
+    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
     val allowed = radii.select(col("_cell").as("_ca"), col("_rad").as("_ra"))
       .crossJoin(radii.select(col("_cell").as("_cb"), col("_rad").as("_rb")))
       .filter(col("_ca") <= col("_cb"))
@@ -968,7 +973,11 @@ object Similarity {
     val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
     val angToCell = udf((v: Seq[Float], c: Int) =>
       math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(v, centroids(c))))))
-    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, minSim)))
+    // same rounding-aware pruning bound as cosinePairsAboveCellBlocked:
+    // the rounded-sim output filter admits true sims half a grid step
+    // below minSim, so the triangle-inequality cut must too
+    val effMin = minSim - simRound.map(k => 0.5 * math.pow(10.0, -k)).getOrElse(0.0)
+    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
     val corp = fanout(corpus).select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
       .withColumn("_cell", cellOf(col("_cv")))
     val radii = corp.withColumn("_ang", angToCell(col("_cv"), col("_cell")))
@@ -1330,8 +1339,15 @@ object TimeSeriesOps {
     * plain count(*), no count-distinct shuffle. Day arithmetic is
     * integral (`div`), identical in any engine. */
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    // FLOOR division, not `div` (which truncates toward zero): the two
+    // agree for post-1970 timestamps but diverge on negative micros,
+    // and the DuckDB twin (`//`) floors — integral arithmetic keeps
+    // the claim exact in both engines at any timestamp
     val days = df.select(col(userCol).as("_u"),
-        expr(s"unix_micros(`$tsCol`) div 86400000000").as("_day"))
+        expr(s"""unix_micros(`$tsCol`) div 86400000000
+                | + (CASE WHEN unix_micros(`$tsCol`) % 86400000000 < 0
+                |    THEN -1 ELSE 0 END)""".stripMargin.replace("\n", " "))
+          .as("_day"))
       .distinct()
     val first = days.groupBy("_u").agg(min(col("_day")).as("_cohort"))
     days.join(first, "_u")
@@ -1355,11 +1371,7 @@ object TimeSeriesOps {
       tsCol: String, idCol: String, n: Int, k: Int): DataFrame = {
     require(n >= 2, s"path length must be >= 2, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
-    val grams = expr(
-      s"""CASE WHEN size(_ets) >= $n
-         |  THEN transform(sequence(1, size(_ets) - ${n - 1}),
-         |         i -> concat_ws('>', slice(_ets, i, $n)))
-         |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    val grams = TextAnalysis.arrayNgrams(col("_ets"), n, ">")
     df.select(col(userCol).as("_u"),
         struct(unix_micros(col(tsCol)).as("_us"), col(idCol).as("_id"),
           col(typeCol).as("_e")).as("_s"))
@@ -1511,13 +1523,18 @@ object TextAnalysis {
   /** Sliding word n-grams of `textCol` as an array column — pure
     * codegen (split → transform/slice/concat_ws), empty when the doc
     * has fewer than n tokens. */
-  private def wordNgrams(textCol: String, n: Int): Column = {
-    val toks = split(col(textCol), " ")
-    val cnt = (size(toks) - (n - 1)).cast("int")
+  /** Sliding n-grams over any array column, elements joined with
+    * `sep`; arrays shorter than n yield an empty array. Shared by the
+    * word-gram operators here and the event-path miner. */
+  private[api] def arrayNgrams(arr: Column, n: Int, sep: String): Column = {
+    val cnt = (size(arr) - (n - 1)).cast("int")
     when(cnt > 0,
-      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      transform(sequence(lit(1), cnt), i => concat_ws(sep, slice(arr, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
   }
+
+  private def wordNgrams(textCol: String, n: Int): Column =
+    arrayNgrams(split(col(textCol), " "), n, " ")
 
   /** Within-document repetition: the fraction of duplicated token
     * n-grams (1 − distinct/total), the classic repetition quality gate
@@ -1576,7 +1593,9 @@ object TextAnalysis {
     * step before tokenize-and-pack for an LLM context window; stride <
     * chunkSize gives the standard overlap so no span is split across a
     * boundary unseen). Emits (id, chunk_id, n_tokens, chunk); the last
-    * chunk may be short.
+    * chunk may be short, and chunking stops with the first chunk that
+    * reaches the final token — no tail chunk that is a strict subset
+    * of its predecessor.
     *
     * Scale shape: pure rowwise codegen — split once, explode a chunk
     * ordinal sequence, slice per ordinal. No shuffle, no state; output
@@ -1585,9 +1604,14 @@ object TextAnalysis {
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
     require(stride >= 1, s"stride must be >= 1, got $stride")
+    // last chunk ordinal = first start position whose chunk reaches the
+    // final token: ceil((n - chunkSize)/stride), clamped at 0 — starting
+    // past that would emit tail chunks strictly contained in the
+    // previous one (duplicate content in the packed/indexed output)
     df.select(col(idCol), split(col(textCol), " ").as("_w"))
       .select(col(idCol), col("_w"),
-        explode(expr(s"sequence(0, CAST((size(_w) - 1) div $stride AS INT))"))
+        explode(expr(s"sequence(0, greatest(0, CAST((size(_w) - $chunkSize" +
+            s" + $stride - 1) div $stride AS INT)))"))
           .as("_ci"))
       .select(col(idCol), col("_ci").cast("long").as("chunk_id"),
         size(slice(col("_w"), col("_ci") * stride + 1, lit(chunkSize)))
@@ -1848,7 +1872,8 @@ object MlPipeline {
       .agg(sum(col("_np").cast("double")
           * (col("_below").cast("double") + col("_nn").cast("double") / 2.0)).as("_num"),
         sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"))
-      .select(Canon.r4(col("_num") / (col("n_pos") * col("n_neg"))).as("auc"),
+      .select(Canon.r4(col("_num")
+          / (col("n_pos").cast("double") * col("n_neg").cast("double"))).as("auc"),
         col("n_pos"), col("n_neg"))
   }
 

@@ -441,7 +441,8 @@ object TextOps {
     "text_chunk_fixed" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w,
-        |        unnest(generate_series(0, (len(w) - 1) // 48)) AS i FROM t)
+        |        unnest(generate_series(0,
+        |          greatest(0, (len(w) - 64 + 47) // 48))) AS i FROM t)
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
         |  CAST(len(w[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[(i*48 + 1):(i*48 + 64)], ' ') AS chunk

@@ -152,8 +152,12 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     docs.collect().foreach { r =>
       val (id, toks) = (r.getLong(0), r.getString(1).split(" ", -1))
       val mine = chunks.filter(_._1 == id).sortBy(_._2)
-      val expN = (toks.length - 1) / 48 + 1
+      // chunking stops at the first chunk reaching the final token —
+      // a doc of <= 64 tokens is exactly one chunk, never a redundant
+      // tail that is a subset of its predecessor
+      val expN = 1 + math.max(0, (toks.length - 64 + 47) / 48)
       assert(mine.length == expN, s"doc $id: ${mine.length} chunks, expected $expN")
+      assert(mine.last._2 * 48 + 64 >= toks.length, s"doc $id: tail not covered")
       mine.foreach { case (_, ci, n, chunk) =>
         val exp = toks.slice(ci.toInt * 48, ci.toInt * 48 + 64)
         assert(n == exp.length && chunk == exp.mkString(" "), s"doc $id chunk $ci")
