@@ -105,6 +105,35 @@ object Dedup {
       .filter(col("n") > 1)
   }
 
+  /** Fuzzy near-dup pairs by EDIT DISTANCE within prefix blocks:
+    * candidates share their first-`prefixK`-token fingerprint (the
+    * crawl shape — same page head, mutated tail), and survivors have
+    * full-text Levenshtein ≤ `maxDist`. Complements the set-based
+    * Jaccard family: edit distance also catches reorder-free
+    * character-level mutations (typos, template substitutions) that
+    * token-set measures under-count.
+    *
+    * Scale shape: the block key is one rowwise digest; candidates form
+    * a self-equi-join on it (pair volume bounded by block sizes, never
+    * all-pairs), and Levenshtein is a codegen'd built-in evaluated only
+    * inside blocks. Exact Levenshtein is O(len²) per pair — the block
+    * bound is what makes that affordable; choose prefixK so blocks
+    * stay small (larger k → tighter blocks → fewer candidates). */
+  def levenshteinPairs(df: DataFrame, idCol: String, textCol: String,
+      prefixK: Int, maxDist: Int): DataFrame = {
+    require(prefixK > 0, s"prefix length must be > 0, got $prefixK")
+    require(maxDist >= 0, s"max distance must be >= 0, got $maxDist")
+    val key = md5(concat_ws(" ",
+      slice(split(col(textCol), " "), 1, prefixK)).cast("binary"))
+    val t = df.select(col(idCol).as("_ida"), col(textCol).as("_ta"), key.as("_k"))
+    val u = df.select(col(idCol).as("_idb"), col(textCol).as("_tb"), key.as("_k"))
+    t.join(u, "_k")
+      .filter(col("_ida") < col("_idb"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("_ida").as("id1"), col("_idb").as("id2"), col("dist"))
+  }
+
   /** Exact Jaccard ≥ threshold pairs from a pre-hashed shingle table
     * `(id, _grp, _h: sorted distinct Array[Long])` — the shared core of
     * `nearJaccardPairs` / `ngramJaccardPairs`.
@@ -1339,21 +1368,48 @@ object TimeSeriesOps {
     * plain count(*), no count-distinct shuffle. Day arithmetic is
     * integral (`div`), identical in any engine. */
   def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    // FLOOR division, not `div` (which truncates toward zero): the two
-    // agree for post-1970 timestamps but diverge on negative micros,
-    // and the DuckDB twin (`//`) floors — integral arithmetic keeps
-    // the claim exact in both engines at any timestamp
-    val days = df.select(col(userCol).as("_u"),
-        expr(s"""unix_micros(`$tsCol`) div 86400000000
-                | + (CASE WHEN unix_micros(`$tsCol`) % 86400000000 < 0
-                |    THEN -1 ELSE 0 END)""".stripMargin.replace("\n", " "))
-          .as("_day"))
+    val days = df.select(col(userCol).as("_u"), epochDay(tsCol).as("_day"))
       .distinct()
     val first = days.groupBy("_u").agg(min(col("_day")).as("_cohort"))
     days.join(first, "_u")
       .groupBy(col("_cohort").as("cohort_day"),
         (col("_day") - col("_cohort")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Epoch day with FLOOR semantics, not `div` (which truncates toward
+    * zero): the two agree post-1970 but diverge on negative micros, and
+    * the DuckDB twin (`//`) floors — integral arithmetic keeps the
+    * bucketing exact in both engines at any timestamp. */
+  private def epochDay(tsCol: String): Column =
+    expr(s"unix_micros(`$tsCol`) div 86400000000" +
+      s" + (CASE WHEN unix_micros(`$tsCol`) % 86400000000 < 0 THEN -1 ELSE 0 END)")
+
+  /** Daily + trailing-window active users: for every active day,
+    * |distinct users that day| (DAU) and |distinct users in
+    * [day − windowDays + 1, day]| (WAU for the default 7) — the
+    * product-health report every event pipeline serves.
+    *
+    * Scale shape: (user, day) pairs are distinct-ed first (shuffle ∝
+    * user-days, not events). DAU is one count per day. WAU replicates
+    * each user-day to its ≤ windowDays trailing report days with a
+    * rowwise bounded explode, distincts (user, report-day), and counts
+    * — a constant-factor fanout of the small user-day table, instead
+    * of the distinct-over-sliding-window no engine can aggregate
+    * incrementally. */
+  def activeUsers(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day, got $windowDays")
+    val days = df.select(col(userCol).as("_u"), epochDay(tsCol).as("_day"))
+      .distinct()
+    val dau = days.groupBy("_day").agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("_u"),
+        explode(sequence(col("_day"), col("_day") + (windowDays - 1))).as("_rday"))
+      .distinct()
+      .groupBy("_rday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("_day") === col("_rday"))
+      .select(col("_day").as("day"), col("dau"), col("wau"))
   }
 
   /** Top-k most common length-`n` event-type sequences (user journeys):
@@ -1455,6 +1511,21 @@ object TextAnalysis {
       .withColumn("tfidf",
         col("tf").cast("double") * log(col("_n").cast("double") / col("dft").cast("double")))
       .select(col(idCol), col("token"), col("tf"), col("dft"), col("tfidf"))
+  }
+
+  /** Per-document top-k keywords by TF-IDF (ties break on the token) —
+    * the summarization/tagging step after term weighting. The weight is
+    * pre-rounded (4 dp) so rank ties cannot straddle a float ulp
+    * between engines; the `row_number() <= k` filter plans as the
+    * bounded-heap TopKPerGroup operator under `GraftExtensions`. */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("token").asc)
+    tfidf(df, idCol, textCol)
+      .withColumn("tfidf", Canon.r4(col("tfidf")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("token"), col("tfidf"), col("rn"))
   }
 
   /** Okapi BM25 term weighting with the standard k1/b defaults:

@@ -167,6 +167,20 @@ object TextOps {
       TextAnalysis.stopwordPrune(Tables.documents(s, d), "doc_id", "text", stopwords)
         .orderBy("doc_id")
     }),
+    "text_keywords_topk" -> ((s, d) => {
+      // per-doc top-3 TF-IDF keywords — tfidf aggregate + bounded-heap
+      // TopKPerGroup (row_number<=k rewrite), never a per-doc sort
+      TextAnalysis.topKeywords(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rn")
+    }),
+    "dedup_fuzzy_levenshtein" -> ((s, d) => {
+      // fuzzy near-dup: same-first-4-token blocks, full-text edit
+      // distance <= 50 within a block — the char-level complement to
+      // the token-set Jaccard family; candidates never all-pairs
+      Dedup.levenshteinPairs(Tables.documents(s, d), "doc_id", "text",
+          prefixK = 4, maxDist = 50)
+        .orderBy("id1", "id2")
+    }),
     "dedup_near_jaccard" -> ((s, d) => {
       Dedup.nearJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.8, Some("lang"))
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
@@ -462,6 +476,28 @@ object TextOps {
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  array_to_string(kept, ' ') AS pruned
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_keywords_topk" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS dft FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token,
+        |        ${O.r4("CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(dfq.dft AS DOUBLE))")} AS tfidf
+        |      FROM tf JOIN dfq USING (token) CROSS JOIN n),
+        |r AS (SELECT doc_id, token, tfidf,
+        |        CAST(row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY tfidf DESC, token) AS BIGINT) AS rn FROM s)
+        |SELECT doc_id, token, tfidf, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
+    "dedup_fuzzy_levenshtein" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS k
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM t a JOIN t b ON a.k = b.k AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 50
+        |ORDER BY id1, id2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |  list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 0)),

@@ -129,6 +129,12 @@ object Windows {
       graft.api.TimeSeriesOps.topEventPaths(Tables.events(s, d),
         "user_id", "event_type", "ts", "event_id", n = 3, k = 20)
     }),
+    "events_active_users" -> ((s, d) => {
+      // DAU + trailing-7-day WAU per active day — distinct user-days,
+      // one count per day, bounded explode for the trailing window
+      graft.api.TimeSeriesOps.activeUsers(Tables.events(s, d), "user_id", "ts")
+        .orderBy("day")
+    }),
     "events_anomaly_zscore" -> ((s, d) => {
       // metric anomalies: |z| >= 3 per event type — one stats
       // aggregate broadcast back, rowwise verdict, no second shuffle
@@ -238,6 +244,15 @@ object Windows {
         |      FROM s WHERE len(ets) >= 3)
         |SELECT path, count(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "events_active_users" ->
+      """WITH days AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM days GROUP BY 1),
+        |span AS (SELECT DISTINCT u, day + gs.i AS rday
+        |         FROM days, generate_series(0, 6) gs(i)),
+        |wau AS (SELECT rday, count(*) AS wau FROM span GROUP BY 1)
+        |SELECT day, dau, wau FROM dau JOIN wau ON day = rday
+        |ORDER BY day""".stripMargin,
     "events_anomaly_zscore" ->
       s"""WITH s AS (SELECT event_type, avg(value) AS mu,
         |             stddev_pop(value) AS sd FROM events GROUP BY 1),

@@ -311,6 +311,61 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(math.abs(auc - expected) < 1e-9, s"auc $auc vs pairwise $expected")
   }
 
+  test("levenshteinPairs matches a sequential recompute within prefix blocks") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val cur = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(b.length)
+    }
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val blocks = docs.groupBy(d => d._2.split(" ", -1).take(4).mkString(" "))
+    val expected = blocks.values.flatMap { ds =>
+      for {
+        (i1, t1) <- ds.toSeq; (i2, t2) <- ds.toSeq if i1 < i2
+        dist = lev(t1, t2) if dist <= 50
+      } yield (i1, i2, dist.toLong)
+    }.toSet
+    val got = SparkEntry.queries("dedup_fuzzy_levenshtein")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"missing ${(expected diff got).take(3)}, extra ${(got diff expected).take(3)}")
+  }
+
+  test("events_active_users matches a recomputed DAU/WAU table") {
+    val userDays = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          86400000000L))
+      }.distinct
+    val dau = userDays.groupBy(_._2).map { case (d, us) => (d, us.length.toLong) }
+    val wau = userDays.flatMap { case (u, d) => (d to d + 6).map(rd => (u, rd)) }
+      .distinct.groupBy(_._2).map { case (d, us) => (d, us.length.toLong) }
+    val expected = dau.map { case (d, n) => (d, n, wau(d)) }.toSet
+    val got = SparkEntry.queries("events_active_users")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+  }
+
+  test("text_keywords_topk: at most 3 keywords per doc, weight descending") {
+    val rows = SparkEntry.queries("text_keywords_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.length <= 3 && rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+      val ws = rs.sortBy(_._3).map(_._2)
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, s"doc $doc weights")
+    }
+  }
+
   test("stopwordPrune: counts reconcile and no stopword survives") {
     val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

@@ -57,7 +57,9 @@ class PlanShapeSpec extends AnyFunSuite {
     ("events_top_paths", "TakeOrderedAndProject",
       "top-k paths via bounded heap, never a full path-table sort"),
     ("data_sample_group_topn", "TopKPerGroup",
-      "the per-group cap takes the bounded-heap operator, not a per-group sort")
+      "the per-group cap takes the bounded-heap operator, not a per-group sort"),
+    ("text_keywords_topk", "TopKPerGroup",
+      "per-doc keyword ranking takes the bounded-heap operator")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
