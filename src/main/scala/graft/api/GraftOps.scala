@@ -1412,6 +1412,30 @@ object TimeSeriesOps {
       .select(col("_day").as("day"), col("dau"), col("wau"))
   }
 
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands computation: within a user's distinct active
+    * days, `day − row_number()` is constant exactly on a consecutive
+    * run, so grouping on that island key yields run lengths.
+    *
+    * Scale shape: distinct (user, day) first (∝ user-days), ONE
+    * shuffle on the user key for the row_number window, then the
+    * island and per-user aggregates reuse that partitioning (group
+    * keys extend the user key — no further exchange needed for
+    * co-location). */
+  def activityStreaks(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy("_u").orderBy(col("_day").asc)
+    df.select(col(userCol).as("_u"), epochDay(tsCol).as("_day"))
+      .distinct()
+      .withColumn("_island", col("_day") - row_number().over(w))
+      .groupBy(col("_u"), col("_island"))
+      .agg(count(lit(1)).as("_len"), min(col("_day")).as("_start"))
+      .groupBy(col("_u"))
+      .agg(max(col("_len")).as("max_streak"),
+        count(lit(1)).as("n_streaks"),
+        min(col("_start")).as("first_day"))
+      .withColumnRenamed("_u", userCol)
+  }
+
   /** Top-k most common length-`n` event-type sequences (user journeys):
     * each user's events ordered by (timestamp, id) form a path string
     * `a>b>c`; count every n-window of it corpus-wide — the path-mining

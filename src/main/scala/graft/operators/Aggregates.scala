@@ -132,6 +132,19 @@ object Aggregates {
           "metric", "value")
         .orderBy("o_orderstatus", "metric")
     }),
+    "agg_share_of_total" -> ((s, d) => {
+      // ratio-to-report: each priority's exact-decimal revenue share
+      // of the corpus total — one aggregate + a broadcast 1-row total,
+      // never a global window
+      val per = Tables.orders(s, d).groupBy("o_orderpriority")
+        .agg(Canon.sumDec(col("o_totalprice"), 2).as("rev"))
+      val tot = Tables.orders(s, d)
+        .agg(Canon.sumDec(col("o_totalprice"), 2).as("_tot"))
+      per.crossJoin(broadcast(tot))
+        .select(col("o_orderpriority"), col("rev"),
+          Canon.r4(col("rev") / col("_tot")).as("share"))
+        .orderBy("o_orderpriority")
+    }),
     "agg_percentiles_multi" -> ((s, d) => {
       // the ops-report percentile ladder (p50/p90/p99/max) per event
       // type — exact percentiles in ONE aggregate pass
@@ -228,6 +241,12 @@ object Aggregates {
         |  UNION ALL SELECT o_orderstatus, 'n_orders', n_orders FROM w
         |  UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM w)
         |ORDER BY o_orderstatus, metric""".stripMargin,
+    "agg_share_of_total" ->
+      s"""WITH per AS (SELECT o_orderpriority,
+        |    ${O.sumDec("o_totalprice", 2)} AS rev FROM orders GROUP BY 1),
+        |tot AS (SELECT ${O.sumDec("o_totalprice", 2)} AS t FROM orders)
+        |SELECT o_orderpriority, rev, ${O.r4("rev / t")} AS share
+        |FROM per, tot ORDER BY o_orderpriority""".stripMargin,
     "agg_percentiles_multi" ->
       s"""SELECT event_type,
         |  ${O.r4("quantile_cont(value, 0.5)")} AS p50,

@@ -135,6 +135,12 @@ object Windows {
       graft.api.TimeSeriesOps.activeUsers(Tables.events(s, d), "user_id", "ts")
         .orderBy("day")
     }),
+    "events_streaks" -> ((s, d) => {
+      // gaps-and-islands: longest consecutive-day activity streak per
+      // user — one user-keyed shuffle, island key = day − row_number
+      graft.api.TimeSeriesOps.activityStreaks(Tables.events(s, d), "user_id", "ts")
+        .orderBy("user_id")
+    }),
     "events_anomaly_zscore" -> ((s, d) => {
       // metric anomalies: |z| >= 3 per event type — one stats
       // aggregate broadcast back, rowwise verdict, no second shuffle
@@ -253,6 +259,17 @@ object Windows {
         |wau AS (SELECT rday, count(*) AS wau FROM span GROUP BY 1)
         |SELECT day, dau, wau FROM dau JOIN wau ON day = rday
         |ORDER BY day""".stripMargin,
+    "events_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |i AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+        |      FROM days),
+        |runs AS (SELECT user_id, island, count(*) AS len, min(day) AS start
+        |         FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
+        |  count(*) AS n_streaks, min(start) AS first_day
+        |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
     "events_anomaly_zscore" ->
       s"""WITH s AS (SELECT event_type, avg(value) AS mu,
         |             stddev_pop(value) AS sd FROM events GROUP BY 1),

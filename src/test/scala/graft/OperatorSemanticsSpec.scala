@@ -366,6 +366,36 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("events_streaks matches a sequential gaps-and-islands recompute") {
+    val userDays = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map { r =>
+        val t = r.getTimestamp(1).toInstant
+        (r.getLong(0), Math.floorDiv(t.getEpochSecond * 1000000L + t.getNano / 1000L,
+          86400000000L))
+      }.distinct
+    val expected = userDays.groupBy(_._1).map { case (u, ds) =>
+      val sorted = ds.map(_._2).distinct.sorted
+      val runs = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, d) if acc.nonEmpty && d == acc.head._1 + acc.head._2 =>
+          (acc.head._1, acc.head._2 + 1) :: acc.tail
+        case (acc, d) => (d, 1L) :: acc
+      }
+      (u, runs.map(_._2).max, runs.length.toLong, runs.map(_._1).min)
+    }.toSet
+    val got = SparkEntry.queries("events_streaks")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"missing ${(expected diff got).take(3)}, extra ${(got diff expected).take(3)}")
+  }
+
+  test("agg_share_of_total: shares are positive and sum to ~1") {
+    val rows = SparkEntry.queries("agg_share_of_total")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.forall { case (_, rev, share) => rev > 0 && share > 0 && share < 1 })
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"shares sum to $total")
+  }
+
   test("stopwordPrune: counts reconcile and no stopword survives") {
     val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
