@@ -112,6 +112,32 @@ object TextOps {
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+    "pipeline_end_to_end" -> ((s, d) => {
+      // THE COMPOSITE: quality filter → exact dedup → benchmark
+      // decontamination → deterministic shard packing, in one declared
+      // query — the full pre-training data pipeline, each stage the
+      // same API call its standalone key uses, oracle-checked end to
+      // end. Every stage keeps the scale shape of its standalone twin
+      // (percentile broadcast, hash aggregate, broadcast gram set,
+      // banded cumsum).
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("source"), col("lang"), col("text"),
+        Canon.r4(size(array_distinct(split(col("text"), " "))).cast("double")
+          / size(split(col("text"), " "))).as("ttr"))
+      val quality = TextAnalysis.qualityFilter(scored, "ttr", "source", 0.75)
+      val keep = quality.groupBy(md5(col("text").cast("binary")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val deduped = quality.join(keep.select("doc_id"), "doc_id")
+      val isBench = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) < "2"
+      val corpus = deduped.filter(!isBench)
+      val hits = TextAnalysis.ngramOverlap(corpus, docs.filter(isBench),
+        "doc_id", "text", 8).select("doc_id")
+      val clean = corpus.join(hits, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.api.Sampling.packShards(clean, "doc_id", "lang", "n_tokens", 2048L)
+        .orderBy("lang", "doc_id")
+    }),
     "data_sample_weighted" -> ((s, d) => {
       // quality-weighted deterministic downsample: keep probability ∝
       // doc length (n_chars/400, capped at 1), decided by the id digest
@@ -410,6 +436,34 @@ object TextOps {
         |       WHEN lang IN ('de', 'es', 'fr', 'zh') THEN '1a'
         |       ELSE '00' END
         |ORDER BY doc_id""".stripMargin,
+    "pipeline_end_to_end" ->
+      s"""WITH scored AS (SELECT doc_id, source, lang, text,
+        |    ${O.r4("CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / len(string_split(text, ' '))")} AS ttr
+        |  FROM documents),
+        |cuts AS (SELECT source, quantile_cont(ttr, 0.75) AS cut FROM scored GROUP BY source),
+        |quality AS (SELECT s.doc_id, s.lang, s.text FROM scored s
+        |            JOIN cuts c USING (source) WHERE s.ttr >= c.cut),
+        |keep AS (SELECT md5(text) AS h, min(doc_id) AS doc_id FROM quality GROUP BY 1),
+        |deduped AS (SELECT q.doc_id, q.lang, q.text FROM quality q
+        |            JOIN keep k ON q.doc_id = k.doc_id),
+        |corpus AS (SELECT * FROM deduped
+        |           WHERE substring(md5(doc_id::VARCHAR), 1, 1) >= '2'),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |grams AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g
+        |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-7)) AS i) t),
+        |bench AS (SELECT DISTINCT g FROM grams
+        |          WHERE substring(md5(doc_id::VARCHAR), 1, 1) < '2'),
+        |hits AS (SELECT DISTINCT gr.doc_id FROM grams gr JOIN bench b ON gr.g = b.g),
+        |clean AS (SELECT c.doc_id, c.lang,
+        |            CAST(len(string_split(c.text, ' ')) AS BIGINT) AS n_tokens,
+        |            md5(c.doc_id::VARCHAR) AS dig
+        |          FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        |          WHERE h.doc_id IS NULL)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY dig, doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048
+        |    AS BIGINT) AS shard
+        |FROM clean ORDER BY lang, doc_id""".stripMargin,
     "data_sample_weighted" ->
       """WITH u AS (SELECT doc_id, lang, n_chars,
         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)

@@ -396,6 +396,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) < 1e-3, s"shares sum to $total")
   }
 
+  test("pipeline_end_to_end: no bench docs, no duplicate texts, shards start at 0") {
+    def hex1(id: Long): Char = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    val out = SparkEntry.queries("pipeline_end_to_end")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    assert(out.forall(o => hex1(o._1) >= '2'), "bench docs must not survive")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val survivors = out.map(o => texts(o._1))
+    assert(survivors.distinct.length == survivors.length,
+      "exact duplicates must not survive")
+    out.groupBy(_._2).foreach { case (lang, rs) =>
+      assert(rs.map(_._4).min == 0L, s"lang $lang shards must start at 0")
+    }
+  }
+
   test("stopwordPrune: counts reconcile and no stopword survives") {
     val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
