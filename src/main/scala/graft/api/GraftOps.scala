@@ -1412,6 +1412,30 @@ object TimeSeriesOps {
       .select(col("_day").as("day"), col("dau"), col("wau"))
   }
 
+  /** Keyless interval join at scale: points vs intervals [lo, hi] with
+    * NO equi key — the plan every naive formulation turns into a
+    * cartesian/broadcast-nested-loop. Bin time at `binUs`: each point
+    * owns exactly ONE bin, each interval replicates to its spanned
+    * bins (fanout bounded by len/bin + 1), the join is an equi-join on
+    * the bin id, and the exact containment filter runs after. Because
+    * a point has a single bin, no candidate pair appears twice — no
+    * dedup pass. Choose binUs ≈ the typical interval length: shorter
+    * bins raise interval fanout, longer bins raise false candidates.
+    * Floor-safe at negative timestamps (same semantics as the DuckDB
+    * `//` twin). */
+  def intervalJoinBucketed(points: DataFrame, intervals: DataFrame,
+      pointUsCol: String, loCol: String, hiCol: String, binUs: Long): DataFrame = {
+    require(binUs > 0, s"bin width must be > 0 us, got $binUs")
+    def bin(c: String): Column =
+      expr(s"`$c` div ${binUs}L + (CASE WHEN `$c` % ${binUs}L < 0 THEN -1 ELSE 0 END)")
+    val p = points.withColumn("_bin", bin(pointUsCol))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(bin(loCol), bin(hiCol))))
+    p.join(iv, "_bin")
+      .filter(col(pointUsCol) >= col(loCol) && col(pointUsCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
   /** Longest consecutive-day activity streak per user — the classic
     * gaps-and-islands computation: within a user's distinct active
     * days, `day − row_number()` is constant exactly on a consecutive

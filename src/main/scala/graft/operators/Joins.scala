@@ -95,6 +95,24 @@ object Joins {
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
         .orderBy("o_orderstatus")
     }),
+    "join_interval_bucketed" -> ((s, d) => {
+      // KEYLESS interval join, scale-shaped: views falling inside any
+      // error's ±60 s window, with no shared key — binned to 60 s
+      // buckets so the plan is an equi-join on the bin id (bounded
+      // interval fanout) instead of the cartesian/BNLJ every naive
+      // point-in-interval formulation produces
+      val ev = Tables.events(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), unix_micros(col("ts")).as("vus"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          (unix_micros(col("ts")) - 60000000L).as("lo"),
+          (unix_micros(col("ts")) + 60000000L).as("hi"))
+      graft.api.TimeSeriesOps.intervalJoinBucketed(views, errs,
+          "vus", "lo", "hi", binUs = 60000000L)
+        .groupBy("err_id").agg(count(lit(1)).as("n_views"))
+        .orderBy("err_id")
+    }),
     "join_asof" -> ((s, d) => {
       // For each error event: most recent click (ts <= error ts) by the
       // same user. Union + running `last` = one shuffle by user_id
@@ -164,6 +182,17 @@ object Joins {
         | AND l_shipdate >= o_orderdate
         | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_interval_bucketed" ->
+      """WITH v AS (SELECT event_id AS view_id,
+        |      epoch_us(CAST(ts AS TIMESTAMP)) AS vus
+        |    FROM events WHERE event_type = 'view'),
+        |e AS (SELECT event_id AS err_id,
+        |      epoch_us(CAST(ts AS TIMESTAMP)) - 60000000 AS lo,
+        |      epoch_us(CAST(ts AS TIMESTAMP)) + 60000000 AS hi
+        |    FROM events WHERE event_type = 'error')
+        |SELECT err_id, count(*) AS n_views
+        |FROM v JOIN e ON vus >= lo AND vus <= hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "join_asof" ->
       """WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |                FROM events WHERE event_type = 'error'),

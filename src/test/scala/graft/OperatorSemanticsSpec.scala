@@ -413,6 +413,29 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoinBucketed equals the naive theta join and avoids BNLJ/cartesian") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), unix_micros(col("ts")).as("vus"))
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"),
+        (unix_micros(col("ts")) - 60000000L).as("lo"),
+        (unix_micros(col("ts")) + 60000000L).as("hi"))
+    val bucketed = graft.api.TimeSeriesOps.intervalJoinBucketed(views, errs,
+      "vus", "lo", "hi", 60000000L)
+    val got = bucketed.select("view_id", "err_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = views.join(errs, col("vus") >= col("lo") && col("vus") <= col("hi"))
+      .select("view_id", "err_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive,
+      s"missing ${(naive diff got).take(3)}, extra ${(got diff naive).take(3)}")
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed interval join must be an equi-join on the bin:\n$p")
+  }
+
   test("stopwordPrune: counts reconcile and no stopword survives") {
     val pruned = SparkEntry.queries("text_stopword_prune")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
