@@ -1603,12 +1603,13 @@ object TextAnalysis {
 
   /** Quality gate: keep rows whose score is at or above the p-quantile
     * of their group — "top 25% per source" style data selection. The
-    * per-group quantile is one aggregate (exact interpolated
-    * percentile, matching SQL quantile_cont) broadcast-joined back. */
+    * per-group quantile (exact interpolated percentile, matching SQL
+    * quantile_cont, via the bounded-state histogram form
+    * [[StatsOps.binnedPercentiles]]) is broadcast-joined back. */
   def qualityFilter(df: DataFrame, scoreCol: String, groupCol: String,
       p: Double): DataFrame = {
-    val cuts = df.groupBy(groupCol)
-      .agg(percentile(col(scoreCol), lit(p)).as("_cut"))
+    val cuts = StatsOps.binnedPercentiles(df, groupCol, col(scoreCol),
+      Seq("_cut" -> p))
     df.join(broadcast(cuts), groupCol)
       .filter(col(scoreCol) >= col("_cut"))
       .drop("_cut")
@@ -1802,6 +1803,68 @@ object SkewJoins {
 }
 
 object StatsOps {
+  /** Exact interpolated percentiles (SQL `quantile_cont` semantics)
+    * computed from a per-(group, value) HISTOGRAM instead of Spark's
+    * `percentile` aggregate, whose buffer holds every value of a
+    * group in memory at once — the shape that OOMs a 100 TB group.
+    * Here aggregation state is one count per distinct value (bounded
+    * by the 4 dp rounding grid the determinism rules already impose
+    * on inputs — money is 2 dp, scores are pre-rounded 4 dp), and the
+    * interpolation pass runs over that bin table, never the rows.
+    *
+    * Exactness: bitwise-identical to `percentile()` on any input —
+    * the interpolation replicates Spark's weighted form
+    * `(higher−pos)·v_lo + (pos−lower)·v_hi` (parity-asserted against
+    * the built-in on the fixtures in OperatorSemanticsSpec). Values
+    * are binned as given; nulls are excluded, and a group whose
+    * values are all null is absent (declared callers feed non-null
+    * columns).
+    *
+    * Scale shape: one hash aggregate (group, value) → count with
+    * map-side combine — per-task state ∝ distinct values seen, total
+    * shuffle ∝ bins; then two window passes partitioned by group over
+    * the bin table (≤ grid size rows per group, vs the row count the
+    * buffering aggregate holds). Returns one row per group:
+    * (groupCol, <one column per requested (name, p)>[, maxName]). */
+  def binnedPercentiles(df: DataFrame, groupCol: String, value: Column,
+      ps: Seq[(String, Double)], maxName: Option[String] = None): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    ps.foreach { case (n, p) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile $n must be in [0,1], got $p") }
+    val hist = df.select(col(groupCol), value.cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col(groupCol), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col(groupCol))
+    // bin rows carry [prev, cum) — the 0-based sorted-position range
+    // their value occupies within the group
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+    val aggs = ps.flatMap { case (name, p) =>
+      val h = (col("_n") - 1).cast("double") * p
+      val prev = (col("_cum") - col("_c")).cast("double")
+      val cm = col("_cum").cast("double")
+      // exactly one bin covers each of positions ⌊h⌋ / ⌈h⌉ → the
+      // conditional max is a selection, not a comparison across bins
+      Seq(max(when(prev <= floor(h) && floor(h) < cm, col("_v"))).as(s"_lo_$name"),
+        max(when(prev <= ceil(h) && ceil(h) < cm, col("_v"))).as(s"_hi_$name"))
+    } ++ maxName.map(m => max(col("_v")).as(m))
+    val agged = cum.groupBy(col(groupCol))
+      .agg(sum(col("_c")).as("_n"), aggs: _*)
+    val outs = ps.map { case (name, p) =>
+      val h = (col("_n") - 1).cast("double") * p
+      val lo = floor(h)
+      val hi = ceil(h)
+      val vLo = col(s"_lo_$name")
+      val vHi = col(s"_hi_$name")
+      when(hi === lo, vLo)
+        .otherwise((hi - h) * vLo + (h - lo) * vHi).as(name)
+    } ++ maxName.map(col)
+    agged.select(col(groupCol) +: outs: _*)
+  }
+
   /** Per-key z-score anomaly flags: rows whose value is at least
     * `threshold` population standard deviations from their key's mean —
     * the monitoring/outlier report over a metric stream.
@@ -1834,9 +1897,8 @@ object StatsOps {
   def iqrOutliers(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, k: Double = 1.5): DataFrame = {
     require(k > 0, s"fence multiplier must be > 0, got $k")
-    val cuts = df.groupBy(groupCol)
-      .agg(expr(s"percentile(`$valueCol`, 0.25)").as("_q1"),
-        expr(s"percentile(`$valueCol`, 0.75)").as("_q3"))
+    val cuts = binnedPercentiles(df, groupCol, col(valueCol),
+        Seq("_q1" -> 0.25, "_q3" -> 0.75))
       .select(col(groupCol),
         Canon.r4(col("_q1") - (col("_q3") - col("_q1")) * k).as("_lo"),
         Canon.r4(col("_q3") + (col("_q3") - col("_q1")) * k).as("_hi"))

@@ -92,9 +92,12 @@ object Aggregates {
         max(col("l_extendedprice")).as("max_price"))
     }),
     "agg_percentile" -> ((s, d) => {
-      Tables.orders(s, d)
-        .groupBy("o_orderstatus")
-        .agg(Canon.r4(expr("percentile(o_totalprice, 0.5)")).as("median_price"))
+      // exact median via the bounded-state histogram percentile
+      // (state ∝ distinct 2 dp prices, never a per-group value buffer)
+      graft.api.StatsOps.binnedPercentiles(Tables.orders(s, d),
+          "o_orderstatus", col("o_totalprice"), Seq("median_price" -> 0.5))
+        .select(col("o_orderstatus"),
+          Canon.r4(col("median_price")).as("median_price"))
         .orderBy("o_orderstatus")
     }),
     "agg_pivot" -> ((s, d) => {
@@ -147,12 +150,15 @@ object Aggregates {
     }),
     "agg_percentiles_multi" -> ((s, d) => {
       // the ops-report percentile ladder (p50/p90/p99/max) per event
-      // type — exact percentiles in ONE aggregate pass
-      Tables.events(s, d).groupBy("event_type").agg(
-        Canon.r4(expr("percentile(value, 0.5)")).as("p50"),
-        Canon.r4(expr("percentile(value, 0.9)")).as("p90"),
-        Canon.r4(expr("percentile(value, 0.99)")).as("p99"),
-        max(col("value")).as("pmax"))
+      // type — exact percentiles from ONE histogram pass, state ∝
+      // distinct 4 dp values (max rides the same bin table for free)
+      graft.api.StatsOps.binnedPercentiles(Tables.events(s, d),
+          "event_type", col("value"),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+          maxName = Some("pmax"))
+        .select(col("event_type"), Canon.r4(col("p50")).as("p50"),
+          Canon.r4(col("p90")).as("p90"), Canon.r4(col("p99")).as("p99"),
+          col("pmax"))
         .orderBy("event_type")
     }),
     "agg_outlier_iqr" -> ((s, d) => {

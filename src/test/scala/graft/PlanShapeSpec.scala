@@ -38,7 +38,8 @@ class PlanShapeSpec extends AnyFunSuite {
     ("dedup_embed_cosine", "BroadcastHashJoin",
       "vectors route through the allowed-cell-pairs equi-join"),
     ("text_tfidf", "HashAggregate", "document frequency from one aggregate"),
-    ("text_quality_filter", "percentile", "per-group exact percentile computes the cut"),
+    ("text_quality_filter", "HashAggregate",
+      "per-group cut from the bounded-state histogram percentile, not a value buffer"),
     ("window_topk_per_group", "TopKPerGroup",
       "row_number<=k rewritten to the bounded-heap operator"),
     ("sim_knn_per_query", "TopKPerGroup", "per-query knn rank also takes the native top-k"),
