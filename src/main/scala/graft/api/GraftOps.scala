@@ -852,6 +852,15 @@ object Dedup {
 object Similarity {
   private def fanout(df: DataFrame): DataFrame = Fanout(df)
 
+  /** Slack added to the triangle-inequality pruning cut so float error
+    * can never prune a qualifying pair. Bound: cosines accumulate in
+    * double over ≤ a few thousand float dims (≤ ~1e-12 absolute), and
+    * acos amplifies a cosine error ε to at most √(2ε) ≈ 1.5e-6 rad
+    * near ±1; the cut combines four such angles, so 1e-5 covers the
+    * worst case with an order of magnitude to spare while costing no
+    * measurable pruning (an extra 1e-5 rad of cell-pair admission). */
+  private val AngleEps = 1e-5
+
   /** Cosine via the native codegen expression (no UDF boundary);
     * bit-identical to Kernels.cosineArr. */
   private def cos(df: DataFrame)(a: Column, b: Column): Column = {
@@ -874,6 +883,39 @@ object Similarity {
         simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
       .orderBy(col("sim").desc, col("id1"), col("id2"))
       .limit(k)
+  }
+
+  /** EXACT global top-k most-similar pairs through the cell-blocked
+    * threshold join — the scalable replacement for the brute-force
+    * pair join: a threshold DESCENT runs the provably-exact blocked
+    * pair join ([[cosinePairsAboveCellBlocked]]) at progressively
+    * looser thresholds until at least k pairs qualify, then takes the
+    * global top k of that rung. Exactness: each rung emits exactly
+    * the pairs with (rounded) sim ≥ its threshold, and a rung holding
+    * ≥ k pairs necessarily contains the global top k — so the result
+    * equals the brute-force top-k on ANY data (parity-asserted in
+    * ApiParitySpec, equi-join shape pinned in PlanShapeSpec).
+    *
+    * Scale shape: every rung is the allowed-cell-pair equi-join, never
+    * an unblocked cross join. On clustered corpora the high rungs
+    * prune almost all cell pairs, and the descent stops at the k-th
+    * similarity's selectivity — work ∝ qualifying pairs, not n². On
+    * isotropic data the admitted volume matches the true candidate
+    * volume (nothing is prunable by any exact method), but the probe
+    * jobs stay capped by `limit(k)` and the final rung is the only
+    * full pass. */
+  def cosineTopKPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Float]], simRound: Option[Int] = None,
+      ladder: Seq[Double] = Seq(0.8, 0.65, 0.5, 0.35, 0.2, 0.0, -1.0)): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(ladder.nonEmpty && ladder == ladder.sorted.reverse,
+      s"threshold ladder must be non-empty and descending, got $ladder")
+    val pairs = ladder.view.map { t =>
+        cosinePairsAboveCellBlocked(df, idCol, vecCol, t, centroids, simRound)
+      }.collectFirst { case p if p.limit(k).count() >= k => p }
+      .getOrElse( // fewer than k pairs exist in total: emit them all
+        cosinePairsAboveCellBlocked(df, idCol, vecCol, -1.0, centroids, simRound))
+    pairs.orderBy(col("sim").desc, col("id1"), col("id2")).limit(k)
   }
 
   /** Top-k neighbors for each row matching `queryPred`. */
@@ -925,12 +967,15 @@ object Similarity {
     *     map pass over a broadcast codebook) along with its angle to
     *     that centroid;
     *  2. one tiny aggregate yields each cell's angular radius
-    *     r_c = max member angle;
+    *     r_c = max member angle — ≤ |cells| rows, collected (the
+    *     codebook is driver-resident already, so this adds no new
+    *     scale dependency);
     *  3. a cell pair (a, b) can only contain a qualifying pair if the
     *     MINIMUM possible angle between members,
     *     max(0, θ(centroid_a, centroid_b) − r_a − r_b), still has
     *     cosine ≥ minSim (triangle inequality on the sphere) — the
-    *     surviving pairs form a broadcast-able candidate cell table;
+    *     admission test runs driver-side over the radius table and
+    *     the surviving pairs join back as a broadcast equi-join;
     *  4. vectors join through the allowed cell pairs (equi-join on the
     *     cell id, never an unblocked cross join) and the exact cosine
     *     filter keeps the true pairs.
@@ -950,21 +995,28 @@ object Similarity {
     val vecs = fanout(df).select(col(idCol).as("_vid"), col(vecCol).as("_v"))
       .withColumn("_cell", cellOf(col("_v")))
       .withColumn("_ang", angToCell(col("_v"), col("_cell")))
-    val radii = vecs.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
-    val centAng = udf((a: Int, b: Int) =>
-      math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(centroids(a).toSeq, centroids(b))))))
     // the output filter compares the ROUNDED sim to minSim, which
     // admits true sims down to minSim − half an ulp of the rounding
     // grid — the pruning bound must use that effective threshold or
     // boundary pairs in tight cells would be silently dropped
     val effMin = minSim - simRound.map(k => 0.5 * math.pow(10.0, -k)).getOrElse(0.0)
     val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
-    val allowed = radii.select(col("_cell").as("_ca"), col("_rad").as("_ra"))
-      .crossJoin(radii.select(col("_cell").as("_cb"), col("_rad").as("_rb")))
-      .filter(col("_ca") <= col("_cb"))
-      .filter(greatest(centAng(col("_ca"), col("_cb")) - col("_ra") - col("_rb"), lit(0.0))
-        <= thetaMax + 1e-12)
-      .select(col("_ca"), col("_cb").as("_cbAllowed"))
+    // the per-cell radius table is bounded by the codebook (≤ |cells|
+    // rows, and the codebook already lives on the driver), so the
+    // cell-pair admission test runs driver-side — the pair table joins
+    // back as a broadcast equi-join, never a nested-loop join
+    val radii = vecs.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    def centAng(a: Int, b: Int): Double =
+      math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(centroids(a).toSeq, centroids(b)))))
+    val allowedPairs = for {
+      (ca, ra) <- radii.toSeq; (cb, rb) <- radii.toSeq
+      if ca <= cb
+      if math.max(centAng(ca, cb) - ra - rb, 0.0) <= thetaMax + AngleEps
+    } yield (ca, cb)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val allowed = allowedPairs.toDF("_ca", "_cbAllowed")
     val a = vecs.select(col("_vid").as("_ida"), col("_v").as("_va"), col("_cell").as("_ca"))
     val b = df.select(col(idCol).as("_idb"), col(vecCol).as("_vb"))
       .withColumn("_cb", cellOf(col("_vb")))
@@ -1009,12 +1061,19 @@ object Similarity {
     val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
     val corp = fanout(corpus).select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
       .withColumn("_cell", cellOf(col("_cv")))
+    // per-cell radii are bounded by the (driver-resident) codebook, so
+    // they ship inside the probe UDF: each batch vector explodes into
+    // exactly the cells that can qualify — an equi-join on the cell id,
+    // with no nested-loop batch × radii pass
     val radii = corp.withColumn("_ang", angToCell(col("_cv"), col("_cell")))
       .groupBy("_cell").agg(max(col("_ang")).as("_rad"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val probeCells = udf((v: Seq[Float]) => radii.collect {
+      case (c, rad) if math.acos(math.max(-1.0, math.min(1.0,
+        Kernels.cosineWith(v, centroids(c))))) - rad <= thetaMax + AngleEps => c
+    })
     val probes = fanout(batch).select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
-      .crossJoin(broadcast(radii))
-      .filter(angToCell(col("_bv"), col("_cell")) - col("_rad") <= thetaMax + 1e-12)
-      .select(col("_bid"), col("_bv"), col("_cell"))
+      .withColumn("_cell", explode(probeCells(col("_bv"))))
     val sim = cos(corpus)(col("_bv"), col("_cv"))
     probes.join(corp, "_cell")
       .select(col("_bid").as("id1"), col("_cid").as("id2"),

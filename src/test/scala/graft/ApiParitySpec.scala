@@ -218,6 +218,37 @@ class ApiParitySpec extends AnyFunSuite {
       s"local path must collapse the chain to cluster 0: $local")
   }
 
+  test("cosineTopKPairsBlocked equals the brute-force global top-k, bitwise") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val cents = graft.api.Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+    val brute = graft.api.Similarity.cosineTopKPairs(e, "vec_id", "embedding",
+        k = 100, simRound = Some(4))
+      .orderBy(col("sim").desc, col("id1"), col("id2")).collect()
+    val blocked = graft.api.Similarity.cosineTopKPairsBlocked(e, "vec_id",
+        "embedding", k = 100, centroids = cents, simRound = Some(4))
+      .orderBy(col("sim").desc, col("id1"), col("id2")).collect()
+    assert(brute.length == 100 && blocked.length == 100)
+    brute.zip(blocked).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1) &&
+        java.lang.Double.doubleToLongBits(a.getDouble(2)) ==
+          java.lang.Double.doubleToLongBits(b.getDouble(2)),
+        s"mismatch: $a vs $b")
+    }
+  }
+
+  test("cosineTopKPairsBlocked survives a ladder that never reaches k pairs") {
+    val s = spark
+    import s.implicits._
+    // 3 vectors → 3 pairs < k = 5: the descent must fall through to
+    // the emit-everything rung and return all pairs
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    val got = graft.api.Similarity.cosineTopKPairsBlocked(tiny, "vec_id",
+        "embedding", k = 5, centroids = cents, simRound = Some(4)).collect()
+    assert(got.length == 3, s"expected all 3 pairs, got ${got.length}")
+  }
+
   test("cosinePairsAgainstIndexCellBlocked equals the brute-force batch×corpus join") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
       .select("vec_id", "embedding").collect()

@@ -31,7 +31,8 @@ class PlanShapeSpec extends AnyFunSuite {
     ("agg_groupby_q1", "HashAggregate", "partial+final hash agg"),
     ("scan_parquet_project_filter", "PushedFilters: [IsNotNull",
       "filter pushdown reaches the parquet scan"),
-    ("sim_knn_bruteforce", "BroadcastNestedLoopJoin", "pair join broadcasts the small side"),
+    ("sim_knn_bruteforce", "BroadcastHashJoin",
+      "exact top-k routes through the allowed-cell-pair equi-join"),
     ("stream_tumbling_counts", "HashAggregate", "window agg is a hash agg"),
     ("window_ranks", "BroadcastHashJoin",
       "global ranks are a per-band-aggregate lookup, not a single-partition window"),
@@ -89,6 +90,23 @@ class PlanShapeSpec extends AnyFunSuite {
         s"incremental LSH plan fell back to a shuffle join:\n$p")
       assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
         s"expected bucket + 2 verify joins broadcast:\n$p")
+    }
+  }
+
+  test("embedding-pair plans carry NO nested-loop join — the cell-pair table is driver-built") {
+    TestSpark.withExtSession { s =>
+      // r8 flagged sim_knn_bruteforce as the one declared key planning
+      // a BroadcastNestedLoopJoin; the exact top-k now rides the
+      // threshold descent, and the cell-pair admission test moved
+      // driver-side (≤ |cells|² work on a table the driver already
+      // holds), so no key of the embedding family may plan a BNLJ
+      Seq("sim_knn_bruteforce", "dedup_embed_cosine",
+          "dedup_embed_incremental").foreach { k =>
+        val p = plan(s, k)
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$k plans a nested-loop join:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product:\n$p")
+      }
     }
   }
 
