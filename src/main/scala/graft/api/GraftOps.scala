@@ -1267,11 +1267,15 @@ object Ranking {
   def bandedRanks(df: DataFrame, bandCol: String, tieCol: String, tiles: Int): DataFrame = {
     val stats = df.groupBy(bandCol).agg(count(lit(1)).as("_bn"))
     val ws = Window.orderBy(col(bandCol).desc)
+    // the grand total rides the SAME tiny single-partition window as
+    // the cumulative counts (full frame), not a 1-row cross join — the
+    // band table is the only thing windowed, never the fact rows
     val cum = stats
       .withColumn("_before", coalesce(
         sum(col("_bn")).over(ws.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("_drnk", row_number().over(ws).cast("long"))
-      .crossJoin(broadcast(stats.agg(sum(col("_bn")).as("_n"))))
+      .withColumn("_n", sum(col("_bn")).over(
+        ws.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val wb = Window.partitionBy(bandCol).orderBy(col(tieCol).asc)
     val k = lit(tiles.toLong)
     val rn = col("_before") + row_number().over(wb).cast("long") // global row number

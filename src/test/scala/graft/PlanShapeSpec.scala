@@ -93,15 +93,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("embedding-pair plans carry NO nested-loop join — the cell-pair table is driver-built") {
+  test("de-BNLJ'd plans stay nested-loop-free (embedding family + banded ranks)") {
     TestSpark.withExtSession { s =>
       // r8 flagged sim_knn_bruteforce as the one declared key planning
       // a BroadcastNestedLoopJoin; the exact top-k now rides the
-      // threshold descent, and the cell-pair admission test moved
+      // threshold descent, the cell-pair admission test moved
       // driver-side (≤ |cells|² work on a table the driver already
-      // holds), so no key of the embedding family may plan a BNLJ
+      // holds), and bandedRanks' grand total rides the band window
+      // instead of a scalar cross join — none of these may regress
       Seq("sim_knn_bruteforce", "dedup_embed_cosine",
-          "dedup_embed_incremental").foreach { k =>
+          "dedup_embed_incremental", "window_ranks").foreach { k =>
         val p = plan(s, k)
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$k plans a nested-loop join:\n$p")
