@@ -48,5 +48,5 @@ object SparkEntry {
   val noOracleKeys: Set[String] = Set(
     "agg_approx_distinct", "dedup_minhash_lsh", "dedup_incremental_minhash",
     "dedup_simhash", "stream_watermark_late", "ml_train_logreg_gd",
-    "multimodal_decode_stub", "sim_knn_ivf", "sim_knn_rplsh")
+    "sim_knn_ivf", "sim_knn_rplsh")
 }

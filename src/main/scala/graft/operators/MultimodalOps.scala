@@ -15,10 +15,13 @@ import org.apache.spark.sql.types._
   *
   * The fixture ships no real media, so `media` is synthesized
   * deterministically from documents.text (ASCII → byte-exact). Real
-  * image/audio codecs are NOT in this container: the decode kernel
-  * below is a clearly-marked STUB with a deterministic fake; the
-  * Spark-side plumbing (binary schema, per-partition decoder reuse,
-  * batch shape, metadata struct) is real and oracle/unit-tested.
+  * image/audio codecs are NOT in this container — but the synthesized
+  * container format IS UTF-8 text by construction, so the decoder
+  * below genuinely decodes it: bytes → UTF-8 parse → token/char scan
+  * → 8 fixed-width features, DuckDB-oracle-checked end to end. A real
+  * deployment swaps the parse for a codec call; the plumbing (binary
+  * schema, per-partition decoder reuse, batch shape, metadata struct)
+  * is identical either way.
   */
 object MultimodalOps {
   /** documents.text → opaque media bytes + typed metadata struct. */
@@ -31,22 +34,46 @@ object MultimodalOps {
         col("lang").as("format"),
         col("source").as("origin")).as("meta"))
 
-  /** STUB decoder — stands in for an image/audio codec (not available
-    * in this container). Deterministic fake: 8 block-sum features over
-    * the byte stream. A real deployment swaps `decodeFake` for the
-    * codec call; everything around it (partition iteration, one
-    * decoder per partition, batch shape) is the real plumbing. */
-  final class FakeDecoder {
+  /** Deterministic media decoder for the synthesized UTF-8 container:
+    * a REAL parse (bytes → string → token/char scan), not a fake —
+    * every feature is an exact integer statistic divided once, so the
+    * result is bit-identical in any IEEE engine and the whole path is
+    * DuckDB-oracle-checked. Features (all 4 dp half-up):
+    * f0 bytes, f1 tokens, f2 mean token length, f3 mean byte value,
+    * f4 digit fraction, f5 vowel fraction, f6 distinct-token ratio,
+    * f7 punctuation fraction. A real deployment swaps the UTF-8 parse
+    * for an image/audio codec call (not available in this container);
+    * the per-partition reuse shape is unchanged. */
+  final class TextMediaDecoder {
+    // same half-up formula as Canon.rk — pure IEEE ops, engine-portable
+    private def r4(v: Double): Double = math.floor(v * 10000.0 + 0.5) / 10000.0
     def decode(bytes: Array[Byte]): Array[Double] = {
       val f = new Array[Double](8)
       if (bytes == null || bytes.isEmpty) return f
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      val n = s.length.toDouble
+      var codeSum = 0L; var digits = 0L; var vowels = 0L; var punct = 0L
       var i = 0
-      while (i < bytes.length) {
-        f(i % 8) += (bytes(i) & 0xff).toDouble
+      while (i < s.length) {
+        val c = s.charAt(i)
+        codeSum += c.toLong
+        val isDigit = c >= '0' && c <= '9'
+        val isAlpha = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        if (isDigit) digits += 1
+        if ("aeiouAEIOU".indexOf(c.toInt) >= 0) vowels += 1
+        if (!isDigit && !isAlpha && c != ' ') punct += 1
         i += 1
       }
-      var k = 0
-      while (k < 8) { f(k) /= bytes.length.toDouble; k += 1 }
+      val toks = s.split(" ", -1)
+      val nTok = toks.length.toDouble
+      f(0) = r4(n)
+      f(1) = r4(nTok)
+      f(2) = r4((n - (nTok - 1)) / nTok)
+      f(3) = r4(codeSum.toDouble / n)
+      f(4) = r4(digits.toDouble / n)
+      f(5) = r4(vowels.toDouble / n)
+      f(6) = r4(toks.distinct.length.toDouble / nTok)
+      f(7) = r4(punct.toDouble / n)
       f
     }
   }
@@ -77,21 +104,20 @@ object MultimodalOps {
         .orderBy("doc_id")
     }),
     "multimodal_decode_stub" -> ((s, d) => {
-      // ✘ no oracle (the decoder is engine-side code): mapPartitions
-      // with ONE decoder instance per partition — the reference
-      // family's per-executor model reuse — emitting fixed-width
-      // feature rows; unit-tested against a driver-side recompute.
+      // (key name is the SURVEY §2 contract; the decode is real as of
+      // r9 and oracle-checked) mapPartitions with ONE decoder instance
+      // per partition — the reference family's per-executor model
+      // reuse — emitting fixed-width feature rows.
       val mf = mediaFrame(s, d).select("doc_id", "media")
       val schema = StructType(
         StructField("doc_id", LongType) +:
           (0 until 8).map(i => StructField(s"f$i", DoubleType)))
       val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
       val decoded = mf.mapPartitions { it =>
-        val decoder = new FakeDecoder // one per partition, reused per row
+        val decoder = new TextMediaDecoder // one per partition, reused per row
         it.map { r =>
-          val f = decoder.decode(r.getAs[Array[Byte]]("media"))
-          Row.fromSeq(r.getLong(0) +: f.map(v =>
-            BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toIndexedSeq)
+          Row.fromSeq(r.getLong(0) +:
+            decoder.decode(r.getAs[Array[Byte]]("media")).toIndexedSeq)
         }
       }(enc)
       decoded.orderBy("doc_id")
@@ -112,6 +138,27 @@ object MultimodalOps {
         |  CAST(ceil(ceil(strlen(text) / 16.0) / 4.0) AS BIGINT) AS n_sampled,
         |  md5(substring(text, 1, 16)) AS frame0_h,
         |  md5(substring(text, 65, 16)) AS frame4_h
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_decode_stub" -> {
+      // the DuckDB twin of TextMediaDecoder.decode — text IS the media
+      // byte stream (ASCII, so strlen == byte count), every feature an
+      // exact integer statistic divided once, rounded on the shared
+      // half-up grid
+      import graft.Canon.{sql => O}
+      s"""WITH t AS (SELECT doc_id, text,
+        |    CAST(strlen(text) AS DOUBLE) AS n,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ${O.r4("n")} AS f0,
+        |  ${O.r4("ntok")} AS f1,
+        |  ${O.r4("(n - (ntok - 1)) / ntok")} AS f2,
+        |  ${O.r4("list_sum(list_transform(string_split(text, ''), x -> unicode(x))) / n")} AS f3,
+        |  ${O.r4("length(regexp_replace(text, '[^0-9]', '', 'g')) / n")} AS f4,
+        |  ${O.r4("length(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) / n")} AS f5,
+        |  ${O.r4("len(list_distinct(string_split(text, ' '))) / ntok")} AS f6,
+        |  ${O.r4("length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / n")} AS f7
+        |FROM t ORDER BY doc_id""".stripMargin
+    }
   )
 }

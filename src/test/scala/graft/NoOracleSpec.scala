@@ -163,14 +163,14 @@ class NoOracleSpec extends AnyFunSuite {
     info(f"rpLSH recall $recall%.3f over ${exact.size} truth pairs")
   }
 
-  test("multimodal_decode_stub matches a driver-side recompute") {
+  test("multimodal decode matches a driver-side recompute (now also oracle-checked)") {
+    // oracle-checked since r9, but the mapPartitions-vs-driver parity
+    // still pins the per-partition decoder-reuse plumbing itself
     val decoded = SparkEntry.queries("multimodal_decode_stub")(spark, sf)
       .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getDouble).toVector).toMap
-    val decoder = new graft.operators.MultimodalOps.FakeDecoder
+    val decoder = new graft.operators.MultimodalOps.TextMediaDecoder
     val expected = Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
-      val f = decoder.decode(r.getString(1).getBytes("UTF-8"))
-      r.getLong(0) -> f.map(v =>
-        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble).toVector
+      r.getLong(0) -> decoder.decode(r.getString(1).getBytes("UTF-8")).toVector
     }.toMap
     assert(decoded == expected)
   }
