@@ -56,6 +56,71 @@ object Writers {
     df.write.mode("overwrite").option("header", "true").csv(path)
 }
 
+/** Persistence for the engine's learned/index artifacts — the pieces
+  * an incremental pipeline reuses across runs instead of recomputing:
+  * the IVF/cell codebook (trainCodebook's output, consumed by ivfKnn
+  * and every cell-blocked cosine operator) and trained model weights
+  * (trainLogisticGD's output, consumed by linearScore). Both are
+  * driver-resident arrays by design (bounded by k·dims / dims), so
+  * they round-trip through tiny long-form parquet tables — readable
+  * by any engine, schema-stable, and bitwise-exact (no text
+  * formatting of floats). The MinHash signature index persists
+  * separately via [[Writers.writeBucketed]] (see
+  * Dedup.minhashIndexTables — a TABLE-sized artifact that must keep
+  * its bucketed layout, not a driver array). */
+object Artifacts {
+  import org.apache.spark.sql.SparkSession
+
+  /** Codebook → (cell, dim, value) parquet rows. */
+  def saveCodebook(spark: SparkSession, centroids: Array[Array[Float]],
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      (c, cell) <- centroids.zipWithIndex
+      (v, dim) <- c.zipWithIndex
+    } yield (cell, dim, v)
+    rows.toSeq.toDF("cell", "dim", "value")
+      .repartition(1) // a codebook is KBs; one file reads in one task
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCodebook]] table back into the driver array the
+    * similarity operators take. Bounded collect by construction. */
+  def loadCodebook(spark: SparkSession, path: String): Array[Array[Float]] = {
+    val rows = spark.read.parquet(path)
+      .select("cell", "dim", "value").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+    require(rows.nonEmpty, s"empty codebook at $path")
+    val nCells = rows.map(_._1).max + 1
+    val dims = rows.map(_._2).max + 1
+    require(rows.length == nCells * dims,
+      s"codebook at $path is ragged: ${rows.length} rows for $nCells cells × $dims dims")
+    val out = Array.ofDim[Float](nCells, dims)
+    rows.foreach { case (c, d, v) => out(c)(d) = v }
+    out
+  }
+
+  /** Weight vector → (i, value) parquet rows. */
+  def saveWeights(spark: SparkSession, weights: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
+      .toDF("i", "value")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(spark: SparkSession, path: String): Array[Double] = {
+    val rows = spark.read.parquet(path).select("i", "value").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    require(rows.nonEmpty, s"empty weight vector at $path")
+    require(rows.map(_._1).sorted.toSeq == rows.indices.toSeq,
+      s"weight vector at $path has gaps/duplicates")
+    val out = new Array[Double](rows.length)
+    rows.foreach { case (i, w) => out(i) = w }
+    out
+  }
+}
+
 /** Read-side twins of [[Writers]] — schema-explicit so a 100 TB read
   * never pays schema inference (a full extra pass) and malformed rows
   * fail loudly instead of silently becoming nulls. */

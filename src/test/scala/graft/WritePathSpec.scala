@@ -135,4 +135,65 @@ class WritePathSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_mh_docs")
     }
   }
+
+  test("codebook round-trips bitwise and the loaded copy drives identical IVF results") {
+    val base = Files.createTempDirectory("graft-codebook")
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val cents = graft.api.Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+    graft.sources.Artifacts.saveCodebook(spark, cents, s"$base/cb")
+    val loaded = graft.sources.Artifacts.loadCodebook(spark, s"$base/cb")
+    assert(loaded.length == cents.length)
+    cents.zip(loaded).zipWithIndex.foreach { case ((a, b), c) =>
+      assert(a.sameElements(b), s"cell $c drifted through the round-trip") }
+    // and the consumer sees no difference: same kNN rows from either copy
+    def knn(cb: Array[Array[Float]]) = graft.api.Similarity.ivfKnn(
+        e, "vec_id", "embedding", queryPred = col("vec_id") < 10,
+        k = 5, centroids = cb, nprobe = 4, simRound = Some(4))
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(knn(loaded) == knn(cents))
+  }
+
+  test("trained GD weights round-trip bitwise and score identically") {
+    val base = Files.createTempDirectory("graft-weights")
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .withColumn("y", (col("label") % 2 === 0).cast("int"))
+    val w = graft.api.MlPipeline.trainLogisticGD(e, "embedding", "y",
+      steps = 3, lr = 0.5, dims = 64)
+    graft.sources.Artifacts.saveWeights(spark, w, s"$base/w")
+    val loaded = graft.sources.Artifacts.loadWeights(spark, s"$base/w")
+    assert(w.zip(loaded).forall { case (a, b) =>
+      java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b) },
+      "weights drifted through the round-trip")
+    def score(wv: Array[Double]) = graft.api.MlPipeline.linearScore(e, "embedding", wv)
+      .select("vec_id", "score").orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(score(loaded) == score(w))
+  }
+
+  test("dedup_incremental_minhash pair set is unchanged probing the persisted on-disk index") {
+    // the declared key recomputes the corpus signature index per run;
+    // the production path writes it once (bucketed by its join keys)
+    // and probes the loaded tables — same pairs, so the NoOracleSpec
+    // recall guarantee transfers to the on-disk path unchanged
+    val base = Files.createTempDirectory("graft-mhkey")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val isNew = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "d"
+    val declared = SparkEntry.queries("dedup_incremental_minhash")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val (idxDocs, idxBanded) = graft.api.Dedup.minhashIndexTables(
+      docs.filter(!isNew), "doc_id", "text")
+    Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 4, "t_mhk_banded", s"$base/banded")
+    Writers.writeBucketed(idxDocs, "_id", 4, "t_mhk_docs", s"$base/docs")
+    try {
+      val fromDisk = graft.api.Dedup.minhashProbePreparedIndex(
+          docs.filter(isNew), spark.table("t_mhk_docs"), spark.table("t_mhk_banded"),
+          "doc_id", "text", 0.8)
+        .select(col("index_id"), col("probe_id"), graft.Canon.r4(col("jaccard")).as("jac"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(fromDisk == declared, "on-disk index changed the declared key's pair set")
+      assert(fromDisk.nonEmpty, "fixture should produce cross pairs")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_mhk_banded")
+      spark.sql("DROP TABLE IF EXISTS t_mhk_docs")
+    }
+  }
 }
