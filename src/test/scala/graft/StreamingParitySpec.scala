@@ -137,6 +137,52 @@ class StreamingParitySpec extends AnyFunSuite {
         .select("user_id", "n_events", "first_ts", "last_ts", "n_types")))
   }
 
+  test("stateful user stats survive a stop/restart from the checkpoint: no loss, no dup") {
+    // the recovery half of the exactly-once story: process half the
+    // corpus, kill the query, land more files, restart from the SAME
+    // checkpoint. Recovered state must carry the first half (loss would
+    // undercount n_events) and must not replay it (a dup would
+    // overcount) — the final per-user rows across both runs must equal
+    // the one-shot batch aggregate exactly.
+    val s = spark
+    import s.implicits._
+    val inDir = freshDir(); val ckDir = freshDir()
+    val firstHalf = batchEvents.filter(col("event_id") % 2 === 0)
+    val secondHalf = batchEvents.filter(col("event_id") % 2 =!= 0)
+    firstHalf.repartition(3).write.mode("overwrite").parquet(inDir)
+    // memory sink cannot recover from a checkpoint; foreachBatch can
+    val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    def run() = {
+      val stream = spark.readStream.schema(batchEvents.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      graft.streaming.StreamOps.userStatsStateful(
+          stream.as[graft.streaming.GraftEvent])
+        .writeStream
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[graft.streaming.UserStats], _: Long) =>
+          val rows = ds.toDF().collect()
+          buf.synchronized { buf ++= rows }
+          ()
+        }
+        .option("checkpointLocation", ckDir)
+        .outputMode("update").start()
+    }
+    val q1 = run()
+    q1.processAllAvailable(); q1.stop() // "crash" mid-stream
+    secondHalf.repartition(3).write.mode("append").parquet(inDir)
+    val q2 = run()
+    q2.processAllAvailable(); q2.stop()
+    // n_events grows monotonically per user, so the max-n row per user
+    // across both runs is that user's final state (users untouched by
+    // the second half only ever emitted in run 1)
+    val finalRows = buf.synchronized {
+      buf.groupBy(_.getLong(0)).map { case (_, rs) =>
+        rs.maxBy(_.getLong(1)).toString }.toSeq.sorted
+    }
+    assert(finalRows ==
+      sortedRows(graft.streaming.StreamOps.userStatsBatch(batchEvents)
+        .select("user_id", "n_events", "first_ts", "last_ts", "n_types")))
+  }
+
   test("flatMapGroupsWithState holds 100k-key state under RocksDB with batch parity") {
     // real state VOLUME, not just provider wiring: 200k synthetic
     // events across 100k distinct users — the state store must carry
