@@ -1703,12 +1703,10 @@ object TextAnalysis {
           / col("n_tok").cast("double")).as("logprob"))
   }
 
-  /** Sliding word n-grams of `textCol` as an array column — pure
-    * codegen (split → transform/slice/concat_ws), empty when the doc
-    * has fewer than n tokens. */
   /** Sliding n-grams over any array column, elements joined with
     * `sep`; arrays shorter than n yield an empty array. Shared by the
-    * word-gram operators here and the event-path miner. */
+    * word-gram operators here and the event-path miner. Pure codegen
+    * (transform/slice/concat_ws). */
   private[api] def arrayNgrams(arr: Column, n: Int, sep: String): Column = {
     val cnt = (size(arr) - (n - 1)).cast("int")
     when(cnt > 0,
@@ -1716,6 +1714,8 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Sliding word n-grams of `textCol`, empty when the doc has fewer
+    * than n tokens. */
   private def wordNgrams(textCol: String, n: Int): Column =
     arrayNgrams(split(col(textCol), " "), n, " ")
 
@@ -1824,12 +1824,14 @@ object TextAnalysis {
     * emitting the pruned text plus before/after token counts (the
     * index-side normalization step; the count pair doubles as the
     * stopword-density signal). Pure rowwise `filter` lambda — no
-    * shuffle, no UDF, stays inside whole-stage codegen. */
+    * shuffle, no UDF, stays inside whole-stage codegen. The stopword
+    * set is a typed array literal (not SQL text splicing), so words
+    * containing quotes and column names needing backticks are safe. */
   def stopwordPrune(df: DataFrame, idCol: String, textCol: String,
       stopwords: Seq[String]): DataFrame = {
     require(stopwords.nonEmpty, "stopword list must be non-empty")
-    val sw = stopwords.map(w => s"'$w'").mkString(", ")
-    val kept = expr(s"filter(split($textCol, ' '), x -> NOT (x IN ($sw)))")
+    val sw = typedlit(stopwords)
+    val kept = filter(split(col(textCol), " "), x => !array_contains(sw, x))
     df.select(col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"),
       size(kept).cast("long").as("n_kept"),
@@ -1878,7 +1880,7 @@ object StatsOps {
     * Exactness: bitwise-identical to `percentile()` on any input —
     * the interpolation replicates Spark's weighted form
     * `(higher−pos)·v_lo + (pos−lower)·v_hi` (parity-asserted against
-    * the built-in on the fixtures in OperatorSemanticsSpec). Values
+    * the built-in on the fixtures in BinnedPercentileSpec). Values
     * are binned as given; nulls are excluded, and a group whose
     * values are all null is absent (declared callers feed non-null
     * columns).
@@ -1937,13 +1939,19 @@ object StatsOps {
     * rowwise filter — no second shuffle, no window. The z-score is
     * pre-rounded (4 dp) so the >=-at-the-cut decision cannot straddle
     * the one-ulp difference between engines' float aggregates (the
-    * same contract as [[TextAnalysis.qualityFilter]]). */
+    * same contract as [[TextAnalysis.qualityFilter]]). A zero-variance
+    * key has no anomalies BY THE GUARD, not by accident: engines
+    * disagree on 0/0 (Spark nulls the row out, IEEE-mode DuckDB emits
+    * NaN and sorts it above every number, flagging the whole group),
+    * so both this side and the oracle twin filter `sd > 0`
+    * explicitly. */
   def zscoreFlags(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String, threshold: Double): DataFrame = {
     require(threshold > 0, s"threshold must be > 0, got $threshold")
     val stats = df.groupBy(keyCol)
       .agg(avg(col(valueCol)).as("_mu"), stddev_pop(col(valueCol)).as("_sd"))
     df.join(broadcast(stats), keyCol)
+      .filter(col("_sd") > 0)
       .withColumn("z", Canon.r4((col(valueCol) - col("_mu")) / col("_sd")))
       .filter(abs(col("z")) >= threshold)
       .select(col(keyCol), col(idCol), col(valueCol), col("z"))

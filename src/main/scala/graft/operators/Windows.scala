@@ -275,7 +275,8 @@ object Windows {
         |             stddev_pop(value) AS sd FROM events GROUP BY 1),
         |j AS (SELECT event_type, event_id, value,
         |        ${graft.Canon.sql.r4("(value - mu) / sd")} AS z
-        |      FROM events JOIN s USING (event_type))
+        |      FROM events JOIN s USING (event_type)
+        |      WHERE sd > 0)
         |SELECT event_type, event_id, value, z FROM j
         |WHERE abs(z) >= 3.0 ORDER BY event_type, event_id""".stripMargin
   )

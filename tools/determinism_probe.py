@@ -26,7 +26,19 @@ def main() -> None:
     bad = []
     for k in keys:
         da, db = pd.read_parquet(a / k), pd.read_parquet(b / k)
-        same = list(da.columns) == list(db.columns) and da.equals(db)
+        same = list(da.columns) == list(db.columns)
+        if same:
+            # row order across part files is a partitioning artifact,
+            # not part of the declared result: canonicalize both sides
+            # by a full-column sort before the byte compare
+            cols = list(da.columns)
+            try:
+                da = da.sort_values(cols, kind="mergesort").reset_index(drop=True)
+                db = db.sort_values(cols, kind="mergesort").reset_index(drop=True)
+            except TypeError:
+                # unsortable (array-typed) column: compare as emitted
+                pass
+            same = da.equals(db)
         print(f"{'PASS' if same else 'FAIL'} {k} ({len(da)} rows)")
         if not same:
             bad.append(k)
