@@ -886,35 +886,50 @@ object Similarity {
   }
 
   /** EXACT global top-k most-similar pairs through the cell-blocked
-    * threshold join — the scalable replacement for the brute-force
-    * pair join: a threshold DESCENT runs the provably-exact blocked
-    * pair join ([[cosinePairsAboveCellBlocked]]) at progressively
-    * looser thresholds until at least k pairs qualify, then takes the
-    * global top k of that rung. Exactness: each rung emits exactly
-    * the pairs with (rounded) sim ≥ its threshold, and a rung holding
-    * ≥ k pairs necessarily contains the global top k — so the result
-    * equals the brute-force top-k on ANY data (parity-asserted in
-    * ApiParitySpec, equi-join shape pinned in PlanShapeSpec).
+    * join, in TWO passes (parity-asserted against the brute force in
+    * ApiParitySpec, equi-join shape pinned in PlanShapeSpec):
     *
-    * Scale shape: every rung is the allowed-cell-pair equi-join, never
-    * an unblocked cross join. On clustered corpora the high rungs
-    * prune almost all cell pairs, and the descent stops at the k-th
-    * similarity's selectivity — work ∝ qualifying pairs, not n². On
-    * isotropic data the admitted volume matches the true candidate
-    * volume (nothing is prunable by any exact method), but the probe
-    * jobs stay capped by `limit(k)` and the final rung is the only
-    * full pass. */
+    *  1. WITNESS pass — the exact top-k among CELL-LOCAL pairs only
+    *     (one equi-join on the cell id over the dense diagonal,
+    *     TakeOrdered top-k). Its k-th similarity t₀ is achieved by k
+    *     real pairs, and cell-local pairs are a subset of all pairs,
+    *     so the global k-th best sim ≥ t₀ — every global top-k pair
+    *     has sim ≥ t₀.
+    *  2. the provably-exact blocked pair join
+    *     ([[cosinePairsAboveCellBlocked]]'s core, reusing the same
+    *     materialized cell layout) at threshold t₀, then the global
+    *     top k of what it emits.
+    *
+    * Scale shape: pass 1 touches Σ_c n_c² cell-local pairs (where the
+    * near-duplicate mass lives; ~1/|cells| of all pairs even on
+    * isotropic data); on clustered corpora t₀ lands high and pass 2's
+    * cell-pair admission prunes almost everything, so work tracks the
+    * k-th similarity's selectivity, not n². Never an unblocked cross
+    * join. Falls back to emit-everything only when fewer than k
+    * cell-local pairs exist at all (near-trivial corpora). */
   def cosineTopKPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, centroids: Array[Array[Float]], simRound: Option[Int] = None,
-      ladder: Seq[Double] = Seq(0.8, 0.65, 0.5, 0.35, 0.2, 0.0, -1.0)): DataFrame = {
+      k: Int, centroids: Array[Array[Float]],
+      simRound: Option[Int] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    require(ladder.nonEmpty && ladder == ladder.sorted.reverse,
-      s"threshold ladder must be non-empty and descending, got $ladder")
-    val pairs = ladder.view.map { t =>
-        cosinePairsAboveCellBlocked(df, idCol, vecCol, t, centroids, simRound)
-      }.collectFirst { case p if p.limit(k).count() >= k => p }
-      .getOrElse( // fewer than k pairs exist in total: emit them all
-        cosinePairsAboveCellBlocked(df, idCol, vecCol, -1.0, centroids, simRound))
+    // one cell layout shared by both passes (materialized now; freed by
+    // the caller via Checkpoints.free after consuming the result, like
+    // the dedup operators' shared tables)
+    val vecs = assignCells(df, idCol, vecCol, centroids).localCheckpoint()
+    val radii = collectRadii(vecs)
+    val a = vecs.select(col("_vid").as("id1"), col("_v").as("_va"), col("_cell"))
+    val b = vecs.select(col("_vid").as("id2"), col("_v").as("_vb"), col("_cell"))
+    val sim = cos(vecs)(col("_va"), col("_vb"))
+    val localTopK = a.join(b, Seq("_cell")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .orderBy(col("sim").desc, col("id1"), col("id2"))
+      .limit(k).collect()
+    val pairs =
+      if (localTopK.length < k) // < k cell-local pairs: emit everything
+        cellBlockedPairsCore(vecs, radii, centroids, -1.0, simRound)
+      else
+        cellBlockedPairsCore(vecs, radii, centroids,
+          localTopK.last.getDouble(2), simRound)
     pairs.orderBy(col("sim").desc, col("id1"), col("id2")).limit(k)
   }
 
@@ -989,24 +1004,43 @@ object Similarity {
   def cosinePairsAboveCellBlocked(df: DataFrame, idCol: String, vecCol: String,
       minSim: Double, centroids: Array[Array[Float]],
       simRound: Option[Int] = None): DataFrame = {
+    val vecs = assignCells(df, idCol, vecCol, centroids)
+    cellBlockedPairsCore(vecs, collectRadii(vecs), centroids, minSim, simRound)
+  }
+
+  /** (_vid, _v, _cell, _ang): every vector with its nearest-centroid
+    * cell and the angle to that centroid — the shared front half of
+    * the cell-blocked operators. */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
     val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
     val angToCell = udf((v: Seq[Float], c: Int) =>
       math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(v, centroids(c))))))
-    val vecs = fanout(df).select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    fanout(df).select(col(idCol).as("_vid"), col(vecCol).as("_v"))
       .withColumn("_cell", cellOf(col("_v")))
       .withColumn("_ang", angToCell(col("_v"), col("_cell")))
+  }
+
+  /** Per-cell angular radii, collected: bounded by the codebook
+    * (≤ |cells| rows, and the codebook already lives on the driver),
+    * so the cell-pair admission test can run driver-side. */
+  private def collectRadii(vecs: DataFrame): Array[(Int, Double)] =
+    vecs.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+
+  /** The blocked pair join over pre-assigned vectors: driver-side cell
+    * admission, broadcast allowed-pair equi-join, exact cosine filter.
+    * Taking (vecs, radii) lets a threshold descent reuse one cell
+    * layout across rungs instead of re-deriving it per threshold. */
+  private def cellBlockedPairsCore(vecs: DataFrame, radii: Array[(Int, Double)],
+      centroids: Array[Array[Float]], minSim: Double,
+      simRound: Option[Int]): DataFrame = {
     // the output filter compares the ROUNDED sim to minSim, which
     // admits true sims down to minSim − half an ulp of the rounding
     // grid — the pruning bound must use that effective threshold or
     // boundary pairs in tight cells would be silently dropped
     val effMin = minSim - simRound.map(k => 0.5 * math.pow(10.0, -k)).getOrElse(0.0)
     val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
-    // the per-cell radius table is bounded by the codebook (≤ |cells|
-    // rows, and the codebook already lives on the driver), so the
-    // cell-pair admission test runs driver-side — the pair table joins
-    // back as a broadcast equi-join, never a nested-loop join
-    val radii = vecs.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
     def centAng(a: Int, b: Int): Double =
       math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(centroids(a).toSeq, centroids(b)))))
     val allowedPairs = for {
@@ -1014,13 +1048,12 @@ object Similarity {
       if ca <= cb
       if math.max(centAng(ca, cb) - ra - rb, 0.0) <= thetaMax + AngleEps
     } yield (ca, cb)
-    val spark = df.sparkSession
+    val spark = vecs.sparkSession
     import spark.implicits._
     val allowed = allowedPairs.toDF("_ca", "_cbAllowed")
     val a = vecs.select(col("_vid").as("_ida"), col("_v").as("_va"), col("_cell").as("_ca"))
-    val b = df.select(col(idCol).as("_idb"), col(vecCol).as("_vb"))
-      .withColumn("_cb", cellOf(col("_vb")))
-    val sim = cos(df)(col("_va"), col("_vb"))
+    val b = vecs.select(col("_vid").as("_idb"), col("_v").as("_vb"), col("_cell").as("_cb"))
+    val sim = cos(vecs)(col("_va"), col("_vb"))
     a.join(broadcast(allowed), "_ca")
       .join(b, col("_cbAllowed") === col("_cb") && (col("_ca") < col("_cbAllowed")
         || (col("_ca") === col("_cbAllowed") && col("_ida") < col("_idb"))))

@@ -236,11 +236,11 @@ class ApiParitySpec extends AnyFunSuite {
     }
   }
 
-  test("cosineTopKPairsBlocked survives a ladder that never reaches k pairs") {
+  test("cosineTopKPairsBlocked survives corpora with fewer than k cell-local pairs") {
     val s = spark
     import s.implicits._
-    // 3 vectors → 3 pairs < k = 5: the descent must fall through to
-    // the emit-everything rung and return all pairs
+    // 3 vectors → 1 cell-local pair < k = 5: the witness pass cannot
+    // set a threshold, so the emit-everything fallback returns all 3
     val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
       (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
     val cents = Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))
