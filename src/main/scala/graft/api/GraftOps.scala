@@ -1871,6 +1871,40 @@ object TextAnalysis {
       concat_ws(" ", kept).as("pruned"))
   }
 
+  /** Subword token-count estimate for context budgeting: whitespace
+    * tokens plus a BPE-ish piece count — each word contributes
+    * ⌈len/maxPiece⌉ pieces, the cheap deterministic stand-in for a
+    * real tokenizer's "long words split into ~maxPiece-char subwords"
+    * behavior. All integer arithmetic (ceil as (len+m−1) div m), so
+    * both engines agree exactly. Pure rowwise codegen (split +
+    * aggregate lambda): no shuffle, no UDF. */
+  def tokenCountBpe(df: DataFrame, idCol: String, textCol: String,
+      maxPiece: Int = 4): DataFrame = {
+    require(maxPiece >= 1, s"maxPiece must be >= 1, got $maxPiece")
+    df.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      expr(s"aggregate(split(`$textCol`, ' '), 0L, " +
+        s"(acc, x) -> acc + (length(x) + ${maxPiece - 1}) div $maxPiece)")
+        .as("n_pieces"))
+  }
+
+  /** Corpus vocabulary report per group: total token occurrences,
+    * distinct vocabulary size, and the corpus-level type-token ratio —
+    * the vocabulary-growth / diversity signal per source or language
+    * slice (a shrinking TTR as a source grows flags template spam).
+    *
+    * Scale shape: explode → ONE hash aggregate on (group, token) with
+    * map-side combine (shuffle ∝ per-group vocabulary, never rows),
+    * then a tiny per-group rollup of the token table. */
+  def vocabBySource(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol), explode(split(col(textCol), " ")).as("_t"))
+      .groupBy(col(groupCol), col("_t")).agg(count(lit(1)).as("_c"))
+    tok.groupBy(groupCol)
+      .agg(sum(col("_c")).as("n_tokens"), count(lit(1)).as("n_vocab"))
+      .withColumn("ttr",
+        Canon.r4(col("n_vocab").cast("double") / col("n_tokens").cast("double")))
+  }
+
   /** Canonical token-set fingerprint (md5 of the sorted distinct
     * tokens) + winnowing rolling-hash fingerprint (shift-robust). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -2116,6 +2150,19 @@ object Sampling {
       .filter(col("_rn") <= n)
       .drop("_rn")
   }
+
+  /** Budget-capped deterministic selection: keep each group's
+    * digest-ordered prefix of documents whose EXCLUSIVE running size
+    * stays under `budget` — the "up to N tokens per language" corpus-
+    * assembly step. Exactly [[packShards]]' shard 0, so the banded
+    * two-pass running sum does the work (parallelism ∝ groups × bands,
+    * never one window partition per group) and the kept set is a pure
+    * function of (ids, sizes) — stable across runs and engines. */
+  def tokenBudgetSample(df: DataFrame, idCol: String, groupCol: String,
+      sizeCol: String, budget: Long, bandChars: Int = 1): DataFrame =
+    packShards(df, idCol, groupCol, sizeCol, budget, bandChars)
+      .filter(col("shard") === 0L)
+      .drop("shard")
 
   /** Deterministic train/test assignment from the same digest: ids
     * with first hex char < trainHexMax go to "train" (e.g. "d" →

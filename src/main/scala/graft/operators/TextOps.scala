@@ -199,6 +199,29 @@ object TextOps {
       TextAnalysis.topKeywords(Tables.documents(s, d), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rn")
     }),
+    "text_token_count_bpe" -> ((s, d) => {
+      // context-budget token estimate: whitespace tokens + BPE-ish
+      // subword pieces (⌈len/4⌉ per word) — pure integer rowwise
+      // codegen, no shuffle
+      TextAnalysis.tokenCountBpe(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    "text_vocab_by_source" -> ((s, d) => {
+      // per-source vocabulary growth report: occurrences, distinct
+      // vocab, corpus-level TTR — one (source, token) aggregate then a
+      // tiny rollup; shuffle ∝ vocabulary
+      TextAnalysis.vocabBySource(Tables.documents(s, d), "source", "text")
+        .orderBy("source")
+    }),
+    "data_token_budget_sample" -> ((s, d) => {
+      // corpus assembly to a size budget: keep each language's
+      // digest-ordered prefix of docs until ~20k chars — packShards'
+      // shard 0, so the banded cumsum shape carries it at scale
+      graft.api.Sampling.tokenBudgetSample(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          "doc_id", "lang", "n_chars", budget = 20000L)
+        .orderBy("doc_id")
+    }),
     "dedup_fuzzy_levenshtein" -> ((s, d) => {
       // fuzzy near-dup: same-first-4-token blocks, full-text edit
       // distance <= 50 within a block — the char-level complement to
@@ -543,6 +566,27 @@ object TextOps {
         |          ORDER BY tfidf DESC, token) AS BIGINT) AS rn FROM s)
         |SELECT doc_id, token, tfidf, rn FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
+    "text_token_count_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    x -> (strlen(x) + 3) // 4)) AS BIGINT) AS n_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_vocab_by_source" ->
+      s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |g AS (SELECT source, count(*) AS n_tokens,
+        |        count(DISTINCT tok) AS n_vocab FROM t GROUP BY 1)
+        |SELECT source, n_tokens, n_vocab,
+        |  ${O.r4("CAST(n_vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS ttr
+        |FROM g ORDER BY source""".stripMargin,
+    "data_token_budget_sample" ->
+      """WITH o AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS pfx
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM o WHERE pfx < 20000
+        |ORDER BY doc_id""".stripMargin,
     "dedup_fuzzy_levenshtein" ->
       """WITH t AS (SELECT doc_id, text,
         |    md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS k
