@@ -1083,23 +1083,47 @@ object Similarity {
     * id — probe cost tracks BATCH size, not corpus size. */
   def cosinePairsAgainstIndexCellBlocked(batch: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, minSim: Double,
-      centroids: Array[Array[Float]], simRound: Option[Int] = None): DataFrame = {
+      centroids: Array[Array[Float]], simRound: Option[Int] = None): DataFrame =
+    cosineProbePreparedCellIndex(batch,
+      cellIndex(corpus, idCol, vecCol, centroids),
+      idCol, vecCol, minSim, centroids, simRound)
+
+  /** The persistable index side of [[cosinePairsAgainstIndexCellBlocked]]:
+    * every corpus vector with its cell id and centroid angle —
+    * (idCol, vecCol, _cell, _ang). Write it once with
+    * `Writers.writePartitioned(index, "_cell", path)` (the cell id as
+    * the write-time partition key) and probe arriving batches against
+    * the loaded table via [[cosineProbePreparedCellIndex]]; the daily
+    * ingest then never re-assigns the corpus. */
+  def cellIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
     val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
     val angToCell = udf((v: Seq[Float], c: Int) =>
       math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(v, centroids(c))))))
+    fanout(corpus).select(col(idCol), col(vecCol))
+      .withColumn("_cell", cellOf(col(vecCol)))
+      .withColumn("_ang", angToCell(col(vecCol), col("_cell")))
+  }
+
+  /** Probe half: exact batch×corpus cosine ≥ minSim pairs against a
+    * prepared (possibly loaded-from-disk) [[cellIndex]] table. Same
+    * output as the one-shot variant on ANY data; per-cell radii come
+    * from one tiny aggregate over the index. */
+  def cosineProbePreparedCellIndex(batch: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, minSim: Double,
+      centroids: Array[Array[Float]], simRound: Option[Int] = None): DataFrame = {
     // same rounding-aware pruning bound as cosinePairsAboveCellBlocked:
     // the rounded-sim output filter admits true sims half a grid step
     // below minSim, so the triangle-inequality cut must too
     val effMin = minSim - simRound.map(k => 0.5 * math.pow(10.0, -k)).getOrElse(0.0)
     val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
-    val corp = fanout(corpus).select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
-      .withColumn("_cell", cellOf(col("_cv")))
+    val corp = index.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+      col("_cell"), col("_ang"))
     // per-cell radii are bounded by the (driver-resident) codebook, so
     // they ship inside the probe UDF: each batch vector explodes into
     // exactly the cells that can qualify — an equi-join on the cell id,
     // with no nested-loop batch × radii pass
-    val radii = corp.withColumn("_ang", angToCell(col("_cv"), col("_cell")))
-      .groupBy("_cell").agg(max(col("_ang")).as("_rad"))
+    val radii = corp.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
       .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
     val probeCells = udf((v: Seq[Float]) => radii.collect {
       case (c, rad) if math.acos(math.max(-1.0, math.min(1.0,
@@ -1107,8 +1131,8 @@ object Similarity {
     })
     val probes = fanout(batch).select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
       .withColumn("_cell", explode(probeCells(col("_bv"))))
-    val sim = cos(corpus)(col("_bv"), col("_cv"))
-    probes.join(corp, "_cell")
+    val sim = cos(batch)(col("_bv"), col("_cv"))
+    probes.join(corp.drop("_ang"), "_cell")
       .select(col("_bid").as("id1"), col("_cid").as("id2"),
         simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
       .filter(col("sim") >= minSim)

@@ -169,6 +169,31 @@ class WritePathSpec extends AnyFunSuite {
     assert(score(loaded) == score(w))
   }
 
+  test("dedup_embed_incremental pair set is unchanged probing the persisted cell index") {
+    // the embedding twin of the minhash round-trip: corpus cell
+    // assignment written ONCE partitioned by the cell id, arriving
+    // batches probe the loaded table — same exact pairs as the
+    // one-shot declared key
+    val base = Files.createTempDirectory("graft-cellidx")
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val isNew = substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) >= "d"
+    val corpus = e.filter(!isNew)
+    val cents = graft.api.Similarity.trainCodebook(corpus, "vec_id", "embedding", k = 16)
+    val declared = SparkEntry.queries("dedup_embed_incremental")(spark, TestSpark.sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    graft.sources.Writers.writePartitioned(
+      graft.api.Similarity.cellIndex(corpus, "vec_id", "embedding", cents),
+      "_cell", s"$base/cells")
+    val loaded = spark.read.parquet(s"$base/cells")
+    val fromDisk = graft.api.Similarity.cosineProbePreparedCellIndex(
+        e.filter(isNew), loaded, "vec_id", "embedding",
+        minSim = 0.4, centroids = cents, simRound = Some(4))
+      .orderBy("id1", "id2")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromDisk == declared, "on-disk cell index changed the declared key's pair set")
+    assert(fromDisk.nonEmpty, "fixture should produce cross pairs")
+  }
+
   test("dedup_incremental_minhash pair set is unchanged probing the persisted on-disk index") {
     // the declared key recomputes the corpus signature index per run;
     // the production path writes it once (bucketed by its join keys)
