@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Canon, Q, Tables}
 import graft.Canon.{sql => O}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.4 — aggregation. All shapes ride Spark's partial+final hash
@@ -161,6 +162,32 @@ object Aggregates {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "agg_mode" -> ((s, d) => {
+      // modal order status per priority (ties → smallest status):
+      // one (priority, status) hash aggregate, then row_number<=1 —
+      // exactly the shape GraftExtensions rewrites to the bounded-heap
+      // TopKPerGroup operator, so no per-group sort at any scale
+      val counts = Tables.orders(s, d)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_mode"))
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("n_mode").desc, col("o_orderstatus").asc)
+      counts.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= 1)
+        .select(col("o_orderpriority"), col("o_orderstatus").as("mode_status"),
+          col("n_mode"))
+        .orderBy("o_orderpriority")
+    }),
+    "agg_histogram_fixed" -> ((s, d) => {
+      // fixed-width value histogram per event type (50-unit bins) —
+      // the reporting staple; one hash aggregate, shuffle ∝ bins, the
+      // same bounded-state posture as the binned percentile family
+      Tables.events(s, d)
+        .groupBy(col("event_type"),
+          floor(col("value") / 50.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }),
     "agg_outlier_iqr" -> ((s, d) => {
       // Tukey-fence outliers per event type: exact per-group
       // percentiles broadcast back as fences, rowwise verdict — robust
@@ -260,6 +287,18 @@ object Aggregates {
         |  ${O.r4("quantile_cont(value, 0.99)")} AS p99,
         |  max(value) AS pmax
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n_mode
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, o_orderstatus, n_mode,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY n_mode DESC, o_orderstatus) AS rn FROM c)
+        |SELECT o_orderpriority, o_orderstatus AS mode_status, n_mode
+        |FROM r WHERE rn = 1 ORDER BY o_orderpriority""".stripMargin,
+    "agg_histogram_fixed" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
     "agg_outlier_iqr" ->
       s"""WITH c AS (SELECT event_type,
         |    quantile_cont(value, 0.25) AS q1,

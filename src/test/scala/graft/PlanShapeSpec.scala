@@ -61,7 +61,9 @@ class PlanShapeSpec extends AnyFunSuite {
     ("data_sample_group_topn", "TopKPerGroup",
       "the per-group cap takes the bounded-heap operator, not a per-group sort"),
     ("text_keywords_topk", "TopKPerGroup",
-      "per-doc keyword ranking takes the bounded-heap operator")
+      "per-doc keyword ranking takes the bounded-heap operator"),
+    ("agg_mode", "TopKPerGroup",
+      "per-group argmax (mode) takes the bounded-heap operator, not a per-group sort")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
