@@ -1905,11 +1905,15 @@ object TextAnalysis {
   def tokenCountBpe(df: DataFrame, idCol: String, textCol: String,
       maxPiece: Int = 4): DataFrame = {
     require(maxPiece >= 1, s"maxPiece must be >= 1, got $maxPiece")
+    // typed column lambda, no SQL text splicing (same contract as
+    // stopwordPrune); ⌈len/m⌉ as floor((len+m−1)/m) — word lengths are
+    // tiny, so the double division is exact before the long cast
+    val piece = (x: Column) =>
+      floor((length(x) + lit(maxPiece - 1)) / lit(maxPiece)).cast("long")
     df.select(col(idCol),
       size(split(col(textCol), " ")).cast("long").as("n_tokens"),
-      expr(s"aggregate(split(`$textCol`, ' '), 0L, " +
-        s"(acc, x) -> acc + (length(x) + ${maxPiece - 1}) div $maxPiece)")
-        .as("n_pieces"))
+      aggregate(split(col(textCol), " "), lit(0L),
+        (acc, x) => acc + piece(x)).as("n_pieces"))
   }
 
   /** Corpus vocabulary report per group: total token occurrences,
@@ -2015,7 +2019,11 @@ object StatsOps {
       val hi = ceil(h)
       val vLo = col(s"_lo_$name")
       val vHi = col(s"_hi_$name")
-      when(hi === lo, vLo)
+      // vHi === vLo mirrors Spark's higherKey==lowerKey shortcut: when
+      // a duplicate run spans both positions the value is returned
+      // EXACTLY — interpolating would drift an ulp ((hi−h)·v + (h−lo)·v
+      // ≠ v in floats) and break the bitwise-parity contract
+      when(hi === lo || vHi === vLo, vLo)
         .otherwise((hi - h) * vLo + (h - lo) * vHi).as(name)
     } ++ maxName.map(col)
     agged.select(col(groupCol) +: outs: _*)

@@ -143,21 +143,23 @@ object MultimodalOps {
       // the DuckDB twin of TextMediaDecoder.decode — text IS the media
       // byte stream (ASCII, so strlen == byte count), every feature an
       // exact integer statistic divided once, rounded on the shared
-      // half-up grid
+      // half-up grid. Empty media decodes to all-zero features on BOTH
+      // sides (the decoder's early return), never 0/0 NaNs.
       import graft.Canon.{sql => O}
+      def z(e: String) = s"CASE WHEN n = 0 THEN 0.0 ELSE ${O.r4(e)} END"
       s"""WITH t AS (SELECT doc_id, text,
         |    CAST(strlen(text) AS DOUBLE) AS n,
         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntok
         |  FROM documents)
         |SELECT doc_id,
-        |  ${O.r4("n")} AS f0,
-        |  ${O.r4("ntok")} AS f1,
-        |  ${O.r4("(n - (ntok - 1)) / ntok")} AS f2,
-        |  ${O.r4("list_sum(list_transform(string_split(text, ''), x -> unicode(x))) / n")} AS f3,
-        |  ${O.r4("length(regexp_replace(text, '[^0-9]', '', 'g')) / n")} AS f4,
-        |  ${O.r4("length(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) / n")} AS f5,
-        |  ${O.r4("len(list_distinct(string_split(text, ' '))) / ntok")} AS f6,
-        |  ${O.r4("length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / n")} AS f7
+        |  ${z("n")} AS f0,
+        |  ${z("ntok")} AS f1,
+        |  ${z("(n - (ntok - 1)) / ntok")} AS f2,
+        |  ${z("list_sum(list_transform(string_split(text, ''), x -> unicode(x))) / n")} AS f3,
+        |  ${z("length(regexp_replace(text, '[^0-9]', '', 'g')) / n")} AS f4,
+        |  ${z("length(regexp_replace(text, '[^aeiouAEIOU]', '', 'g')) / n")} AS f5,
+        |  ${z("len(list_distinct(string_split(text, ' '))) / ntok")} AS f6,
+        |  ${z("length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / n")} AS f7
         |FROM t ORDER BY doc_id""".stripMargin
     }
   )

@@ -91,8 +91,14 @@ object Artifacts {
       .select("cell", "dim", "value").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
     require(rows.nonEmpty, s"empty codebook at $path")
+    require(rows.forall(t => t._1 >= 0 && t._2 >= 0),
+      s"codebook at $path has negative (cell, dim) indices")
     val nCells = rows.map(_._1).max + 1
     val dims = rows.map(_._2).max + 1
+    // a bare row-count check would accept a duplicated key masking a
+    // missing one — validate the (cell, dim) key set is a bijection
+    require(rows.map(t => (t._1, t._2)).distinct.length == rows.length,
+      s"codebook at $path has duplicate (cell, dim) rows")
     require(rows.length == nCells * dims,
       s"codebook at $path is ragged: ${rows.length} rows for $nCells cells × $dims dims")
     val out = Array.ofDim[Float](nCells, dims)

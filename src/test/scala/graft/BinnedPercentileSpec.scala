@@ -63,10 +63,14 @@ class BinnedPercentileSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     // g0: 1 row; g1: 2 rows; g2: odd run with duplicates; g3: all-equal
+    // FP-exact; g4: all-equal where interpolating WOULD drift an ulp
+    // ((9−8.1)·0.01 + (8.1−8)·0.01 = 0.010000000000000002 ≠ 0.01) —
+    // pins the vHi===vLo duplicate-run shortcut
     val rows = Seq(("g0", 5.0)) ++
       Seq(("g1", 1.0), ("g1", 2.0)) ++
       (1 to 9).map(i => ("g2", (i % 4).toDouble)) ++
-      (1 to 6).map(_ => ("g3", 7.25))
+      (1 to 6).map(_ => ("g3", 7.25)) ++
+      (1 to 10).map(_ => ("g4", 0.01))
     val df = rows.toDF("g", "v")
     val ps = Seq("q0" -> 0.0, "q37" -> 0.37, "q100" -> 1.0)
     val built = df.groupBy("g").agg(

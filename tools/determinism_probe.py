@@ -33,8 +33,12 @@ def main() -> None:
             # by a full-column sort before the byte compare
             cols = list(da.columns)
             try:
-                da = da.sort_values(cols, kind="mergesort").reset_index(drop=True)
-                db = db.sort_values(cols, kind="mergesort").reset_index(drop=True)
+                # sort into temporaries so a TypeError on EITHER side
+                # leaves both frames unsorted (sorted-vs-unsorted would
+                # be a guaranteed spurious FAIL)
+                sa = da.sort_values(cols, kind="mergesort").reset_index(drop=True)
+                sb = db.sort_values(cols, kind="mergesort").reset_index(drop=True)
+                da, db = sa, sb
             except TypeError:
                 # unsortable (array-typed) column: compare as emitted
                 pass
