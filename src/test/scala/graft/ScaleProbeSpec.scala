@@ -108,6 +108,51 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("witness top-k on clustered vectors: pass-2 joins ~cell-local volume, exact vs brute force") {
+    // 1600 unit vectors in 16 tight clusters (base direction + small
+    // deterministic noise). The witness threshold t0 lands near the
+    // within-cluster similarity, so pass 2's cell-pair admission must
+    // prune the cross-cluster pairs — candidate volume ~ Σ_c n_c²/2,
+    // an order below the n²/2 a flat pair join pays — while the
+    // result stays bitwise equal to the brute-force top-k.
+    val s = spark
+    import s.implicits._
+    val dims = 8
+    val rnd = new scala.util.Random(7)
+    val bases = Array.fill(16)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val vecs = (0L until 1600L).map { id =>
+      val b = bases((id % 16).toInt)
+      (id, b.map(v => v + (rnd.nextGaussian() * 0.01).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = graft.api.Similarity.trainCodebook(vecs, "vec_id", "embedding", k = 16)
+    val blocked = graft.api.Similarity.cosineTopKPairsBlocked(
+      vecs, "vec_id", "embedding", k = 50, centroids = cents, simRound = Some(4))
+    val got = blocked.collect().map(_.toString).toSeq
+    val want = graft.api.Similarity.cosineTopKPairs(
+        vecs, "vec_id", "embedding", k = 50, simRound = Some(4))
+      .collect().map(_.toString).toSeq
+    assert(got == want, "blocked top-k diverged from brute force on clustered data")
+    // candidate volume: the pair join's output rows (the largest BHJ
+    // in the executed plan), post cell-pair admission
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    val joined = allNodes(blocked.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.metrics("numOutputRows").value
+    }.max
+    val cellLocal = 16L * (100L * 99L / 2) // Σ_c n_c(n_c−1)/2 at 100/cell
+    val allPairs = 1600L * 1599L / 2
+    assert(joined <= 2 * cellLocal,
+      s"pass-2 candidate volume $joined is not cell-local (bound ${2 * cellLocal})")
+    assert(joined * 5 < allPairs,
+      s"pass-2 volume $joined within 5× of all-pairs $allPairs — admission is not pruning")
+  }
+
   test("intervalJoinBucketed: 100× hot-spot skew keeps candidates ~= matches + boundary slack") {
     // 5000 cold points spread 1/bin over 5000 one-second bins, plus
     // 5000 hot points crammed into 50 bins (100× density); intervals
