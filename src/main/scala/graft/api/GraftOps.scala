@@ -1378,6 +1378,27 @@ object TimeSeriesOps {
       .drop("_kind")
   }
 
+  /** Forward as-of join: for each `left` row, the SMALLEST `right`
+    * timestamp ≥ its own, per key — the "next event after" twin of
+    * [[asofPrior]]: same union + ONE window pass, scanned in
+    * descending time order so the running `last` seen at a left row is
+    * the nearest right timestamp at-or-after it (equal timestamps
+    * match, `_kind` puts the right row first). Returns left rows +
+    * `asof_ts`. */
+  def asofNext(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, leftIdCol: String): DataFrame = {
+    val r = right.select(col(keyCol), col(tsCol)).distinct()
+      .select(col(keyCol), col(tsCol), lit(null).cast("long").as(leftIdCol), lit(0).as("_kind"))
+    val l = left.select(col(keyCol), col(tsCol), col(leftIdCol), lit(1).as("_kind"))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc, col("_kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_ts", last(when(col("_kind") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("_kind") === 1)
+      .drop("_kind")
+  }
+
   /** Resample events into fixed epoch-aligned bins per key, emitting a
     * DENSE grid: every (key, bin) between the corpus min and max bin
     * appears, empty bins zero-filled — the gap-fill shape every

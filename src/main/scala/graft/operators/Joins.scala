@@ -129,6 +129,22 @@ object Joins {
           Canon.tsStrMicros(col("asof_ts")).as("click_ts"))
         .orderBy("event_id")
     }),
+    "join_asof_forward" -> ((s, d) => {
+      // the forward twin of join_asof: for each error, the user's NEXT
+      // view (ts >= error ts) — same one-shuffle union+window shape,
+      // scanned in descending time order; DuckDB twin is its native
+      // forward ASOF LEFT JOIN
+      val ev = Tables.events(s, d)
+      graft.api.TimeSeriesOps.asofNext(
+          left = ev.filter(col("event_type") === "error")
+            .select("user_id", "ts", "event_id"),
+          right = ev.filter(col("event_type") === "view"),
+          keyCol = "user_id", tsCol = "ts", leftIdCol = "event_id")
+        .select(col("event_id"), col("user_id"),
+          Canon.tsStrMicros(col("ts")).as("error_ts"),
+          Canon.tsStrMicros(col("asof_ts")).as("view_ts"))
+        .orderBy("event_id")
+    }),
     "join_cross_small" -> ((s, d) => {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_regionkey", "n_nationkey")
@@ -203,6 +219,17 @@ object Joins {
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
         |FROM errors e ASOF LEFT JOIN clicks c
         |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |                FROM events WHERE event_type = 'error'),
+        |     views AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |               FROM events WHERE event_type = 'view')
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+        |FROM errors e ASOF LEFT JOIN views v
+        |  ON e.user_id = v.user_id AND v.ts >= e.ts
         |ORDER BY e.event_id""".stripMargin,
     "join_cross_small" ->
       """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation

@@ -222,6 +222,17 @@ object TextOps {
           "doc_id", "lang", "n_chars", budget = 20000L)
         .orderBy("doc_id")
     }),
+    "data_shard_manifest" -> ((s, d) => {
+      // the manifest a trainer actually reads: per (lang, shard) doc
+      // and size totals over the deterministic packing — packShards'
+      // banded cumsum + one tiny rollup (state ∝ shards)
+      graft.api.Sampling.packShards(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          "doc_id", "lang", "n_chars", budget = 20000L)
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy("lang", "shard")
+    }),
     "dedup_fuzzy_levenshtein" -> ((s, d) => {
       // fuzzy near-dup: same-first-4-token blocks, full-text edit
       // distance <= 50 within a block — the char-level complement to
@@ -587,6 +598,15 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM o WHERE pfx < 20000
         |ORDER BY doc_id""".stripMargin,
+    "data_shard_manifest" ->
+      """WITH o AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS pfx
+        |  FROM documents)
+        |SELECT lang, pfx // 20000 AS shard, count(*) AS n_docs,
+        |  sum(n_chars) AS n_chars_total
+        |FROM o GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
     "dedup_fuzzy_levenshtein" ->
       """WITH t AS (SELECT doc_id, text,
         |    md5(array_to_string(string_split(text, ' ')[1:4], ' ')) AS k
