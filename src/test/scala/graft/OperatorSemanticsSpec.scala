@@ -22,6 +22,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("join_asof_forward: matched view is the true earliest at-or-after view") {
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3)))
+    val viewsByUser = ev.filter(_._3 == "view").groupBy(_._2)
+    val dtf = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def f(t: java.sql.Timestamp): String =
+      t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime.format(dtf)
+    val got = SparkEntry.queries("join_asof_forward")(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(3)))).toMap
+    ev.filter(_._3 == "error").foreach { case (eid, uid, _, ets) =>
+      val expected = viewsByUser.getOrElse(uid, Array.empty)
+        .map(_._4).filter(!_.before(ets)) match {
+        case a if a.isEmpty => None
+        case a => Some(f(a.min))
+      }
+      assert(got(eid) == expected, s"error $eid: got ${got(eid)}, want $expected")
+    }
+  }
+
   test("join_asof: matched click is the true most recent prior click") {
     val ev = Tables.events(spark, sf)
       .select("event_id", "user_id", "event_type", "ts").collect()
