@@ -222,6 +222,21 @@ object TextOps {
           "doc_id", "lang", "n_chars", budget = 20000L)
         .orderBy("doc_id")
     }),
+    "data_profile_columns" -> ((s, d) => {
+      // data-quality profiling: per-column non-null and exact distinct
+      // counts plus the row total, in ONE aggregate pass (Spark's
+      // multi-distinct expand plan) — the pre-ingest sanity report
+      val ev = Tables.events(s, d)
+      ev.agg(count(lit(1)).as("n_rows"),
+          count(col("user_id")).as("nn0"), countDistinct(col("user_id")).as("nd0"),
+          count(col("event_type")).as("nn1"), countDistinct(col("event_type")).as("nd1"),
+          count(col("value")).as("nn2"), countDistinct(col("value")).as("nd2"),
+          count(col("props")).as("nn3"), countDistinct(col("props")).as("nd3"))
+        .select(expr("stack(4, 'event_type', nn1, nd1, 'props', nn3, nd3, " +
+            "'user_id', nn0, nd0, 'value', nn2, nd2) AS (column_name, n_nonnull, n_distinct)"),
+          col("n_rows"))
+        .orderBy("column_name")
+    }),
     "data_shard_manifest" -> ((s, d) => {
       // the manifest a trainer actually reads: per (lang, shard) doc
       // and size totals over the deterministic packing — packShards'
@@ -598,6 +613,19 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM o WHERE pfx < 20000
         |ORDER BY doc_id""".stripMargin,
+    "data_profile_columns" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |    count(user_id) AS nn0, count(DISTINCT user_id) AS nd0,
+        |    count(event_type) AS nn1, count(DISTINCT event_type) AS nd1,
+        |    count(value) AS nn2, count(DISTINCT value) AS nd2,
+        |    count(props) AS nn3, count(DISTINCT props) AS nd3
+        |  FROM events)
+        |SELECT column_name, n_nonnull, n_distinct, n_rows FROM (
+        |  SELECT 'user_id' AS column_name, nn0 AS n_nonnull, nd0 AS n_distinct, n_rows FROM a
+        |  UNION ALL SELECT 'event_type', nn1, nd1, n_rows FROM a
+        |  UNION ALL SELECT 'value', nn2, nd2, n_rows FROM a
+        |  UNION ALL SELECT 'props', nn3, nd3, n_rows FROM a)
+        |ORDER BY column_name""".stripMargin,
     "data_shard_manifest" ->
       """WITH o AS (SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
         |    sum(n_chars) OVER (PARTITION BY lang

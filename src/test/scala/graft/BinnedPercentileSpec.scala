@@ -89,6 +89,41 @@ class BinnedPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized sweep: 40 seeded groups × 8 percentiles bitwise-match the built-in") {
+    // seeded, so the sweep is reproducible; values off a coarse grid so
+    // duplicate runs spanning both interpolation positions are common
+    // (the case the vHi===vLo shortcut exists for), group sizes 1-30,
+    // mixed signs and magnitudes
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val rows = (0 until 40).flatMap { g =>
+      val scale = math.pow(10.0, rnd.nextInt(4) - 1)
+      (0 until (1 + rnd.nextInt(30))).map { _ =>
+        (s"g$g", (rnd.nextInt(9) - 3) * 0.25 * scale)
+      }
+    }
+    val df = rows.toDF("g", "v")
+    val ps = Seq("q00" -> 0.0, "q13" -> 0.13, "q25" -> 0.25, "q50" -> 0.5,
+      "q77" -> 0.77, "q90" -> 0.9, "q99" -> 0.99, "q100" -> 1.0)
+    val builtIn = df.groupBy("g").agg(
+        expr("percentile(v, 0.0)").as("q00"), expr("percentile(v, 0.13)").as("q13"),
+        expr("percentile(v, 0.25)").as("q25"), expr("percentile(v, 0.5)").as("q50"),
+        expr("percentile(v, 0.77)").as("q77"), expr("percentile(v, 0.9)").as("q90"),
+        expr("percentile(v, 0.99)").as("q99"), expr("percentile(v, 1.0)").as("q100"))
+      .orderBy("g").collect()
+    val binned = graft.api.StatsOps.binnedPercentiles(df, "g", col("v"), ps)
+      .orderBy("g").collect()
+    assert(builtIn.length == 40 && binned.length == 40)
+    builtIn.zip(binned).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      (1 to 8).foreach { i =>
+        assert(bits(a.getDouble(i)) == bits(b.getDouble(i)),
+          s"${a.getString(0)} p#$i: built-in ${a.getDouble(i)} != binned ${b.getDouble(i)}")
+      }
+    }
+  }
+
   /** Output rows of the first (partial+final) HashAggregate pair in the
     * executed plan — the bin table's cardinality, i.e. the state the
     * query actually shuffles and holds. */
