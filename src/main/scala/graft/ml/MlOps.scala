@@ -62,6 +62,18 @@ object MlOps {
         scored(s, d).select(col("score"), (col("label") % 2).as("y")),
         "score", "y")
     }),
+    "ml_calibration_bins" -> ((s, d) => {
+      // reliability diagram: fixed-width score bins → count, mean
+      // score (exact decimal sum — scores are on the 4 dp grid), and
+      // positive rate — the calibration eval next to AUC/confusion;
+      // ONE hash aggregate, state ∝ bins at any corpus size
+      scored(s, d).select(col("score"), (col("label") % 2).as("y"))
+        .groupBy(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          Canon.r4(Canon.sumDec(col("score"), 4) / count(lit(1))).as("mean_score"),
+          Canon.r4(sum(col("y")).cast("double") / count(lit(1))).as("frac_pos"))
+        .orderBy("bin")
+    }),
     "ml_batch_stats" -> ((s, d) => {
       Tables.embeddings(s, d)
         .groupBy("label")
@@ -117,6 +129,13 @@ object MlOps {
         |  CAST(sum(np) AS BIGINT) AS n_pos,
         |  CAST(sum(nn) AS BIGINT) AS n_neg
         |FROM c""".stripMargin,
+    "ml_calibration_bins" ->
+      s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings),
+        |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y FROM t)
+        |SELECT bin, count(*) AS n,
+        |  ${O.r4(O.sumDec("score", 4) + " / count(*)")} AS mean_score,
+        |  ${O.r4("CAST(sum(y) AS DOUBLE) / count(*)")} AS frac_pos
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "ml_batch_stats" ->
       """SELECT label, count(*) AS n,
         |  CAST(ceil(count(*) / 32.0) AS BIGINT) AS n_batches
