@@ -1365,18 +1365,8 @@ object TimeSeriesOps {
     * ≤ its own, per key — one shuffle by key + one window pass, no
     * per-row subquery. Returns left rows + `asof_ts`. */
   def asofPrior(left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, leftIdCol: String): DataFrame = {
-    val r = right.select(col(keyCol), col(tsCol)).distinct()
-      .select(col(keyCol), col(tsCol), lit(null).cast("long").as(leftIdCol), lit(0).as("_kind"))
-    val l = left.select(col(keyCol), col(tsCol), col(leftIdCol), lit(1).as("_kind"))
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).asc, col("_kind").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    r.unionByName(l)
-      .withColumn("asof_ts", last(when(col("_kind") === 0, col(tsCol)), ignoreNulls = true).over(w))
-      .filter(col("_kind") === 1)
-      .drop("_kind")
-  }
+      keyCol: String, tsCol: String, leftIdCol: String): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, leftIdCol, forward = false)
 
   /** Forward as-of join: for each `left` row, the SMALLEST `right`
     * timestamp ≥ its own, per key — the "next event after" twin of
@@ -1386,12 +1376,23 @@ object TimeSeriesOps {
     * match, `_kind` puts the right row first). Returns left rows +
     * `asof_ts`. */
   def asofNext(left: DataFrame, right: DataFrame,
-      keyCol: String, tsCol: String, leftIdCol: String): DataFrame = {
+      keyCol: String, tsCol: String, leftIdCol: String): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, leftIdCol, forward = true)
+
+  /** Shared body of the two as-of directions. NULL timestamps match
+    * nothing in either direction (the native ASOF-join behavior both
+    * DuckDB twins have): null-ts rows sort FIRST in both scan orders,
+    * so a null-ts left row's frame holds no right timestamps and a
+    * null-ts right row is ignored by the running `last(ignoreNulls)`. */
+  private def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, leftIdCol: String,
+      forward: Boolean): DataFrame = {
     val r = right.select(col(keyCol), col(tsCol)).distinct()
       .select(col(keyCol), col(tsCol), lit(null).cast("long").as(leftIdCol), lit(0).as("_kind"))
     val l = left.select(col(keyCol), col(tsCol), col(leftIdCol), lit(1).as("_kind"))
+    val order = if (forward) col(tsCol).desc_nulls_first else col(tsCol).asc_nulls_first
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol).desc, col("_kind").asc)
+      .orderBy(order, col("_kind").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     r.unionByName(l)
       .withColumn("asof_ts", last(when(col("_kind") === 0, col(tsCol)), ignoreNulls = true).over(w))

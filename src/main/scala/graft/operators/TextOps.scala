@@ -632,8 +632,8 @@ object TextOps {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS pfx
         |  FROM documents)
-        |SELECT lang, pfx // 20000 AS shard, count(*) AS n_docs,
-        |  sum(n_chars) AS n_chars_total
+        |SELECT lang, CAST(pfx // 20000 AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
         |FROM o GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
     "dedup_fuzzy_levenshtein" ->
       """WITH t AS (SELECT doc_id, text,

@@ -22,6 +22,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of joins: NULL timestamps match nothing in either direction") {
+    val s = spark
+    import s.implicits._
+    def ts(sec: Int): java.sql.Timestamp = new java.sql.Timestamp(sec * 1000L)
+    val left = Seq((1L, Option(ts(10)), 100L), (1L, Option.empty[java.sql.Timestamp], 101L))
+      .toDF("k", "ts", "id")
+    val right = Seq((1L, Option(ts(5))), (1L, Option(ts(20))),
+      (1L, Option.empty[java.sql.Timestamp])).toDF("k", "ts")
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(2) -> Option(r.getTimestamp(3))).toMap
+    val prior = got(graft.api.TimeSeriesOps.asofPrior(left, right, "k", "ts", "id"))
+    val next = got(graft.api.TimeSeriesOps.asofNext(left, right, "k", "ts", "id"))
+    assert(prior(100L) == Some(ts(5)) && next(100L) == Some(ts(20)))
+    assert(prior(101L).isEmpty, "null-ts left row matched backward")
+    assert(next(101L).isEmpty, "null-ts left row matched forward")
+  }
+
   test("join_asof_forward: matched view is the true earliest at-or-after view") {
     val ev = Tables.events(spark, sf)
       .select("event_id", "user_id", "event_type", "ts").collect()
