@@ -1311,8 +1311,9 @@ object Ranking {
     *  1. one aggregate computes per-band row counts; a window over that
     *     TINY table (cardinality = #bands, not #rows) yields each
     *     band's cumulative preceding count and dense rank;
-    *  2. rank / dense_rank / percent_rank depend only on the band (all
-    *     rows in a band tie), so they broadcast-join back as lookups;
+    *  2. rank / dense_rank / percent_rank / cume_dist depend only on
+    *     the band (all rows in a band tie), so they broadcast-join
+    *     back as lookups;
     *  3. the global row number needed by ntile = band's preceding count
     *     + row_number within the band (a per-band window, parallel over
     *     bands); the tile index then follows in closed form from the
@@ -1352,6 +1353,9 @@ object Ranking {
       .withColumn("drnk", col("_drnk"))
       .withColumn("prnk", when(col("_n") > 1,
         col("_before").cast("double") / (col("_n") - 1).cast("double")).otherwise(0.0))
+      // cume_dist depends only on the band too: (rows ≤ this band)/n
+      .withColumn("cdist",
+        (col("_before") + col("_bn")).cast("double") / col("_n").cast("double"))
       .withColumn("_rn", rn)
       .withColumn("tile",
         when(col("_rn") <= boundary, idiv(col("_rn") - 1, base + 1) + 1)

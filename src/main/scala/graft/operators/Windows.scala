@@ -40,6 +40,16 @@ object Windows {
           Canon.r4(col("prnk")).as("prnk"), col("tile"))
         .orderBy("o_orderkey")
     }),
+    "window_cume_dist" -> ((s, d) => {
+      // cume_dist over the same coarse band order — rides the banded
+      // two-pass ranks (per-band lookup broadcast back), completing
+      // the global-rank window surface without a global window
+      val banded = Tables.orders(s, d)
+        .select(col("o_orderkey"), floor(col("o_totalprice") / 10000).cast("long").as("band"))
+      graft.api.Ranking.bandedRanks(banded, "band", "o_orderkey", 4)
+        .select(col("o_orderkey"), col("band"), Canon.r4(col("cdist")).as("cdist"))
+        .orderBy("o_orderkey")
+    }),
     "window_lag_lead" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
       Tables.events(s, d)
@@ -158,6 +168,12 @@ object Windows {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_cume_dist" ->
+      s"""WITH t AS (SELECT o_orderkey,
+        |             CAST(floor(o_totalprice / 10000) AS BIGINT) AS band FROM orders)
+        |SELECT o_orderkey, band,
+        |  ${O.r4("cume_dist() OVER (ORDER BY band DESC)")} AS cdist
+        |FROM t ORDER BY o_orderkey""".stripMargin,
     "window_ranks" ->
       s"""WITH t AS (SELECT o_orderkey,
         |             CAST(floor(o_totalprice / 10000) AS BIGINT) AS band FROM orders)

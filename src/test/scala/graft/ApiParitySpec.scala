@@ -19,13 +19,14 @@ class ApiParitySpec extends AnyFunSuite {
       .withColumn("rnk", rank().over(w1).cast("long"))
       .withColumn("drnk", dense_rank().over(w1).cast("long"))
       .withColumn("prnk", percent_rank().over(w1))
+      .withColumn("cdist", cume_dist().over(w1))
       .withColumn("tile", ntile(4).over(w2).cast("long"))
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toMap
     val ours = Ranking.bandedRanks(banded, "band", "o_orderkey", 4)
-      .select("o_orderkey", "rnk", "drnk", "prnk", "tile")
+      .select("o_orderkey", "rnk", "drnk", "prnk", "cdist", "tile")
       .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
     assert(ours.keySet == builtIn.keySet)
     ours.foreach { case (k, v) => assert(v == builtIn(k), s"orderkey $k") }
   }
