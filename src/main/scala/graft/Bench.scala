@@ -81,7 +81,13 @@ object Bench {
           val plan = try {
             val df = fn(spark, sfDir)
             df.count()
-            planSummary(df.queryExecution.executedPlan.toString)
+            val p = planSummary(df.queryExecution.executedPlan.toString)
+            // release eagerly-pinned localCheckpoint blocks now that the
+            // run materialized (Checkpoints retention contract) — each
+            // run reconstructs the frame, so run-over-run accumulation
+            // would otherwise bill later keys for earlier keys' blocks
+            graft.api.Checkpoints.free(df)
+            p
           } catch { case _: Throwable => "ERROR" }
           val dt = (System.nanoTime() - t0) / 1e9
           Run(dt, plan, (gcMillis() - g0) / 1e3)

@@ -53,10 +53,12 @@ private[graft] object Fanout {
 /** Lifecycle for the eager `localCheckpoint`s some constructors pin.
   *
   * RETENTION CONTRACT: `Dedup.minhashPairs`, `minhashPairsAgainstIndex`,
-  * `jaccardPairsFromHashes` (via `nearJaccardPairs` / `ngramJaccardPairs`)
-  * and `jaccardPairsAgainstIndex` materialize their hashed-doc /
-  * signature tables with eager local checkpoints at CALL time (to run
-  * the expensive hashing once across plan branches). Those blocks stay
+  * `jaccardPairsFromHashes` (via `nearJaccardPairs` / `ngramJaccardPairs`),
+  * `jaccardPairsAgainstIndex`, and `Similarity.cosineTopKPairsBlocked`
+  * (the `sim_knn_bruteforce` key) materialize their hashed-doc /
+  * signature / cell-layout tables with eager local checkpoints at CALL
+  * time (to run the expensive hashing once across plan branches). Those
+  * blocks stay
   * pinned in executor storage until the returned frame is garbage
   * collected (ContextCleaner) — fine for batch jobs, but a long-lived
   * session constructing many pipelines should release them
@@ -925,8 +927,12 @@ object Similarity {
       .orderBy(col("sim").desc, col("id1"), col("id2"))
       .limit(k).collect()
     val pairs =
-      if (localTopK.length < k) // < k cell-local pairs: emit everything
-        cellBlockedPairsCore(vecs, radii, centroids, -1.0, simRound)
+      // < k cell-local pairs: emit everything. Sentinel -2.0 (strictly
+      // below any cosine), NOT -1.0: with simRound=None the unrounded
+      // codegen cosine of antipodal vectors can land an ulp below -1.0
+      // and a `sim >= -1.0` output filter would silently drop it
+      if (localTopK.length < k)
+        cellBlockedPairsCore(vecs, radii, centroids, -2.0, simRound)
       else
         cellBlockedPairsCore(vecs, radii, centroids,
           localTopK.last.getDouble(2), simRound)
@@ -2002,9 +2008,11 @@ object StatsOps {
     * the interpolation replicates Spark's weighted form
     * `(higher−pos)·v_lo + (pos−lower)·v_hi` (parity-asserted against
     * the built-in on the fixtures in BinnedPercentileSpec). Values
-    * are binned as given; nulls are excluded, and a group whose
-    * values are all null is absent (declared callers feed non-null
-    * columns).
+    * are binned as given; nulls are excluded from the computation,
+    * and a group whose values are ALL null still appears in the
+    * output with null percentiles — the built-in (and DuckDB
+    * `quantile_cont`) emit the group, so the bin table is left-joined
+    * back to the distinct group keys to keep the row sets identical.
     *
     * Scale shape: one hash aggregate (group, value) → count with
     * map-side combine — per-task state ∝ distinct values seen, total
@@ -2039,6 +2047,13 @@ object StatsOps {
     } ++ maxName.map(m => max(col("_v")).as(m))
     val agged = cum.groupBy(col(groupCol))
       .agg(sum(col("_c")).as("_n"), aggs: _*)
+    // all-null groups have no bins, so they are missing from `agged`;
+    // restore them via a left join from the distinct group keys (one
+    // hash agg ∝ groups + a broadcast join of the two tiny per-group
+    // tables) — their _n/_lo/_hi come back null and every output
+    // expression below propagates that null, matching the built-in
+    val withAllGroups = df.select(col(groupCol)).distinct()
+      .join(broadcast(agged), Seq(groupCol), "left")
     val outs = ps.map { case (name, p) =>
       val h = (col("_n") - 1).cast("double") * p
       val lo = floor(h)
@@ -2052,7 +2067,7 @@ object StatsOps {
       when(hi === lo || vHi === vLo, vLo)
         .otherwise((hi - h) * vLo + (h - lo) * vHi).as(name)
     } ++ maxName.map(col)
-    agged.select(col(groupCol) +: outs: _*)
+    withAllGroups.select(col(groupCol) +: outs: _*)
   }
 
   /** Per-key z-score anomaly flags: rows whose value is at least
@@ -2065,11 +2080,13 @@ object StatsOps {
     * pre-rounded (4 dp) so the >=-at-the-cut decision cannot straddle
     * the one-ulp difference between engines' float aggregates (the
     * same contract as [[TextAnalysis.qualityFilter]]). A zero-variance
-    * key has no anomalies BY THE GUARD, not by accident: engines
-    * disagree on 0/0 (Spark nulls the row out, IEEE-mode DuckDB emits
-    * NaN and sorts it above every number, flagging the whole group),
-    * so both this side and the oracle twin filter `sd > 0`
-    * explicitly. */
+    * key has no anomalies BY THE GUARD, not by accident: double 0/0
+    * is plain IEEE division in BOTH engines (NaN — Spark's null-out
+    * on division applies to integral/decimal, not doubles), and both
+    * order NaN above every number, so without a guard both sides
+    * would flag the entire constant group; the explicit `sd > 0`
+    * filter here and in the oracle twin is what makes zero-variance
+    * keys flag nothing. */
   def zscoreFlags(df: DataFrame, keyCol: String, idCol: String,
       valueCol: String, threshold: Double): DataFrame = {
     require(threshold > 0, s"threshold must be > 0, got $threshold")

@@ -124,6 +124,33 @@ class BinnedPercentileSpec extends AnyFunSuite {
     }
   }
 
+  test("all-null and mixed-null groups match the built-in row set (null percentile, not absence)") {
+    val s = spark
+    import s.implicits._
+    // gAll: every value null (the divergence ADVICE r9 flagged — the
+    // built-in and DuckDB quantile_cont emit the group with a NULL
+    // percentile; dropping it is a row-set mismatch); gMix: nulls are
+    // excluded from the computation but the group stays
+    val df = Seq(("gAll", None: Option[Double]), ("gAll", None),
+        ("gMix", Some(1.0)), ("gMix", None), ("gMix", Some(3.0)),
+        ("gVal", Some(2.0)))
+      .toDF("g", "v")
+    val built = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("m"))
+      .orderBy("g").collect()
+    val binned = graft.api.StatsOps.binnedPercentiles(df, "g", col("v"), Seq("m" -> 0.5))
+      .orderBy("g").collect()
+    assert(built.length == 3 && binned.length == 3,
+      s"row sets differ: built ${built.length}, binned ${binned.length}")
+    built.zip(binned).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.isNullAt(1) == b.isNullAt(1),
+        s"${a.getString(0)}: null-ness differs (built ${a.get(1)}, binned ${b.get(1)})")
+      if (!a.isNullAt(1))
+        assert(bits(a.getDouble(1)) == bits(b.getDouble(1)),
+          s"${a.getString(0)}: built-in ${a.getDouble(1)} != binned ${b.getDouble(1)}")
+    }
+  }
+
   /** Output rows of the first (partial+final) HashAggregate pair in the
     * executed plan — the bin table's cardinality, i.e. the state the
     * query actually shuffles and holds. */
