@@ -58,13 +58,15 @@ object Bench {
         val c = ("\\b" + op).r.findAllIn(p).size
         if (c == 0) None else Some(s"$op*$c")
       }.mkString(",")
-    // each key is timed TWICE and the artifact carries min-of-2 plus
-    // per-run GC time: the bench JVM runs 98 queries back-to-back, so a
-    // single number cannot distinguish a plan regression from ambient
-    // load / GC pressure (r6's dedup_keep_best read +36% on an
-    // IDENTICAL plan). Two runs + the GC split make the artifact
-    // self-diagnosing: a real regression moves BOTH runs, co-tenancy
-    // noise moves one, and a GC-dominated key shows it in gc_sec.
+    // each key is timed THREE times and the artifact carries min-of-3
+    // plus per-run GC time: the bench JVM runs 130+ queries
+    // back-to-back, so a single number cannot distinguish a plan
+    // regression from ambient load / GC pressure (r6's dedup_keep_best
+    // read +36% on an IDENTICAL plan; r9's dedup_ngram_jaccard drifted
+    // +52% with a byte-identical plan). Three runs + the GC split make
+    // drift adjudication mechanical: a real regression moves ALL runs,
+    // co-tenancy noise moves one or two, and a GC-dominated key shows
+    // it in gc_sec.
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis(): Long = {
       var t = 0L
@@ -92,16 +94,13 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           Run(dt, plan, (gcMillis() - g0) / 1e3)
         }
-        val r1 = timed()
-        // drop this run's dead broadcasts/shuffles now, off the clock,
-        // instead of inside the second run's hot loop
-        System.gc()
-        val r2 = timed()
-        System.gc()
-        val best = math.min(r1.sec, r2.sec)
+        // drop each run's dead broadcasts/shuffles off the clock,
+        // instead of inside the next run's hot loop
+        val rs = Seq.fill(3) { val r = timed(); System.gc(); r }
+        val best = rs.map(_.sec).min
         System.err.println(
-          f"[bench] $name%-28s min $best%8.3f s  (${r1.sec}%.3f/${r2.sec}%.3f, gc ${r1.gcSec}%.2f/${r2.gcSec}%.2f)  [${r1.plan}]")
-        name -> (r1, r2)
+          f"[bench] $name%-28s min $best%8.3f s  (${rs.map(r => f"${r.sec}%.3f").mkString("/")}, gc ${rs.map(r => f"${r.gcSec}%.2f").mkString("/")})  [${rs.head.plan}]")
+        name -> rs
       }
     // explicit locale: the default-locale f"" interpolator would emit
     // "654,756" (invalid JSON) under comma-decimal locales
@@ -109,20 +108,21 @@ object Bench {
     def fmt(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
-    val times = results.map { case (k, (r1, r2)) => k -> math.min(r1.sec, r2.sec) }
-    // the plan is run 1's (cold construction, post-AQE); a run-2 plan
-    // that DIFFERS is itself a finding and is appended for the audit
-    val plans = results.map { case (k, (r1, r2)) =>
-      val p = if (r2.plan == r1.plan) r1.plan else s"${r1.plan}|run2:${r2.plan}"
-      "\"" + k + "\":\"" + p + "\""
+    val times = results.map { case (k, rs) => k -> rs.map(_.sec).min }
+    // the plan is run 1's (cold construction, post-AQE); a later run's
+    // plan that DIFFERS is itself a finding and is appended for the audit
+    val plans = results.map { case (k, rs) =>
+      val p = rs.head.plan +: rs.tail.zipWithIndex.collect {
+        case (r, i) if r.plan != rs.head.plan => s"run${i + 2}:${r.plan}"
+      }
+      "\"" + k + "\":\"" + p.mkString("|") + "\""
     }.mkString("{", ",", "}")
-    def pairs(f: ((Run, Run)) => (Double, Double)): String =
+    def lists(f: Run => Double): String =
       results.map { case (k, rs) =>
-        val (x, y) = f(rs)
-        "\"" + k + "\":[" + num(x) + "," + num(y) + "]"
+        "\"" + k + "\":[" + rs.map(r => num(f(r))).mkString(",") + "]"
       }.mkString("{", ",", "}")
-    val runsJson = pairs { case (r1, r2) => (r1.sec, r2.sec) }
-    val gcJson = pairs { case (r1, r2) => (r1.gcSec, r2.gcSec) }
+    val runsJson = lists(_.sec)
+    val gcJson = lists(_.gcSec)
     val total = if (times.nonEmpty) times.values.sum else 0.0
     val fullJson =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(times)},"runs":$runsJson,"gc_sec":$gcJson,"plans":$plans,"sf":"$sfDir"}"""

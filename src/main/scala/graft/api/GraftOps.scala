@@ -2011,8 +2011,9 @@ object StatsOps {
     * are binned as given; nulls are excluded from the computation,
     * and a group whose values are ALL null still appears in the
     * output with null percentiles — the built-in (and DuckDB
-    * `quantile_cont`) emit the group, so the bin table is left-joined
-    * back to the distinct group keys to keep the row sets identical.
+    * `quantile_cont`) emit the group, so nulls ride through as a
+    * zero-weight bin that keeps the group alive without ever covering
+    * a percentile position (row sets stay identical).
     *
     * Scale shape: one hash aggregate (group, value) → count with
     * map-side combine — per-task state ∝ distinct values seen, total
@@ -2025,20 +2026,28 @@ object StatsOps {
     require(ps.nonEmpty, "need at least one percentile")
     ps.foreach { case (n, p) =>
       require(p >= 0.0 && p <= 1.0, s"percentile $n must be in [0,1], got $p") }
+    // null values are KEPT as their own bin with an EFFECTIVE count of
+    // 0: the bin table itself then witnesses every group — an all-null
+    // group survives the windows and the final aggregate as a single
+    // zero-weight bin and emits null percentiles (matching the
+    // built-in and DuckDB quantile_cont row sets) with no extra join,
+    // no distinct, and exactly one scan of df
     val hist = df.select(col(groupCol), value.cast("double").as("_v"))
-      .filter(col("_v").isNotNull)
       .groupBy(col(groupCol), col("_v"))
       .agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
     val wAll = Window.partitionBy(col(groupCol))
     // bin rows carry [prev, cum) — the 0-based sorted-position range
-    // their value occupies within the group
+    // their value occupies within the group. The null bin sorts first
+    // (asc = nulls first), carries _cEff 0, and its [0, 0) range can
+    // never cover a position, so it is inert in every selection below.
     val cum = hist
-      .withColumn("_cum", sum(col("_c")).over(wCum))
-      .withColumn("_n", sum(col("_c")).over(wAll))
+      .withColumn("_cEff", when(col("_v").isNotNull, col("_c")).otherwise(lit(0L)))
+      .withColumn("_cum", sum(col("_cEff")).over(wCum))
+      .withColumn("_n", sum(col("_cEff")).over(wAll))
     val aggs = ps.flatMap { case (name, p) =>
       val h = (col("_n") - 1).cast("double") * p
-      val prev = (col("_cum") - col("_c")).cast("double")
+      val prev = (col("_cum") - col("_cEff")).cast("double")
       val cm = col("_cum").cast("double")
       // exactly one bin covers each of positions ⌊h⌋ / ⌈h⌉ → the
       // conditional max is a selection, not a comparison across bins
@@ -2046,14 +2055,7 @@ object StatsOps {
         max(when(prev <= ceil(h) && ceil(h) < cm, col("_v"))).as(s"_hi_$name"))
     } ++ maxName.map(m => max(col("_v")).as(m))
     val agged = cum.groupBy(col(groupCol))
-      .agg(sum(col("_c")).as("_n"), aggs: _*)
-    // all-null groups have no bins, so they are missing from `agged`;
-    // restore them via a left join from the distinct group keys (one
-    // hash agg ∝ groups + a broadcast join of the two tiny per-group
-    // tables) — their _n/_lo/_hi come back null and every output
-    // expression below propagates that null, matching the built-in
-    val withAllGroups = df.select(col(groupCol)).distinct()
-      .join(broadcast(agged), Seq(groupCol), "left")
+      .agg(sum(col("_cEff")).as("_n"), aggs: _*)
     val outs = ps.map { case (name, p) =>
       val h = (col("_n") - 1).cast("double") * p
       val lo = floor(h)
@@ -2067,7 +2069,7 @@ object StatsOps {
       when(hi === lo || vHi === vLo, vLo)
         .otherwise((hi - h) * vLo + (h - lo) * vHi).as(name)
     } ++ maxName.map(col)
-    withAllGroups.select(col(groupCol) +: outs: _*)
+    agged.select(col(groupCol) +: outs: _*)
   }
 
   /** Per-key z-score anomaly flags: rows whose value is at least
