@@ -162,6 +162,25 @@ object Aggregates {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "agg_percentile_approx" -> ((s, d) => {
+      // ✘ no oracle (sketch): GK-summary approximate percentile ladder
+      // (approx_percentile, accuracy 10000 → rank error ≤ 1e-4·n) —
+      // the scale companion to the exact binned form for value domains
+      // with NO finite rounding grid (latencies, micro-priced amounts
+      // at 100 TB), where a per-value histogram could itself grow
+      // unboundedly. Sketch state is O(1/ε·log(ε·n)) per group however
+      // many rows stream through; merge is associative, so the partial
+      // aggregate combines map-side like any sum. Unit-tested against
+      // the exact percentiles within the sketch's rank-error bound
+      // (NoOracleSpec).
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(percentile_approx(col("value"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+        .select(col("event_type"), col("qs").getItem(0).as("p50"),
+          col("qs").getItem(1).as("p90"), col("qs").getItem(2).as("p99"))
+        .orderBy("event_type")
+    }),
     "agg_mode" -> ((s, d) => {
       // modal order status per priority (ties → smallest status):
       // one (priority, status) hash aggregate, then row_number<=1 —

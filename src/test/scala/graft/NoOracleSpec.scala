@@ -21,6 +21,36 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_percentile_approx lands within the sketch's rank-error bound of exact") {
+    import org.apache.spark.sql.functions._
+    // the GK guarantee is on RANK (±ε·n, ε = 1/accuracy), not value —
+    // a value-relative check would be vacuous on dense regions and
+    // flaky on heavy tails, so assert the real contract: the returned
+    // value's empirical rank interval must cover p·(n−1) within the
+    // error budget (+1 for the floor-vs-interpolate convention)
+    val approx = SparkEntry.queries("agg_percentile_approx")(spark, sf)
+      .collect().map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val values = Tables.events(spark, sf)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(approx.keySet == values.keySet)
+    val ps = Seq(0.5, 0.9, 0.99)
+    approx.foreach { case (g, qs) =>
+      val vs = values(g)
+      val n = vs.length
+      val err = math.max(1.0, math.ceil(1e-4 * n))
+      ps.zip(qs).foreach { case (p, q) =>
+        val lo = vs.count(_ < q)   // rank interval of q within the group
+        val hi = vs.count(_ <= q)
+        val target = p * (n - 1)
+        assert(target >= lo - err - 1 && target <= hi + err,
+          s"$g p$p: approx $q has rank [$lo,$hi] of $n, target $target, err $err")
+      }
+    }
+  }
+
   test("dedup_minhash_lsh recall meets the banding formula 1-(1-j^rows)^bands") {
     val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
