@@ -2258,6 +2258,55 @@ object MlPipeline {
   def linearScore(df: DataFrame, vecCol: String, weights: Array[Double]): DataFrame =
     df.withColumn("score", Kernels.linearScoreUdf(weights)(col(vecCol)))
 
+  /** Minibatch-GEMM forward pass: `mapPartitions` packs rows into a
+    * column-major (dims × batch) buffer and scores each batch with ONE
+    * BLAS `dgemv` call — the reference's actual per-executor shape
+    * (pyspark-caffe fed per-partition minibatches to a broadcast Caffe
+    * net's forward()), and the scale-true layout for wider models: the
+    * per-row cost drops from a boxed UDF invocation to an amortized
+    * slice of a SIMD-blocked multiply (`dev.ludovic.netlib` picks the
+    * widest vector kernel the JVM offers; for a k-output model the same
+    * buffer feeds one dgemm instead of k dgemv). Weights ship once per
+    * executor via broadcast, exactly like [[linearScore]].
+    *
+    * Numerically: inputs are cast to double BEFORE the multiply (the
+    * same contract as the UDF path and the DuckDB twin) and each output
+    * is the same w·x sum — BLAS may reassociate the accumulation, so
+    * raw scores can differ from the sequential loop by ulps; declared
+    * callers round to 4 dp, where both paths hash-match the same
+    * oracle. */
+  def linearScoreBatchGemm(df: DataFrame, idCol: String, vecCol: String,
+      weights: Array[Double], batch: Int = 256): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcW = spark.sparkContext.broadcast(weights)
+    val dims = weights.length
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        val w = bcW.value
+        it.grouped(batch).flatMap { rows =>
+          val m = rows.length
+          val a = new Array[Double](dims * m)
+          var i = 0
+          while (i < m) {
+            val v = rows(i)._2
+            require(v.length == dims,
+              s"vector length ${v.length} != weight dims $dims")
+            System.arraycopy(v, 0, a, i * dims, dims)
+            i += 1
+          }
+          val y = new Array[Double](m)
+          blas.dgemv("T", dims, m, 1.0, a, dims, w, 1, 0.0, y, 1)
+          rows.iterator.zipWithIndex.map { case ((id, _), j) =>
+            (id, 1.0 / (1.0 + math.exp(-y(j))))
+          }
+        }
+      }.toDF(idCol, "score")
+  }
+
   /** ROC AUC via the rank-sum (Mann-Whitney U) formula over SCORE
     * BINS: AUC = Σ_s nPos_s · (negBelow_s + nNeg_s / 2) / (P · N),
     * ties (equal scores) contributing half — exact on the binned

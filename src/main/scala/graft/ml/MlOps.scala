@@ -45,6 +45,18 @@ object MlOps {
     "ml_infer_linear_udf" -> ((s, d) => {
       scored(s, d).select("vec_id", "score").orderBy("vec_id")
     }),
+    "ml_infer_batch_gemm" -> ((s, d) => {
+      // the minibatch-BLAS twin of ml_infer_linear_udf: same model,
+      // same 4 dp-rounded scores, same oracle — but the forward pass is
+      // one dgemv per 256-row batch instead of a UDF call per row (the
+      // reference's per-partition minibatch net.forward() shape). Both
+      // keys stay declared so the bench artifact carries the per-row
+      // vs batched comparison.
+      MlPipeline.linearScoreBatchGemm(Tables.embeddings(s, d),
+          "vec_id", "embedding", weights)
+        .select(col("vec_id"), Canon.r4(col("score")).as("score"))
+        .orderBy("vec_id")
+    }),
     "ml_eval_confusion" -> ((s, d) => {
       scored(s, d)
         .select(col("score"), (col("label") % 2).as("y"))
@@ -106,6 +118,11 @@ object MlOps {
 
   val oracles: Map[String, String] = Map(
     "ml_infer_linear_udf" ->
+      s"""SELECT vec_id, $duckScore AS score
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // IDENTICAL SQL to ml_infer_linear_udf by design: the batched BLAS
+    // path must reproduce the per-row path exactly (after 4 dp rounding)
+    "ml_infer_batch_gemm" ->
       s"""SELECT vec_id, $duckScore AS score
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "ml_eval_confusion" ->

@@ -45,6 +45,27 @@ class ApiParitySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("linearScoreBatchGemm equals the per-row UDF path at 4 dp, incl. ragged batches") {
+    // batch = 7 forces partial final batches in every partition, the
+    // case a stride bug in the column-major packing would corrupt;
+    // 4 dp is the declared keys' rounding, where BLAS reassociation
+    // ulps must vanish
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val udfPath = graft.api.MlPipeline.linearScore(e, "embedding", ml.MlOps.weights)
+      .select(col("vec_id"), Canon.r4(col("score")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gemmPath = graft.api.MlPipeline.linearScoreBatchGemm(
+        e, "vec_id", "embedding", ml.MlOps.weights, batch = 7)
+      .select(col("vec_id"), Canon.r4(col("score")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gemmPath.keySet == udfPath.keySet)
+    gemmPath.foreach { case (id, s) =>
+      assert(java.lang.Double.doubleToLongBits(s) ==
+        java.lang.Double.doubleToLongBits(udfPath(id)),
+        s"vec_id $id: gemm $s != udf ${udfPath(id)}")
+    }
+  }
+
   test("PPJoin pair sets equal brute force on a random synthetic corpus") {
     val s = spark
     import s.implicits._
