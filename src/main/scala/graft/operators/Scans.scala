@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Canon, Q, Tables}
+import graft.Canon.{sql => O}
 import org.apache.spark.sql.functions._
 
 /** §2.1 — scans/sources. Filters and projections sit directly on the
@@ -24,6 +25,33 @@ object Scans {
           col("user_id"), col("event_type"), col("value"), col("props"))
         .orderBy("event_id")
     }),
+    "scan_jsonl_events" -> ((s, d) => {
+      // JSONL ingest — the format real crawl pipelines hand the engine
+      // first: events → line-delimited JSON (µs-precision ISO
+      // timestamps; the default format would truncate to ms) →
+      // schema-explicit FAILFAST read-back → aggregate. The oracle twin
+      // aggregates the PARQUET table directly, so a hash match proves
+      // the JSON hop is lossless for int64 keys, doubles, µs
+      // timestamps, AND the embedded-JSON props string (escaping
+      // round-trip). Round-trip dir is keyed by the sfDir digest so
+      // scale factors never collide.
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_jsonl_events_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      val usFmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      graft.sources.Writers.writeJsonLines(ev, tmp.toString, usFmt)
+      graft.sources.Readers.jsonLines(s, tmp.toString, ev.schema, usFmt)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("props")).as("n_props"),
+          Canon.sumDec(col("value"), 2).as("sum_val"),
+          Canon.tsStrMicros(min(col("ts"))).as("min_ts"),
+          Canon.tsStrMicros(max(col("ts"))).as("max_ts"))
+        .orderBy("event_type")
+    }),
     "scan_union_rowcounts" -> ((s, d) => {
       val names = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
@@ -45,6 +73,16 @@ object Scans {
       """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         |       user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    // aggregates the PARQUET events directly — matching the Spark
+    // side's JSONL round-trip output proves the JSON hop is lossless
+    "scan_jsonl_events" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT props) AS BIGINT) AS n_props,
+        |  ${O.sumDec("value", 2)} AS sum_val,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+        |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_union_rowcounts" ->
       """SELECT 'region' AS tbl, count(*) AS n FROM region
         |UNION ALL SELECT 'nation', count(*) FROM nation

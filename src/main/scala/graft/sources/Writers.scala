@@ -47,9 +47,13 @@ object Writers {
 
   /** Line-delimited JSON sink — the interchange format for pipelines
     * that hand off to non-columnar consumers. Lossy for binary/exotic
-    * types; parquet stays the canonical format. */
-  def writeJsonLines(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").json(path)
+    * types; parquet stays the canonical format. Pass
+    * `timestampFormat -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"` in
+    * `options` when timestamps must survive at µs precision — the
+    * default format truncates fractions to milliseconds. */
+  def writeJsonLines(df: DataFrame, path: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode("overwrite").options(options).json(path)
 
   /** Header'd CSV sink for flat (scalar-typed) frames. */
   def writeCsv(df: DataFrame, path: String): Unit =
@@ -134,8 +138,9 @@ object Readers {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.types.StructType
 
-  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+  def jsonLines(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").options(options).json(path)
 
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true")
