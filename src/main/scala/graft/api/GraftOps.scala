@@ -1250,9 +1250,20 @@ object Similarity {
     * quantizer behind `ivfKnn` and `cosinePairsAboveCellBlocked`.
     *
     * Sampling is hash-ordered, not RNG: the `sampleSize` rows with the
-    * smallest md5(id) digests form the sample (a TakeOrdered — one scan
-    * pass, O(sampleSize) driver memory, identical at any partitioning
-    * or scale: at 100 TB the same line samples the same rows). Lloyd
+    * smallest md5(id) digests form the sample, identical at any
+    * partitioning or scale — at 100 TB the same line samples the same
+    * rows. The physical shape is a DIGEST-THRESHOLD FILTER, not a bare
+    * TakeOrdered: a plain `orderBy(md5).limit(s)` funnels every
+    * partition's s-row partial heap into ONE final task (partitions ×
+    * s rows at cluster scale), so instead the scan admits only rows
+    * whose 32-bit digest prefix falls under a threshold sized from the
+    * row count (expected ~2·s admitted; the digest prefix is a strict
+    * lower segment of the full-digest order, so the bottom-s of the
+    * admitted set IS the global bottom-s), and the TakeOrdered runs on
+    * that bounded set. If the binomial draw under-admits (astronomical
+    * at s ≥ 1024: ≥ 30σ), the threshold doubles and retries — the
+    * bounded top-up loop, ≤ log₂ rounds, deterministic result either
+    * way. Lloyd
     * iterations then run locally on the bounded sample: assignment by
     * cosine (ties to the lower index, matching `Kernels.nearestCells`),
     * update = member mean, empty cells keep their previous centroid.
@@ -1270,12 +1281,7 @@ object Similarity {
       iters: Int = 8, sampleSize: Int = 2048): Array[Array[Float]] = {
     require(k > 0 && iters >= 0 && sampleSize >= k,
       s"need sampleSize >= k > 0, got k=$k sampleSize=$sampleSize")
-    val sample: Array[Array[Float]] = df
-      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
-      .orderBy(md5(col("_id").cast("binary")), col("_id"))
-      .limit(sampleSize)
-      .select("_v").collect()
-      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    val sample = digestSample(df, idCol, vecCol, sampleSize)
     // fail here, by name, rather than let an empty codebook surface as
     // an opaque NoSuchElementException inside Kernels.nearestCells
     require(sample.nonEmpty,
@@ -1300,6 +1306,40 @@ object Similarity {
       }
     }
     cents
+  }
+
+  /** The `sampleSize` vectors with the smallest (md5(id), id) keys —
+    * [[trainCodebook]]'s sampling pass, factored out so the
+    * threshold-path/TakeOrdered equivalence is directly testable.
+    * Ordering by the digest prefix refines ordering by the full
+    * digest, so the admitted set `prefix32 < t` is a strict lower
+    * segment of the global digest order: whenever it holds ≥
+    * sampleSize rows (or the whole input), its bottom-sampleSize IS
+    * the global bottom-sampleSize. */
+  private[graft] def digestSample(df: DataFrame, idCol: String,
+      vecCol: String, sampleSize: Int): Array[Array[Float]] = {
+    val proj = df
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .withColumn("_d", md5(col("_id").cast("binary")))
+    // one narrow count to size the admission threshold (the scan reads
+    // only the id column; everything else is pruned)
+    val total = proj.select("_id").count()
+    if (total == 0) return Array.empty
+    val want = math.min(sampleSize.toLong, total).toInt
+    val prefix32 = conv(substring(col("_d"), 1, 8), 16, 10).cast("long")
+    var frac = math.min(1.0, 2.0 * sampleSize / total.toDouble)
+    var sample: Array[Array[Float]] = null
+    while (sample == null) {
+      val admitted =
+        if (frac >= 1.0) proj
+        else proj.filter(prefix32 < lit((frac * 4294967296.0).toLong))
+      val rows = admitted.orderBy(col("_d"), col("_id"))
+        .limit(sampleSize).select("_v").collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      if (rows.length >= want || frac >= 1.0) sample = rows
+      else frac = math.min(1.0, frac * 2.0)
+    }
+    sample
   }
 
   /** Mean vector per label as (label, dim, value) rows. */

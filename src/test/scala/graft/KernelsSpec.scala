@@ -139,6 +139,29 @@ class KernelsSpec extends AnyFunSuite {
     assert(cents.forall(_.length == 64))
   }
 
+  test("trainCodebook's digest-threshold sample equals the plain TakeOrdered sample") {
+    // 20k rows > 2·sampleSize forces the admission-filter path (the
+    // fixtures are all small enough to clamp frac to 1); the filtered
+    // bottom-512 must be IDENTICAL — same vectors, same order — to the
+    // unfiltered global TakeOrdered bottom-512 the pre-r10 code ran
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val vecs = spark.range(20000).select(col("id").as("vec_id"),
+      array((0 until 8).map(i =>
+        sin(col("id") * (i + 1)).cast("float")): _*).as("embedding"))
+    val viaFilter = graft.api.Similarity.digestSample(
+      vecs, "vec_id", "embedding", sampleSize = 512)
+    val plain = vecs
+      .select(col("vec_id").cast("string").as("_id"), col("embedding").as("_v"))
+      .orderBy(md5(col("_id").cast("binary")), col("_id"))
+      .limit(512).select("_v").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    assert(viaFilter.length == 512 && plain.length == 512)
+    viaFilter.zip(plain).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a.sameElements(b), s"sample diverges at position $i")
+    }
+  }
+
   test("JaccardSim codegen expression is bit-identical to the kernel") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
