@@ -261,6 +261,20 @@ object TextOps {
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     }),
+    "dedup_near_crosslang" -> ((s, d) => {
+      // the NO-lang-block variant: lang blocking makes the candidate
+      // join cheaper but silently waives duplicates whose `lang` labels
+      // disagree (mislabeled crawls, code-mixed text, language-ID
+      // drift between dumps). Run without a partition column the
+      // PPJoin's frequency-ordered prefixes do ALL the pruning — the
+      // corpus-wide df order makes hot cross-language tokens long-
+      // prefix-only, so candidates still track true pairs, not n². The
+      // higher threshold (0.9) is the posture for unblocked runs:
+      // cross-lang dups worth keeping are near-verbatim.
+      Dedup.nearJaccardPairs(Tables.documents(s, d), "doc_id", "text", 0.9, None)
+        .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
+        .orderBy("id1", "id2")
+    }),
     "text_repetition_ratio" -> ((s, d) => {
       // fraction of duplicated token bigrams per doc — the repetition
       // quality gate (boilerplate / template spam / decode loops)
@@ -664,6 +678,15 @@ object TextOps {
         |      FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         |SELECT id1, id2, ${O.r4("jac")} AS jac
         |FROM p WHERE jac >= 0.8 ORDER BY id1, id2""".stripMargin,
+    "dedup_near_crosslang" ->
+      s"""WITH t AS (SELECT doc_id,
+        |             list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+        |      FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id1, id2, ${O.r4("jac")} AS jac
+        |FROM p WHERE jac >= 0.9 ORDER BY id1, id2""".stripMargin,
     "text_repetition_ratio" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, CASE WHEN len(toks) >= 2
