@@ -40,15 +40,19 @@ object Joins {
         .orderBy("n_name")
     }),
     "join_skew_salted" -> ((s, d) => {
-      // explicit pre-salting for a pathological probe key: orders'
-      // custkey salted by the unique o_orderkey hash, customer
-      // replicated 8x, join on (key, salt) — result identical to the
-      // plain equi-join (oracle is the unsalted SQL), hot key spread
-      // over 8 tasks
-      graft.api.SkewJoins.saltedJoin(
+      // pre-salting for a pathological probe key: orders' custkey
+      // salted by the unique o_orderkey hash, customer replicated,
+      // join on (key, salt) — result identical to the plain equi-join
+      // (oracle is the unsalted SQL). The salt factor is STATS-DERIVED
+      // (ceil(hottest key / average task share), one narrow aggregate)
+      // with a demo floor of 8: this fixture is uniform TPC-H, so the
+      // derived component is 1 and the floor drives the plan shape
+      // here, while genuinely skewed probes raise the factor on their
+      // own (asserted on a 30%-hot-key corpus in ApiParitySpec).
+      graft.api.SkewJoins.saltedJoinAuto(
         Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
         Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-        "o_custkey", "o_orderkey", 8)
+        "o_custkey", "o_orderkey", minSalts = 8)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           Canon.sumDec(col("o_totalprice"), 2).as("sum_total"))

@@ -45,6 +45,32 @@ class ApiParitySpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("derivedSaltFactor spreads a 30%-hot key, stays at 1 on uniform keys, result unchanged") {
+    val s = spark
+    import s.implicits._
+    // 10k rows, key 0 holds 30%: the hot key is ~9.6× the average
+    // 32-partition task share, so the derived factor must be > 1 and
+    // ≤ the cap; a uniform probe over 1000 keys must derive 1
+    val skewed = s.range(10000).select(col("id").as("uid"),
+      when(col("id") % 10 < 3, 0L).otherwise(col("id") % 500).as("k"))
+    val uniform = s.range(10000).select(col("id").as("uid"),
+      (col("id") % 1000).as("k"))
+    val kSkew = SkewJoins.derivedSaltFactor(skewed, "k")
+    val kUni = SkewJoins.derivedSaltFactor(uniform, "k")
+    assert(kSkew > 1 && kSkew <= 64, s"skewed corpus derived $kSkew")
+    assert(kUni == 1, s"uniform corpus derived $kUni")
+    // the auto join must salt (plan shows the replication explode) and
+    // still return exactly the plain equi-join's rows
+    val build = (0L until 500L).map(k => (k, s"v$k")).toDF("k", "payload")
+    val auto = SkewJoins.saltedJoinAuto(skewed, build, "k", "uid")
+    val plain = skewed.join(build, Seq("k"))
+    assert(auto.queryExecution.executedPlan.toString.contains("explode"),
+      "auto join on a skewed probe should plan the salt replication")
+    val a = auto.select("k", "uid", "payload").collect().map(_.toString).sorted
+    val p = plain.select("k", "uid", "payload").collect().map(_.toString).sorted
+    assert(a.sameElements(p), s"salted rows ${a.length} != plain rows ${p.length}")
+  }
+
   test("linearScoreBatchGemm equals the per-row UDF path at 4 dp, incl. ragged batches") {
     // batch = 7 forces partial final batches in every partition, the
     // case a stride bug in the column-major packing would corrupt;
