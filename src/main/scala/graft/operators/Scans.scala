@@ -52,6 +52,32 @@ object Scans {
           Canon.tsStrMicros(max(col("ts"))).as("max_ts"))
         .orderBy("event_type")
     }),
+    "scan_csv_lineitem" -> ((s, d) => {
+      // CSV ingest, the JSONL key's flat-file twin on the widest fact
+      // table: a lineitem projection → header'd CSV (µs timestamps) →
+      // schema-explicit FAILFAST read-back → aggregate, with the
+      // oracle aggregating the PARQUET table — a hash match proves the
+      // text hop preserves int64 keys, decimals-in-doubles, flags, and
+      // timestamps. Doubles round-trip because Spark's CSV writer
+      // emits the shortest round-trippable decimal form (Java
+      // Double.toString) and the reader parses it back to the same
+      // bits.
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_csv_lineitem_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      val usFmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      graft.sources.Writers.writeCsv(li, tmp.toString, usFmt)
+      graft.sources.Readers.csv(s, tmp.toString, li.schema, usFmt)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          Canon.sumDec(col("l_extendedprice"), 2).as("sum_price"),
+          Canon.tsStr(min(col("l_shipdate"))).as("min_ship"),
+          Canon.tsStr(max(col("l_shipdate"))).as("max_ship"))
+        .orderBy("l_returnflag")
+    }),
     "scan_union_rowcounts" -> ((s, d) => {
       val names = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
@@ -73,6 +99,15 @@ object Scans {
       """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         |       user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    // aggregates the PARQUET lineitem directly — matching the Spark
+    // side's CSV round-trip output proves the text hop is lossless
+    "scan_csv_lineitem" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  ${O.sumDec("l_extendedprice", 2)} AS sum_price,
+        |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // aggregates the PARQUET events directly — matching the Spark
     // side's JSONL round-trip output proves the JSON hop is lossless
     "scan_jsonl_events" ->

@@ -55,9 +55,11 @@ object Writers {
       options: Map[String, String] = Map.empty): Unit =
     df.write.mode("overwrite").options(options).json(path)
 
-  /** Header'd CSV sink for flat (scalar-typed) frames. */
-  def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("header", "true").csv(path)
+  /** Header'd CSV sink for flat (scalar-typed) frames. Same µs
+    * `timestampFormat` caveat as [[writeJsonLines]]. */
+  def writeCsv(df: DataFrame, path: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode("overwrite").option("header", "true").options(options).csv(path)
 }
 
 /** Persistence for the engine's learned/index artifacts — the pieces
@@ -142,7 +144,8 @@ object Readers {
       options: Map[String, String] = Map.empty): DataFrame =
     spark.read.schema(schema).option("mode", "FAILFAST").options(options).json(path)
 
-  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.read.schema(schema).option("header", "true")
-      .option("mode", "FAILFAST").csv(path)
+      .option("mode", "FAILFAST").options(options).csv(path)
 }
