@@ -63,7 +63,15 @@ class PlanShapeSpec extends AnyFunSuite {
     ("text_keywords_topk", "TopKPerGroup",
       "per-doc keyword ranking takes the bounded-heap operator"),
     ("agg_mode", "TopKPerGroup",
-      "per-group argmax (mode) takes the bounded-heap operator, not a per-group sort")
+      "per-group argmax (mode) takes the bounded-heap operator, not a per-group sort"),
+    ("scan_jsonl_events", "FileScan json",
+      "the JSONL key must actually read back through the JSON source"),
+    ("scan_csv_lineitem", "FileScan csv",
+      "the CSV key must actually read back through the CSV source"),
+    ("ml_infer_batch_gemm", "MapPartitions",
+      "the batched forward pass runs through mapPartitions, not a per-row UDF"),
+    ("agg_percentile_approx", "HashAggregate",
+      "the sketch percentile partial-combines as a hash aggregate")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
@@ -192,6 +200,20 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.contains("ReadSchema"), s"no ReadSchema in plan:\n$p")
       Seq("l_comment", "l_returnflag", "l_tax").foreach { c =>
         assert(!p.contains(c + ":"), s"unpruned column $c reached the scan:\n$p")
+      }
+    }
+  }
+
+  test("binned-percentile keys scan their input once and plan no join (r10 null-bin shape)") {
+    // the all-null-group fix rides a zero-weight null bin INSIDE the
+    // histogram — a regression to the join-back shape would show a
+    // second scan or a join here
+    TestSpark.withExtSession { s =>
+      Seq("agg_percentile", "agg_percentiles_multi").foreach { k =>
+        val p = plan(s, k)
+        val scans = "Scan parquet".r.findAllIn(p).size
+        assert(scans == 1, s"$k scans its input $scans times:\n$p")
+        assert(!p.contains("Join"), s"$k plans a join:\n$p")
       }
     }
   }
