@@ -64,6 +64,27 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("JSONL landing-dir ingest: streaming file source over json-lines == batch") {
+    // the auto-ingest production shape scan_jsonl_events proves for
+    // batch, re-proven through readStream: a landing directory of
+    // json-lines files (µs timestampFormat, same as the declared key)
+    // replayed one file per micro-batch must aggregate to the batch
+    // result — parity covers the JSON text hop AND the streaming
+    // file-source's incremental listing in one test
+    val dir = freshDir()
+    val usFmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    graft.sources.Writers.writeJsonLines(
+      batchEvents.repartition(4), dir, usFmt)
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1)
+      .options(usFmt).json(dir)
+    val q = StreamOps.tumblingAgg(stream).writeStream.format("memory")
+      .queryName("t_jsonl").outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    assert(sortedRows(spark.table("t_jsonl")) ==
+      sortedRows(StreamOps.tumblingAgg(batchEvents)))
+  }
+
   test("sliding window: stream == batch") {
     val dir = freshDir()
     batchEvents.repartition(4).write.mode("overwrite").parquet(dir)
