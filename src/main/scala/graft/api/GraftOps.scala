@@ -2359,7 +2359,10 @@ object MlPipeline {
     import spark.implicits._
     val bcW = spark.sparkContext.broadcast(weights)
     val dims = weights.length
-    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+    // fanout BEFORE the mapPartitions: a single-partition scan would
+    // otherwise run every batch's GEMM on one core (SURVEY §7.2 #8 —
+    // gated, so a no-op on cluster-scale inputs)
+    Fanout(df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")))
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
