@@ -103,6 +103,26 @@ object MultimodalOps {
         md5(expr("substring(media, 65, 16)")).as("frame4_h"))
         .orderBy("doc_id")
     }),
+    "multimodal_frame_dedup" -> ((s, d) => {
+      // frame-level dedup across media: 16-byte frames hashed in place
+      // (substring on the binary column inside one rowwise transform —
+      // no whole-blob decode), then ONE hash aggregate keyed on the
+      // frame hash. The video-pipeline step that finds shared frames
+      // (intros, test cards, black frames) corpus-wide before feature
+      // extraction; the shuffle carries a 128-bit hash per frame, never
+      // frame bytes. keep_doc = min doc_id, the canonical holder.
+      mediaFrame(s, d)
+        .filter(col("meta.n_bytes") > 0)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, cast(ceil(meta.n_bytes / 16.0) as int)), " +
+            "i -> md5(substring(media, (i-1)*16 + 1, 16)))")).as("fh"))
+        .groupBy("fh")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("keep_doc"))
+        .filter(col("n") > 1)
+        .orderBy("fh")
+    }),
     "multimodal_decode_stub" -> ((s, d) => {
       // (key name is the SURVEY §2 contract; the decode is real as of
       // r9 and oracle-checked) mapPartitions with ONE decoder instance
@@ -139,6 +159,16 @@ object MultimodalOps {
         |  md5(substring(text, 1, 16)) AS frame0_h,
         |  md5(substring(text, 65, 16)) AS frame4_h
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      range(1, CAST(ceil(strlen(text)/16.0) AS BIGINT) + 1),
+        |      i -> md5(substring(text, CAST((i-1)*16 + 1 AS BIGINT), 16)))) AS fh
+        |  FROM documents WHERE strlen(text) > 0)
+        |SELECT fh, count(*) AS n,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS keep_doc
+        |FROM f GROUP BY fh HAVING count(*) > 1 ORDER BY fh""".stripMargin,
     "multimodal_decode_stub" -> {
       // the DuckDB twin of TextMediaDecoder.decode — text IS the media
       // byte stream (ASCII, so strlen == byte count), every feature an
