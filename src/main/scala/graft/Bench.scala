@@ -80,18 +80,19 @@ object Bench {
         def timed(): Run = {
           val g0 = gcMillis()
           val t0 = System.nanoTime()
+          var df: org.apache.spark.sql.DataFrame = null
           val plan = try {
-            val df = fn(spark, sfDir)
+            df = fn(spark, sfDir)
             df.count()
-            val p = planSummary(df.queryExecution.executedPlan.toString)
-            // release eagerly-pinned localCheckpoint blocks now that the
-            // run materialized (Checkpoints retention contract) — each
-            // run reconstructs the frame, so run-over-run accumulation
-            // would otherwise bill later keys for earlier keys' blocks
-            graft.api.Checkpoints.free(df)
-            p
+            planSummary(df.queryExecution.executedPlan.toString)
           } catch { case _: Throwable => "ERROR" }
           val dt = (System.nanoTime() - t0) / 1e9
+          // release eagerly-pinned localCheckpoint blocks OFF the clock
+          // (like System.gc below) and even when the run failed — a
+          // leaked checkpoint would bill every later key's memory
+          // pressure, the exact accumulation this call exists to stop
+          if (df != null)
+            try graft.api.Checkpoints.free(df) catch { case _: Throwable => () }
           Run(dt, plan, (gcMillis() - g0) / 1e3)
         }
         // drop each run's dead broadcasts/shuffles off the clock,

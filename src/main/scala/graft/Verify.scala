@@ -19,16 +19,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(q => only.isEmpty || only(q._1)).foreach { case (name, fn) =>
+      var df: org.apache.spark.sql.DataFrame = null
       try {
-        val df = fn(spark, sfDir)
+        df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        // release any eager localCheckpoint blocks the constructor
-        // pinned (Checkpoints retention contract) — the result is on
-        // disk now, so the blocks are dead weight for the rest of the
-        // 130+-query sequence
-        graft.api.Checkpoints.free(df)
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // release any eager localCheckpoint blocks the constructor
+        // pinned (Checkpoints retention contract) even on failure —
+        // a leaked block stays resident for the rest of the
+        // 130+-query sequence
+        if (df != null)
+          try graft.api.Checkpoints.free(df) catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1330,9 +1330,14 @@ object Similarity {
     var frac = math.min(1.0, 2.0 * sampleSize / total.toDouble)
     var sample: Array[Array[Float]] = null
     while (sample == null) {
+      // floor the threshold at 1: below ~1.8e13 rows frac·2^32 >= 1
+      // anyway, and above it a truncated-to-0 threshold would admit
+      // nothing and burn full-scan retry rounds; threshold 1 already
+      // admits ~total/2^32 >= 2·sampleSize rows at that scale
       val admitted =
         if (frac >= 1.0) proj
-        else proj.filter(prefix32 < lit((frac * 4294967296.0).toLong))
+        else proj.filter(prefix32 <
+          lit(math.max(1L, (frac * 4294967296.0).toLong)))
       val rows = admitted.orderBy(col("_d"), col("_id"))
         .limit(sampleSize).select("_v").collect()
         .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
@@ -2348,10 +2353,14 @@ object MlPipeline {
     *
     * Numerically: inputs are cast to double BEFORE the multiply (the
     * same contract as the UDF path and the DuckDB twin) and each output
-    * is the same w·x sum — BLAS may reassociate the accumulation, so
-    * raw scores can differ from the sequential loop by ulps; declared
-    * callers round to 4 dp, where both paths hash-match the same
-    * oracle. */
+    * is the same w·x sum — but BLAS may reassociate the accumulation,
+    * so raw scores can differ from the sequential loop by ulps. The
+    * declared callers round to 4 dp, which absorbs an ulp difference
+    * EXCEPT for a score sitting exactly on a rounding-grid boundary;
+    * no fixture row does (oracle- and bitwise-parity-checked at
+    * sf0.001/0.01/0.1), but the guarantee is empirical per dataset,
+    * not algebraic — a caller needing provable bit-parity with the
+    * sequential path should use [[linearScore]]. */
   def linearScoreBatchGemm(df: DataFrame, idCol: String, vecCol: String,
       weights: Array[Double], batch: Int = 256): DataFrame = {
     require(batch >= 1, s"batch must be >= 1, got $batch")

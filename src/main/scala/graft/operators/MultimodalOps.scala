@@ -111,10 +111,18 @@ object MultimodalOps {
       // (intros, test cards, black frames) corpus-wide before feature
       // extraction; the shuffle carries a 128-bit hash per frame, never
       // frame bytes. keep_doc = min doc_id, the canonical holder.
+      // Frame count comes from length(media) — the blob's TRUE byte
+      // length, never the char-count metadata, so the tail frame of a
+      // multi-byte-encoded blob is hashed too. Like frame_sample, the
+      // fixture text is ASCII (byte frames == char frames), which is
+      // what keeps the DuckDB twin expressible over string ops (DuckDB
+      // cannot slice blobs).
       mediaFrame(s, d)
-        .filter(col("meta.n_bytes") > 0)
+        .select(col("doc_id"), col("media"),
+          length(col("media")).cast("long").as("_nb"))
+        .filter(col("_nb") > 0)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, cast(ceil(meta.n_bytes / 16.0) as int)), " +
+          "transform(sequence(1, cast(ceil(_nb / 16.0) as int)), " +
             "i -> md5(substring(media, (i-1)*16 + 1, 16)))")).as("fh"))
         .groupBy("fh")
         .agg(count(lit(1)).as("n"),

@@ -33,16 +33,14 @@ object Scans {
       // aggregates the PARQUET table directly, so a hash match proves
       // the JSON hop is lossless for int64 keys, doubles, µs
       // timestamps, AND the embedded-JSON props string (escaping
-      // round-trip). Round-trip dir is keyed by the sfDir digest so
-      // scale factors never collide.
+      // round-trip). Scratch dir keyed by (sfDir digest, pid) so scale
+      // factors and concurrent processes never collide.
       val ev = Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_jsonl_events_" + java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString)
-      val usFmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-      graft.sources.Writers.writeJsonLines(ev, tmp.toString, usFmt)
-      graft.sources.Readers.jsonLines(s, tmp.toString, ev.schema, usFmt)
+      val tmp = graft.sources.Writers.roundTripDir("graft_jsonl_events", d)
+      val usFmt = graft.sources.Writers.MicrosTimestampFormat
+      graft.sources.Writers.writeJsonLines(ev, tmp, usFmt)
+      graft.sources.Readers.jsonLines(s, tmp, ev.schema, usFmt)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"),
@@ -64,12 +62,10 @@ object Scans {
       // bits.
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
-      val tmp = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_csv_lineitem_" + java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString)
-      val usFmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-      graft.sources.Writers.writeCsv(li, tmp.toString, usFmt)
-      graft.sources.Readers.csv(s, tmp.toString, li.schema, usFmt)
+      val tmp = graft.sources.Writers.roundTripDir("graft_csv_lineitem", d)
+      val usFmt = graft.sources.Writers.MicrosTimestampFormat
+      graft.sources.Writers.writeCsv(li, tmp, usFmt)
+      graft.sources.Readers.csv(s, tmp, li.schema, usFmt)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity")).as("sum_qty"),

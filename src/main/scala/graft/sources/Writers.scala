@@ -14,6 +14,25 @@ import org.apache.spark.sql.DataFrame
   * operators assume downstream.
   */
 object Writers {
+  /** Microsecond-precision timestamp format for the text sinks AND
+    * their read-back — the sources' default format truncates fractions
+    * to milliseconds, which silently breaks µs round-trips. One
+    * constant so writer, reader, and tests cannot drift apart. */
+  val MicrosTimestampFormat: Map[String, String] =
+    Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+
+  /** Scratch dir for round-trip keys: keyed by the input digest (scale
+    * factors never collide) AND the JVM pid (two concurrent processes
+    * at the same scale factor never race each other's overwrite
+    * against an in-flight read). Bounded accumulation — one dir per
+    * (prefix, input, process); overwrite mode reuses it within a JVM. */
+  def roundTripDir(prefix: String, input: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(input.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${digest}_${ProcessHandle.current().pid()}").toString
+  }
+
   /** Directory-partitioned parquet: one `col=value/` dir per distinct
     * value. Use for low-cardinality derived keys (lang, cell id); reads
     * filtering on `partitionCol` prune at the file-index level and the

@@ -72,7 +72,7 @@ class StreamingParitySpec extends AnyFunSuite {
     // result — parity covers the JSON text hop AND the streaming
     // file-source's incremental listing in one test
     val dir = freshDir()
-    val usFmt = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    val usFmt = graft.sources.Writers.MicrosTimestampFormat
     graft.sources.Writers.writeJsonLines(
       batchEvents.repartition(4), dir, usFmt)
     val stream = spark.readStream.schema(batchEvents.schema)
