@@ -50,6 +50,26 @@ object Scans {
           Canon.tsStrMicros(max(col("ts"))).as("max_ts"))
         .orderBy("event_type")
     }),
+    "scan_partitioned_events" -> ((s, d) => {
+      // directory-partitioned layout round-trip — the first-order
+      // 100 TB scan optimization: events written one dir per
+      // event_type, read back with a 2-type filter that must prune at
+      // the FILE INDEX (PartitionFilters, asserted in PlanShapeSpec —
+      // the other 3 types' files are never opened), then aggregated.
+      // Oracle aggregates the flat parquet with the same predicate, so
+      // the hash match proves the partitioned layout loses nothing.
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val dir = graft.sources.Writers.roundTripDir("graft_part_events", d)
+      graft.sources.Writers.writePartitioned(ev, "event_type", dir)
+      s.read.parquet(dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          Canon.sumDec(col("value"), 2).as("sum_val"))
+        .orderBy("event_type")
+    }),
     "scan_csv_lineitem" -> ((s, d) => {
       // CSV ingest, the JSONL key's flat-file twin on the widest fact
       // table: a lineitem projection → header'd CSV (µs timestamps) →
@@ -95,6 +115,12 @@ object Scans {
       """SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
         |       user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    "scan_partitioned_events" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  ${O.sumDec("value", 2)} AS sum_val
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // aggregates the PARQUET lineitem directly — matching the Spark
     // side's CSV round-trip output proves the text hop is lossless
     "scan_csv_lineitem" ->

@@ -97,10 +97,17 @@ class BinnedPercentileSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val rnd = new scala.util.Random(20260813L)
-    val rows = (0 until 40).flatMap { g =>
+    // ~1/8 of values are NULL, and 2 groups are entirely null — the
+    // row-set/null-propagation contract rides the same sweep as the
+    // interpolation parity (r10)
+    val rows: Seq[(String, Option[Double])] = (0 until 40).flatMap { g =>
       val scale = math.pow(10.0, rnd.nextInt(4) - 1)
       (0 until (1 + rnd.nextInt(30))).map { _ =>
-        (s"g$g", (rnd.nextInt(9) - 3) * 0.25 * scale)
+        val v: Option[Double] =
+          if (g < 2) None
+          else if (rnd.nextInt(8) == 0) None
+          else Some((rnd.nextInt(9) - 3) * 0.25 * scale)
+        (s"g$g", v)
       }
     }
     val df = rows.toDF("g", "v")
@@ -118,8 +125,11 @@ class BinnedPercentileSpec extends AnyFunSuite {
     builtIn.zip(binned).foreach { case (a, b) =>
       assert(a.getString(0) == b.getString(0))
       (1 to 8).foreach { i =>
-        assert(bits(a.getDouble(i)) == bits(b.getDouble(i)),
-          s"${a.getString(0)} p#$i: built-in ${a.getDouble(i)} != binned ${b.getDouble(i)}")
+        assert(a.isNullAt(i) == b.isNullAt(i),
+          s"${a.getString(0)} p#$i: null-ness differs (built ${a.get(i)}, binned ${b.get(i)})")
+        if (!a.isNullAt(i))
+          assert(bits(a.getDouble(i)) == bits(b.getDouble(i)),
+            s"${a.getString(0)} p#$i: built-in ${a.getDouble(i)} != binned ${b.getDouble(i)}")
       }
     }
   }

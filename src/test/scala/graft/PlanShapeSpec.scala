@@ -71,7 +71,9 @@ class PlanShapeSpec extends AnyFunSuite {
     ("ml_infer_batch_gemm", "MapPartitions",
       "the batched forward pass runs through mapPartitions, not a per-row UDF"),
     ("agg_percentile_approx", "HashAggregate",
-      "the sketch percentile partial-combines as a hash aggregate")
+      "the sketch percentile partial-combines as a hash aggregate"),
+    ("scan_partitioned_events", "PartitionFilters: [",
+      "the 2-type filter must prune at the file index, not post-scan")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
