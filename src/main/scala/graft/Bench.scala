@@ -87,13 +87,18 @@ object Bench {
             planSummary(df.queryExecution.executedPlan.toString)
           } catch { case _: Throwable => "ERROR" }
           val dt = (System.nanoTime() - t0) / 1e9
+          // close the gc window BEFORE the unpersist below: any GC the
+          // free triggers must not be billed to this run's gc_sec
+          // (r10 ADVICE — the free is off the wall clock AND off the
+          // gc meter, consistently)
+          val gcSec = (gcMillis() - g0) / 1e3
           // release eagerly-pinned localCheckpoint blocks OFF the clock
           // (like System.gc below) and even when the run failed — a
           // leaked checkpoint would bill every later key's memory
           // pressure, the exact accumulation this call exists to stop
           if (df != null)
             try graft.api.Checkpoints.free(df) catch { case _: Throwable => () }
-          Run(dt, plan, (gcMillis() - g0) / 1e3)
+          Run(dt, plan, gcSec)
         }
         // drop each run's dead broadcasts/shuffles off the clock,
         // instead of inside the next run's hot loop

@@ -1315,11 +1315,19 @@ object Similarity {
     * digest, so the admitted set `prefix32 < t` is a strict lower
     * segment of the global digest order: whenever it holds ≥
     * sampleSize rows (or the whole input), its bottom-sampleSize IS
-    * the global bottom-sampleSize. */
+    * the global bottom-sampleSize.
+    *
+    * Null ids are excluded up front: md5(null) is null, so the
+    * threshold path's `prefix32 < t` would silently drop them while
+    * the frac>=1.0 fallback would sort them FIRST (asc nulls-first) —
+    * the two paths would sample different codebooks on nullable-id
+    * inputs. One explicit filter makes them provably equivalent on
+    * every input (r10 ADVICE). */
   private[graft] def digestSample(df: DataFrame, idCol: String,
       vecCol: String, sampleSize: Int): Array[Array[Float]] = {
     val proj = df
       .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .filter(col("_id").isNotNull)
       .withColumn("_d", md5(col("_id").cast("binary")))
     // one narrow count to size the admission threshold (the scan reads
     // only the id column; everything else is pruned)

@@ -173,7 +173,22 @@ object Aggregates {
       // aggregate combines map-side like any sum. Unit-tested against
       // the exact percentiles within the sketch's rank-error bound
       // (NoOracleSpec).
+      //
+      // Determinism pin (r10 ADVICE): GK merge is ORDER-SENSITIVE and
+      // the final aggregate's merge order follows shuffle fetch order,
+      // which Spark does not guarantee — every other declared key is
+      // structurally deterministic, so this one must be too (§7.3).
+      // Repartition by the group key + a total within-partition sort
+      // puts each group in exactly one partition with a pinned row
+      // order; the groupBy's required distribution is then already
+      // satisfied, so NO exchange separates partial from final and the
+      // sketch is built single-pass in sorted order — byte-identical
+      // across runs by construction. Cost: one sorted shuffle of the
+      // rows, the standard price of a deterministic sketch; state per
+      // group is unchanged (still the O(1/ε·log(ε·n)) summary).
       Tables.events(s, d)
+        .repartition(col("event_type"))
+        .sortWithinPartitions("event_type", "event_id")
         .groupBy("event_type")
         .agg(percentile_approx(col("value"),
           array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))

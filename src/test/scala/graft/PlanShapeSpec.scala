@@ -71,9 +71,7 @@ class PlanShapeSpec extends AnyFunSuite {
     ("ml_infer_batch_gemm", "MapPartitions",
       "the batched forward pass runs through mapPartitions, not a per-row UDF"),
     ("agg_percentile_approx", "HashAggregate",
-      "the sketch percentile partial-combines as a hash aggregate"),
-    ("scan_partitioned_events", "PartitionFilters: [",
-      "the 2-type filter must prune at the file index, not post-scan")
+      "the sketch percentile partial-combines as a hash aggregate")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
@@ -191,6 +189,30 @@ class PlanShapeSpec extends AnyFunSuite {
         .filterNot(_ == "join_cross_small")
         .filter(k => plan(s, k).contains("CartesianProduct"))
       assert(offenders.isEmpty, s"unblocked cartesian products in: $offenders")
+    }
+  }
+
+  test("scan_partitioned_events prunes at the file index (non-empty PartitionFilters)") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "scan_partitioned_events")
+      // Spark 4.1.2's FileSourceScanLike.metadata prints the
+      // 'PartitionFilters: [...]' key on EVERY file scan, partitioned
+      // or not (empty brackets when nothing prunes) — so a bare
+      // contains("PartitionFilters: [") is vacuously true (r10 ADVICE).
+      // Assert the brackets actually CONTAIN the partition predicate on
+      // event_type, and that the isin moved OUT of the post-scan data
+      // filters: partition pruning means the other 3 types' files are
+      // never opened, not merely filtered after the read.
+      val partFilters = """PartitionFilters: \[([^\]]*)\]""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(partFilters.exists(f => f.nonEmpty && f.contains("event_type")),
+        s"expected a non-empty PartitionFilters entry on event_type, got " +
+          s"$partFilters in plan:\n$p")
+      val dataFilters = """(?:DataFilters|PushedFilters): \[([^\]]*)\]""".r
+        .findAllMatchIn(p).map(_.group(1)).toSeq
+      assert(!dataFilters.exists(_.contains("event_type")),
+        s"the event_type IN (...) predicate must prune partitions, not " +
+          s"linger as a data/pushed filter: $dataFilters in plan:\n$p")
     }
   }
 
