@@ -94,6 +94,59 @@ object Scans {
           Canon.tsStr(max(col("l_shipdate"))).as("max_ship"))
         .orderBy("l_returnflag")
     }),
+    "scan_orc_orders" -> ((s, d) => {
+      // ORC round-trip — the third format twin (parquet/CSV/JSONL
+      // exist): orders → ORC → schema-explicit read-back → aggregate,
+      // oracle aggregating the PARQUET table. Columnar-to-columnar, so
+      // the hash match proves type fidelity (int64 keys, doubles,
+      // ms-precision timestamps) with no text-format caveats — the
+      // hop a Hive-lineage warehouse migration actually takes.
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderdate")
+      val tmp = graft.sources.Writers.roundTripDir("graft_orc_orders", d)
+      graft.sources.Writers.writeOrc(ord, tmp)
+      graft.sources.Readers.orc(s, tmp, ord.schema)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          Canon.sumDec(col("o_totalprice"), 2).as("sum_total"),
+          Canon.tsStr(min(col("o_orderdate"))).as("min_date"),
+          Canon.tsStr(max(col("o_orderdate"))).as("max_date"))
+        .orderBy("o_orderstatus")
+    }),
+    "scan_bucketed_join" -> ((s, d) => {
+      // bucketed-storage exchange-free join — THE write-time layout
+      // lever for a 100 TB fact-fact join: orders and lineitem are
+      // both written bucketed (and sorted) by their order key with the
+      // same bucket count, so the join's required distribution is
+      // satisfied straight off the scan and NO shuffle of either fact
+      // table ever happens — at scale that's the difference between
+      // moving 100 TB over the network per join and moving nothing.
+      // The per-order aggregate after it groups on the same key, so it
+      // too rides the bucket layout exchange-free (asserted in
+      // PlanShapeSpec: the only shuffle in the whole plan is the final
+      // presentation orderBy). The merge hint pins SMJ so a stats
+      // regime where orders fits a broadcast can't silently skip the
+      // layout being demonstrated. Oracle joins the flat parquet — a
+      // hash match proves the bucketed layout loses nothing.
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val base = graft.sources.Writers.roundTripDir("graft_bkt_join", d)
+      graft.sources.Writers.writeBucketed(ord, "o_orderkey", 8,
+        "graft_bkt_orders", s"$base/orders")
+      graft.sources.Writers.writeBucketed(li, "l_orderkey", 8,
+        "graft_bkt_lineitem", s"$base/lineitem")
+      s.table("graft_bkt_orders").hint("merge")
+        .join(s.table("graft_bkt_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).as("sum_qty"),
+          Canon.sumDec(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("o_orderkey")
+    }),
     "scan_union_rowcounts" -> ((s, d) => {
       val names = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
@@ -140,6 +193,24 @@ object Scans {
         |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
         |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // aggregates the PARQUET orders directly — matching the Spark
+    // side's ORC round-trip output proves the columnar hop is lossless
+    "scan_orc_orders" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  ${O.sumDec("o_totalprice", 2)} AS sum_total,
+        |  strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // joins the flat parquet tables — matching the Spark side's
+    // bucketed-layout join proves the bucketed write loses nothing
+    "scan_bucketed_join" ->
+      s"""SELECT o_orderkey, o_orderpriority, count(*) AS n_items,
+        |  sum(l_quantity) AS sum_qty,
+        |  ${O.sumDec("l_extendedprice", 2)} AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
     "scan_union_rowcounts" ->
       """SELECT 'region' AS tbl, count(*) AS n FROM region
         |UNION ALL SELECT 'nation', count(*) FROM nation

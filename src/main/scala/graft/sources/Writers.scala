@@ -79,6 +79,15 @@ object Writers {
   def writeCsv(df: DataFrame, path: String,
       options: Map[String, String] = Map.empty): Unit =
     df.write.mode("overwrite").option("header", "true").options(options).csv(path)
+
+  /** ORC sink — the second columnar format, for interop with
+    * Hive-lineage warehouses that hand the engine ORC instead of
+    * parquet. Columnar + typed like parquet (schema travels with the
+    * files, timestamps keep full precision, predicate pushdown works
+    * on reads), so unlike the text sinks there is no format-string
+    * caveat; parquet stays the canonical internal format. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
 }
 
 /** Persistence for the engine's learned/index artifacts — the pieces
@@ -167,4 +176,10 @@ object Readers {
       options: Map[String, String] = Map.empty): DataFrame =
     spark.read.schema(schema).option("header", "true")
       .option("mode", "FAILFAST").options(options).csv(path)
+
+  /** ORC read — schema passed explicitly anyway (same contract as the
+    * text readers): a mismatched layout fails loudly at analysis
+    * instead of resolving columns positionally or nulling them. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -71,7 +71,9 @@ class PlanShapeSpec extends AnyFunSuite {
     ("ml_infer_batch_gemm", "MapPartitions",
       "the batched forward pass runs through mapPartitions, not a per-row UDF"),
     ("agg_percentile_approx", "HashAggregate",
-      "the sketch percentile partial-combines as a hash aggregate")
+      "the sketch percentile partial-combines as a hash aggregate"),
+    ("scan_orc_orders", "FileScan orc",
+      "the ORC key must actually read back through the ORC source")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
@@ -213,6 +215,23 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!dataFilters.exists(_.contains("event_type")),
         s"the event_type IN (...) predicate must prune partitions, not " +
           s"linger as a data/pushed filter: $dataFilters in plan:\n$p")
+    }
+  }
+
+  test("scan_bucketed_join: join AND per-order agg ride the bucket layout exchange-free") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "scan_bucketed_join")
+      assert(p.contains("SortMergeJoin"),
+        s"bucketed fact-fact join must sort-merge:\n$p")
+      // the entire point of the key: neither the join nor the groupBy
+      // on the bucket key may re-shuffle either fact table — the ONLY
+      // shuffle allowed in the plan is the final presentation orderBy
+      // (a rangepartitioning exchange)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join/agg still hash-shuffles:\n$p")
+      val shuffles = """Exchange (hash|range|Single)""".r.findAllIn(p).size
+      assert(shuffles <= 1,
+        s"expected at most the orderBy's range exchange, got $shuffles:\n$p")
     }
   }
 
