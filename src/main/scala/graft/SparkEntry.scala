@@ -48,5 +48,6 @@ object SparkEntry {
   val noOracleKeys: Set[String] = Set(
     "agg_approx_distinct", "agg_percentile_approx", "dedup_minhash_lsh",
     "dedup_incremental_minhash", "dedup_simhash", "stream_watermark_late",
-    "ml_train_logreg_gd", "sim_knn_ivf", "sim_knn_rplsh")
+    "ml_train_logreg_gd", "sim_knn_ivf", "sim_knn_ivf_persisted",
+    "sim_knn_rplsh")
 }

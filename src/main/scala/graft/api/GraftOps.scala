@@ -1173,6 +1173,53 @@ object Similarity {
       .select("qid", "cid", "sim", "rank")
   }
 
+  /** Persist an IVF index to `path`: the codebook as a tiny parquet
+    * table (`Artifacts.saveCodebook`) plus the cell-assigned corpus
+    * laid out ONE DIRECTORY PER CELL (`Writers.writePartitioned` on
+    * the cell id) — the "cell id as a write-time partition key" layout
+    * the scaladocs promise, made durable. Between crawl batches an
+    * incremental 100 TB pipeline keeps exactly this on disk: the next
+    * batch reopens it cold and probes nprobe/|cells| of the files
+    * instead of re-embedding, re-assigning, or re-reading anything. */
+  def saveIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], path: String): Unit = {
+    graft.sources.Artifacts.saveCodebook(df.sparkSession, centroids,
+      s"$path/codebook")
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val assigned = df.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .withColumn("_cell", cellOf(col("_v")))
+    graft.sources.Writers.writePartitioned(assigned, "_cell", s"$path/cells")
+  }
+
+  /** Probe a [[saveIvfIndex]] layout COLD: reload the codebook from
+    * its parquet table, route each query to its `nprobe` nearest
+    * cells, and join against the per-cell directories. Identical
+    * output to [[ivfKnn]] over the same corpus/codebook (unit-tested
+    * bitwise in NoOracleSpec) — the probe-side cosine is the same
+    * codegen kernel and the candidate set is the same cell equi-join;
+    * only the index side now comes from disk. The scan is eligible
+    * for dynamic partition pruning: the probed cell ids reach the
+    * file index, so unprobed cells' directories are never opened. */
+  def ivfKnnFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, k: Int, nprobe: Int,
+      simRound: Option[Int] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = graft.sources.Artifacts.loadCodebook(spark,
+      s"$indexPath/codebook")
+    val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nprobe))
+    val cands = spark.read.parquet(s"$indexPath/cells")
+      .select(col("_vid").as("cid"), col("_v").as("_ce"), col("_cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+      .withColumn("_probe", explode(probesOf(col("_qe"))))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val sim = cos(queries)(col("_qe"), col("_ce"))
+    cands.join(broadcast(q), col("_cell") === col("_probe") && col("qid") =!= col("cid"))
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
   /** Random-hyperplane LSH approximate kNN — the DATA-INDEPENDENT
     * scale path for cosine similarity search, complementing `ivfKnn`:
     * no codebook to train (and so no drift as the corpus grows), at

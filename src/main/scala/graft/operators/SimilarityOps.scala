@@ -57,6 +57,26 @@ object SimilarityOps {
         .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
+    "sim_knn_ivf_persisted" -> ((s, d) => {
+      // ✘ no oracle (approximate by design, like sim_knn_ivf): the
+      // PERSISTED twin — train the codebook, write the full index to
+      // disk (codebook parquet + corpus laid out one directory per
+      // cell), reopen it COLD, probe the same queries. This is the
+      // cost model an incremental 100 TB dedup actually runs between
+      // crawl batches: the index side is on disk, the batch probes
+      // nprobe/|cells| of it. Unit-tested: output is BITWISE identical
+      // to the in-memory sim_knn_ivf result (NoOracleSpec) and the
+      // probe scan carries the cell id as a partition key
+      // (WritePathSpec).
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+      val base = graft.sources.Writers.roundTripDir("graft_ivf_idx", d)
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", cents, base)
+      Similarity.ivfKnnFromIndex(e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", base, k = 5, nprobe = 4, simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
     "sim_knn_rplsh" -> ((s, d) => {
       // ✘ no oracle (approximate by design): random-hyperplane LSH kNN
       // for the same queries as sim_knn_per_query — the data-

@@ -168,6 +168,21 @@ class NoOracleSpec extends AnyFunSuite {
     info(f"trained recall $recall%.3f vs untrained ${untrained.map(u => f"$u%.3f")}")
   }
 
+  test("sim_knn_ivf_persisted is bitwise identical to the in-memory IVF probe") {
+    // the persisted key's whole claim: writing the index to disk and
+    // probing it cold changes NOTHING — same codebook, same cell
+    // assignment (now read from the directory layout), same codegen
+    // cosine, same ranks. Compare full rows, not just the id sets, so
+    // a similarity or rank drift through the parquet hop would fail.
+    val inMem = SparkEntry.queries("sim_knn_ivf")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val persisted = SparkEntry.queries("sim_knn_ivf_persisted")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(persisted.nonEmpty, "persisted IVF probe returned no rows")
+    assert(persisted == inMem,
+      "cold probe of the persisted index diverged from the in-memory IVF result")
+  }
+
   test("sim_knn_rplsh recall vs brute-force top-5 is usable and deterministic") {
     val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -235,6 +235,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_knn_ivf_persisted: probed cells dynamically prune the index scan") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "sim_knn_ivf_persisted")
+      // the persisted index is laid out one directory per cell; the
+      // probe must reach the FILE INDEX as a dynamic partition-pruning
+      // expression on the cell id (cells no query probes are never
+      // opened — the nprobe/|cells| read cost the layout exists for),
+      // and the candidate join must stay a broadcast equi-join
+      assert(p.contains("dynamicpruningexpression(_cell"),
+        s"index scan does not dynamically prune on the probed cells:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"probe join must broadcast the query side:\n$p")
+      assert(p.contains("TopKPerGroup"),
+        s"per-query rank must take the bounded-heap operator:\n$p")
+    }
+  }
+
   test("scan_parquet_project_filter prunes columns at the scan (ReadSchema)") {
     TestSpark.withExtSession { s =>
       val p = plan(s, "scan_parquet_project_filter")
