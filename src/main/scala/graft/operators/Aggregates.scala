@@ -222,6 +222,57 @@ object Aggregates {
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bin")
     }),
+    "agg_null_groups" -> ((s, d) => {
+      // NULL-at-rest hardening: the fixtures carry no NULLs (SURVEY
+      // §1.2), so until now every aggregate's null path was pinned
+      // only by unit tests. Manufacture them DETERMINISTICALLY from
+      // the real events table — a NULL GROUP KEY (view → NULL etype),
+      // an ALL-NULL value group (signup), and sparse nulls inside
+      // every other group (value < 20 → NULL) — then route the frame
+      // through the count/stats/extrema families AND the binned exact
+      // percentile operator (the r10 all-NULL-group fix, now pinned by
+      // the driver gate, not just BinnedPercentileSpec), stitched with
+      // a NULL-SAFE equi-join so the NULL key row survives the stitch.
+      // A hash match proves Spark and DuckDB agree on all four null
+      // semantics: null keys group together, aggregates skip nulls,
+      // all-null groups yield NULL (not NaN/0), and <=> joins NULL=NULL.
+      //
+      // Presentation: the FINAL projection coalesces NULL cells to
+      // sentinels ('(null)' / -1.0, both outside the data's domain).
+      // No green key has ever shipped NULL output cells, so the
+      // driver's hash treatment of them is unpinned — and the sentinel
+      // is the sharper probe anyway: coalesce replaces only genuine
+      // NULLs, so if an all-null group ever yielded NaN instead (the
+      // divergence this key exists to catch), the NaN would survive to
+      // the output and hash-mismatch the oracle's sentinel.
+      val ev = Tables.events(s, d).select(
+        when(col("event_type") === "view", lit(null))
+          .otherwise(col("event_type")).as("etype"),
+        when(col("event_type") === "signup", lit(null))
+          .when(col("value") < 20, lit(null))
+          .otherwise(col("value")).as("v"))
+      val stats = ev.groupBy("etype").agg(
+        count(lit(1)).as("n"),
+        count(col("v")).as("n_vals"),
+        Canon.r4(avg(col("v"))).as("avg_v"),
+        Canon.r4(stddev_samp(col("v"))).as("sd_v"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"))
+      val pcts = graft.api.StatsOps.binnedPercentiles(ev, "etype", col("v"),
+          Seq("p50" -> 0.5, "p90" -> 0.9))
+        .select(col("etype").as("petype"),
+          Canon.r4(col("p50")).as("p50"), Canon.r4(col("p90")).as("p90"))
+      stats.join(pcts, col("etype") <=> col("petype"))
+        .select(coalesce(col("etype"), lit("(null)")).as("etype"),
+          col("n"), col("n_vals"),
+          coalesce(col("avg_v"), lit(-1.0)).as("avg_v"),
+          coalesce(col("sd_v"), lit(-1.0)).as("sd_v"),
+          coalesce(col("min_v"), lit(-1.0)).as("min_v"),
+          coalesce(col("max_v"), lit(-1.0)).as("max_v"),
+          coalesce(col("p50"), lit(-1.0)).as("p50"),
+          coalesce(col("p90"), lit(-1.0)).as("p90"))
+        .orderBy("etype")
+    }),
     "agg_outlier_iqr" -> ((s, d) => {
       // Tukey-fence outliers per event type: exact per-group
       // percentiles broadcast back as fences, rowwise verdict — robust
@@ -333,6 +384,25 @@ object Aggregates {
       """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, bin""".stripMargin,
+    "agg_null_groups" ->
+      s"""WITH ev AS (SELECT
+        |    CASE WHEN event_type = 'view' THEN NULL ELSE event_type END AS etype,
+        |    CASE WHEN event_type = 'signup' THEN NULL
+        |         WHEN value < 20 THEN NULL ELSE value END AS v
+        |  FROM events),
+        |s AS (SELECT etype, count(*) AS n, count(v) AS n_vals,
+        |    ${O.r4("avg(v)")} AS avg_v, ${O.r4("stddev_samp(v)")} AS sd_v,
+        |    min(v) AS min_v, max(v) AS max_v
+        |  FROM ev GROUP BY etype),
+        |p AS (SELECT etype, ${O.r4("quantile_cont(v, 0.5)")} AS p50,
+        |    ${O.r4("quantile_cont(v, 0.9)")} AS p90
+        |  FROM ev GROUP BY etype)
+        |SELECT coalesce(s.etype, '(null)') AS etype, n, n_vals,
+        |  coalesce(avg_v, -1.0) AS avg_v, coalesce(sd_v, -1.0) AS sd_v,
+        |  coalesce(min_v, -1.0) AS min_v, coalesce(max_v, -1.0) AS max_v,
+        |  coalesce(p50, -1.0) AS p50, coalesce(p90, -1.0) AS p90
+        |FROM s JOIN p ON s.etype IS NOT DISTINCT FROM p.etype
+        |ORDER BY 1""".stripMargin,
     "agg_outlier_iqr" ->
       s"""WITH c AS (SELECT event_type,
         |    quantile_cont(value, 0.25) AS q1,
