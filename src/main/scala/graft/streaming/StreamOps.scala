@@ -101,6 +101,23 @@ object StreamOps {
       .select(col("p.event_id").as("purchase_id"),
         col("c.event_id").as("click_id"), col("p.user_id").as("user_id"))
 
+  /** Idempotent micro-batch sink for `foreachBatch`: each batch lands
+    * in its own `batch=<id>` directory with overwrite mode, so an
+    * at-least-once REPLAY (crash after the files landed but before the
+    * checkpoint committed the batch) overwrites the same directory
+    * instead of appending duplicates — exactly-once file output on top
+    * of foreachBatch's at-least-once delivery, with no transactional
+    * table format needed. Pair with a watermarked APPEND-mode
+    * aggregate so batches emit disjoint (finalized) windows and the
+    * union over batch directories IS the aggregate; downstream batch
+    * readers just read the root path (the batch id is a partition
+    * column they drop). Replay-with-injected-crash is exercised in
+    * StreamingParitySpec; the lossless batch round-trip is the
+    * oracle-checked `stream_sink_idempotent` key. */
+  def idempotentBatchSink(path: String): (DataFrame, Long) => Unit =
+    (df, batchId) =>
+      df.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
   def sessionAgg(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -152,6 +169,25 @@ object StreamOps {
           col("n_types"))
         .orderBy("user_id")
     }),
+    "stream_sink_idempotent" -> ((s, d) => {
+      // foreachBatch idempotent sink, batch semantics declared: the
+      // tumbling aggregate lands through the SAME sink code path the
+      // streaming twin uses — TWICE with the same batch id, simulating
+      // the at-least-once replay, which must overwrite rather than
+      // duplicate — then reads the directory tree back (dropping the
+      // batch partition column). Oracle = the tumbling oracle, so the
+      // hash match proves the sink hop is lossless AND the replay
+      // added nothing; the streaming property (mid-stream crash +
+      // checkpoint restart → exactly-once files) is exercised in
+      // StreamingParitySpec.
+      val out = graft.sources.Writers.roundTripDir("graft_sink_idem", d)
+      val agg = tumblingAgg(Tables.events(s, d))
+      idempotentBatchSink(out)(agg, 0L)
+      idempotentBatchSink(out)(agg, 0L) // replayed batch: idempotent
+      s.read.parquet(out)
+        .select("win_start", "event_type", "n", "sum_val")
+        .orderBy("win_start", "event_type")
+    }),
     "stream_watermark_late" -> ((s, d) => {
       // ✘ no oracle: watermarking is a no-op in batch; the unit suite
       // injects late rows through MemoryStream and asserts they drop.
@@ -197,6 +233,13 @@ object StreamOps {
     "stream_dedup_ids" ->
       """SELECT event_type, count(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the tumbling oracle again: the sink round-trip (written twice
+    // with the same batch id) must change nothing
+    "stream_sink_idempotent" ->
+      s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, count(*) AS n, ${O.sumDec("value", 2)} AS sum_val
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "ts_resample_gapfill" ->
       """WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',
         |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),

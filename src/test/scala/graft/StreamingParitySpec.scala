@@ -255,6 +255,64 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("idempotent sink: crash after write + checkpoint restart emits each window exactly once") {
+    // the exactly-once FILE-OUTPUT story: a watermarked append-mode
+    // tumbling aggregate lands through foreachBatch's idempotent
+    // batch=<id> sink; the first batch that emits rows CRASHES after
+    // its files are on disk but before the checkpoint commits (the
+    // at-least-once hazard). Restarting from the same checkpoint
+    // replays that batch — the sink must overwrite its own directory,
+    // so the union over batch dirs equals the batch aggregate with no
+    // duplicates.
+    val inDir = freshDir(); val outDir = freshDir(); val ckDir = freshDir()
+    batchEvents.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run() = {
+      val stream = spark.readStream.schema(batchEvents.schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+      StreamOps.tumblingAgg(stream.withWatermark("ts", "10 minutes"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          StreamOps.idempotentBatchSink(outDir)(df, id)
+          if (df.count() > 0 && failOnce.getAndSet(false))
+            throw new RuntimeException("injected crash: files written, batch uncommitted")
+          ()
+        }
+        .option("checkpointLocation", ckDir)
+        .outputMode("append").start()
+    }
+    val maxTs = batchEvents.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(days: Long): Unit =
+      batchEvents.limit(1)
+        .withColumn("ts", lit(new java.sql.Timestamp(maxTs.getTime + days * 24 * 3600 * 1000)))
+        .write.mode("append").parquet(inDir)
+    val q1 = run()
+    // sentinel batches advance the watermark past every real window;
+    // the first emitting batch triggers the injected crash
+    val crashed = try {
+      q1.processAllAvailable(); sentinel(10); q1.processAllAvailable()
+      sentinel(20); q1.processAllAvailable(); false
+    } catch { case _: Exception => true }
+    try q1.stop() catch { case _: Exception => () }
+    assert(crashed && !failOnce.get(), "injected crash did not fire")
+    // restart from the SAME checkpoint: the uncommitted batch replays
+    val q2 = run()
+    q2.processAllAvailable()
+    // one more sentinel in case the crash preempted the earlier ones
+    sentinel(30); q2.processAllAvailable(); q2.stop()
+    // real windows all start at or before maxTs; sentinel windows
+    // start days later, so a string cut on the formatted hour works
+    val cut = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss").format(maxTs)
+    val got = spark.read.parquet(outDir)
+      .select("win_start", "event_type", "n", "sum_val")
+      .filter(col("win_start") <= cut)
+    assert(got.count() == got.dropDuplicates("win_start", "event_type").count(),
+      "replayed batch appended duplicate windows")
+    assert(sortedRows(got) ==
+      sortedRows(StreamOps.tumblingAgg(batchEvents)),
+      "sink output diverged from the batch aggregate")
+  }
+
   test("dropDuplicatesWithinWatermark removes injected duplicate ids") {
     val dir = freshDir()
     batchEvents.coalesce(1).write.mode("overwrite").parquet(dir)
