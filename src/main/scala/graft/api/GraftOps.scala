@@ -2451,6 +2451,86 @@ object MlPipeline {
       }.toDF(idCol, "score")
   }
 
+  /** k-class forward pass per row (boxed-UDF path): logits = W·x per
+    * class, softmax → (pred = first-argmax class, p_max). The per-row
+    * twin of [[multiclassScoreBatchGemm]], kept declared so the bench
+    * artifact carries the per-row vs batched comparison at the
+    * k-output shape. */
+  def multiclassScore(df: DataFrame, idCol: String, vecCol: String,
+      weights: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol),
+        Kernels.multiclassScoreUdf(weights)(col(vecCol)).as("_mc"))
+      .select(col(idCol), col("_mc._1").as("pred"), col("_mc._2").as("p_max"))
+
+  /** k-class minibatch forward pass: ONE BLAS `dgemm` scores every
+    * class of a 256-row batch — the shape the reference's
+    * net.forward() actually had (a k-output layer over a minibatch)
+    * and where batched BLAS genuinely amortizes: the k=1 `dgemv`
+    * variant loses to the boxed UDF at 64 dims (the Dataset-encoder
+    * boundary dominates one dot), but at k outputs the same buffer
+    * feeds k×batch FLOPs per encoder crossing. Same numeric caveat as
+    * [[linearScoreBatchGemm]]: BLAS may reassociate each w_c·x sum by
+    * ulps; the scalar softmax/argmax tail is byte-shared with the UDF
+    * path ([[Kernels.multiclassFromLogits]]), and declared callers
+    * round p_max to 4 dp. */
+  def multiclassScoreBatchGemm(df: DataFrame, idCol: String, vecCol: String,
+      weights: Array[Array[Double]], batch: Int = 256,
+      fanout: Boolean = true): DataFrame = {
+    val k = weights.length
+    require(k >= 1 && batch >= 1, s"need k >= 1 classes and batch >= 1")
+    val dims = weights.head.length
+    require(weights.forall(_.length == dims), "ragged weight matrix")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcW = spark.sparkContext.broadcast(weights)
+    // the float encoder, NOT cast("array<double>"): the Catalyst cast
+    // materializes a second array per row before the encoder copies it
+    // again — measured (tools/GemmProbe) as a real slice of the
+    // per-row cost at this FLOP count. Floats widen to double in the
+    // pack loop below, bit-identically to the cast.
+    //
+    // `fanout = false` skips the parallelizing repartition: a columnar
+    // scan at scale arrives pre-split by row group, so the exchange
+    // only ever fires on small single-file inputs — exactly where its
+    // fixed stage cost can never amortize (GemmProbe: the exchange IS
+    // the entire gap between this path and the boxed UDF at fixture
+    // scale). Keep the default true for callers whose input may be a
+    // single UNSPLITTABLE large file (the SURVEY §7.2 #8 trap).
+    val in0 = df.select(col(idCol).cast("long"), col(vecCol))
+    val in = if (fanout) Fanout(in0) else in0
+    in.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        val ws = bcW.value
+        // (dims × k) column-major: class c's weights occupy column c
+        val wMat = new Array[Double](dims * k)
+        var c = 0
+        while (c < k) { System.arraycopy(ws(c), 0, wMat, c * dims, dims); c += 1 }
+        it.grouped(batch).flatMap { rows =>
+          val m = rows.length
+          val a = new Array[Double](dims * m)
+          var i = 0
+          while (i < m) {
+            val v = rows(i)._2
+            require(v.length == dims,
+              s"vector length ${v.length} != weight dims $dims")
+            var j = 0
+            while (j < dims) { a(i * dims + j) = v(j); j += 1 }
+            i += 1
+          }
+          // Y = Aᵀ·W: (m × k) column-major, logit of (row j, class c)
+          // lands at y(c*m + j)
+          val y = new Array[Double](m * k)
+          blas.dgemm("T", "N", m, k, dims, 1.0, a, dims, wMat, dims, 0.0, y, m)
+          rows.iterator.zipWithIndex.map { case ((id, _), j) =>
+            val (pred, pmax) = Kernels.multiclassFromLogits(
+              Array.tabulate(k)(c => y(c * m + j)))
+            (id, pred, pmax)
+          }
+        }
+      }.toDF(idCol, "pred", "p_max")
+  }
+
   /** ROC AUC via the rank-sum (Mann-Whitney U) formula over SCORE
     * BINS: AUC = Σ_s nPos_s · (negBelow_s + nNeg_s / 2) / (P · N),
     * ties (equal scores) contributing half — exact on the binned

@@ -292,4 +292,28 @@ object Kernels {
     * use an explicit Broadcast handle instead). */
   def linearScoreUdf(w: Array[Double]) =
     udf((x: Seq[Float]) => sigmoid(dotW(floats(x), w)))
+
+  /** Logits → (first-argmax class, softmax probability of that class),
+    * the scalar tail shared by the per-row UDF and the batched dgemm
+    * multiclass paths so both compute IDENTICAL math after the dots.
+    * p_max = 1 / Σ_c exp(l_c − l_max) (max-subtracted, overflow-safe);
+    * ties resolve to the FIRST max index — the same semantics as
+    * DuckDB's list_indexof(logits, list_max(logits)). */
+  def multiclassFromLogits(l: Array[Double]): (Long, Double) = {
+    var best = 0
+    var i = 1
+    while (i < l.length) { if (l(i) > l(best)) best = i; i += 1 }
+    var s = 0.0
+    i = 0
+    while (i < l.length) { s += math.exp(l(i) - l(best)); i += 1 }
+    (best.toLong, 1.0 / s)
+  }
+
+  /** k-class forward pass per row against a fixed weight matrix (one
+    * dot per class, then [[multiclassFromLogits]]). */
+  def multiclassScoreUdf(w: Array[Array[Double]]) =
+    udf((x: Seq[Float]) => {
+      val xv = floats(x)
+      multiclassFromLogits(Array.tabulate(w.length)(c => dotW(xv, w(c))))
+    })
 }

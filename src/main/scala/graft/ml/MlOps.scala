@@ -41,6 +41,34 @@ object MlOps {
     O.r4(s"1.0 / (1.0 + exp(-($dot)))")
   }
 
+  /** 10-class weight matrix, same deterministic recipe per class:
+    * W(c)(i) = round6(sin(c·64 + i + 1)) — so class 0 IS `weights`
+    * and the SQL literals are exact. */
+  val weightsK: Array[Array[Double]] =
+    Array.tabulate(10)(c => Array.tabulate(64)(i =>
+      BigDecimal(math.sin(c * 64 + i + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+
+  private def weightsKSqlLit(c: Int): String =
+    weightsK(c).map(w => BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
+      .mkString("[", ", ", "]")
+
+  /** Shared multiclass oracle: logits list → first-argmax class and
+    * max-subtracted softmax probability, mirroring
+    * Kernels.multiclassFromLogits op-for-op (p_max = 1/Σexp(l−lmax);
+    * list_indexof picks the FIRST max, as the Scala strict-> scan). */
+  private def duckMulticlass: String = {
+    val logits = (0 until 10).map(c =>
+      s"list_dot_product(CAST(embedding AS DOUBLE[]), CAST(${weightsKSqlLit(c)} AS DOUBLE[]))")
+      .mkString("[", ",\n     ", "]")
+    s"""WITH t AS (SELECT vec_id, $logits AS logits FROM embeddings),
+       |m AS (SELECT vec_id, logits, list_max(logits) AS lm FROM t)
+       |SELECT vec_id,
+       |  CAST(list_indexof(logits, lm) - 1 AS BIGINT) AS pred,
+       |  ${O.r4("1.0 / list_sum(list_transform(logits, l -> exp(l - lm)))")} AS p_max
+       |FROM m ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_infer_linear_udf" -> ((s, d) => {
       scored(s, d).select("vec_id", "score").orderBy("vec_id")
@@ -55,6 +83,30 @@ object MlOps {
       MlPipeline.linearScoreBatchGemm(Tables.embeddings(s, d),
           "vec_id", "embedding", weights)
         .select(col("vec_id"), Canon.r4(col("score")).as("score"))
+        .orderBy("vec_id")
+    }),
+    "ml_infer_multiclass_udf" -> ((s, d) => {
+      // k=10-class forward pass, per-row UDF path: pred = argmax
+      // logit, p_max = softmax prob of the argmax. Declared alongside
+      // the GEMM twin (same oracle) so the bench artifact carries the
+      // per-row vs batched comparison at the k-output shape.
+      MlPipeline.multiclassScore(Tables.embeddings(s, d),
+          "vec_id", "embedding", weightsK)
+        .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
+        .orderBy("vec_id")
+    }),
+    "ml_infer_multiclass_gemm" -> ((s, d) => {
+      // the batched-BLAS twin: ONE dgemm per 256-row batch scores all
+      // 10 classes — the k-output minibatch net.forward() shape.
+      // fanout=false: a parquet scan at scale arrives pre-split by row
+      // group, so the parallelizing exchange only fires on tiny
+      // single-file fixtures — where its fixed stage cost is exactly
+      // what kept the k=1 GEMM behind the boxed UDF (tools/GemmProbe:
+      // the exchange is the whole gap; scan-parallel GEMM ties the UDF
+      // at 5k rows and beats it at 200k).
+      MlPipeline.multiclassScoreBatchGemm(Tables.embeddings(s, d),
+          "vec_id", "embedding", weightsK, fanout = false)
+        .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
         .orderBy("vec_id")
     }),
     "ml_eval_confusion" -> ((s, d) => {
@@ -125,6 +177,10 @@ object MlOps {
     "ml_infer_batch_gemm" ->
       s"""SELECT vec_id, $duckScore AS score
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // IDENTICAL SQL for both multiclass keys, as the linear pair: the
+    // batched path must reproduce the per-row path after 4 dp rounding
+    "ml_infer_multiclass_udf" -> duckMulticlass,
+    "ml_infer_multiclass_gemm" -> duckMulticlass,
     "ml_eval_confusion" ->
       s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings)
         |SELECT

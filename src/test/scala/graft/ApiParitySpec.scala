@@ -92,6 +92,32 @@ class ApiParitySpec extends AnyFunSuite {
     }
   }
 
+  test("multiclassScoreBatchGemm equals the per-row UDF path at 4 dp, both fanout settings") {
+    // same stride-bug posture as the linear test (batch = 7 forces
+    // ragged final batches) extended to the (m × k) dgemm: a wrong ldc
+    // or a row/class transposition would corrupt pred or p_max. Both
+    // fanout settings must agree — the declared key runs fanout=false
+    // (scan-parallel), the API default is the gated repartition.
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val udfPath = graft.api.MlPipeline.multiclassScore(
+        e, "vec_id", "embedding", ml.MlOps.weightsK)
+      .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    Seq(true, false).foreach { fan =>
+      val gemmPath = graft.api.MlPipeline.multiclassScoreBatchGemm(
+          e, "vec_id", "embedding", ml.MlOps.weightsK, batch = 7, fanout = fan)
+        .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(gemmPath.keySet == udfPath.keySet)
+      gemmPath.foreach { case (id, (pred, pm)) =>
+        val (uPred, uPm) = udfPath(id)
+        assert(pred == uPred && java.lang.Double.doubleToLongBits(pm) ==
+          java.lang.Double.doubleToLongBits(uPm),
+          s"vec_id $id (fanout=$fan): gemm ($pred, $pm) != udf ($uPred, $uPm)")
+      }
+    }
+  }
+
   test("PPJoin pair sets equal brute force on a random synthetic corpus") {
     val s = spark
     import s.implicits._
