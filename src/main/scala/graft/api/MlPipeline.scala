@@ -1,0 +1,212 @@
+package graft.api
+
+import graft.Canon
+import graft.functions.Kernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+object MlPipeline {
+  /** σ(w·x) per row against a fixed weight vector — the reference's
+    * broadcast-weights forward pass. */
+  def linearScore(df: DataFrame, vecCol: String, weights: Array[Double]): DataFrame =
+    df.withColumn("score", Kernels.linearScoreUdf(weights)(col(vecCol)))
+
+  /** Minibatch-GEMM forward pass: `mapPartitions` packs rows into a
+    * column-major (dims × batch) buffer and scores each batch with ONE
+    * BLAS `dgemv` call — the reference's actual per-executor shape
+    * (pyspark-caffe fed per-partition minibatches to a broadcast Caffe
+    * net's forward()), and the scale-true layout for wider models: the
+    * per-row cost drops from a boxed UDF invocation to an amortized
+    * slice of a SIMD-blocked multiply (`dev.ludovic.netlib` picks the
+    * widest vector kernel the JVM offers; for a k-output model the same
+    * buffer feeds one dgemm instead of k dgemv). Weights ship once per
+    * executor via broadcast, exactly like [[linearScore]].
+    *
+    * Numerically: inputs are cast to double BEFORE the multiply (the
+    * same contract as the UDF path and the DuckDB twin) and each output
+    * is the same w·x sum — but BLAS may reassociate the accumulation,
+    * so raw scores can differ from the sequential loop by ulps. The
+    * declared callers round to 4 dp, which absorbs an ulp difference
+    * EXCEPT for a score sitting exactly on a rounding-grid boundary;
+    * no fixture row does (oracle- and bitwise-parity-checked at
+    * sf0.001/0.01/0.1), but the guarantee is empirical per dataset,
+    * not algebraic — a caller needing provable bit-parity with the
+    * sequential path should use [[linearScore]]. */
+  def linearScoreBatchGemm(df: DataFrame, idCol: String, vecCol: String,
+      weights: Array[Double], batch: Int = 256): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcW = spark.sparkContext.broadcast(weights)
+    val dims = weights.length
+    // fanout BEFORE the mapPartitions: a single-partition scan would
+    // otherwise run every batch's GEMM on one core (SURVEY §7.2 #8 —
+    // gated, so a no-op on cluster-scale inputs)
+    Fanout(df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>")))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        val w = bcW.value
+        it.grouped(batch).flatMap { rows =>
+          val m = rows.length
+          val a = new Array[Double](dims * m)
+          var i = 0
+          while (i < m) {
+            val v = rows(i)._2
+            require(v.length == dims,
+              s"vector length ${v.length} != weight dims $dims")
+            System.arraycopy(v, 0, a, i * dims, dims)
+            i += 1
+          }
+          val y = new Array[Double](m)
+          blas.dgemv("T", dims, m, 1.0, a, dims, w, 1, 0.0, y, 1)
+          rows.iterator.zipWithIndex.map { case ((id, _), j) =>
+            (id, 1.0 / (1.0 + math.exp(-y(j))))
+          }
+        }
+      }.toDF(idCol, "score")
+  }
+
+  /** k-class forward pass per row (boxed-UDF path): logits = W·x per
+    * class, softmax → (pred = first-argmax class, p_max). The per-row
+    * twin of [[multiclassScoreBatchGemm]], kept declared so the bench
+    * artifact carries the per-row vs batched comparison at the
+    * k-output shape. */
+  def multiclassScore(df: DataFrame, idCol: String, vecCol: String,
+      weights: Array[Array[Double]]): DataFrame =
+    df.select(col(idCol),
+        Kernels.multiclassScoreUdf(weights)(col(vecCol)).as("_mc"))
+      .select(col(idCol), col("_mc._1").as("pred"), col("_mc._2").as("p_max"))
+
+  /** k-class minibatch forward pass: ONE BLAS `dgemm` scores every
+    * class of a 256-row batch — the shape the reference's
+    * net.forward() actually had (a k-output layer over a minibatch)
+    * and where batched BLAS genuinely amortizes: the k=1 `dgemv`
+    * variant loses to the boxed UDF at 64 dims (the Dataset-encoder
+    * boundary dominates one dot), but at k outputs the same buffer
+    * feeds k×batch FLOPs per encoder crossing. Same numeric caveat as
+    * [[linearScoreBatchGemm]]: BLAS may reassociate each w_c·x sum by
+    * ulps; the scalar softmax/argmax tail is byte-shared with the UDF
+    * path ([[Kernels.multiclassFromLogits]]), and declared callers
+    * round p_max to 4 dp. */
+  def multiclassScoreBatchGemm(df: DataFrame, idCol: String, vecCol: String,
+      weights: Array[Array[Double]], batch: Int = 256,
+      fanout: Boolean = true): DataFrame = {
+    val k = weights.length
+    require(k >= 1 && batch >= 1, s"need k >= 1 classes and batch >= 1")
+    val dims = weights.head.length
+    require(weights.forall(_.length == dims), "ragged weight matrix")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcW = spark.sparkContext.broadcast(weights)
+    // the float encoder, NOT cast("array<double>"): the Catalyst cast
+    // materializes a second array per row before the encoder copies it
+    // again — measured (tools/GemmProbe) as a real slice of the
+    // per-row cost at this FLOP count. Floats widen to double in the
+    // pack loop below, bit-identically to the cast.
+    //
+    // `fanout = false` skips the parallelizing repartition: a columnar
+    // scan at scale arrives pre-split by row group, so the exchange
+    // only ever fires on small single-file inputs — exactly where its
+    // fixed stage cost can never amortize (GemmProbe: the exchange IS
+    // the entire gap between this path and the boxed UDF at fixture
+    // scale). Keep the default true for callers whose input may be a
+    // single UNSPLITTABLE large file (the SURVEY §7.2 #8 trap).
+    val in0 = df.select(col(idCol).cast("long"), col(vecCol))
+    val in = if (fanout) Fanout(in0) else in0
+    in.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        val ws = bcW.value
+        // (dims × k) column-major: class c's weights occupy column c
+        val wMat = new Array[Double](dims * k)
+        var c = 0
+        while (c < k) { System.arraycopy(ws(c), 0, wMat, c * dims, dims); c += 1 }
+        it.grouped(batch).flatMap { rows =>
+          val m = rows.length
+          val a = new Array[Double](dims * m)
+          var i = 0
+          while (i < m) {
+            val v = rows(i)._2
+            require(v.length == dims,
+              s"vector length ${v.length} != weight dims $dims")
+            var j = 0
+            while (j < dims) { a(i * dims + j) = v(j); j += 1 }
+            i += 1
+          }
+          // Y = Aᵀ·W: (m × k) column-major, logit of (row j, class c)
+          // lands at y(c*m + j)
+          val y = new Array[Double](m * k)
+          blas.dgemm("T", "N", m, k, dims, 1.0, a, dims, wMat, dims, 0.0, y, m)
+          rows.iterator.zipWithIndex.map { case ((id, _), j) =>
+            val (pred, pmax) = Kernels.multiclassFromLogits(
+              Array.tabulate(k)(c => y(c * m + j)))
+            (id, pred, pmax)
+          }
+        }
+      }.toDF(idCol, "pred", "p_max")
+  }
+
+  /** ROC AUC via the rank-sum (Mann-Whitney U) formula over SCORE
+    * BINS: AUC = Σ_s nPos_s · (negBelow_s + nNeg_s / 2) / (P · N),
+    * ties (equal scores) contributing half — exact on the binned
+    * scores. Callers pass an already-rounded score column; binning on
+    * the rounded grid is what makes the statistic engine-portable.
+    *
+    * Scale shape: one hash aggregate per DISTINCT score (shuffle ∝
+    * bins, bounded by the rounding grid — ≤ ~10⁴ rows for 4 dp scores
+    * in [0,1], at ANY corpus size), then the ordered cumulative pass
+    * runs over that provably tiny table. Never a global sort or
+    * per-row rank window over the data — the reason plain
+    * rank-then-sum AUC breaks at 100 TB and this shape doesn't. The
+    * numerator sums half-integer products of exact counts, so it is
+    * order-independent in IEEE doubles (no decimal detour needed). */
+  def aucBinned(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val bins = df.select(col(scoreCol).as("_s"), col(labelCol).cast("long").as("_y"))
+      .groupBy("_s")
+      .agg(sum(col("_y")).as("_np"), (count(lit(1)) - sum(col("_y"))).as("_nn"))
+    val w = Window.orderBy(col("_s")).rowsBetween(Window.unboundedPreceding, -1)
+    bins.withColumn("_below", coalesce(sum(col("_nn")).over(w), lit(0L)))
+      .agg(sum(col("_np").cast("double")
+          * (col("_below").cast("double") + col("_nn").cast("double") / 2.0)).as("_num"),
+        sum(col("_np")).as("n_pos"), sum(col("_nn")).as("n_neg"))
+      .select(Canon.r4(col("_num")
+          / (col("n_pos").cast("double") * col("n_neg").cast("double"))).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Full-batch logistic-regression GD via treeAggregate: shuffle-free
+    * tree reduction per step, O(dims) driver state — the reference's
+    * broadcast+reduce training loop, which scales to 1000 executors. */
+  def trainLogisticGD(df: DataFrame, vecCol: String, labelCol: String,
+      steps: Int, lr: Double, dims: Int): Array[Double] = {
+    val data = df.select(col(vecCol), col(labelCol).cast("double"))
+      .rdd.map { r =>
+        val e = r.getAs[scala.collection.Seq[Float]](0)
+        val x = new Array[Double](e.length)
+        var i = 0; while (i < e.length) { x(i) = e(i).toDouble; i += 1 }
+        (x, r.getDouble(1))
+      }.cache()
+    val w = new Array[Double](dims)
+    for (_ <- 1 to steps) {
+      val (grad, n) = data.treeAggregate((new Array[Double](dims), 0L))(
+        seqOp = { case ((g, cnt), (x, y)) =>
+          var acc = 0.0
+          var i = 0; while (i < dims) { acc += w(i) * x(i); i += 1 }
+          val err = Kernels.sigmoid(acc) - y
+          i = 0; while (i < dims) { g(i) += err * x(i); i += 1 }
+          (g, cnt + 1L)
+        },
+        combOp = { case ((g1, n1), (g2, n2)) =>
+          var i = 0; while (i < dims) { g1(i) += g2(i); i += 1 }
+          (g1, n1 + n2)
+        },
+        depth = 2)
+      var i = 0
+      while (i < dims) { w(i) -= lr * grad(i) / n; i += 1 }
+    }
+    data.unpersist(blocking = false)
+    w
+  }
+}

@@ -1,0 +1,565 @@
+package graft.api
+
+import graft.Canon
+import graft.functions.Kernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+object Similarity {
+  private def fanout(df: DataFrame): DataFrame = Fanout(df)
+
+  /** Slack added to the triangle-inequality pruning cut so float error
+    * can never prune a qualifying pair. Bound: cosines accumulate in
+    * double over ≤ a few thousand float dims (≤ ~1e-12 absolute), and
+    * acos amplifies a cosine error ε to at most √(2ε) ≈ 1.5e-6 rad
+    * near ±1; the cut combines four such angles, so 1e-5 covers the
+    * worst case with an order of magnitude to spare while costing no
+    * measurable pruning (an extra 1e-5 rad of cell-pair admission). */
+  private val AngleEps = 1e-5
+
+  /** Cosine via the native codegen expression (no UDF boundary);
+    * bit-identical to Kernels.cosineArr. */
+  private def cos(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.CosineSim.register(df.sparkSession)
+    call_function("graft_cosine", a, b)
+  }
+
+  /** Global top-k most-similar pairs, brute force (broadcast × fanout).
+    * The exactness baseline and the per-bucket inner loop of an
+    * LSH/IVF layout at scale. `simRound` rounds similarities BEFORE
+    * ordering so the top-k cutoff cannot straddle a float epsilon
+    * across engines/runs. */
+  def cosineTopKPairs(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      simRound: Option[Int] = None): DataFrame = {
+    val a = fanout(df).select(col(idCol).as("id1"), col(vecCol).as("_e1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("_e2"))
+    val sim = cos(df)(col("_e1"), col("_e2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .orderBy(col("sim").desc, col("id1"), col("id2"))
+      .limit(k)
+  }
+
+  /** EXACT global top-k most-similar pairs through the cell-blocked
+    * join, in TWO passes (parity-asserted against the brute force in
+    * ApiParitySpec, equi-join shape pinned in PlanShapeSpec):
+    *
+    *  1. WITNESS pass — the exact top-k among CELL-LOCAL pairs only
+    *     (one equi-join on the cell id over the dense diagonal,
+    *     TakeOrdered top-k). Its k-th similarity t₀ is achieved by k
+    *     real pairs, and cell-local pairs are a subset of all pairs,
+    *     so the global k-th best sim ≥ t₀ — every global top-k pair
+    *     has sim ≥ t₀.
+    *  2. the provably-exact blocked pair join
+    *     ([[cosinePairsAboveCellBlocked]]'s core, reusing the same
+    *     materialized cell layout) at threshold t₀, then the global
+    *     top k of what it emits.
+    *
+    * Scale shape: pass 1 touches Σ_c n_c² cell-local pairs (where the
+    * near-duplicate mass lives; ~1/|cells| of all pairs even on
+    * isotropic data); on clustered corpora t₀ lands high and pass 2's
+    * cell-pair admission prunes almost everything, so work tracks the
+    * k-th similarity's selectivity, not n². Never an unblocked cross
+    * join. Falls back to emit-everything only when fewer than k
+    * cell-local pairs exist at all (near-trivial corpora). */
+  def cosineTopKPairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, centroids: Array[Array[Float]],
+      simRound: Option[Int] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // one cell layout shared by both passes (materialized now; freed by
+    // the caller via Checkpoints.free after consuming the result, like
+    // the dedup operators' shared tables)
+    val vecs = assignCells(df, idCol, vecCol, centroids).localCheckpoint()
+    val radii = collectRadii(vecs)
+    val a = vecs.select(col("_vid").as("id1"), col("_v").as("_va"), col("_cell"))
+    val b = vecs.select(col("_vid").as("id2"), col("_v").as("_vb"), col("_cell"))
+    val sim = cos(vecs)(col("_va"), col("_vb"))
+    val localTopK = a.join(b, Seq("_cell")).filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .orderBy(col("sim").desc, col("id1"), col("id2"))
+      .limit(k).collect()
+    val pairs =
+      // < k cell-local pairs: emit everything. Sentinel -2.0 (strictly
+      // below any cosine), NOT -1.0: with simRound=None the unrounded
+      // codegen cosine of antipodal vectors can land an ulp below -1.0
+      // and a `sim >= -1.0` output filter would silently drop it
+      if (localTopK.length < k)
+        cellBlockedPairsCore(vecs, radii, centroids, -2.0, simRound)
+      else
+        cellBlockedPairsCore(vecs, radii, centroids,
+          localTopK.last.getDouble(2), simRound)
+    pairs.orderBy(col("sim").desc, col("id1"), col("id2")).limit(k)
+  }
+
+  /** Top-k neighbors for each row matching `queryPred`. */
+  def cosineKnn(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, simRound: Option[Int] = None): DataFrame = {
+    val q = df.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+    val c = fanout(df).select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val sim = cos(df)(col("_qe"), col("_ce"))
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
+  /** All same-group pairs with cosine ≥ minSim. */
+  def cosineThresholdJoin(df: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, minSim: Double, simRound: Option[Int] = None): DataFrame = {
+    val a = fanout(df).select(col(idCol).as("id1"), col(groupCol).as("_g1"), col(vecCol).as("_e1"))
+    val b = df.select(col(idCol).as("id2"), col(groupCol).as("_g2"), col(vecCol).as("_e2"))
+    val sim = cos(df)(col("_e1"), col("_e2"))
+    a.join(broadcast(b), col("_g1") === col("_g2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("_g1").as(groupCol),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** All pairs with cosine ≥ minSim, no blocking key — embedding-space
+    * near-duplicate candidates. The exact baseline; at 100 TB route
+    * through `ivfKnn`-style cell assignment so only same/adjacent-cell
+    * pairs are compared. */
+  def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, simRound: Option[Int] = None): DataFrame = {
+    val a = fanout(df).select(col(idCol).as("id1"), col(vecCol).as("_e1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("_e2"))
+    val sim = cos(df)(col("_e1"), col("_e2"))
+    a.join(broadcast(b), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** EXACT all-pairs cosine ≥ minSim through cell-pair pruning — the
+    * blocked twin of `cosinePairsAbove` whose output is guaranteed
+    * identical on ANY data:
+    *
+    *  1. every vector is assigned to its nearest centroid cell (one
+    *     map pass over a broadcast codebook) along with its angle to
+    *     that centroid;
+    *  2. one tiny aggregate yields each cell's angular radius
+    *     r_c = max member angle — ≤ |cells| rows, collected (the
+    *     codebook is driver-resident already, so this adds no new
+    *     scale dependency);
+    *  3. a cell pair (a, b) can only contain a qualifying pair if the
+    *     MINIMUM possible angle between members,
+    *     max(0, θ(centroid_a, centroid_b) − r_a − r_b), still has
+    *     cosine ≥ minSim (triangle inequality on the sphere) — the
+    *     admission test runs driver-side over the radius table and
+    *     the surviving pairs join back as a broadcast equi-join;
+    *  4. vectors join through the allowed cell pairs (equi-join on the
+    *     cell id, never an unblocked cross join) and the exact cosine
+    *     filter keeps the true pairs.
+    *
+    * On clustered corpora (dedup thresholds like 0.95) almost every
+    * cross-cell pair is pruned and the join degenerates to cell-local
+    * work — the 100 TB shape, with the cell id doubling as a write-time
+    * partition key. On isotropic random data with a loose threshold
+    * nothing is prunable by ANY exact method; the plan is then the same
+    * all-pairs volume, but still expressed through the blocked join. */
+  def cosinePairsAboveCellBlocked(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, centroids: Array[Array[Float]],
+      simRound: Option[Int] = None): DataFrame = {
+    val vecs = assignCells(df, idCol, vecCol, centroids)
+    cellBlockedPairsCore(vecs, collectRadii(vecs), centroids, minSim, simRound)
+  }
+
+  /** (_vid, _v, _cell, _ang): every vector with its nearest-centroid
+    * cell and the angle to that centroid — the shared front half of
+    * the cell-blocked operators. */
+  private def assignCells(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val angToCell = udf((v: Seq[Float], c: Int) =>
+      math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(v, centroids(c))))))
+    fanout(df).select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .withColumn("_cell", cellOf(col("_v")))
+      .withColumn("_ang", angToCell(col("_v"), col("_cell")))
+  }
+
+  /** Per-cell angular radii, collected: bounded by the codebook
+    * (≤ |cells| rows, and the codebook already lives on the driver),
+    * so the cell-pair admission test can run driver-side. */
+  private def collectRadii(vecs: DataFrame): Array[(Int, Double)] =
+    vecs.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+
+  /** The blocked pair join over pre-assigned vectors: driver-side cell
+    * admission, broadcast allowed-pair equi-join, exact cosine filter.
+    * Taking (vecs, radii) lets a threshold descent reuse one cell
+    * layout across rungs instead of re-deriving it per threshold. */
+  private def cellBlockedPairsCore(vecs: DataFrame, radii: Array[(Int, Double)],
+      centroids: Array[Array[Float]], minSim: Double,
+      simRound: Option[Int]): DataFrame = {
+    // the output filter compares the ROUNDED sim to minSim, which
+    // admits true sims down to minSim − half an ulp of the rounding
+    // grid — the pruning bound must use that effective threshold or
+    // boundary pairs in tight cells would be silently dropped
+    val effMin = minSim - simRound.map(k => 0.5 * math.pow(10.0, -k)).getOrElse(0.0)
+    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
+    def centAng(a: Int, b: Int): Double =
+      math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(centroids(a).toSeq, centroids(b)))))
+    val allowedPairs = for {
+      (ca, ra) <- radii.toSeq; (cb, rb) <- radii.toSeq
+      if ca <= cb
+      if math.max(centAng(ca, cb) - ra - rb, 0.0) <= thetaMax + AngleEps
+    } yield (ca, cb)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val allowed = allowedPairs.toDF("_ca", "_cbAllowed")
+    val a = vecs.select(col("_vid").as("_ida"), col("_v").as("_va"), col("_cell").as("_ca"))
+    val b = vecs.select(col("_vid").as("_idb"), col("_v").as("_vb"), col("_cell").as("_cb"))
+    val sim = cos(vecs)(col("_va"), col("_vb"))
+    a.join(broadcast(allowed), "_ca")
+      .join(b, col("_cbAllowed") === col("_cb") && (col("_ca") < col("_cbAllowed")
+        || (col("_ca") === col("_cbAllowed") && col("_ida") < col("_idb"))))
+      .select(least(col("_ida"), col("_idb")).as("id1"),
+        greatest(col("_ida"), col("_idb")).as("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Incremental EXACT embedding dedup: cosine ≥ minSim pairs between a
+    * new BATCH and an existing CORPUS (never corpus×corpus) — the
+    * embedding twin of `Dedup.jaccardPairsAgainstIndex`, completing the
+    * incremental family (exact text, MinHash, embeddings).
+    *
+    * Per-batch-vector cell pruning is tighter than the symmetric
+    * variant: corpus cell c can contain a match for batch vector v only
+    * if θ(v, centroid_c) − r_c ≤ θmax (triangle inequality on the
+    * sphere), so each batch vector probes only the cells that can
+    * possibly qualify. Output is provably identical to the brute-force
+    * batch×corpus join on ANY data — the codebook affects pruning
+    * quality, never correctness.
+    *
+    * Scale shape: the corpus cell assignment and per-cell radii are
+    * computable ONCE and persistable (cell id = write-time partition
+    * key); a daily ingest then pays one map pass over the batch, a
+    * broadcast of the tiny radius table, and an equi-join on the cell
+    * id — probe cost tracks BATCH size, not corpus size. */
+  def cosinePairsAgainstIndexCellBlocked(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, minSim: Double,
+      centroids: Array[Array[Float]], simRound: Option[Int] = None): DataFrame =
+    cosineProbePreparedCellIndex(batch,
+      cellIndex(corpus, idCol, vecCol, centroids),
+      idCol, vecCol, minSim, centroids, simRound)
+
+  /** The persistable index side of [[cosinePairsAgainstIndexCellBlocked]]:
+    * every corpus vector with its cell id and centroid angle —
+    * (idCol, vecCol, _cell, _ang). Write it once with
+    * `Writers.writePartitioned(index, "_cell", path)` (the cell id as
+    * the write-time partition key) and probe arriving batches against
+    * the loaded table via [[cosineProbePreparedCellIndex]]; the daily
+    * ingest then never re-assigns the corpus. */
+  def cellIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val angToCell = udf((v: Seq[Float], c: Int) =>
+      math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(v, centroids(c))))))
+    fanout(corpus).select(col(idCol), col(vecCol))
+      .withColumn("_cell", cellOf(col(vecCol)))
+      .withColumn("_ang", angToCell(col(vecCol), col("_cell")))
+  }
+
+  /** Probe half: exact batch×corpus cosine ≥ minSim pairs against a
+    * prepared (possibly loaded-from-disk) [[cellIndex]] table. Same
+    * output as the one-shot variant on ANY data; per-cell radii come
+    * from one tiny aggregate over the index. */
+  def cosineProbePreparedCellIndex(batch: DataFrame, index: DataFrame,
+      idCol: String, vecCol: String, minSim: Double,
+      centroids: Array[Array[Float]], simRound: Option[Int] = None): DataFrame = {
+    // same rounding-aware pruning bound as cosinePairsAboveCellBlocked:
+    // the rounded-sim output filter admits true sims half a grid step
+    // below minSim, so the triangle-inequality cut must too
+    val effMin = minSim - simRound.map(k => 0.5 * math.pow(10.0, -k)).getOrElse(0.0)
+    val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
+    val corp = index.select(col(idCol).as("_cid"), col(vecCol).as("_cv"),
+      col("_cell"), col("_ang"))
+    // per-cell radii are bounded by the (driver-resident) codebook, so
+    // they ship inside the probe UDF: each batch vector explodes into
+    // exactly the cells that can qualify — an equi-join on the cell id,
+    // with no nested-loop batch × radii pass
+    val radii = corp.groupBy("_cell").agg(max(col("_ang")).as("_rad"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1)
+    val probeCells = udf((v: Seq[Float]) => radii.collect {
+      case (c, rad) if math.acos(math.max(-1.0, math.min(1.0,
+        Kernels.cosineWith(v, centroids(c))))) - rad <= thetaMax + AngleEps => c
+    })
+    val probes = fanout(batch).select(col(idCol).as("_bid"), col(vecCol).as("_bv"))
+      .withColumn("_cell", explode(probeCells(col("_bv"))))
+    val sim = cos(batch)(col("_bv"), col("_cv"))
+    probes.join(corp.drop("_ang"), "_cell")
+      .select(col("_bid").as("id1"), col("_cid").as("id2"),
+        simRound.map(Canon.rk(sim, _)).getOrElse(sim).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** IVF-style approximate kNN — the scale path for similarity search.
+    *
+    * Coarse quantization: every vector is assigned to its nearest of
+    * `centroids` cells (one pass, broadcastable centroid table);
+    * queries probe their `nprobe` nearest cells and rank only those
+    * candidates. At 100 TB the cell assignment is a write-time
+    * partition key: a query touches nprobe/|cells| of the data instead
+    * of all of it. Recall is tested against the brute-force baseline.
+    */
+  def ivfKnn(df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, centroids: Array[Array[Float]], nprobe: Int,
+      simRound: Option[Int] = None): DataFrame = {
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nprobe))
+    val cands = fanout(df)
+      .select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+      .withColumn("_cell", cellOf(col("_ce")))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+      .withColumn("_probe", explode(probesOf(col("_qe"))))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val sim = cos(df)(col("_qe"), col("_ce"))
+    cands.join(broadcast(q), col("_cell") === col("_probe") && col("qid") =!= col("cid"))
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
+  /** Persist an IVF index to `path`: the codebook as a tiny parquet
+    * table (`Artifacts.saveCodebook`) plus the cell-assigned corpus
+    * laid out ONE DIRECTORY PER CELL (`Writers.writePartitioned` on
+    * the cell id) — the "cell id as a write-time partition key" layout
+    * the scaladocs promise, made durable. Between crawl batches an
+    * incremental 100 TB pipeline keeps exactly this on disk: the next
+    * batch reopens it cold and probes nprobe/|cells| of the files
+    * instead of re-embedding, re-assigning, or re-reading anything. */
+  def saveIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], path: String): Unit = {
+    graft.sources.Artifacts.saveCodebook(df.sparkSession, centroids,
+      s"$path/codebook")
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val assigned = df.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .withColumn("_cell", cellOf(col("_v")))
+    graft.sources.Writers.writePartitioned(assigned, "_cell", s"$path/cells")
+  }
+
+  /** Probe a [[saveIvfIndex]] layout COLD: reload the codebook from
+    * its parquet table, route each query to its `nprobe` nearest
+    * cells, and join against the per-cell directories. Identical
+    * output to [[ivfKnn]] over the same corpus/codebook (unit-tested
+    * bitwise in NoOracleSpec) — the probe-side cosine is the same
+    * codegen kernel and the candidate set is the same cell equi-join;
+    * only the index side now comes from disk. The scan is eligible
+    * for dynamic partition pruning: the probed cell ids reach the
+    * file index, so unprobed cells' directories are never opened. */
+  def ivfKnnFromIndex(queries: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, k: Int, nprobe: Int,
+      simRound: Option[Int] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = graft.sources.Artifacts.loadCodebook(spark,
+      s"$indexPath/codebook")
+    val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nprobe))
+    val cands = spark.read.parquet(s"$indexPath/cells")
+      .select(col("_vid").as("cid"), col("_v").as("_ce"), col("_cell"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+      .withColumn("_probe", explode(probesOf(col("_qe"))))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val sim = cos(queries)(col("_qe"), col("_ce"))
+    cands.join(broadcast(q), col("_cell") === col("_probe") && col("qid") =!= col("cid"))
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
+  /** Random-hyperplane LSH approximate kNN — the DATA-INDEPENDENT
+    * scale path for cosine similarity search, complementing `ivfKnn`:
+    * no codebook to train (and so no drift as the corpus grows), at
+    * the cost of weaker pruning on clustered data than a trained
+    * quantizer. `tables` independent hash tables of `bits` hyperplane
+    * sign bits each; a data vector and a query collide if they share
+    * any table's bucket (recall per neighbor at angle θ is
+    * 1-(1-(1-θ/π)^bits)^tables). Planes are seeded Gaussians, so
+    * signatures — and results — are reproducible, and since planes are
+    * data-independent there is no query-leakage question at all.
+    *
+    * Scale shape mirrors `ivfKnn`: signatures are one narrow map pass;
+    * candidates come from the (table, bucket) equi-join against the
+    * broadcast query side (query sets are bounded); multi-table
+    * collisions dedup via the first-agreeing-table test (native
+    * `graft_first_eq`, no distinct shuffle); the final per-query top-k
+    * is the row_number≤k idiom the TopKPerGroup rewrite turns into a
+    * bounded heap. At 100 TB the (table, bucket) pair is a write-time
+    * partition key exactly like the IVF cell. `bits` sizes buckets
+    * (aim ~n/2^bits candidates per table); the 6/16 defaults suit the
+    * fixture's ~unit-norm 64-d corpus. */
+  def rpLshKnn(df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, dims: Int, tables: Int = 16, bits: Int = 6, seed: Long = 42L,
+      simRound: Option[Int] = None): DataFrame = {
+    require(dims > 0, s"dims must be > 0, got $dims")
+    require(tables > 0 && bits > 0 && bits <= 63,
+      s"need tables > 0 and bits in [1, 63], got tables=$tables bits=$bits")
+    val rnd = new java.util.Random(seed)
+    val planes: Array[Array[Array[Float]]] =
+      Array.fill(tables, bits)(Array.fill(dims)(rnd.nextGaussian().toFloat))
+    val sigUdf = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      // fail loudly: a vector shorter/longer than the declared dims
+      // would otherwise yield a partial dot product and a plausible-
+      // but-wrong signature (silently broken recall)
+      require(arr.length == dims,
+        s"rpLshKnn: vector of length ${arr.length} does not match declared dims=$dims")
+      planes.map { tp =>
+        var h = 0L
+        var i = 0
+        while (i < tp.length) {
+          val p = tp(i)
+          var dp = 0.0
+          var j = 0
+          while (j < dims) { dp += arr(j) * p(j); j += 1 }
+          h = (h << 1) | (if (dp >= 0) 1L else 0L)
+          i += 1
+        }
+        h
+      }.toSeq
+    })
+    graft.functions.FirstEqIndex.register(df.sparkSession)
+    val data = fanout(df).select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+      .withColumn("_sig", sigUdf(col("_ce")))
+      .select(col("cid"), col("_ce"), col("_sig"),
+        posexplode(col("_sig")).as(Seq("_t", "_h")))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+      .withColumn("_qsig", sigUdf(col("_qe")))
+      .select(col("qid"), col("_qe"), col("_qsig"),
+        posexplode(col("_qsig")).as(Seq("_qt", "_qh")))
+    val firstTable = call_function("graft_first_eq", col("_sig"), col("_qsig"))
+    val sim = cos(df)(col("_qe"), col("_ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    data.join(broadcast(q), col("_t") === col("_qt") && col("_h") === col("_qh")
+        && col("qid") =!= col("cid"))
+      .filter(firstTable === col("_t") + 1)
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
+  /** Deterministic sampled k-means codebook — the trained coarse
+    * quantizer behind `ivfKnn` and `cosinePairsAboveCellBlocked`.
+    *
+    * Sampling is hash-ordered, not RNG: the `sampleSize` rows with the
+    * smallest md5(id) digests form the sample, identical at any
+    * partitioning or scale — at 100 TB the same line samples the same
+    * rows. The physical shape is a DIGEST-THRESHOLD FILTER, not a bare
+    * TakeOrdered: a plain `orderBy(md5).limit(s)` funnels every
+    * partition's s-row partial heap into ONE final task (partitions ×
+    * s rows at cluster scale), so instead the scan admits only rows
+    * whose 32-bit digest prefix falls under a threshold sized from the
+    * row count (expected ~2·s admitted; the digest prefix is a strict
+    * lower segment of the full-digest order, so the bottom-s of the
+    * admitted set IS the global bottom-s), and the TakeOrdered runs on
+    * that bounded set. If the binomial draw under-admits (astronomical
+    * at s ≥ 1024: ≥ 30σ), the threshold doubles and retries — the
+    * bounded top-up loop, ≤ log₂ rounds, deterministic result either
+    * way. Lloyd
+    * iterations then run locally on the bounded sample: assignment by
+    * cosine (ties to the lower index, matching `Kernels.nearestCells`),
+    * update = member mean, empty cells keep their previous centroid.
+    * Init = first k sample vectors in hash order. Everything is
+    * deterministic, so the codebook — and every query built on it — is
+    * reproducible run to run.
+    *
+    * An untrained codebook (e.g. "first k vectors by id") wrecks IVF
+    * recall and cell-pruning rates on clustered corpora; a few Lloyd
+    * rounds over a hash sample is the standard fix and is enough — the
+    * quantizer only has to be good, not optimal, because `ivfKnn`
+    * recall is tuned by nprobe and cell-blocked exactness never depends
+    * on the codebook at all. */
+  def trainCodebook(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 8, sampleSize: Int = 2048): Array[Array[Float]] = {
+    require(k > 0 && iters >= 0 && sampleSize >= k,
+      s"need sampleSize >= k > 0, got k=$k sampleSize=$sampleSize")
+    val sample = digestSample(df, idCol, vecCol, sampleSize)
+    // fail here, by name, rather than let an empty codebook surface as
+    // an opaque NoSuchElementException inside Kernels.nearestCells
+    require(sample.nonEmpty,
+      s"trainCodebook: input '$vecCol' has no rows to sample — cannot train a codebook")
+    // an input smaller than k yields that many cells (every vector its
+    // own centroid) instead of indexing past the sample
+    val kk = math.min(k, sample.length)
+    var cents = sample.take(kk).map(_.clone())
+    val dims = cents.headOption.map(_.length).getOrElse(0)
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk)(new Array[Double](dims))
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        val c = Kernels.nearestCells(scala.collection.immutable.ArraySeq.unsafeWrapArray(v),
+          cents, 1).head
+        counts(c) += 1
+        var i = 0; while (i < dims) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dims)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** The `sampleSize` vectors with the smallest (md5(id), id) keys —
+    * [[trainCodebook]]'s sampling pass, factored out so the
+    * threshold-path/TakeOrdered equivalence is directly testable.
+    * Ordering by the digest prefix refines ordering by the full
+    * digest, so the admitted set `prefix32 < t` is a strict lower
+    * segment of the global digest order: whenever it holds ≥
+    * sampleSize rows (or the whole input), its bottom-sampleSize IS
+    * the global bottom-sampleSize.
+    *
+    * Null ids are excluded up front: md5(null) is null, so the
+    * threshold path's `prefix32 < t` would silently drop them while
+    * the frac>=1.0 fallback would sort them FIRST (asc nulls-first) —
+    * the two paths would sample different codebooks on nullable-id
+    * inputs. One explicit filter makes them provably equivalent on
+    * every input (r10 ADVICE). */
+  private[graft] def digestSample(df: DataFrame, idCol: String,
+      vecCol: String, sampleSize: Int): Array[Array[Float]] = {
+    val proj = df
+      .select(col(idCol).cast("string").as("_id"), col(vecCol).as("_v"))
+      .filter(col("_id").isNotNull)
+      .withColumn("_d", md5(col("_id").cast("binary")))
+    // one narrow count to size the admission threshold (the scan reads
+    // only the id column; everything else is pruned)
+    val total = proj.select("_id").count()
+    if (total == 0) return Array.empty
+    val want = math.min(sampleSize.toLong, total).toInt
+    val prefix32 = conv(substring(col("_d"), 1, 8), 16, 10).cast("long")
+    var frac = math.min(1.0, 2.0 * sampleSize / total.toDouble)
+    var sample: Array[Array[Float]] = null
+    while (sample == null) {
+      // floor the threshold at 1: below ~1.8e13 rows frac·2^32 >= 1
+      // anyway, and above it a truncated-to-0 threshold would admit
+      // nothing and burn full-scan retry rounds; threshold 1 already
+      // admits ~total/2^32 >= 2·sampleSize rows at that scale
+      val admitted =
+        if (frac >= 1.0) proj
+        else proj.filter(prefix32 <
+          lit(math.max(1L, (frac * 4294967296.0).toLong)))
+      val rows = admitted.orderBy(col("_d"), col("_id"))
+        .limit(sampleSize).select("_v").collect()
+        .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+      if (rows.length >= want || frac >= 1.0) sample = rows
+      else frac = math.min(1.0, frac * 2.0)
+    }
+    sample
+  }
+
+  /** Mean vector per label as (label, dim, value) rows. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "_v")))
+      .groupBy(col(labelCol), col("dim").cast("long").as("dim"))
+      .agg(avg(col("_v").cast("double")).as("centroid"))
+}

@@ -1,0 +1,63 @@
+package graft.api
+
+import graft.Canon
+import graft.functions.Kernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+object SkewJoins {
+  /** Equi-join hardened against heavy-hitter keys: every probe row
+    * picks a deterministic salt from a unique column's hash, the build
+    * side is replicated `salts` times, and the join runs on
+    * (key, salt) — one hot key spreads across `salts` tasks instead of
+    * pinning one. Result is identical to the plain equi-join (each
+    * probe row matches exactly the one build replica with its salt).
+    * AQE's runtime skew split handles moderate skew on its own; this
+    * is the explicit pre-salting for the pathological key at 100 TB,
+    * at the cost of a `salts`× build-side shuffle. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+      probeUniqueCol: String, salts: Int): DataFrame = {
+    val salted = probe.withColumn("_salt", pmod(hash(col(probeUniqueCol)), lit(salts)))
+    val replicated = build.withColumn("_salt",
+      explode(lit((0 until salts).toArray)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Stats-derived salt factor: how many ways the probe's HOTTEST key
+    * must split so no task carries more than the average task's row
+    * share — `ceil(maxKeyRows / (totalRows / shuffle.partitions))`,
+    * clamped to [1, maxSalts]. Computed by one narrow map-side-combined
+    * aggregate over the probe key (shuffle ∝ distinct keys, a 2-long
+    * collect), so it is deterministic for a given input + conf —
+    * unlike AQE's runtime skew split, the decision is visible in the
+    * plan and applies to the FIRST run, not after a stats refresh. */
+  def derivedSaltFactor(probe: DataFrame, key: String,
+      maxSalts: Int = 64): Int = {
+    require(maxSalts >= 1, s"maxSalts must be >= 1, got $maxSalts")
+    val parts = probe.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val stats = probe.groupBy(col(key)).agg(count(lit(1)).as("_n"))
+      .agg(max(col("_n")).as("_max"), sum(col("_n")).as("_tot")).collect()(0)
+    if (stats.isNullAt(0)) 1
+    else {
+      val mx = stats.getLong(0)
+      val target = math.max(1L, stats.getLong(1) / math.max(1, parts))
+      math.min(maxSalts.toLong, math.max(1L, (mx + target - 1) / target)).toInt
+    }
+  }
+
+  /** [[saltedJoin]] with the salt factor derived from probe stats
+    * ([[derivedSaltFactor]]), floored at `minSalts`: the floor lets a
+    * caller pin a known-pathological key's minimum spread (or a demo
+    * shape) while real skew can only RAISE the factor. k = 1 falls
+    * through to the plain equi-join — salting costs a `salts`× build
+    * replication, so an unskewed probe shouldn't pay it. */
+  def saltedJoinAuto(probe: DataFrame, build: DataFrame, key: String,
+      probeUniqueCol: String, minSalts: Int = 1,
+      maxSalts: Int = 64): DataFrame = {
+    val k = math.max(minSalts, derivedSaltFactor(probe, key, maxSalts))
+    if (k <= 1) probe.join(build, Seq(key))
+    else saltedJoin(probe, build, key, probeUniqueCol, k)
+  }
+}

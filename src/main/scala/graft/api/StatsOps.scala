@@ -1,0 +1,136 @@
+package graft.api
+
+import graft.Canon
+import graft.functions.Kernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+object StatsOps {
+  /** Exact interpolated percentiles (SQL `quantile_cont` semantics)
+    * computed from a per-(group, value) HISTOGRAM instead of Spark's
+    * `percentile` aggregate, whose buffer holds every value of a
+    * group in memory at once — the shape that OOMs a 100 TB group.
+    * Here aggregation state is one count per distinct value (bounded
+    * by the 4 dp rounding grid the determinism rules already impose
+    * on inputs — money is 2 dp, scores are pre-rounded 4 dp), and the
+    * interpolation pass runs over that bin table, never the rows.
+    *
+    * Exactness: bitwise-identical to `percentile()` on any input —
+    * the interpolation replicates Spark's weighted form
+    * `(higher−pos)·v_lo + (pos−lower)·v_hi` (parity-asserted against
+    * the built-in on the fixtures in BinnedPercentileSpec). Values
+    * are binned as given; nulls are excluded from the computation,
+    * and a group whose values are ALL null still appears in the
+    * output with null percentiles — the built-in (and DuckDB
+    * `quantile_cont`) emit the group, so nulls ride through as a
+    * zero-weight bin that keeps the group alive without ever covering
+    * a percentile position (row sets stay identical).
+    *
+    * Scale shape: one hash aggregate (group, value) → count with
+    * map-side combine — per-task state ∝ distinct values seen, total
+    * shuffle ∝ bins; then two window passes partitioned by group over
+    * the bin table (≤ grid size rows per group, vs the row count the
+    * buffering aggregate holds). Returns one row per group:
+    * (groupCol, <one column per requested (name, p)>[, maxName]). */
+  def binnedPercentiles(df: DataFrame, groupCol: String, value: Column,
+      ps: Seq[(String, Double)], maxName: Option[String] = None): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    ps.foreach { case (n, p) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile $n must be in [0,1], got $p") }
+    // null values are KEPT as their own bin with an EFFECTIVE count of
+    // 0: the bin table itself then witnesses every group — an all-null
+    // group survives the windows and the final aggregate as a single
+    // zero-weight bin and emits null percentiles (matching the
+    // built-in and DuckDB quantile_cont row sets) with no extra join,
+    // no distinct, and exactly one scan of df
+    val hist = df.select(col(groupCol), value.cast("double").as("_v"))
+      .groupBy(col(groupCol), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col(groupCol))
+    // bin rows carry [prev, cum) — the 0-based sorted-position range
+    // their value occupies within the group. The null bin sorts first
+    // (asc = nulls first), carries _cEff 0, and its [0, 0) range can
+    // never cover a position, so it is inert in every selection below.
+    val cum = hist
+      .withColumn("_cEff", when(col("_v").isNotNull, col("_c")).otherwise(lit(0L)))
+      .withColumn("_cum", sum(col("_cEff")).over(wCum))
+      .withColumn("_n", sum(col("_cEff")).over(wAll))
+    val aggs = ps.flatMap { case (name, p) =>
+      val h = (col("_n") - 1).cast("double") * p
+      val prev = (col("_cum") - col("_cEff")).cast("double")
+      val cm = col("_cum").cast("double")
+      // exactly one bin covers each of positions ⌊h⌋ / ⌈h⌉ → the
+      // conditional max is a selection, not a comparison across bins
+      Seq(max(when(prev <= floor(h) && floor(h) < cm, col("_v"))).as(s"_lo_$name"),
+        max(when(prev <= ceil(h) && ceil(h) < cm, col("_v"))).as(s"_hi_$name"))
+    } ++ maxName.map(m => max(col("_v")).as(m))
+    val agged = cum.groupBy(col(groupCol))
+      .agg(sum(col("_cEff")).as("_n"), aggs: _*)
+    val outs = ps.map { case (name, p) =>
+      val h = (col("_n") - 1).cast("double") * p
+      val lo = floor(h)
+      val hi = ceil(h)
+      val vLo = col(s"_lo_$name")
+      val vHi = col(s"_hi_$name")
+      // vHi === vLo mirrors Spark's higherKey==lowerKey shortcut: when
+      // a duplicate run spans both positions the value is returned
+      // EXACTLY — interpolating would drift an ulp ((hi−h)·v + (h−lo)·v
+      // ≠ v in floats) and break the bitwise-parity contract
+      when(hi === lo || vHi === vLo, vLo)
+        .otherwise((hi - h) * vLo + (h - lo) * vHi).as(name)
+    } ++ maxName.map(col)
+    agged.select(col(groupCol) +: outs: _*)
+  }
+
+  /** Per-key z-score anomaly flags: rows whose value is at least
+    * `threshold` population standard deviations from their key's mean —
+    * the monitoring/outlier report over a metric stream.
+    *
+    * Scale shape: ONE aggregate per key (avg + stddev_pop, partial
+    * combine), the tiny per-key stats table broadcast back, and a
+    * rowwise filter — no second shuffle, no window. The z-score is
+    * pre-rounded (4 dp) so the >=-at-the-cut decision cannot straddle
+    * the one-ulp difference between engines' float aggregates (the
+    * same contract as [[TextAnalysis.qualityFilter]]). A zero-variance
+    * key has no anomalies BY THE GUARD, not by accident: double 0/0
+    * is plain IEEE division in BOTH engines (NaN — Spark's null-out
+    * on division applies to integral/decimal, not doubles), and both
+    * order NaN above every number, so without a guard both sides
+    * would flag the entire constant group; the explicit `sd > 0`
+    * filter here and in the oracle twin is what makes zero-variance
+    * keys flag nothing. */
+  def zscoreFlags(df: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, threshold: Double): DataFrame = {
+    require(threshold > 0, s"threshold must be > 0, got $threshold")
+    val stats = df.groupBy(keyCol)
+      .agg(avg(col(valueCol)).as("_mu"), stddev_pop(col(valueCol)).as("_sd"))
+    df.join(broadcast(stats), keyCol)
+      .filter(col("_sd") > 0)
+      .withColumn("z", Canon.r4((col(valueCol) - col("_mu")) / col("_sd")))
+      .filter(abs(col("z")) >= threshold)
+      .select(col(keyCol), col(idCol), col(valueCol), col("z"))
+  }
+
+  /** Per-group Tukey-fence outliers: rows outside
+    * [q1 − k·IQR, q3 + k·IQR] (k = 1.5 is the standard fence) — the
+    * robust-to-skew cousin of the z-score filter.
+    *
+    * Scale shape: per-group exact percentiles are one aggregate, the
+    * per-group fence table is broadcast back, and the verdict is a
+    * rowwise filter. Fences are pre-rounded (4 dp) for the same
+    * engine-portability reason as [[zscoreFlags]]. */
+  def iqrOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Double = 1.5): DataFrame = {
+    require(k > 0, s"fence multiplier must be > 0, got $k")
+    val cuts = binnedPercentiles(df, groupCol, col(valueCol),
+        Seq("_q1" -> 0.25, "_q3" -> 0.75))
+      .select(col(groupCol),
+        Canon.r4(col("_q1") - (col("_q3") - col("_q1")) * k).as("_lo"),
+        Canon.r4(col("_q3") + (col("_q3") - col("_q1")) * k).as("_hi"))
+    df.join(broadcast(cuts), groupCol)
+      .filter(col(valueCol) < col("_lo") || col(valueCol) > col("_hi"))
+      .select(col(groupCol), col(idCol), col(valueCol))
+  }
+}

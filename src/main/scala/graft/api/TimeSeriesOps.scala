@@ -1,0 +1,277 @@
+package graft.api
+
+import graft.Canon
+import graft.functions.Kernels
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+object TimeSeriesOps {
+  /** As-of join: for each `left` row, the greatest `right` timestamp
+    * ≤ its own, per key — one shuffle by key + one window pass, no
+    * per-row subquery. Returns left rows + `asof_ts`. */
+  def asofPrior(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, leftIdCol: String): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, leftIdCol, forward = false)
+
+  /** Forward as-of join: for each `left` row, the SMALLEST `right`
+    * timestamp ≥ its own, per key — the "next event after" twin of
+    * [[asofPrior]]: same union + ONE window pass, scanned in
+    * descending time order so the running `last` seen at a left row is
+    * the nearest right timestamp at-or-after it (equal timestamps
+    * match, `_kind` puts the right row first). Returns left rows +
+    * `asof_ts`. */
+  def asofNext(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, leftIdCol: String): DataFrame =
+    asofJoin(left, right, keyCol, tsCol, leftIdCol, forward = true)
+
+  /** Shared body of the two as-of directions. NULL timestamps match
+    * nothing in either direction (the native ASOF-join behavior both
+    * DuckDB twins have): null-ts rows sort FIRST in both scan orders,
+    * so a null-ts left row's frame holds no right timestamps and a
+    * null-ts right row is ignored by the running `last(ignoreNulls)`. */
+  private def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, leftIdCol: String,
+      forward: Boolean): DataFrame = {
+    val r = right.select(col(keyCol), col(tsCol)).distinct()
+      .select(col(keyCol), col(tsCol), lit(null).cast("long").as(leftIdCol), lit(0).as("_kind"))
+    val l = left.select(col(keyCol), col(tsCol), col(leftIdCol), lit(1).as("_kind"))
+    val order = if (forward) col(tsCol).desc_nulls_first else col(tsCol).asc_nulls_first
+    val w = Window.partitionBy(keyCol)
+      .orderBy(order, col("_kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("asof_ts", last(when(col("_kind") === 0, col(tsCol)), ignoreNulls = true).over(w))
+      .filter(col("_kind") === 1)
+      .drop("_kind")
+  }
+
+  /** Resample events into fixed epoch-aligned bins per key, emitting a
+    * DENSE grid: every (key, bin) between the corpus min and max bin
+    * appears, empty bins zero-filled — the gap-fill shape every
+    * time-series consumer (charting, anomaly windows, rate limits)
+    * needs before it can difference or smooth.
+    *
+    * Scale: the observed bins are one hash aggregate; the dense grid is
+    * keys × `sequence(min, max, step)` — cardinality bins·keys, NOT
+    * rows — built from a broadcast 1-row range and joined back with a
+    * left join on (key, bin). No window, no per-row state. */
+  def resampleGapfill(df: DataFrame, tsCol: String, keyCol: String,
+      binSeconds: Int): DataFrame = {
+    val bin = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / binSeconds).cast("long") * binSeconds)
+    val counts = df.select(col(keyCol), bin.as("bin"))
+      .groupBy(keyCol, "bin").agg(count(lit(1)).as("n"))
+    val range = counts.agg(min(col("bin")).as("_minb"), max(col("bin")).as("_maxb"))
+    val grid = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(range))
+      .select(col(keyCol), explode(sequence(col("_minb"), col("_maxb"),
+        expr(s"INTERVAL $binSeconds SECONDS"))).as("bin"))
+    grid.join(counts, Seq(keyCol, "bin"), "left")
+      .select(col(keyCol), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Session assignment with an inactivity gap (batch; the streaming
+    * twin is graft.streaming.StreamOps.sessionAgg). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: String): DataFrame =
+    df.groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  /** Ordered conversion funnel: for each user, stage i+1 counts only if
+    * an event of `stages(i+1)`'s type occurs STRICTLY AFTER the user's
+    * stage-i time and within `stepUs` microseconds of it; a user's
+    * stage time is the EARLIEST qualifying event. Returns one row per
+    * stage: (stage 1-based, event_type, users).
+    *
+    * Scale shape: one filtered aggregate per stage over the event
+    * stream plus an equi-join on user against the (monotonically
+    * shrinking) reached-users table — never a window over a per-user
+    * sort of the full stream. The join is stats-derived by design: the
+    * reached side starts at |users| and only shrinks, so AQE broadcasts
+    * it when it fits and equi-shuffles otherwise. */
+  def conversionFunnel(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], stepUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stepUs > 0, s"stage window must be > 0 us, got $stepUs")
+    val base = df.select(col(userCol).as("_u"), col(typeCol).as("_e"),
+      unix_micros(col(tsCol)).as("_us"))
+    var reached = base.filter(col("_e") === stages.head)
+      .groupBy("_u").agg(min(col("_us")).as("_t"))
+    val perStage = scala.collection.mutable.Buffer(stages.head -> reached)
+    stages.tail.foreach { st =>
+      reached = base.filter(col("_e") === st)
+        .join(reached.select(col("_u"), col("_t").as("_pt")), "_u")
+        .filter(col("_us") > col("_pt") && col("_us") <= col("_pt") + stepUs)
+        .groupBy("_u").agg(min(col("_us")).as("_t"))
+      perStage += st -> reached
+    }
+    perStage.zipWithIndex.map { case ((st, d), i) =>
+      d.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(st).as("event_type"), col("users"))
+    }.reduce(_ union _)
+  }
+
+  /** Batch sessionization: split each user's event stream into sessions
+    * wherever the gap to the previous event exceeds `gapUs`, then emit
+    * one row per session (user, session_id, n_events, start_us,
+    * duration_us). `session_id` is the 1-based session ordinal within
+    * the user, so output is a pure function of the input rows.
+    *
+    * Scale shape: ONE shuffle on the user key; the gap flag (lag) and
+    * the session ordinal (running sum of flags) are two passes over the
+    * same sort order inside that partitioning, and the final per-session
+    * aggregate map-side-combines before its (user, session) exchange.
+    * Never a global sort, never per-user driver state — the batch twin
+    * of the streaming session_window operator. Ordering ties on the
+    * timestamp break on `idCol`, so the split is deterministic. */
+  def sessionize(df: DataFrame, userCol: String, idCol: String,
+      tsCol: String, gapUs: Long): DataFrame = {
+    require(gapUs > 0, s"session gap must be > 0 us, got $gapUs")
+    val w = Window.partitionBy("_u").orderBy(col("_us").asc, col("_id").asc)
+    df.select(col(userCol).as("_u"), col(idCol).as("_id"),
+        unix_micros(col(tsCol)).as("_us"))
+      .withColumn("_new",
+        when(col("_us") - lag(col("_us"), 1).over(w) <= gapUs, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("session_id", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("_u"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("_us")).as("start_us"),
+        (max(col("_us")) - min(col("_us"))).as("duration_us"))
+      .withColumnRenamed("_u", userCol)
+  }
+
+  /** Cohort retention: cohort = the epoch-day of a user's FIRST event;
+    * for every (cohort_day, day_offset) cell, how many of that cohort's
+    * users were active `day_offset` days after joining — the standard
+    * retention triangle.
+    *
+    * Scale shape: (user, day) pairs are distinct-ed first (shuffle ∝
+    * active user-days, not events), first-touch is one aggregate on the
+    * user key, and the join back is user-keyed equi — each stage an
+    * equi-shuffle with partial aggregation; after the distinct, each
+    * user contributes at most one row per day, so the cell count is a
+    * plain count(*), no count-distinct shuffle. Day arithmetic is
+    * integral (`div`), identical in any engine. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(userCol).as("_u"), epochDay(tsCol).as("_day"))
+      .distinct()
+    val first = days.groupBy("_u").agg(min(col("_day")).as("_cohort"))
+    days.join(first, "_u")
+      .groupBy(col("_cohort").as("cohort_day"),
+        (col("_day") - col("_cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Epoch day with FLOOR semantics, not `div` (which truncates toward
+    * zero): the two agree post-1970 but diverge on negative micros, and
+    * the DuckDB twin (`//`) floors — integral arithmetic keeps the
+    * bucketing exact in both engines at any timestamp. */
+  private def epochDay(tsCol: String): Column =
+    expr(s"unix_micros(`$tsCol`) div 86400000000" +
+      s" + (CASE WHEN unix_micros(`$tsCol`) % 86400000000 < 0 THEN -1 ELSE 0 END)")
+
+  /** Daily + trailing-window active users: for every active day,
+    * |distinct users that day| (DAU) and |distinct users in
+    * [day − windowDays + 1, day]| (WAU for the default 7) — the
+    * product-health report every event pipeline serves.
+    *
+    * Scale shape: (user, day) pairs are distinct-ed first (shuffle ∝
+    * user-days, not events). DAU is one count per day. WAU replicates
+    * each user-day to its ≤ windowDays trailing report days with a
+    * rowwise bounded explode, distincts (user, report-day), and counts
+    * — a constant-factor fanout of the small user-day table, instead
+    * of the distinct-over-sliding-window no engine can aggregate
+    * incrementally. */
+  def activeUsers(df: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day, got $windowDays")
+    val days = df.select(col(userCol).as("_u"), epochDay(tsCol).as("_day"))
+      .distinct()
+    val dau = days.groupBy("_day").agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("_u"),
+        explode(sequence(col("_day"), col("_day") + (windowDays - 1))).as("_rday"))
+      .distinct()
+      .groupBy("_rday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("_day") === col("_rday"))
+      .select(col("_day").as("day"), col("dau"), col("wau"))
+  }
+
+  /** Keyless interval join at scale: points vs intervals [lo, hi] with
+    * NO equi key — the plan every naive formulation turns into a
+    * cartesian/broadcast-nested-loop. Bin time at `binUs`: each point
+    * owns exactly ONE bin, each interval replicates to its spanned
+    * bins (fanout bounded by len/bin + 1), the join is an equi-join on
+    * the bin id, and the exact containment filter runs after. Because
+    * a point has a single bin, no candidate pair appears twice — no
+    * dedup pass. Choose binUs ≈ the typical interval length: shorter
+    * bins raise interval fanout, longer bins raise false candidates.
+    * Floor-safe at negative timestamps (same semantics as the DuckDB
+    * `//` twin). */
+  def intervalJoinBucketed(points: DataFrame, intervals: DataFrame,
+      pointUsCol: String, loCol: String, hiCol: String, binUs: Long): DataFrame = {
+    require(binUs > 0, s"bin width must be > 0 us, got $binUs")
+    def bin(c: String): Column =
+      expr(s"`$c` div ${binUs}L + (CASE WHEN `$c` % ${binUs}L < 0 THEN -1 ELSE 0 END)")
+    val p = points.withColumn("_bin", bin(pointUsCol))
+    val iv = intervals.withColumn("_bin",
+      explode(sequence(bin(loCol), bin(hiCol))))
+    p.join(iv, "_bin")
+      .filter(col(pointUsCol) >= col(loCol) && col(pointUsCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Longest consecutive-day activity streak per user — the classic
+    * gaps-and-islands computation: within a user's distinct active
+    * days, `day − row_number()` is constant exactly on a consecutive
+    * run, so grouping on that island key yields run lengths.
+    *
+    * Scale shape: distinct (user, day) first (∝ user-days), ONE
+    * shuffle on the user key for the row_number window, then the
+    * island and per-user aggregates reuse that partitioning (group
+    * keys extend the user key — no further exchange needed for
+    * co-location). */
+  def activityStreaks(df: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val w = Window.partitionBy("_u").orderBy(col("_day").asc)
+    df.select(col(userCol).as("_u"), epochDay(tsCol).as("_day"))
+      .distinct()
+      .withColumn("_island", col("_day") - row_number().over(w))
+      .groupBy(col("_u"), col("_island"))
+      .agg(count(lit(1)).as("_len"), min(col("_day")).as("_start"))
+      .groupBy(col("_u"))
+      .agg(max(col("_len")).as("max_streak"),
+        count(lit(1)).as("n_streaks"),
+        min(col("_start")).as("first_day"))
+      .withColumnRenamed("_u", userCol)
+  }
+
+  /** Top-k most common length-`n` event-type sequences (user journeys):
+    * each user's events ordered by (timestamp, id) form a path string
+    * `a>b>c`; count every n-window of it corpus-wide — the path-mining
+    * report behind funnel design.
+    *
+    * Scale shape: one shuffle on the user key into `collect_list` +
+    * `sort_array` (per-user state ∝ that user's events — the same bound
+    * every sessionization carries; a pathological user is one group,
+    * not one partition), then a rowwise n-gram transform, explode, and
+    * a partially-aggregated count with a TakeOrderedAndProject top-k.
+    * Tie-break on the path string keeps the cut deterministic. */
+  def topEventPaths(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"path length must be >= 2, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grams = TextAnalysis.arrayNgrams(col("_ets"), n, ">")
+    df.select(col(userCol).as("_u"),
+        struct(unix_micros(col(tsCol)).as("_us"), col(idCol).as("_id"),
+          col(typeCol).as("_e")).as("_s"))
+      .groupBy("_u").agg(sort_array(collect_list(col("_s"))).as("_arr"))
+      .select(expr("transform(_arr, x -> x._e)").as("_ets"))
+      .select(explode(grams).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+}

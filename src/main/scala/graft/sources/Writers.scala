@@ -25,12 +25,32 @@ object Writers {
     * factors never collide) AND the JVM pid (two concurrent processes
     * at the same scale factor never race each other's overwrite
     * against an in-flight read). Bounded accumulation — one dir per
-    * (prefix, input, process); overwrite mode reuses it within a JVM. */
+    * (prefix, input, process); overwrite mode reuses it within a JVM,
+    * and a shutdown hook deletes every dir this JVM created, so dead
+    * runs leave nothing behind in /tmp (r10 nit: dead-pid dirs used to
+    * accumulate across sessions). */
   def roundTripDir(prefix: String, input: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(input.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    new java.io.File(sys.props("java.io.tmpdir"),
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
       s"${prefix}_${digest}_${ProcessHandle.current().pid()}").toString
+    scratchDirs.synchronized { scratchDirs += dir }
+    dir
+  }
+
+  /** Dirs handed out by [[roundTripDir]] in this JVM; the hook deletes
+    * them at exit (recursively — they only ever hold our own parquet/
+    * csv/json round-trip output, never user data). */
+  private val scratchDirs = scala.collection.mutable.Set.empty[String]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.synchronized(scratchDirs.toSeq).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        try rm(new java.io.File(d)) catch { case _: Throwable => () }
+      }, "graft-scratch-cleanup"))
   }
 
   /** Directory-partitioned parquet: one `col=value/` dir per distinct
