@@ -147,6 +147,33 @@ object Scans {
           Canon.sumDec(col("l_extendedprice"), 2).as("sum_price"))
         .orderBy("o_orderkey")
     }),
+    "data_compact_small_files" -> ((s, d) => {
+      // small-file compaction — the #1 100 TB scan-throughput killer
+      // (every file costs a task + footer read + open/close) and the
+      // maintenance op every streaming ingest needs downstream. The
+      // key manufactures the mess (events sprayed across 64 tiny
+      // files), compacts it to ceil(bytes/target) files via
+      // Writers.compact (here target = 1 MiB so the fixture genuinely
+      // compacts to FEWER, multi-row-group-sized files rather than
+      // degenerating to 1), and aggregates the compacted table. The
+      // oracle aggregates the original parquet — a hash match proves
+      // compaction moved every row exactly once. WritePathSpec asserts
+      // the file-count arithmetic and the shrink.
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val frag = graft.sources.Writers.roundTripDir("graft_frag_events", d)
+      val comp = graft.sources.Writers.roundTripDir("graft_compact_events", d)
+      ev.repartition(64).write.mode("overwrite").parquet(frag)
+      graft.sources.Writers.compact(s, frag, comp, targetBytes = 1L * 1024 * 1024)
+      s.read.parquet(comp)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          Canon.sumDec(col("value"), 2).as("sum_val"),
+          Canon.tsStrMicros(min(col("ts"))).as("min_ts"),
+          Canon.tsStrMicros(max(col("ts"))).as("max_ts"))
+        .orderBy("event_type")
+    }),
     "scan_union_rowcounts" -> ((s, d) => {
       val names = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
@@ -211,6 +238,16 @@ object Scans {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY o_orderkey""".stripMargin,
+    // aggregates the PARQUET events directly — matching the Spark
+    // side's fragmented→compacted round-trip proves compaction moved
+    // every row exactly once
+    "data_compact_small_files" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  ${O.sumDec("value", 2)} AS sum_val,
+        |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+        |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "scan_union_rowcounts" ->
       """SELECT 'region' AS tbl, count(*) AS n FROM region
         |UNION ALL SELECT 'nation', count(*) FROM nation

@@ -100,6 +100,27 @@ object Writers {
       options: Map[String, String] = Map.empty): Unit =
     df.write.mode("overwrite").option("header", "true").options(options).csv(path)
 
+  /** Compact a fragmented parquet directory (the small-files mess a
+    * streaming ingest or an over-parallel write leaves behind — at
+    * 100 TB the #1 scan-throughput killer: every file costs a task,
+    * a footer read, and an open/close) into `ceil(bytes/targetBytes)`
+    * files at `outPath`. Returns the file count written. The
+    * repartition is a round-robin shuffle of the data ONCE — the same
+    * cost OPTIMIZE pays on any lakehouse — sized from the actual
+    * on-disk bytes, not row counts, so wide and narrow tables both
+    * land near the target file size. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** ORC sink — the second columnar format, for interop with
     * Hive-lineage warehouses that hand the engine ORC instead of
     * parquet. Columnar + typed like parquet (schema travels with the

@@ -33,6 +33,30 @@ class WritePathSpec extends AnyFunSuite {
       s"partition pruning did not engage: read $filesRead of $totalFiles files")
   }
 
+  test("compact shrinks a fragmented table to ceil(bytes/target) files, losing nothing") {
+    val frag = Files.createTempDirectory("graft-frag").toString
+    val comp = Files.createTempDirectory("graft-comp").toString
+    val ev = Tables.events(spark, TestSpark.sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    val fragFiles = spark.read.parquet(frag).inputFiles.length
+    assert(fragFiles >= 64, s"fixture should be fragmented, got $fragFiles files")
+    val target = 1L * 1024 * 1024
+    val n = Writers.compact(spark, frag, comp, targetBytes = target)
+    // the arithmetic: n == ceil(on-disk bytes / target), recomputed here
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(frag), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(frag)).getLength
+    assert(n == math.max(1L, (bytes + target - 1) / target).toInt)
+    val compFiles = spark.read.parquet(comp).inputFiles.length
+    assert(compFiles == n && compFiles < fragFiles,
+      s"expected $n compacted files < $fragFiles fragments, got $compFiles")
+    // every row moved exactly once
+    assert(spark.read.parquet(comp).count() == ev.count())
+    assert(spark.read.parquet(comp).agg(sum(col("event_id"))).head().getLong(0) ==
+      ev.agg(sum(col("event_id"))).head().getLong(0))
+  }
+
   test("IVF cell id as write-time partition key: a probe reads only its cells") {
     // the §2.13 ANN scale claim made concrete: embeddings written
     // partitioned by their (trained-codebook) cell id, then an
