@@ -305,6 +305,32 @@ object TextOps {
         .select(col("index_id"), col("probe_id"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("index_id", "probe_id")
     }),
+    "dedup_minhash_persisted" -> ((s, d) => {
+      // ✘ no oracle — the PERSISTED twin of dedup_incremental_minhash
+      // and the probabilistic sibling of sim_knn_ivf_persisted: the
+      // corpus signature index (doc hashes + banded signatures) is
+      // written ONCE as bucketed tables keyed by their join keys
+      // (Writers.writeBucketed: docs by _id, banded by (_band,_bh)),
+      // reopened COLD, and probed by the new batch — the between-crawl
+      // cost model where the index side never re-shuffles (WritePathSpec
+      // asserts no exchange over index-table scans) and probe cost ∝
+      // batch. Output bitwise identical to the in-memory
+      // minhashPairsAgainstIndex (NoOracleSpec).
+      val docs = Tables.documents(s, d)
+      val isNew = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "d"
+      val (idxDocs, idxBanded) =
+        Dedup.minhashIndexTables(docs.filter(!isNew), "doc_id", "text")
+      val base = graft.sources.Writers.roundTripDir("graft_mh_index", d)
+      graft.sources.Writers.writeBucketed(idxDocs, "_id", 8,
+        "graft_mhp_docs", s"$base/docs")
+      graft.sources.Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 8,
+        "graft_mhp_banded", s"$base/banded")
+      Dedup.minhashProbePreparedIndex(docs.filter(isNew),
+          s.table("graft_mhp_docs"), s.table("graft_mhp_banded"),
+          "doc_id", "text", 0.8)
+        .select(col("index_id"), col("probe_id"), Canon.r4(col("jaccard")).as("jac"))
+        .orderBy("index_id", "probe_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       // character-3-gram (shingle) Jaccard — catches boundary edits
       // word-level jaccard misses; same lang-blocked exact baseline

@@ -183,6 +183,19 @@ class NoOracleSpec extends AnyFunSuite {
       "cold probe of the persisted index diverged from the in-memory IVF result")
   }
 
+  test("dedup_minhash_persisted is bitwise identical to the in-memory incremental probe") {
+    // same claim as the IVF persisted key, for the probabilistic
+    // index: writing the signature tables bucketed and probing them
+    // cold changes NOTHING vs the in-memory index path.
+    val inMem = SparkEntry.queries("dedup_incremental_minhash")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val persisted = SparkEntry.queries("dedup_minhash_persisted")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(persisted.nonEmpty, "persisted minhash probe returned no rows")
+    assert(persisted == inMem,
+      "cold probe of the persisted signature index diverged from the in-memory path")
+  }
+
   test("sim_knn_rplsh recall vs brute-force top-5 is usable and deterministic") {
     val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
