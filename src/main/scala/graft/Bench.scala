@@ -28,6 +28,10 @@ object Bench {
       // minutes and later queries pay the memory pressure
       .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // same at-scale posture as Verify: runtime bloom-filter join
+      // pruning on (gated to a no-op at fixture scale by the
+      // application-side scan threshold)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up actions so JVM/codegen/parquet-reader initialization

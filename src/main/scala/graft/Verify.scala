@@ -15,6 +15,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // runtime row-level bloom filters: thin the fact side of a
+      // shuffle join BEFORE its exchange when the other side is
+      // selective (off by default on this build). A no-op at fixture
+      // scale — the application-side 10 GB scan threshold gates it —
+      // but the right posture at 100 TB; injection behavior is pinned
+      // in ScaleProbeSpec with the threshold lowered.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -198,6 +198,50 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"candidates $candidates within 10× of the all-pairs volume — binning is not pruning")
   }
 
+  test("runtime bloom filter thins the fact side of a selective shuffle join, result unchanged") {
+    // the Verify/Bench sessions run with
+    // spark.sql.optimizer.runtime.bloomFilter.enabled=true — a no-op
+    // at fixture scale because the application-side 10 GB scan
+    // threshold gates injection. This probe lowers that threshold to
+    // emulate the at-scale regime (a fact table far too big to scan
+    // freely, joined to a selectively-filtered dim) and asserts the
+    // optimizer really injects might_contain on the fact scan BEFORE
+    // its exchange — the semi-join pushdown that, at 100 TB, shuffles
+    // only the rows that can match — and that the result is identical
+    // to the unfiltered plan's.
+    val s = spark
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "500MB")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    def run(): (String, Seq[String]) = {
+      val li = Tables.lineitem(s, TestSpark.sf0001)
+      val ord = Tables.orders(s, TestSpark.sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+      val rows = j.collect().map(_.toString).sorted.toIndexedSeq
+      (j.queryExecution.executedPlan.toString, rows)
+    }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    val (planOn, rowsOn) =
+      try run()
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    assert(planOn.contains("might_contain"),
+      s"runtime bloom filter was not injected on the fact scan:\n$planOn")
+    val (planOff, rowsOff) = run()
+    assert(!planOff.contains("might_contain"),
+      "probe confs leaked into the shared session")
+    assert(rowsOn == rowsOff, "bloom-filtered join changed the result")
+  }
+
   test("the join_range_theta SMJ shape engages AQE skew-split on a 100× hot key") {
     // join_range_theta plans as SMJ on the equi key with the band as a
     // post-join filter; at 100 TB a hot key saturates one task unless
