@@ -131,6 +131,18 @@ object SimilarityOps {
         .select(col("vec_id"), Canon.r4(Kernels.l2norm(col("embedding"))).as("norm"))
         .orderBy("vec_id")
     }),
+    "embed_quantize_int8" -> ((s, d) => {
+      // per-vector int8 quantization — the 4× storage cut before ANN
+      // at 100 TB. Pure higher-order functions (one codegen'd
+      // projection, no UDF); the DuckDB twin spells the identical
+      // double arithmetic and floor(x+0.5) grid, so the hash compares
+      // all 64 codes per vector exactly (comma-joined, the
+      // agg_collect_sorted transport convention for array cells).
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("mn"), col("mx"),
+          array_join(col("q"), ",").as("q"))
+        .orderBy("vec_id")
+    }),
     "embed_centroid_by_label" -> ((s, d) => {
       // Row output avoids array-encoding equivalence issues and the
       // groupBy(label, dim) partial-aggregates before the shuffle.
@@ -199,6 +211,19 @@ object SimilarityOps {
       s"""SELECT vec_id,
         |  ${O.r4("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")} AS norm
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "embed_quantize_int8" ->
+      """WITH t AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS e,
+        |    list_min(CAST(embedding AS DOUBLE[])) AS mn,
+        |    list_max(CAST(embedding AS DOUBLE[])) AS mx
+        |  FROM embeddings)
+        |SELECT vec_id, mn, mx,
+        |  array_to_string(
+        |    CASE WHEN mx = mn THEN list_transform(e, v -> 0)
+        |         ELSE list_transform(e, v ->
+        |           CAST(floor((v - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
+        |    END, ',') AS q
+        |FROM t ORDER BY vec_id""".stripMargin,
     "embed_centroid_by_label" ->
       s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |  ${O.r4("avg(CAST(embedding[i] AS DOUBLE))")} AS centroid
