@@ -46,7 +46,8 @@ object SparkEntry {
     * `queries.keySet -- oracleSql.keySet`, so adding an operator
     * without either an oracle or a declaration here fails the build. */
   val noOracleKeys: Set[String] = Set(
-    "agg_approx_distinct", "agg_percentile_approx", "dedup_minhash_lsh",
+    "agg_approx_distinct", "agg_distinct_sketch_rollup",
+    "agg_percentile_approx", "dedup_minhash_lsh",
     "dedup_incremental_minhash", "dedup_minhash_persisted", "dedup_simhash",
     "stream_watermark_late", "ml_train_logreg_gd", "sim_knn_ivf",
     "sim_knn_ivf_persisted", "sim_knn_rplsh")

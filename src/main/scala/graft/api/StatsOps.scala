@@ -133,4 +133,60 @@ object StatsOps {
       .filter(col(valueCol) < col("_lo") || col(valueCol) > col("_hi"))
       .select(col(groupCol), col(idCol), col(valueCol))
   }
+
+  /** EXACT heavy hitters (items with global count·phi > N) via a
+    * per-partition Misra–Gries candidate sketch + an exact recount of
+    * candidates only — sketch-guided exact computation.
+    *
+    * Why not a plain `groupBy(item).count()`? Its map-side combine
+    * state and shuffle volume are ∝ DISTINCT items per partition — at
+    * 100 TB of text that is billions of tokens moved to answer a
+    * question about the few frequent ones. Here pass 1 keeps ≤ phi
+    * counters per partition (constant memory) and emits ≤ phi
+    * candidates per partition; pass 2 recounts ONLY candidate rows
+    * (broadcast semi-join pre-filters before the aggregate), so both
+    * the combine state and the shuffle are ∝ candidates, never ∝
+    * vocabulary.
+    *
+    * Exactness: Misra–Gries with phi counters retains every item whose
+    * partition-local count exceeds n_p/(phi+1). A global heavy hitter
+    * (count·phi > N = Σn_p) must by pigeonhole exceed n_p/phi ≥
+    * n_p/(phi+1) in at least one partition, so the candidate union is
+    * a superset of the true answer; the exact recount + exact integer
+    * threshold (`n·phi > N`, no floats) then removes all false
+    * positives. The result is therefore independent of partitioning —
+    * byte-deterministic — even though the candidate set is not. */
+  def heavyHittersExact(df: DataFrame, itemCol: String, phi: Int): DataFrame = {
+    require(phi >= 1, s"phi must be >= 1, got $phi")
+    val cand = mgCandidates(df, itemCol, phi)
+    val total = df.agg(count(lit(1)).as("_n_total"))
+    df.join(broadcast(cand), Seq(itemCol), "left_semi")
+      .groupBy(itemCol).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * phi > col("_n_total"))
+      .select(col(itemCol), col("n"))
+  }
+
+  /** Pass 1 of [[heavyHittersExact]]: the per-partition Misra–Gries
+    * candidate union, ≤ phi counters live per partition and ≤ phi
+    * candidates emitted per partition — exposed so ScaleProbeSpec can
+    * assert the candidate-volume bound (≤ partitions·phi) that the
+    * 100 TB claim rests on. */
+  def mgCandidates(df: DataFrame, itemCol: String, phi: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    df.select(col(itemCol).cast("string")).as(Encoders.STRING).mapPartitions { it =>
+      val ctr = new scala.collection.mutable.HashMap[String, Long]()
+      it.foreach { t =>
+        if (ctr.contains(t)) ctr(t) += 1
+        else if (ctr.size < phi) ctr(t) = 1L
+        else {
+          // decrement-all step: the new item and one unit of every
+          // counter annihilate; zeroed counters free their slot
+          ctr.mapValuesInPlace((_, v) => v - 1)
+          ctr.filterInPlace((_, v) => v > 0)
+        }
+      }
+      ctr.keysIterator
+    }(Encoders.STRING).toDF(itemCol).distinct()
+  }
 }

@@ -280,6 +280,73 @@ object Aggregates {
       graft.api.StatsOps.iqrOutliers(Tables.events(s, d),
           "event_type", "event_id", "value")
         .orderBy("event_type", "event_id")
+    }),
+    "agg_heavy_hitters" -> ((s, d) => {
+      // EXACT frequent tokens (count·30 > N) via per-partition
+      // Misra–Gries candidates + exact recount of candidates only
+      // (StatsOps.heavyHittersExact) — state and shuffle ∝ candidates,
+      // never ∝ vocabulary, the shape that answers "which tokens are
+      // frequent" over 100 TB of text without shuffling billions of
+      // singleton tokens. Result is partitioning-independent (the
+      // candidate set is a proven superset; the recount is exact), so
+      // it hash-matches DuckDB's naive GROUP BY twin.
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+      graft.api.StatsOps.heavyHittersExact(toks, "token", phi = 30)
+        .orderBy(col("n").desc, col("token").asc)
+    }),
+    "agg_incremental_merge" -> ((s, d) => {
+      // incremental aggregate maintenance — the materialized-view
+      // pattern every 100 TB warehouse runs nightly: per-(day, type)
+      // ALGEBRAIC partials (count / decimal sum / min / max) for the
+      // historical window are written ONCE as a day-partitioned
+      // parquet table (a new day appends one directory, history is
+      // never rescanned); the fresh delta (last week) aggregates on
+      // its own, and the final answer folds partials + delta with the
+      // merge functions (sum-of-counts, sum-of-sums, min-of-mins,
+      // max-of-maxes). The oracle recomputes from RAW events, so the
+      // hash match proves merged-partial ≡ full recompute — exactly
+      // (sums ride DECIMAL, so partial order cannot drift the bits).
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+        col("value").cast("decimal(28,2)").as("v"))
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_dec"),
+            min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      val cutoff = "2024-01-24"
+      val dir = graft.sources.Writers.roundTripDir("graft_agg_partials", d)
+      graft.sources.Writers.writePartitioned(
+        partials(ev.filter(col("ts") < cutoff)), "day", dir)
+      s.read.parquet(dir)
+        .select("day", "event_type", "n", "sum_dec", "min_v", "max_v")
+        .unionByName(partials(ev.filter(col("ts") >= cutoff)))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"),
+          sum(col("sum_dec")).cast("double").as("sum_val"),
+          Canon.r4(sum(col("sum_dec")).cast("double") / sum(col("n"))).as("avg_val"),
+          min(col("min_v")).cast("double").as("min_val"),
+          max(col("max_v")).cast("double").as("max_val"))
+        .orderBy("event_type")
+    }),
+    "agg_distinct_sketch_rollup" -> ((s, d) => {
+      // mergeable distinct-count summaries (Apache DataSketches HLL,
+      // Spark's hll_sketch_agg/hll_union_agg): one compact sketch per
+      // (day, type) cell, rolled up to per-type month totals by
+      // SKETCH UNION — the pre-aggregation pattern that makes "30-day
+      // distinct users" a merge of 30 tiny states instead of a
+      // re-scan of 100 TB of raw events. countDistinct cannot
+      // pre-aggregate (distinct is not algebraic); sketches can. ✘
+      // no-oracle (estimates have no DuckDB twin); NoOracleSpec pins
+      // the lossless-merge property (union-of-dailies ≡ one direct
+      // sketch, exactly — HLL registers are order-insensitive maxima)
+      // and the ±5% envelope vs exact.
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+        .orderBy("event_type")
     })
   )
 
@@ -414,6 +481,24 @@ object Aggregates {
         |SELECT event_type, event_id, value
         |FROM events JOIN b USING (event_type)
         |WHERE value < lo OR value > hi
-        |ORDER BY event_type, event_id""".stripMargin
+        |ORDER BY event_type, event_id""".stripMargin,
+    // naive GROUP BY twin — matching it proves the sketch-guided
+    // two-pass path is exact, not just approximately right
+    "agg_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n_total FROM tok)
+        |SELECT token, count(*) AS n
+        |FROM tok, tot GROUP BY token, n_total
+        |HAVING count(*) * 30 > n_total
+        |ORDER BY n DESC, token ASC""".stripMargin,
+    // full recompute from RAW events — matching it proves the
+    // persisted-partial merge path loses nothing
+    "agg_incremental_merge" ->
+      s"""SELECT event_type, count(*) AS n,
+        |  ${O.sumDec("value", 2)} AS sum_val,
+        |  ${O.r4(O.sumDec("value", 2) + " / count(*)")} AS avg_val,
+        |  CAST(min(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS min_val,
+        |  CAST(max(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS max_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

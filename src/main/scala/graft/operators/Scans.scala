@@ -174,6 +174,36 @@ object Scans {
           Canon.tsStrMicros(max(col("ts"))).as("max_ts"))
         .orderBy("event_type")
     }),
+    "scan_schema_evolution" -> ((s, d) => {
+      // schema drift — the certainty of any table ingested for years:
+      // generation 1 was written BEFORE a column existed (even orders,
+      // 3 columns); generation 2 adds a derived o_year. The read-back
+      // is one mergeSchema scan over both generations' directories
+      // (batch=N in the path becomes a partition column, so each
+      // generation stays prunable); gen-1 rows surface o_year as NULL
+      // — never a schema error, never a dropped row. The aggregate
+      // exercises exactly the drift semantics that matter: count(col)
+      // skips the missing-column rows, sum(coalesce) folds them as 0.
+      // Oracle recomputes both generations' contributions from the
+      // flat orders table via the same even/odd split — a hash match
+      // proves the evolved scan loses nothing and invents nothing.
+      val ord = Tables.orders(s, d)
+      val dir = graft.sources.Writers.roundTripDir("graft_schema_evo", d)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/batch=1")
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .write.mode("overwrite").parquet(s"$dir/batch=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Canon.sumDec(col("o_totalprice"), 2).as("sum_total"),
+          count(col("o_year")).as("n_with_year"),
+          sum(coalesce(col("o_year"), lit(0L))).as("sum_year"))
+        .orderBy("o_orderstatus")
+    }),
     "scan_union_rowcounts" -> ((s, d) => {
       val names = Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")
@@ -248,6 +278,15 @@ object Scans {
         |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
         |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // recomputes both generations' contributions from the flat orders
+    // table — matching the mergeSchema scan proves drift-tolerant
+    // read-back loses nothing and invents nothing
+    "scan_schema_evolution" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+        |  ${O.sumDec("o_totalprice", 2)} AS sum_total,
+        |  count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_with_year,
+        |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN year(o_orderdate) ELSE 0 END) AS BIGINT) AS sum_year
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "scan_union_rowcounts" ->
       """SELECT 'region' AS tbl, count(*) AS n FROM region
         |UNION ALL SELECT 'nation', count(*) FROM nation

@@ -21,6 +21,30 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_distinct_sketch_rollup: union-of-dailies equals one direct sketch, within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val rolled = SparkEntry.queries("agg_distinct_sketch_rollup")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the lossless-merge property the key exists for: HLL registers
+    // are order-insensitive maxima, so the union of per-day sketches
+    // must estimate EXACTLY what one sketch over all rows estimates —
+    // if these ever differ, partial pre-aggregation is not safe
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val (_, est) = rolled(k)
+      assert(est == direct(k),
+        s"$k: union-of-dailies $est != direct sketch ${direct(k)} — merge is lossy")
+      assert(math.abs(est - n).toDouble / n <= 0.05, s"$k: est=$est exact=$n")
+    }
+  }
+
   test("agg_percentile_approx lands within the sketch's rank-error bound of exact") {
     import org.apache.spark.sql.functions._
     // the GK guarantee is on RANK (±ε·n, ε = 1/accuracy), not value —

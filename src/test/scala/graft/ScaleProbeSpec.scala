@@ -282,4 +282,35 @@ class ScaleProbeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("heavy hitters: candidate volume ~ partitions*phi on a long-tail corpus, result exact") {
+    // the fixture vocabulary is 31 tokens — every token fits one MG
+    // sketch, so the declared key alone cannot demonstrate the claim
+    // the operator exists for. This corpus can: 200k tokens where 5
+    // heavies are ~4% each and 100k+ singletons form the long tail —
+    // the 100 TB text shape. The naive groupBy's shuffle here is
+    // ~100k counter rows; MG's candidate union is bounded by
+    // partitions·phi (a few hundred) regardless of vocabulary, and
+    // the recount-filtered result must still EQUAL the naive answer
+    // exactly, because the candidate set is a proven superset.
+    val s = spark
+    import s.implicits._
+    val phi = 30
+    val heavies = (0 until 5).map(i => s"heavy_$i")
+    val rows = (0 until 200000).map { i =>
+      if (i % 25 < 5) heavies(i % 25) else s"tail_${i}"
+    }
+    val df = rows.toDF("token").repartition(8)
+    val cand = graft.api.StatsOps.mgCandidates(df, "token", phi)
+    val nCand = cand.count()
+    assert(nCand <= 8L * phi,
+      s"candidate union $nCand exceeds partitions*phi = ${8 * phi}")
+    val got = graft.api.StatsOps.heavyHittersExact(df, "token", phi)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter { case (_, n) => n * phi > rows.size }
+    assert(got == naive,
+      s"sketch-guided result diverged from naive: got=$got expected=$naive")
+    assert(got.keySet == heavies.toSet, s"expected exactly the 5 heavies, got ${got.keySet}")
+  }
 }
