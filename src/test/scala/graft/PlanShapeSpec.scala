@@ -73,7 +73,12 @@ class PlanShapeSpec extends AnyFunSuite {
     ("agg_percentile_approx", "HashAggregate",
       "the sketch percentile partial-combines as a hash aggregate"),
     ("scan_orc_orders", "FileScan orc",
-      "the ORC key must actually read back through the ORC source")
+      "the ORC key must actually read back through the ORC source"),
+    ("agg_heavy_hitters", "LeftSemi, BuildRight",
+      "the recount is pre-filtered by the broadcast candidate set, so the " +
+        "count aggregate's state is candidates, never vocabulary"),
+    ("agg_distinct_sketch_rollup", "hll_union_agg",
+      "the rollup merges per-day sketch states — pre-aggregation, not a re-scan")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
@@ -82,6 +87,22 @@ class PlanShapeSpec extends AnyFunSuite {
         val p = plan(s, k)
         assert(pat.split('|').exists(p.contains), s"expected [$pat] in plan:\n$p")
       }
+    }
+  }
+
+  test("agg_incremental_merge: the final plan scans raw events once (delta) and partials once") {
+    // the key's whole point is that history is never rescanned: the
+    // merged aggregate must read the persisted partial table for the
+    // historical window and touch the raw events parquet only for the
+    // delta — if a second raw scan ever appears, the incremental cost
+    // model is silently broken
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "agg_incremental_merge")
+      def count(sub: String) = p.sliding(sub.length).count(_ == sub)
+      assert(count("events.parquet") == 1,
+        s"expected exactly one raw events scan (the delta), plan:\n$p")
+      assert(count("graft_agg_partials") == 1,
+        s"expected exactly one partial-table scan, plan:\n$p")
     }
   }
 
