@@ -47,6 +47,19 @@ object StatsOps {
     val hist = df.select(col(groupCol), value.cast("double").as("_v"))
       .groupBy(col(groupCol), col("_v"))
       .agg(count(lit(1)).as("_c"))
+    percentilesFromBins(hist, groupCol, ps, maxName)
+  }
+
+  /** The interpolation stage of [[binnedPercentiles]] over an ALREADY
+    * BUILT bin table `(groupCol, _v double, _c long)` — exposed so
+    * persisted per-day histograms, merged by summing `_c`, ride the
+    * IDENTICAL math as the single-pass path (value histograms are
+    * algebraic: sum-of-counts merges them losslessly, which is what
+    * makes exact percentiles incrementally maintainable at 100 TB —
+    * the quantile analogue of sum/count partial merge). All invariants
+    * documented on [[binnedPercentiles]] hold here. */
+  def percentilesFromBins(hist: DataFrame, groupCol: String,
+      ps: Seq[(String, Double)], maxName: Option[String] = None): DataFrame = {
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
     val wAll = Window.partitionBy(col(groupCol))
     // bin rows carry [prev, cum) — the 0-based sorted-position range

@@ -328,6 +328,39 @@ object Aggregates {
           max(col("max_v")).cast("double").as("max_val"))
         .orderBy("event_type")
     }),
+    "agg_percentile_incremental" -> ((s, d) => {
+      // EXACT percentiles, incrementally maintained — the quantile
+      // analogue of agg_incremental_merge: the per-(day,type) VALUE
+      // HISTOGRAM (value → count) is the persisted partial, because
+      // histograms are algebraic (sum-of-counts merges them
+      // losslessly) where raw quantiles are not. Historical days are
+      // written ONCE as a day-partitioned bin table; the delta builds
+      // its own bins; the merged table sums counts and rides the
+      // IDENTICAL interpolation math as the single-pass binned
+      // percentile (StatsOps.percentilesFromBins). The oracle computes
+      // quantile_cont over RAW events — hash match proves
+      // merged-histogram percentiles ≡ full recompute, exactly, which
+      // no approximate quantile sketch can claim.
+      val ev = Tables.events(s, d).select(col("ts"), col("event_type"),
+        col("value").cast("double").as("_v"))
+      def hist(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(to_date(col("ts")).as("day"), col("event_type"), col("_v"))
+          .agg(count(lit(1)).as("_c"))
+      val cutoff = "2024-01-24"
+      val dir = graft.sources.Writers.roundTripDir("graft_pct_partials", d)
+      graft.sources.Writers.writePartitioned(
+        hist(ev.filter(col("ts") < cutoff)), "day", dir)
+      val merged = s.read.parquet(dir)
+        .select("event_type", "_v", "_c")
+        .unionByName(hist(ev.filter(col("ts") >= cutoff))
+          .select("event_type", "_v", "_c"))
+        .groupBy("event_type", "_v").agg(sum(col("_c")).as("_c"))
+      graft.api.StatsOps.percentilesFromBins(merged, "event_type",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .select(col("event_type"), Canon.r4(col("p50")).as("p50"),
+          Canon.r4(col("p90")).as("p90"), Canon.r4(col("p99")).as("p99"))
+        .orderBy("event_type")
+    }),
     "agg_distinct_sketch_rollup" -> ((s, d) => {
       // mergeable distinct-count summaries (Apache DataSketches HLL,
       // Spark's hll_sketch_agg/hll_union_agg): one compact sketch per
@@ -491,6 +524,14 @@ object Aggregates {
         |FROM tok, tot GROUP BY token, n_total
         |HAVING count(*) * 30 > n_total
         |ORDER BY n DESC, token ASC""".stripMargin,
+    // quantile_cont over RAW events — matching it proves the
+    // merged-histogram percentile path is exact, not approximate
+    "agg_percentile_incremental" ->
+      s"""SELECT event_type,
+        |  ${O.r4("quantile_cont(value, 0.5)")} AS p50,
+        |  ${O.r4("quantile_cont(value, 0.9)")} AS p90,
+        |  ${O.r4("quantile_cont(value, 0.99)")} AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // full recompute from RAW events — matching it proves the
     // persisted-partial merge path loses nothing
     "agg_incremental_merge" ->
