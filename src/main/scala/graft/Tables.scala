@@ -25,15 +25,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark 4 refuses to read
-    * (`PARQUET_TYPE_ILLEGAL`). Read it as raw Long nanoseconds via the
-    * legacy flag, then integer-divide to microseconds (`div`, NOT `/` —
-    * float division loses precision above 2^53) and rebuild a timestamp.
-    * Matches DuckDB's native ns→µs truncation exactly (SURVEY §7.2 #1).
+  /** `events.ts` has shipped in two physical layouts across fixture
+    * generations, so dispatch on the schema actually read:
+    *
+    *  - parquet timestamp[ns]: Spark 4 refuses it (`PARQUET_TYPE_ILLEGAL`)
+    *    unless read as raw Long nanoseconds via the legacy flag; then
+    *    integer-divide to microseconds (`div`, NOT `/` — float division
+    *    loses precision above 2^53) and rebuild a timestamp. Matches
+    *    DuckDB's native ns→µs truncation exactly (SURVEY §7.2 #1).
+    *  - parquet timestamp[us] (isAdjustedToUTC=false): Spark reads it as
+    *    TIMESTAMP_NTZ. Cast to the session-zone TIMESTAMP (sessions here
+    *    pin UTC, so the instant is unchanged) so every downstream query
+    *    and written output keeps the type the ns era produced.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = load(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (µs, not UTC-adjusted)
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }
