@@ -50,5 +50,5 @@ object SparkEntry {
     "agg_percentile_approx", "dedup_minhash_lsh",
     "dedup_incremental_minhash", "dedup_minhash_persisted", "dedup_simhash",
     "stream_watermark_late", "ml_train_logreg_gd", "sim_knn_ivf",
-    "sim_knn_ivf_persisted", "sim_knn_rplsh")
+    "sim_knn_ivf_persisted", "sim_knn_ivfpq", "sim_knn_rplsh")
 }

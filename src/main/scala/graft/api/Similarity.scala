@@ -510,6 +510,139 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization codebooks — `m` sub-codebooks of `ks`
+    * L2-trained sub-centroids each, over the same deterministic digest
+    * sample as [[trainCodebook]]. Returned layout: [m][ks][dims/m].
+    *
+    * PQ is the memory-resident ANN path at 100 TB: 64 float dims
+    * (256 B) compress to m=8 byte codes + one stored norm, a 26×
+    * cut, so the ADC scan touches ~4 % of the bytes a raw-vector scan
+    * would and spends m lookup-adds per candidate instead of d
+    * multiply-adds. Assignment and training are L2 (not cosine):
+    * subvector magnitudes carry dot-product mass, so minimizing
+    * ‖x_j − c‖² is what bounds the ADC error |q·x − q·x̂| ≤
+    * ‖q‖·√Σ_j‖x_j − x̂_j‖². Lloyd details mirror [[trainCodebook]]:
+    * init = first ks sample subvectors in hash order, ties to the
+    * lower index, empty cells keep their previous centroid — fully
+    * deterministic, so codes and every result built on them are
+    * reproducible run to run. */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ks: Int, iters: Int = 8, sampleSize: Int = 2048): Array[Array[Array[Float]]] = {
+    require(m > 0 && ks > 0, s"need m > 0 and ks > 0, got m=$m ks=$ks")
+    val sample = digestSample(df, idCol, vecCol, sampleSize)
+    require(sample.nonEmpty,
+      s"trainPqCodebooks: input '$vecCol' has no rows to sample")
+    val dims = sample.head.length
+    require(dims % m == 0,
+      s"trainPqCodebooks: dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+      lloydL2(sub, math.min(ks, sub.length), iters)
+    }
+  }
+
+  /** Local L2 k-means on a bounded driver-side sample (the PQ
+    * sub-codebook trainer). Deterministic: hash-order init, L2 ties to
+    * the lower index, empty cells keep their previous centroid. */
+  private def lloydL2(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val dims = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    def nearest(v: Array[Float]): Int = {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        var d2 = 0.0; var i = 0
+        while (i < dims) { val d = v(i).toDouble - cents(c)(i); d2 += d * d; i += 1 }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(v)
+        counts(c) += 1
+        var i = 0; while (i < dims) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dims)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    cents
+  }
+
+  /** IVF+PQ approximate kNN with exact re-ranking — the composed
+    * FAISS-style layout a 100 TB vector store actually runs:
+    *
+    *  1. coarse IVF routing exactly as [[ivfKnn]] (queries probe their
+    *     `nprobe` nearest cells; the cell id is the write-time
+    *     partition key, so unprobed cells are never read);
+    *  2. within probed cells, candidates are scanned by ADC over PQ
+    *     codes: the corpus side of the join carries ONLY (id, cell,
+    *     m byte-codes, stored true norm) — never the raw vectors — and
+    *     each candidate costs m lookup-adds against the query's
+    *     precomputed LUT. Approximate cosine = adc / (‖q‖·‖x‖) with
+    *     the TRUE stored norm (PQ-with-stored-norms), so only the
+    *     numerator is approximated;
+    *  3. the per-query top-`rerank` ADC shortlist (bounded-heap
+    *     row_number idiom) joins BACK to the raw vectors by id — a
+    *     selective equi-join fetching rerank·|queries| rows — and the
+    *     exact codegen cosine re-ranks to the final top-k.
+    *
+    * Recall: IVF routing bounds it above by [[ivfKnn]]'s recall at the
+    * same nprobe; the re-rank stage recovers ADC ordering error, so
+    * with rerank ≫ k the composed recall tracks the IVF bound
+    * (unit-tested against brute force). Output ordering rounds the
+    * exact re-ranked cosine like every other knn key, and ADC
+    * shortlist ties break on cid, so results are deterministic even
+    * though ADC scores themselves are never emitted. */
+  def pqKnn(df: DataFrame, idCol: String, vecCol: String, queryPred: Column,
+      k: Int, centroids: Array[Array[Float]], nprobe: Int,
+      books: Array[Array[Array[Float]]], rerank: Int,
+      simRound: Option[Int] = None): DataFrame = {
+    require(k >= 1 && rerank >= k,
+      s"need rerank >= k >= 1, got k=$k rerank=$rerank")
+    val ks = books(0).length
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nprobe))
+    val encodeOf = udf((v: Seq[Float]) => Kernels.pqEncode(v, books))
+    val lutOf = udf((v: Seq[Float]) => Kernels.pqLut(v, books))
+    val adcOf = udf((codes: Seq[Int], lut: Seq[Double]) =>
+      Kernels.adcDot(codes, lut, ks))
+    // corpus side of the ADC scan: codes + true norm, NO raw vectors
+    val codes = fanout(df)
+      .select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+      .withColumn("_cell", cellOf(col("_ce")))
+      .select(col("cid"), col("_cell"), encodeOf(col("_ce")).as("_codes"),
+        Kernels.l2norm(col("_ce")).as("_cn"))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+      .withColumn("_probe", explode(probesOf(col("_qe"))))
+      .withColumn("_lut", lutOf(col("_qe")))
+      .withColumn("_qn", Kernels.l2norm(col("_qe")))
+    val wAdc = Window.partitionBy("qid").orderBy(col("_adc").desc, col("cid").asc)
+    val shortlist = codes
+      .join(broadcast(q), col("_cell") === col("_probe") && col("qid") =!= col("cid"))
+      .withColumn("_adc", adcOf(col("_codes"), col("_lut")) / (col("_qn") * col("_cn")))
+      .withColumn("_rr", row_number().over(wAdc))
+      .filter(col("_rr") <= rerank)
+      .select(col("qid"), col("_qe"), col("cid"))
+    // exact re-rank: fetch the shortlist's raw vectors by id (selective
+    // equi-join, rerank·|queries| rows) and order by the codegen cosine
+    val cand = df.select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+    val sim = cos(df)(col("_qe"), col("_ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    cand.join(broadcast(shortlist), "cid")
+      .withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
   /** The `sampleSize` vectors with the smallest (md5(id), id) keys —
     * [[trainCodebook]]'s sampling pass, factored out so the
     * threshold-path/TakeOrdered equivalence is directly testable.

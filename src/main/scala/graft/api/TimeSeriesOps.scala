@@ -46,6 +46,44 @@ object TimeSeriesOps {
       .drop("_kind")
   }
 
+  /** Last-touch attribution: each conversion event is credited to the
+    * user's most recent `touchType` event at-or-before it, bucketed by
+    * the touch→conversion gap — `instant` (≤ 1 h), `same_day` (≤ 24 h),
+    * `week` (≤ `windowUs`), and `organic` (no touch inside the window,
+    * including never-touched users) — then rolled up to (channel,
+    * conversions, revenue). The marketing-attribution report every
+    * event warehouse serves.
+    *
+    * Scale shape: the touch lookup is [[asofPrior]] (one shuffle on the
+    * user key + one window pass — never a per-conversion subquery);
+    * the value fetch is an equi-join on the conversion id against the
+    * (conversion-count-sized) asof output; revenue sums in DECIMAL
+    * (associative — deterministic at any merge order). NULL gaps fall
+    * through the bucket CASE to `organic` via the leading isNull arm. */
+  def lastTouchAttribution(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, valueCol: String,
+      convType: String, touchType: String, windowUs: Long,
+      valueScale: Int = 2): DataFrame = {
+    require(windowUs >= 86400000000L,
+      s"attribution window must be >= 1 day (the same_day bucket), got $windowUs us")
+    val conv = df.filter(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol), col(idCol))
+    val touch = df.filter(col(typeCol) === touchType)
+    val vals = df.filter(col(typeCol) === convType)
+      .select(col(idCol), col(valueCol))
+    val gap = unix_micros(col(tsCol)) - unix_micros(col("asof_ts"))
+    asofPrior(conv, touch, userCol, tsCol, idCol)
+      .join(vals, idCol)
+      .withColumn("channel",
+        when(col("asof_ts").isNull || gap > windowUs, "organic")
+          .when(gap <= 3600000000L, "instant")
+          .when(gap <= 86400000000L, "same_day")
+          .otherwise("week"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        Canon.sumDec(col(valueCol), valueScale).as("revenue"))
+  }
+
   /** Resample events into fixed epoch-aligned bins per key, emitting a
     * DENSE grid: every (key, bin) between the corpus min and max bin
     * appears, empty bins zero-filled — the gap-fill shape every

@@ -263,6 +263,102 @@ object Kernels {
     if (w == m) arr else java.util.Arrays.copyOf(arr, w)
   }
 
+  // ---- Product quantization (PQ) kernels ----
+  // books layout: [subspace m][sub-centroid ks][sub-dim dsub]; a 64-d
+  // vector with m=8 splits into 8 consecutive 8-d blocks. All loops are
+  // index-based on primitive arrays (no boxing in the hot path).
+
+  /** PQ-encode: per subspace, the index of the L2-NEAREST sub-centroid
+    * (ties → lower index). L2, not cosine: subvector magnitudes carry
+    * dot-product mass, so the assignment must minimize ‖x_j − c‖², or
+    * the ADC reconstruction error grows with vector norm spread. */
+  def pqEncode(v: Seq[Float], books: Array[Array[Array[Float]]]): Array[Int] = {
+    val x = floats(v)
+    val m = books.length
+    val dsub = if (m == 0) 0 else books(0)(0).length
+    require(x.length == m * dsub,
+      s"pqEncode: vector length ${x.length} != m*dsub = ${m * dsub}")
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val off = j * dsub
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0; var i = 0
+        while (i < dsub) {
+          val diff = x(off + i).toDouble - cent(i); d2 += diff * diff; i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /** Query-side ADC lookup table, flattened [m*ks]: entry j*ks + c is
+    * dot(q_j, books(j)(c)). Built ONCE per query; after it every
+    * candidate costs m table lookups instead of d multiply-adds. */
+  def pqLut(q: Seq[Float], books: Array[Array[Array[Float]]]): Array[Double] = {
+    val x = floats(q)
+    val m = books.length
+    val ks = if (m == 0) 0 else books(0).length
+    val dsub = if (m == 0) 0 else books(0)(0).length
+    require(x.length == m * dsub,
+      s"pqLut: query length ${x.length} != m*dsub = ${m * dsub}")
+    val lut = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val off = j * dsub
+      var c = 0
+      while (c < ks) {
+        val cent = book(c)
+        var dp = 0.0; var i = 0
+        while (i < dsub) { dp += x(off + i).toDouble * cent(i); i += 1 }
+        lut(j * ks + c) = dp
+        c += 1
+      }
+      j += 1
+    }
+    lut
+  }
+
+  /** ADC approximate dot product: Σ_j lut(j*ks + codes(j)) — exactly
+    * dot(q, x̂) for the reconstruction x̂ (same per-subspace partial
+    * sums, added in the same j order, so it is BITWISE equal to
+    * summing dot(q_j, x̂_j) over j; pinned in PqSpec). */
+  def adcDot(codes: Seq[Int], lut: Seq[Double], ks: Int): Double = {
+    val cs = codes match {
+      case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
+      case _ => codes.toArray
+    }
+    val lt = lut match {
+      case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
+      case _ => lut.toArray
+    }
+    var s = 0.0; var j = 0
+    while (j < cs.length) { s += lt(j * ks + cs(j)); j += 1 }
+    s
+  }
+
+  /** Reconstruct x̂ from PQ codes (concatenated sub-centroids). */
+  def pqReconstruct(codes: Seq[Int], books: Array[Array[Array[Float]]]): Array[Float] = {
+    val m = books.length
+    val dsub = if (m == 0) 0 else books(0)(0).length
+    val out = new Array[Float](m * dsub)
+    var j = 0
+    while (j < m) {
+      System.arraycopy(books(j)(codes(j)), 0, out, j * dsub, dsub)
+      j += 1
+    }
+    out
+  }
+
   // ---- Column-level wrappers (compiled Scala UDFs, not SQL lambdas) ----
   /** Cosine between a row vector and a codebook entry (cell math). */
   def cosineWith(v: Seq[Float], c: Array[Float]): Double = cosineArr(floats(v), c)

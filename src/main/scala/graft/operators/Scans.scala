@@ -147,6 +147,33 @@ object Scans {
           Canon.sumDec(col("l_extendedprice"), 2).as("sum_price"))
         .orderBy("o_orderkey")
     }),
+    "scan_clustered_minmax" -> ((s, d) => {
+      // range-clustered layout round-trip — the data-skipping lever
+      // for HIGH-CARDINALITY ordered keys, completing the layout
+      // family (directory partitioning = low-cardinality,
+      // scan_partitioned_events; bucketing = join keys,
+      // scan_bucketed_join): lineitem rewritten so each of 8 files
+      // owns a disjoint l_shipdate range, sorted within the file, so
+      // a one-month predicate is answered from the ~1 file whose
+      // parquet footer min/max overlaps it — row-group stats pruning
+      // inside the ordinary scan, no directory scheme, no table
+      // format. WritePathSpec MEASURES it (clustered scan emits a
+      // small fraction of the rows the same scan emits on a
+      // round-robin layout); the oracle aggregates the flat parquet
+      // under the same predicate, proving the rewrite loses nothing.
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+      val dir = graft.sources.Writers.roundTripDir("graft_clustered_li", d)
+      graft.sources.Writers.writeRangeClustered(li, "l_shipdate", 8, dir)
+      s.read.parquet(dir)
+        .filter(col("l_shipdate") >= "1995-06-01" &&
+          col("l_shipdate") < "1995-07-01")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          Canon.sumDec(col("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
     "data_compact_small_files" -> ((s, d) => {
       // small-file compaction — the #1 100 TB scan-throughput killer
       // (every file costs a task + footer read + open/close) and the
@@ -268,6 +295,17 @@ object Scans {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderkey, o_orderpriority
         |ORDER BY o_orderkey""".stripMargin,
+    // aggregates the flat PARQUET lineitem under the same predicate —
+    // matching the Spark side's range-clustered rewrite proves the
+    // clustering rewrite loses nothing
+    "scan_clustered_minmax" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty,
+        |  ${O.sumDec("l_extendedprice", 2)} AS sum_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+        |  AND l_shipdate < TIMESTAMP '1995-07-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // aggregates the PARQUET events directly — matching the Spark
     // side's fragmented→compacted round-trip proves compaction moved
     // every row exactly once

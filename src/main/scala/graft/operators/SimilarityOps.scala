@@ -77,6 +77,25 @@ object SimilarityOps {
         .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
+    "sim_knn_ivfpq" -> ((s, d) => {
+      // ✘ no oracle (approximate by design): IVF routing + product-
+      // quantization ADC scan + exact re-rank — the composed memory-
+      // resident ANN layout a 100 TB vector store actually runs. The
+      // candidate join never touches raw vectors (8 byte-codes + a
+      // stored norm per corpus row, 26× smaller); the top-50 ADC
+      // shortlist re-ranks through the exact codegen cosine. Recall vs
+      // brute force and the ADC≡reconstructed-dot identity are
+      // unit-tested (PqSpec, NoOracleSpec).
+      val e = Tables.embeddings(s, d)
+      val coarse = Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+      val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding", m = 8, ks = 16)
+      Similarity.pqKnn(e, "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5,
+          centroids = coarse, nprobe = 4, books = books, rerank = 50,
+          simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
     "sim_knn_rplsh" -> ((s, d) => {
       // ✘ no oracle (approximate by design): random-hyperplane LSH kNN
       // for the same queries as sim_knn_per_query — the data-

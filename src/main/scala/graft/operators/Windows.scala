@@ -151,6 +151,18 @@ object Windows {
       graft.api.TimeSeriesOps.activityStreaks(Tables.events(s, d), "user_id", "ts")
         .orderBy("user_id")
     }),
+    "events_attribution" -> ((s, d) => {
+      // last-touch attribution: each purchase credited to the user's
+      // most recent click within 7 days, bucketed by the click→purchase
+      // gap — asofPrior's one-shuffle union+window shape plus a
+      // conversion-id equi-join, revenue summed in DECIMAL; DuckDB twin
+      // uses its native ASOF LEFT JOIN
+      graft.api.TimeSeriesOps.lastTouchAttribution(Tables.events(s, d),
+          "user_id", "event_type", "ts", "event_id", "value",
+          convType = "purchase", touchType = "click",
+          windowUs = 604800000000L)
+        .orderBy("channel")
+    }),
     "events_anomaly_zscore" -> ((s, d) => {
       // metric anomalies: |z| >= 3 per event type — one stats
       // aggregate broadcast back, rowwise verdict, no second shuffle
@@ -286,6 +298,22 @@ object Windows {
         |SELECT user_id, CAST(max(len) AS BIGINT) AS max_streak,
         |  count(*) AS n_streaks, min(start) AS first_day
         |FROM runs GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "events_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events WHERE event_type = 'click'),
+        |     a AS (SELECT p.event_id, p.value,
+        |             epoch_us(p.ts) - epoch_us(c.ts) AS gap
+        |           FROM p ASOF LEFT JOIN c
+        |             ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT CASE WHEN gap IS NULL OR gap > 604800000000 THEN 'organic'
+        |            WHEN gap <= 3600000000 THEN 'instant'
+        |            WHEN gap <= 86400000000 THEN 'same_day'
+        |            ELSE 'week' END AS channel,
+        |       count(*) AS n_conversions,
+        |       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+        |FROM a GROUP BY 1 ORDER BY channel""".stripMargin,
     "events_anomaly_zscore" ->
       s"""WITH s AS (SELECT event_type, avg(value) AS mu,
         |             stddev_pop(value) AS sd FROM events GROUP BY 1),

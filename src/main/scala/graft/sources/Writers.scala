@@ -84,6 +84,47 @@ object Writers {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Range-clustered parquet: `files` output files, each owning a
+    * DISJOINT range of `rangeCol` (repartitionByRange) and sorted by it
+    * within the file — so every parquet row group's footer min/max on
+    * `rangeCol` is a tight interval and a range predicate prunes at ROW-
+    * GROUP granularity inside the ordinary scan (no directory scheme,
+    * no table format). The complement to [[writePartitioned]]: use
+    * range clustering for high-cardinality ordered keys (timestamps,
+    * ids) where one-directory-per-value is impossible. At 100 TB this
+    * is the difference between decoding every row group under a
+    * one-month predicate and decoding ~1/files of them; file count
+    * follows the same ≈ data/256 MB guidance as bucketing. Range
+    * boundaries come from Spark's reservoir sampling, so file SPLITS
+    * may vary run to run — only the layout varies, never query
+    * results; WritePathSpec measures the pruning. */
+  def writeRangeClustered(df: DataFrame, rangeCol: String, files: Int,
+      path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    // Two silent pruning killers normalized at write time, because this
+    // layout exists ONLY for min/max skipping (measured in
+    // WritePathSpec / tools/MinMaxProbe):
+    //  - Spark's default parquet timestamp encoding is INT96, which
+    //    carries no usable column statistics. Write µs INT64.
+    //  - a TIMESTAMP_NTZ range column never prunes: Spark's parquet
+    //    filter translation has no NTZ conversion, so the predicate
+    //    reaches PushedFilters but no row-group filter is ever built
+    //    (probe: NTZ scan emits 6000/6000 rows, the identical LTZ scan
+    //    723). Fixture timestamps read as NTZ, so normalize the range
+    //    column to the session-zone TIMESTAMP — values are identical
+    //    instants under the engine's pinned UTC sessions.
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    val norm = df.schema(rangeCol).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(rangeCol, col(rangeCol).cast("timestamp"))
+      case _ => df
+    }
+    norm.repartitionByRange(files, col(rangeCol))
+      .sortWithinPartitions(rangeCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Line-delimited JSON sink — the interchange format for pipelines
     * that hand off to non-columnar consumers. Lossy for binary/exotic
     * types; parquet stays the canonical format. Pass

@@ -192,6 +192,25 @@ class NoOracleSpec extends AnyFunSuite {
     info(f"trained recall $recall%.3f vs untrained ${untrained.map(u => f"$u%.3f")}")
   }
 
+  test("sim_knn_ivfpq recall tracks the IVF bound (re-rank recovers ADC error)") {
+    val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("sim_knn_ivf")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("sim_knn_ivfpq")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recallIvf = exact.count(ivf.contains).toDouble / exact.size
+    val recallPq = exact.count(pq.contains).toDouble / exact.size
+    // IVF routing bounds PQ recall above (same cells, same nprobe);
+    // the exact re-rank of the top-50 ADC shortlist must keep the
+    // composed recall close to that bound — a big gap means ADC
+    // ordering is dropping true neighbors out of the shortlist
+    assert(recallPq >= 0.5, s"IVFPQ recall too low: $recallPq")
+    assert(recallPq >= recallIvf - 0.1,
+      s"IVFPQ recall $recallPq fell more than 0.1 below the IVF bound $recallIvf")
+    info(f"recall: ivf $recallIvf%.3f ivfpq $recallPq%.3f")
+  }
+
   test("sim_knn_ivf_persisted is bitwise identical to the in-memory IVF probe") {
     // the persisted key's whole claim: writing the index to disk and
     // probing it cold changes NOTHING — same codebook, same cell

@@ -33,6 +33,48 @@ class WritePathSpec extends AnyFunSuite {
       s"partition pruning did not engage: read $filesRead of $totalFiles files")
   }
 
+  test("range-clustered layout prunes row groups by footer min/max; round-robin does not") {
+    // scan_clustered_minmax's measured claim: after writeRangeClustered
+    // on l_shipdate, a one-month predicate decodes only the row groups
+    // whose footer [min,max] overlap it — the scan EMITS a small
+    // fraction of the table — while the identical scan over the same
+    // rows laid out round-robin (every file spans the full date range,
+    // so every footer interval overlaps) emits everything.
+    val clustered = Files.createTempDirectory("graft-clust").toString
+    val roundRobin = Files.createTempDirectory("graft-rr").toString
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    val total = li.count()
+    Writers.writeRangeClustered(li, "l_shipdate", 8, clustered)
+    li.repartition(8).write.mode("overwrite").parquet(roundRobin)
+    def scanOutputRows(path: String): Long = {
+      val df = spark.read.parquet(path)
+        .filter(col("l_shipdate") >= "1995-06-01" &&
+          col("l_shipdate") < "1995-07-01")
+      val qe = df.queryExecution
+      qe.executedPlan.executeCollect()
+      val scans = qe.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }
+      assert(scans.nonEmpty, "no file scan in plan")
+      scans.head
+    }
+    val matching = li.filter(col("l_shipdate") >= "1995-06-01" &&
+      col("l_shipdate") < "1995-07-01").count()
+    val clusteredRows = scanOutputRows(clustered)
+    val rrRows = scanOutputRows(roundRobin)
+    // round-robin: every row group overlaps the month → nothing prunes
+    assert(rrRows == total,
+      s"round-robin layout unexpectedly pruned: scan emitted $rrRows of $total")
+    // clustered: only the ~1/8 of rows in overlapping row groups decode
+    assert(clusteredRows >= matching && clusteredRows <= total / 4,
+      s"min/max skipping did not engage: scan emitted $clusteredRows of $total " +
+        s"(matching=$matching)")
+    info(s"scan emitted $clusteredRows/$total rows clustered vs $rrRows round-robin " +
+      s"($matching actually match)")
+  }
+
   test("compact shrinks a fragmented table to ceil(bytes/target) files, losing nothing") {
     val frag = Files.createTempDirectory("graft-frag").toString
     val comp = Files.createTempDirectory("graft-comp").toString
