@@ -78,7 +78,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "the recount is pre-filtered by the broadcast candidate set, so the " +
         "count aggregate's state is candidates, never vocabulary"),
     ("agg_distinct_sketch_rollup", "hll_union_agg",
-      "the rollup merges per-day sketch states — pre-aggregation, not a re-scan")
+      "the rollup merges per-day sketch states — pre-aggregation, not a re-scan"),
+    ("events_attribution", "Window",
+      "the touch lookup is ONE window pass over the union, never a " +
+        "per-conversion subquery or theta join"),
+    ("scan_clustered_minmax", "GreaterThanOrEqual(l_shipdate",
+      "the range predicate must reach PushedFilters on the clustered " +
+        "scan (as an LTZ comparison — NTZ never builds a parquet filter, " +
+        "SURVEY §7.2 #12)"),
+    ("sim_knn_ivfpq", "TopKPerGroup",
+      "both the ADC shortlist and the final top-k take the bounded-heap " +
+        "operator, never a per-query sort")
   )
 
   shapeChecks.foreach { case (k, pat, why) =>
