@@ -45,8 +45,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampType => raw
-      case _ => // TIMESTAMP_NTZ (µs, not UTC-adjusted)
+      case org.apache.spark.sql.types.TimestampNTZType => // µs, not UTC-adjusted
         raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case other =>
+        // fail LOUDLY on a third layout — a silent cast here is exactly
+        // the r11 drift class (38 bench queries errored under rc:0)
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other (expected " +
+            "int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ); fixture layout " +
+            "drifted — update Tables.events dispatch deliberately")
     }
   }
 }

@@ -619,15 +619,24 @@ object Similarity {
       .withColumn("_cell", cellOf(col("_ce")))
       .select(col("cid"), col("_cell"), encodeOf(col("_ce")).as("_codes"),
         Kernels.l2norm(col("_ce")).as("_cn"))
+    // _lut/_qn are derived BEFORE the probe explode so the m·ks-entry
+    // LUT is computed (and broadcast) once per query, not once per
+    // (query, probe) pair — nprobe× less UDF work and payload.
     val q = df.filter(queryPred)
       .select(col(idCol).as("qid"), col(vecCol).as("_qe"))
-      .withColumn("_probe", explode(probesOf(col("_qe"))))
       .withColumn("_lut", lutOf(col("_qe")))
       .withColumn("_qn", Kernels.l2norm(col("_qe")))
+      .withColumn("_probe", explode(probesOf(col("_qe"))))
     val wAdc = Window.partitionBy("qid").orderBy(col("_adc").desc, col("cid").asc)
+    // zero-norm guard: NaN sorts ABOVE all doubles descending, so an
+    // unguarded 0/0 would float degenerate vectors to the top of every
+    // shortlist; score them -1 (below any true cosine) instead.
+    val normProd = col("_qn") * col("_cn")
     val shortlist = codes
       .join(broadcast(q), col("_cell") === col("_probe") && col("qid") =!= col("cid"))
-      .withColumn("_adc", adcOf(col("_codes"), col("_lut")) / (col("_qn") * col("_cn")))
+      .withColumn("_adc",
+        when(normProd > 0, adcOf(col("_codes"), col("_lut")) / normProd)
+          .otherwise(lit(-1.0)))
       .withColumn("_rr", row_number().over(wAdc))
       .filter(col("_rr") <= rerank)
       .select(col("qid"), col("_qe"), col("cid"))

@@ -113,16 +113,25 @@ object Writers {
     //    723). Fixture timestamps read as NTZ, so normalize the range
     //    column to the session-zone TIMESTAMP — values are identical
     //    instants under the engine's pinned UTC sessions.
-    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType",
-      "TIMESTAMP_MICROS")
-    val norm = df.schema(rangeCol).dataType match {
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        df.withColumn(rangeCol, col(rangeCol).cast("timestamp"))
-      case _ => df
+    val conf = df.sparkSession.conf
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = conf.getOption(tsTypeKey)
+    conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try {
+      val norm = df.schema(rangeCol).dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn(rangeCol, col(rangeCol).cast("timestamp"))
+        case _ => df
+      }
+      norm.repartitionByRange(files, col(rangeCol))
+        .sortWithinPartitions(rangeCol)
+        .write.mode("overwrite").parquet(path)
+    } finally {
+      prevTsType match {
+        case Some(v) => conf.set(tsTypeKey, v)
+        case None    => conf.unset(tsTypeKey)
+      }
     }
-    norm.repartitionByRange(files, col(rangeCol))
-      .sortWithinPartitions(rangeCol)
-      .write.mode("overwrite").parquet(path)
   }
 
   /** Line-delimited JSON sink — the interchange format for pipelines
