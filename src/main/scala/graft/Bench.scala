@@ -7,12 +7,107 @@ import org.apache.spark.sql.SparkSession
   * writes the complete per-query timing map to bench_full.json (path
   * overridable via SPARK_GRAFT_BENCH_OUT) for the judge's plan audit.
   * Optional CLI args restrict the run to a subset of keys (dev loop).
+  *
+  * FAILS LOUDLY: any key that throws is recorded in an `"errors"` map
+  * (key → first exception message) in BOTH the stdout line and
+  * bench_full.json, and the process exits nonzero. r11 shipped a bench
+  * where 38 events-table keys silently ERRORed yet the artifact parsed
+  * as a valid 105 s total under rc:0 — a whole class of drift the old
+  * contract could not surface. HarnessSpec pins the new contract by
+  * injecting a broken key.
   */
 object Bench {
   /** The queries BASELINE.md carries measured numbers for. */
   private val headline = Seq("agg_groupby_q1", "join_multiway_revenue",
     "window_topk_per_group", "sim_knn_bruteforce", "stream_tumbling_counts",
     "text_tokenize_stats")
+
+  /** One timed execution: wall seconds, post-AQE plan summary, GC
+    * seconds billed to the run, and the exception message if it threw. */
+  private[graft] case class Run(sec: Double, plan: String, gcSec: Double,
+      err: Option[String] = None)
+
+  /** Nonzero iff any key errored — the process exit policy, factored
+    * out so the spec can assert it without forking a JVM. */
+  private[graft] def exitCode(errors: Map[String, String]): Int =
+    if (errors.isEmpty) 0 else 1
+
+  // the plan-diagnostic summary per query: counts of the operators a
+  // plan flip would change (join strategies, exchanges, the custom
+  // top-k). Extracted from the POST-execution plan, i.e. AQE's final
+  // choices — so a stats-dependent broadcast->shuffle flip is visible
+  // in the bench artifact itself, not only as a timing anomaly.
+  // \b-anchored so "Exchange" counts ONLY shuffle exchanges, not
+  // BroadcastExchange/ReusedExchange (tracked separately) — the
+  // artifact exists to catch broadcast<->shuffle flips, so the two
+  // kinds must not be conflated in one number
+  private val planOps = Seq("BroadcastHashJoin", "SortMergeJoin",
+    "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct",
+    "TopKPerGroup", "Exchange", "BroadcastExchange", "ReusedExchange")
+  private def planSummary(p: String): String =
+    planOps.flatMap { op =>
+      val c = ("\\b" + op).r.findAllIn(p).size
+      if (c == 0) None else Some(s"$op*$c")
+    }.mkString(",")
+
+  /** Time every query `runs` times (min-of-n reported; the bench JVM
+    * runs 130+ queries back-to-back, so a single number cannot
+    * distinguish a plan regression from ambient load / GC pressure —
+    * r6's dedup_keep_best read +36% on an IDENTICAL plan). Returns the
+    * per-key run lists plus the error map (key → first exception
+    * message). Factored out of main so HarnessSpec can inject a broken
+    * key and assert the error surfaces. */
+  private[graft] def benchAll(spark: SparkSession, sfDir: String,
+      queries: Iterable[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      runs: Int = 3): (Seq[(String, Seq[Run])], Map[String, String]) = {
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis(): Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val results = queries.toSeq.map { case (name, fn) =>
+      def timed(): Run = {
+        val g0 = gcMillis()
+        val t0 = System.nanoTime()
+        var df: org.apache.spark.sql.DataFrame = null
+        var err: Option[String] = None
+        val plan = try {
+          df = fn(spark, sfDir)
+          df.count()
+          planSummary(df.queryExecution.executedPlan.toString)
+        } catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          "ERROR"
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // close the gc window BEFORE the unpersist below: any GC the
+        // free triggers must not be billed to this run's gc_sec
+        // (r10 ADVICE — the free is off the wall clock AND off the
+        // gc meter, consistently)
+        val gcSec = (gcMillis() - g0) / 1e3
+        // release eagerly-pinned localCheckpoint blocks OFF the clock
+        // (like System.gc below) and even when the run failed — a
+        // leaked checkpoint would bill every later key's memory
+        // pressure, the exact accumulation this call exists to stop
+        if (df != null)
+          try graft.api.Checkpoints.free(df) catch { case _: Throwable => () }
+        Run(dt, plan, gcSec, err)
+      }
+      // drop each run's dead broadcasts/shuffles off the clock,
+      // instead of inside the next run's hot loop
+      val rs = Seq.fill(runs) { val r = timed(); System.gc(); r }
+      val best = rs.map(_.sec).min
+      System.err.println(
+        f"[bench] $name%-28s min $best%8.3f s  (${rs.map(r => f"${r.sec}%.3f").mkString("/")}, gc ${rs.map(r => f"${r.gcSec}%.2f").mkString("/")})  [${rs.head.plan}]")
+      name -> rs
+    }
+    val errors = results.collect {
+      case (k, rs) if rs.exists(_.err.isDefined) =>
+        k -> rs.flatMap(_.err).head
+    }.toMap
+    (results, errors)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,80 +140,32 @@ object Bench {
       reg.as("a").join(reg.as("b"), col(s"a.$c0") === col(s"b.$c0"))
         .agg(count(lit(1))).collect()
     }
-    // the plan-diagnostic summary per query: counts of the operators a
-    // plan flip would change (join strategies, exchanges, the custom
-    // top-k). Extracted from the POST-execution plan, i.e. AQE's final
-    // choices — so a stats-dependent broadcast->shuffle flip is visible
-    // in the bench artifact itself, not only as a timing anomaly.
-    // \b-anchored so "Exchange" counts ONLY shuffle exchanges, not
-    // BroadcastExchange/ReusedExchange (tracked separately) — the
-    // artifact exists to catch broadcast<->shuffle flips, so the two
-    // kinds must not be conflated in one number
-    val planOps = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-      "BroadcastNestedLoopJoin", "CartesianProduct", "TopKPerGroup",
-      "Exchange", "BroadcastExchange", "ReusedExchange")
-    def planSummary(p: String): String =
-      planOps.flatMap { op =>
-        val c = ("\\b" + op).r.findAllIn(p).size
-        if (c == 0) None else Some(s"$op*$c")
-      }.mkString(",")
-    // each key is timed THREE times and the artifact carries min-of-3
-    // plus per-run GC time: the bench JVM runs 130+ queries
-    // back-to-back, so a single number cannot distinguish a plan
-    // regression from ambient load / GC pressure (r6's dedup_keep_best
-    // read +36% on an IDENTICAL plan; r9's dedup_ngram_jaccard drifted
-    // +52% with a byte-identical plan). Three runs + the GC split make
-    // drift adjudication mechanical: a real regression moves ALL runs,
-    // co-tenancy noise moves one or two, and a GC-dominated key shows
-    // it in gc_sec.
-    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
-    def gcMillis(): Long = {
-      var t = 0L
-      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
-      t
-    }
-    case class Run(sec: Double, plan: String, gcSec: Double)
-    val results = SparkEntry.queries
-      .filter(q => only.isEmpty || only(q._1))
-      .map { case (name, fn) =>
-        def timed(): Run = {
-          val g0 = gcMillis()
-          val t0 = System.nanoTime()
-          var df: org.apache.spark.sql.DataFrame = null
-          val plan = try {
-            df = fn(spark, sfDir)
-            df.count()
-            planSummary(df.queryExecution.executedPlan.toString)
-          } catch { case _: Throwable => "ERROR" }
-          val dt = (System.nanoTime() - t0) / 1e9
-          // close the gc window BEFORE the unpersist below: any GC the
-          // free triggers must not be billed to this run's gc_sec
-          // (r10 ADVICE — the free is off the wall clock AND off the
-          // gc meter, consistently)
-          val gcSec = (gcMillis() - g0) / 1e3
-          // release eagerly-pinned localCheckpoint blocks OFF the clock
-          // (like System.gc below) and even when the run failed — a
-          // leaked checkpoint would bill every later key's memory
-          // pressure, the exact accumulation this call exists to stop
-          if (df != null)
-            try graft.api.Checkpoints.free(df) catch { case _: Throwable => () }
-          Run(dt, plan, gcSec)
-        }
-        // drop each run's dead broadcasts/shuffles off the clock,
-        // instead of inside the next run's hot loop
-        val rs = Seq.fill(3) { val r = timed(); System.gc(); r }
-        val best = rs.map(_.sec).min
-        System.err.println(
-          f"[bench] $name%-28s min $best%8.3f s  (${rs.map(r => f"${r.sec}%.3f").mkString("/")}, gc ${rs.map(r => f"${r.gcSec}%.2f").mkString("/")})  [${rs.head.plan}]")
-        name -> rs
-      }
+    val (results, errors) = benchAll(spark, sfDir,
+      SparkEntry.queries.filter(q => only.isEmpty || only(q._1)))
     // explicit locale: the default-locale f"" interpolator would emit
     // "654,756" (invalid JSON) under comma-decimal locales
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def fmt(entries: Iterable[(String, Double)]): String =
       entries.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
+    // JSON string escape for error messages (quotes/control chars appear
+    // in Spark exception text routinely)
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val times = results.map { case (k, rs) => k -> rs.map(_.sec).min }
+    // median alongside min (r12 judge #8): round-over-round comparisons
+    // shouldn't chase first-run JIT noise; median of 3 is robust to a
+    // single cold/co-tenant outlier while min stays the headline
+    val medians = results.map { case (k, rs) =>
+      k -> rs.map(_.sec).sorted.apply(rs.length / 2)
+    }
     // the plan is run 1's (cold construction, post-AQE); a later run's
     // plan that DIFFERS is itself a finding and is appended for the audit
     val plans = results.map { case (k, rs) =>
@@ -133,13 +180,21 @@ object Bench {
       }.mkString("{", ",", "}")
     val runsJson = lists(_.sec)
     val gcJson = lists(_.gcSec)
-    val total = if (times.nonEmpty) times.values.sum else 0.0
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    val total = if (times.nonEmpty) times.map(_._2).sum else 0.0
     val fullJson =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(times)},"runs":$runsJson,"gc_sec":$gcJson,"plans":$plans,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(times)},"median":${fmt(medians)},"runs":$runsJson,"gc_sec":$gcJson,"plans":$plans,"errors":$errJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
-    val head = times.filter(r => headline.contains(r._1))
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(head)},"n_queries":${times.size},"full":"$outPath","sf":"$sfDir"}""")
+    val head = times.filter(r => headline.contains(r._1)).toMap
+    val errKeys = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(head)},"n_queries":${times.size},"n_errors":${errors.size},"errors":$errKeys,"full":"$outPath","sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] FAILED: ${errors.size} key(s) errored: " +
+        errors.keys.toSeq.sorted.mkString(", "))
+      sys.exit(exitCode(errors))
+    }
   }
 }
