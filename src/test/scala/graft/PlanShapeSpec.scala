@@ -116,6 +116,32 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("events ts predicates push to the parquet scan through the NTZ cast wrapper") {
+    // Tables.events wraps the NTZ-era fixture's ts in cast(ts as
+    // timestamp) (Tables.scala), so EVERY events scan carries the cast.
+    // A ts range predicate must be unwrapped by Catalyst back onto the
+    // stored NTZ column and reach BOTH DataFilters and PushedFilters —
+    // if it ever lingers above the cast as a post-scan Filter, every
+    // time-bounded events query reads the full table: invisible at
+    // 100 k rows, fatal at 100 TB. (PushedFilters on an NTZ column
+    // still does not build a parquet row-group FilterPredicate —
+    // SURVEY §7.2 #12 — which is why the engine's own time-series
+    // layout, writeRangeClustered, normalizes to LTZ µs; this test
+    // pins the PLAN half: the predicate must arrive at the scan.)
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions.{col, lit}
+    val f = Tables.events(s, TestSpark.sf0001)
+      .filter(col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp"))
+      .select("event_type", "ts")
+    val p = f.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts predicate failed to reach PushedFilters through the NTZ cast:\n$p")
+    // the unwrap must also reach DataFilters (the split Spark actually
+    // evaluates at the scan) — PushedFilters alone can be cosmetic
+    assert("DataFilters: \\[[^\\]]*\\(ts".r.findFirstIn(p).isDefined,
+      s"ts predicate missing from DataFilters:\n$p")
+  }
+
   test("dedup_minhash_lsh joins are pinned broadcast — no shuffle join can appear") {
     TestSpark.withExtSession { s =>
       val p = plan(s, "dedup_minhash_lsh")
