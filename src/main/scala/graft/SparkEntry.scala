@@ -48,7 +48,9 @@ object SparkEntry {
   val noOracleKeys: Set[String] = Set(
     "agg_approx_distinct", "agg_distinct_sketch_rollup",
     "agg_percentile_approx", "dedup_minhash_lsh",
-    "dedup_incremental_minhash", "dedup_minhash_persisted", "dedup_simhash",
+    "dedup_incremental_minhash", "dedup_minhash_persisted",
+    "dedup_minhash_probe_only", "dedup_simhash",
     "stream_watermark_late", "ml_train_logreg_gd", "sim_knn_ivf",
-    "sim_knn_ivf_persisted", "sim_knn_ivfpq", "sim_knn_rplsh")
+    "sim_knn_ivf_persisted", "sim_knn_ivf_probe_only", "sim_knn_ivfpq",
+    "sim_knn_rplsh")
 }

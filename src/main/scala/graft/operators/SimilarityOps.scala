@@ -23,6 +23,23 @@ object SimilarityOps {
       s" / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
       s" * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
 
+  /** Build-once-per-JVM on-disk IVF index for sim_knn_ivf_probe_only,
+    * keyed by the input dir: train the codebook, lay the corpus out one
+    * directory per cell (Similarity.saveIvfIndex), return the base
+    * path. The scratch dir is pid-keyed and shutdown-cleaned
+    * (Writers.roundTripDir), so two JVMs never race. */
+  private val ivfProbeIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfProbeIndexFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    ivfProbeIndexes.computeIfAbsent(d, { _ =>
+      val e = Tables.embeddings(s, d)
+      val cents = Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+      val base = graft.sources.Writers.roundTripDir("graft_ivfpo_idx", d)
+      Similarity.saveIvfIndex(e, "vec_id", "embedding", cents, base)
+      base
+    })
+
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> ((s, d) => {
       // exact global top-100 pairs — same result as the brute-force
@@ -72,6 +89,23 @@ object SimilarityOps {
       val cents = Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
       val base = graft.sources.Writers.roundTripDir("graft_ivf_idx", d)
       Similarity.saveIvfIndex(e, "vec_id", "embedding", cents, base)
+      Similarity.ivfKnnFromIndex(e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", base, k = 5, nprobe = 4, simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
+    "sim_knn_ivf_probe_only" -> ((s, d) => {
+      // ✘ no oracle — the PROBE-ONLY twin of sim_knn_ivf_persisted:
+      // identical output (NoOracleSpec asserts bitwise parity), but
+      // codebook training + the cell-partitioned index write happen
+      // ONCE per JVM (memoized below); every subsequent call only
+      // routes queries to nprobe cells of the on-disk index. This
+      // isolates the per-batch number the 100 TB cost model claims —
+      // the persisted key deliberately keeps timing the full cold
+      // build+probe round trip. Bench min-of-3 lands on a probe-only
+      // run by construction (run 1 pays the build).
+      val e = Tables.embeddings(s, d)
+      val base = ivfProbeIndexFor(s, d)
       Similarity.ivfKnnFromIndex(e.filter(col("vec_id") < 10), "vec_id",
           "embedding", base, k = 5, nprobe = 4, simRound = Some(4))
         .withColumnRenamed("rank", "rn")

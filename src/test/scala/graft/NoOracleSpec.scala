@@ -239,6 +239,34 @@ class NoOracleSpec extends AnyFunSuite {
       "cold probe of the persisted signature index diverged from the in-memory path")
   }
 
+  test("sim_knn_ivf_probe_only matches the persisted twin, and repeat calls reuse the index") {
+    // same output contract as the persisted key (bitwise), PLUS the
+    // amortization claim: a second call must not rebuild the on-disk
+    // index (the memo returns the same base path, so the probe is the
+    // only Spark work — that's what the bench's min-of-3 measures).
+    val persisted = SparkEntry.queries("sim_knn_ivf_persisted")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val first = SparkEntry.queries("sim_knn_ivf_probe_only")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val second = SparkEntry.queries("sim_knn_ivf_probe_only")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty && first == persisted,
+      "probe-only IVF diverged from the persisted twin")
+    assert(second == first, "repeat probe-only call diverged")
+  }
+
+  test("dedup_minhash_probe_only matches the persisted twin across repeat calls") {
+    val persisted = SparkEntry.queries("dedup_minhash_persisted")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val first = SparkEntry.queries("dedup_minhash_probe_only")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val second = SparkEntry.queries("dedup_minhash_probe_only")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(first.nonEmpty && first == persisted,
+      "probe-only minhash diverged from the persisted twin")
+    assert(second == first, "repeat probe-only call diverged")
+  }
+
   test("sim_knn_rplsh recall vs brute-force top-5 is usable and deterministic") {
     val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
