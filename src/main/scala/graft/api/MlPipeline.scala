@@ -148,6 +148,101 @@ object MlPipeline {
       }.toDF(idCol, "pred", "p_max")
   }
 
+  /** 2-layer MLP forward pass, per-row UDF path: h = relu(W1·x + b1),
+    * logits = W2·h + b2, softmax → (pred, p_max). The parity reference
+    * for [[mlpScoreBatchGemm]]: every sum accumulates in ascending
+    * index order, mirroring the DuckDB list-lambda oracle op-for-op. */
+  def mlpScore(df: DataFrame, idCol: String, vecCol: String,
+      w1: Array[Array[Double]], b1: Array[Double],
+      w2: Array[Array[Double]], b2: Array[Double]): DataFrame =
+    df.select(col(idCol),
+        Kernels.mlpScoreUdf(w1, b1, w2, b2)(col(vecCol)).as("_mc"))
+      .select(col(idCol), col("_mc._1").as("pred"), col("_mc._2").as("p_max"))
+
+  /** 2-layer MLP minibatch forward pass — the reference's actual
+    * stacked net.forward() shape (SURVEY §0.1 step 3): per 256-row
+    * batch, ONE dgemm computes every hidden pre-activation
+    * (m×H = Xᵀ·W1), the relu+bias tail transposes into the next
+    * batch buffer, and a SECOND dgemm computes all class logits
+    * (m×k = Hᵀ·W2); the scalar softmax/argmax tail is byte-shared
+    * with the UDF path ([[Kernels.multiclassFromLogits]]). Weights
+    * ship once per executor via broadcast.
+    *
+    * Same numeric caveat as [[linearScoreBatchGemm]]: BLAS may
+    * reassociate each accumulation by ulps — here through TWO layers —
+    * so declared callers round p_max to 4 dp and the UDF/GEMM parity
+    * is empirical per dataset (ApiParitySpec at 4 dp), not algebraic. */
+  def mlpScoreBatchGemm(df: DataFrame, idCol: String, vecCol: String,
+      w1: Array[Array[Double]], b1: Array[Double],
+      w2: Array[Array[Double]], b2: Array[Double], batch: Int = 256,
+      fanout: Boolean = true): DataFrame = {
+    val hDim = w1.length
+    val k = w2.length
+    require(hDim >= 1 && k >= 1 && batch >= 1,
+      s"need hidden >= 1, classes >= 1, batch >= 1")
+    val dims = w1.head.length
+    require(w1.forall(_.length == dims), "ragged W1")
+    require(b1.length == hDim && w2.forall(_.length == hDim) && b2.length == k,
+      s"shape mismatch: W1 ${hDim}x$dims, b1 ${b1.length}, " +
+        s"W2 ${k}x${w2.head.length}, b2 ${b2.length}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bcW = spark.sparkContext.broadcast((w1, b1, w2, b2))
+    // float encoder + optional fanout: same measured rationale as
+    // multiclassScoreBatchGemm (tools/GemmProbe)
+    val in0 = df.select(col(idCol).cast("long"), col(vecCol))
+    val in = if (fanout) Fanout(in0) else in0
+    in.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        val (ws1, bs1, ws2, bs2) = bcW.value
+        // (dims × H) and (H × k) column-major weight buffers
+        val w1Mat = new Array[Double](dims * hDim)
+        var h = 0
+        while (h < hDim) { System.arraycopy(ws1(h), 0, w1Mat, h * dims, dims); h += 1 }
+        val w2Mat = new Array[Double](hDim * k)
+        var c = 0
+        while (c < k) { System.arraycopy(ws2(c), 0, w2Mat, c * hDim, hDim); c += 1 }
+        it.grouped(batch).flatMap { rows =>
+          val m = rows.length
+          val a = new Array[Double](dims * m)
+          var i = 0
+          while (i < m) {
+            val v = rows(i)._2
+            require(v.length == dims,
+              s"vector length ${v.length} != weight dims $dims")
+            var j = 0
+            while (j < dims) { a(i * dims + j) = v(j); j += 1 }
+            i += 1
+          }
+          // layer 1: Y1 = Aᵀ·W1 (m × H column-major; pre-activation of
+          // (row i, hidden h) at y1(h*m + i))
+          val y1 = new Array[Double](m * hDim)
+          blas.dgemm("T", "N", m, hDim, dims, 1.0, a, dims, w1Mat, dims, 0.0, y1, m)
+          // bias + relu, transposed into the layer-2 input buffer
+          // (H × m column-major: row i's hidden vector = column i)
+          val hMat = new Array[Double](hDim * m)
+          i = 0
+          while (i < m) {
+            var j = 0
+            while (j < hDim) {
+              hMat(i * hDim + j) = math.max(0.0, y1(j * m + i) + bs1(j))
+              j += 1
+            }
+            i += 1
+          }
+          // layer 2: Y2 = Hᵀ·W2 (m × k column-major)
+          val y2 = new Array[Double](m * k)
+          blas.dgemm("T", "N", m, k, hDim, 1.0, hMat, hDim, w2Mat, hDim, 0.0, y2, m)
+          rows.iterator.zipWithIndex.map { case ((id, _), i2) =>
+            val (pred, pmax) = Kernels.multiclassFromLogits(
+              Array.tabulate(k)(c2 => y2(c2 * m + i2) + bs2(c2)))
+            (id, pred, pmax)
+          }
+        }
+      }.toDF(idCol, "pred", "p_max")
+  }
+
   /** ROC AUC via the rank-sum (Mann-Whitney U) formula over SCORE
     * BINS: AUC = Σ_s nPos_s · (negBelow_s + nNeg_s / 2) / (P · N),
     * ties (equal scores) contributing half — exact on the binned

@@ -412,4 +412,29 @@ object Kernels {
       val xv = floats(x)
       multiclassFromLogits(Array.tabulate(w.length)(c => dotW(xv, w(c))))
     })
+
+  /** Hidden layer of the 2-layer MLP: h_j = relu(W1_j·x + b1_j),
+    * ascending-index sequential accumulation — the same op order as
+    * DuckDB's list_dot_product, so the UDF path and the SQL oracle
+    * compute bit-identical hiddens. */
+  def mlpHidden(x: Array[Float], w1: Array[Array[Double]],
+      b1: Array[Double]): Array[Double] =
+    Array.tabulate(w1.length)(j => math.max(0.0, dotW(x, w1(j)) + b1(j)))
+
+  /** Output layer: logits_c = W2_c·h + b2_c, same sequential order. */
+  def mlpLogits(h: Array[Double], w2: Array[Array[Double]],
+      b2: Array[Double]): Array[Double] =
+    Array.tabulate(w2.length) { c =>
+      val wc = w2(c)
+      var s = 0.0
+      var j = 0; while (j < h.length) { s += wc(j) * h(j); j += 1 }
+      s + b2(c)
+    }
+
+  /** 2-layer MLP forward per row: relu hidden → logits →
+    * [[multiclassFromLogits]] — the stacked net.forward() shape. */
+  def mlpScoreUdf(w1: Array[Array[Double]], b1: Array[Double],
+      w2: Array[Array[Double]], b2: Array[Double]) =
+    udf((x: Seq[Float]) =>
+      multiclassFromLogits(mlpLogits(mlpHidden(floats(x), w1, b1), w2, b2)))
 }

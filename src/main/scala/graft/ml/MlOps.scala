@@ -69,6 +69,49 @@ object MlOps {
        |FROM m ORDER BY vec_id""".stripMargin
   }
 
+  /** 2-layer MLP parameters, same deterministic 6 dp-rounded recipe as
+    * `weights`/`weightsK` (exact SQL literals), offset so no layer
+    * shares values: 16 hidden units over 64 dims, 10 output classes. */
+  val mlpW1: Array[Array[Double]] =
+    Array.tabulate(16)(h => Array.tabulate(64)(i =>
+      BigDecimal(math.sin(1000.0 + h * 64 + i + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  val mlpB1: Array[Double] = Array.tabulate(16)(h =>
+    BigDecimal(math.sin(2000.0 + h + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  val mlpW2: Array[Array[Double]] =
+    Array.tabulate(10)(c => Array.tabulate(16)(h =>
+      BigDecimal(math.sin(3000.0 + c * 16 + h + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  val mlpB2: Array[Double] = Array.tabulate(10)(c =>
+    BigDecimal(math.sin(4000.0 + c + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  private def vecSqlLit(v: Array[Double]): String =
+    v.map(w => BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
+      .mkString("[", ", ", "]")
+
+  /** DuckDB twin of the 2-layer forward pass: hidden list via one
+    * greatest(0, dot + b) per unit, logits via list_dot_product over
+    * the computed hidden list, then the shared argmax/softmax tail —
+    * mirroring Kernels.mlpHidden/mlpLogits op-for-op. */
+  private def duckMlp: String = {
+    val hid = mlpW1.indices.map(h =>
+      s"greatest(0.0, list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        s"CAST(${vecSqlLit(mlpW1(h))} AS DOUBLE[])) + ${mlpB1(h)})")
+      .mkString("[", ",\n     ", "]")
+    val logits = mlpW2.indices.map(c =>
+      s"list_dot_product(hid, CAST(${vecSqlLit(mlpW2(c))} AS DOUBLE[])) + ${mlpB2(c)}")
+      .mkString("[", ",\n     ", "]")
+    s"""WITH h AS (SELECT vec_id, $hid AS hid FROM embeddings),
+       |t AS (SELECT vec_id, $logits AS logits FROM h),
+       |m AS (SELECT vec_id, logits, list_max(logits) AS lm FROM t)
+       |SELECT vec_id,
+       |  CAST(list_indexof(logits, lm) - 1 AS BIGINT) AS pred,
+       |  ${O.r4("1.0 / list_sum(list_transform(logits, l -> exp(l - lm)))")} AS p_max
+       |FROM m ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "ml_infer_linear_udf" -> ((s, d) => {
       scored(s, d).select("vec_id", "score").orderBy("vec_id")
@@ -106,6 +149,19 @@ object MlOps {
       // at 5k rows and beats it at 200k).
       MlPipeline.multiclassScoreBatchGemm(Tables.embeddings(s, d),
           "vec_id", "embedding", weightsK, fanout = false)
+        .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
+        .orderBy("vec_id")
+    }),
+    "ml_infer_mlp" -> ((s, d) => {
+      // the stacked net.forward() the reference family actually ran
+      // (SURVEY §0.1 step 3): batch GEMM → relu → GEMM → softmax over
+      // fixed seeded weights — two dgemm calls per 256-row batch, the
+      // multi-layer completion of the linear/multiclass GEMM twins.
+      // fanout=false for the same measured reason as the multiclass
+      // key (a columnar scan at scale arrives pre-split by row group).
+      // ApiParitySpec asserts 4 dp parity vs the sequential UDF path.
+      MlPipeline.mlpScoreBatchGemm(Tables.embeddings(s, d),
+          "vec_id", "embedding", mlpW1, mlpB1, mlpW2, mlpB2, fanout = false)
         .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
         .orderBy("vec_id")
     }),
@@ -181,6 +237,7 @@ object MlOps {
     // batched path must reproduce the per-row path after 4 dp rounding
     "ml_infer_multiclass_udf" -> duckMulticlass,
     "ml_infer_multiclass_gemm" -> duckMulticlass,
+    "ml_infer_mlp" -> duckMlp,
     "ml_eval_confusion" ->
       s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings)
         |SELECT

@@ -118,6 +118,37 @@ class ApiParitySpec extends AnyFunSuite {
     }
   }
 
+  test("mlpScoreBatchGemm equals the per-row UDF path at 4 dp, both fanout settings") {
+    // the 2-layer extension of the multiclass stride test: batch = 7
+    // forces ragged final batches through BOTH dgemm calls, and the
+    // relu-transpose between them is where a wrong stride would
+    // scramble hidden units across rows. The UDF path is the
+    // sequential reference (same op order as the DuckDB oracle).
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    import ml.MlOps.{mlpW1, mlpB1, mlpW2, mlpB2}
+    val udfPath = graft.api.MlPipeline.mlpScore(
+        e, "vec_id", "embedding", mlpW1, mlpB1, mlpW2, mlpB2)
+      .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // sanity: the net must actually discriminate (not all rows one class)
+    assert(udfPath.values.map(_._1).toSet.size > 1,
+      "MLP predicted a single class for every row — degenerate net")
+    Seq(true, false).foreach { fan =>
+      val gemmPath = graft.api.MlPipeline.mlpScoreBatchGemm(
+          e, "vec_id", "embedding", mlpW1, mlpB1, mlpW2, mlpB2,
+          batch = 7, fanout = fan)
+        .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(gemmPath.keySet == udfPath.keySet)
+      gemmPath.foreach { case (id, (pred, pm)) =>
+        val (uPred, uPm) = udfPath(id)
+        assert(pred == uPred && java.lang.Double.doubleToLongBits(pm) ==
+          java.lang.Double.doubleToLongBits(uPm),
+          s"vec_id $id (fanout=$fan): gemm ($pred, $pm) != udf ($uPred, $uPm)")
+      }
+    }
+  }
+
   test("PPJoin pair sets equal brute force on a random synthetic corpus") {
     val s = spark
     import s.implicits._
