@@ -248,16 +248,22 @@ object Dedup {
     * with `Checkpoints.free` after counting. */
   private[graft] def jaccardCandidatePairs(df: DataFrame, idCol: String,
       textCol: String, threshold: Double,
-      partitionCol: Option[String] = None): DataFrame = {
+      partitionCol: Option[String] = None,
+      broadcastJoins: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
+    // same per-regime pinning as jaccardPairsFromHashes: the 400k-doc
+    // scale probe runs broadcastJoins=false — the 100 TB shuffle-hash
+    // posture, where no corpus-sized side is ever built driver-side
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
     val hashed = fanout(df).select(col(idCol).as("_id"),
       partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
     val sized = hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
       .localCheckpoint()
-    jaccardCandStage(sized, threshold, broadcast)
+    jaccardCandStage(sized, threshold, pin)
   }
 
   /** All pairs with token-set Jaccard ≥ threshold, exact — via the

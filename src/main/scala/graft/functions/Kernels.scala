@@ -103,7 +103,20 @@ object Kernels {
     var i = 0
     val it = tokens.iterator
     while (it.hasNext) {
-      arr(i) = splitmix64(scala.util.hashing.MurmurHash3.stringHash(it.next()).toLong)
+      // GENUINE 64-bit token identity: two independent-seed murmur32
+      // passes packed into one long (then avalanche-mixed). A single
+      // 32-bit murmur widened by splitmix64 (a bijection) keeps the
+      // collision space at 2^32 — and worse, murmur32's 32-bit
+      // INTERNAL state means two prefixes that collide in state make
+      // every shared-suffix extension collide too, so structured
+      // vocabularies (templated docs, URLs) merge whole token FAMILIES
+      // at once: ScaleProbeSpec's 400k corpus hit several full-document
+      // J=1.0 false pairs this way. Two seeds give independent states;
+      // a family collision now needs both to collide (~2^-64).
+      val s = it.next()
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(s)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      arr(i) = splitmix64((h1.toLong << 32) | (h2.toLong & 0xffffffffL))
       i += 1
     }
     java.util.Arrays.sort(arr)

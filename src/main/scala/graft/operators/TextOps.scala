@@ -31,8 +31,18 @@ object TextOps {
   private val mhProbeIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
   private def minhashProbeIndexFor(s: org.apache.spark.sql.SparkSession,
-      d: String): (String, String) =
-    mhProbeIndexes.computeIfAbsent(d, { _ =>
+      d: String): (String, String) = mhProbeIndexes.synchronized {
+    // a memo hit must ALSO be visible in THIS session's catalog:
+    // bucketed tables live in the session's SharedState, and a fresh
+    // session built after clearDefaultSession (the test suites'
+    // withExtSession) gets a NEW SharedState with an empty catalog —
+    // so validate and rebuild rather than hand out dangling names.
+    // In the driver's Bench/Verify runs there is one session, so the
+    // build still happens exactly once.
+    val cached = mhProbeIndexes.get(d)
+    if (cached != null && s.catalog.tableExists(cached._1)
+        && s.catalog.tableExists(cached._2)) cached
+    else {
       val docs = Tables.documents(s, d)
       val isNew = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) >= "d"
       val (idxDocs, idxBanded) =
@@ -47,8 +57,10 @@ object TextOps {
       graft.sources.Writers.writeBucketed(idxDocs, "_id", 8, docsT, s"$base/docs")
       graft.sources.Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 8,
         bandT, s"$base/banded")
+      mhProbeIndexes.put(d, (docsT, bandT))
       (docsT, bandT)
-    })
+    }
+  }
 
   val queries: Map[String, Q] = Map(
     "text_tokenize_stats" -> ((s, d) => {

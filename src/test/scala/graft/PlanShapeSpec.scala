@@ -130,7 +130,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // pins the PLAN half: the predicate must arrive at the scan.)
     val s = TestSpark.spark
     import org.apache.spark.sql.functions.{col, lit}
-    val f = Tables.events(s, TestSpark.sf0001)
+    // sf0.01, NOT sf0.001: StreamingParitySpec caches the sf0.001
+    // events frame in the shared session, and the cache manager would
+    // swap this plan's scan for an InMemoryTableScan — hiding the
+    // parquet PushedFilters this test exists to observe
+    val f = Tables.events(s, "/root/testdata/sf0.01")
       .filter(col("ts") >= lit("2024-03-01 00:00:00").cast("timestamp"))
       .select("event_type", "ts")
     val p = f.queryExecution.executedPlan.toString
