@@ -50,7 +50,8 @@ object SparkEntry {
     "agg_percentile_approx", "dedup_minhash_lsh",
     "dedup_incremental_minhash", "dedup_minhash_persisted",
     "dedup_minhash_probe_only", "dedup_simhash",
-    "stream_watermark_late", "ml_train_logreg_gd", "sim_knn_ivf",
+    "stream_watermark_late", "ml_train_logreg_gd", "ml_train_mlp_gd",
+    "sim_knn_ivf",
     "sim_knn_ivf_persisted", "sim_knn_ivf_probe_only", "sim_knn_ivfpq",
     "sim_knn_rplsh")
 }

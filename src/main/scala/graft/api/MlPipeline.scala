@@ -304,4 +304,113 @@ object MlPipeline {
     data.unpersist(blocking = false)
     w
   }
+
+  /** Full-batch gradient descent on the 2-layer MLP (relu hidden,
+    * softmax + cross-entropy output) — per-layer BACKPROP distributed
+    * the same way [[trainLogisticGD]] distributes its single layer:
+    * parameters broadcast with each step's closure, per-row forward +
+    * backward fused into the `treeAggregate` seqOp, gradients summed
+    * shuffle-free up a depth-2 tree, update applied driver-side.
+    * Driver state and per-step traffic are O(|params|) — independent
+    * of corpus size, the property that lets the same loop run on 1000
+    * executors. Returns (W1, b1, W2, b2) after `steps` updates.
+    *
+    * Backward, per row: d2 = softmax(logits) − onehot(y);
+    * gW2 += d2⊗h, gb2 += d2; dh = W2ᵀ·d2 masked by relu'(h_pre);
+    * gW1 += dh⊗x, gb1 += dh. The softmax is max-subtracted like the
+    * inference tail, so logits cannot overflow exp(). */
+  def trainMlpGD(df: DataFrame, vecCol: String, labelCol: String,
+      steps: Int, lr: Double, dims: Int,
+      w1Init: Array[Array[Double]], b1Init: Array[Double],
+      w2Init: Array[Array[Double]], b2Init: Array[Double])
+      : (Array[Array[Double]], Array[Double], Array[Array[Double]], Array[Double]) = {
+    val hDim = w1Init.length
+    val k = w2Init.length
+    require(hDim >= 1 && k >= 2, s"need hidden >= 1 and classes >= 2")
+    require(w1Init.forall(_.length == dims) && b1Init.length == hDim &&
+      w2Init.forall(_.length == hDim) && b2Init.length == k, "shape mismatch")
+    val data = df.select(col(vecCol), col(labelCol).cast("int"))
+      .rdd.map { r =>
+        val e = r.getAs[scala.collection.Seq[Float]](0)
+        val x = new Array[Double](e.length)
+        var i = 0; while (i < e.length) { x(i) = e(i).toDouble; i += 1 }
+        (x, r.getInt(1))
+      }.cache()
+    // flat parameter/gradient layout: [W1 rows | b1 | W2 rows | b2]
+    val pW1 = 0
+    val pB1 = hDim * dims
+    val pW2 = pB1 + hDim
+    val pB2 = pW2 + k * hDim
+    val nPar = pB2 + k
+    val params = new Array[Double](nPar)
+    for (j <- 0 until hDim) {
+      System.arraycopy(w1Init(j), 0, params, pW1 + j * dims, dims)
+      params(pB1 + j) = b1Init(j)
+    }
+    for (c <- 0 until k) {
+      System.arraycopy(w2Init(c), 0, params, pW2 + c * hDim, hDim)
+      params(pB2 + c) = b2Init(c)
+    }
+    for (_ <- 1 to steps) {
+      val p = params.clone() // ships once per task via the closure
+      val (grad, n) = data.treeAggregate((new Array[Double](nPar), 0L))(
+        seqOp = { case ((g, cnt), (x, y)) =>
+          // forward
+          val hPre = new Array[Double](hDim)
+          val h = new Array[Double](hDim)
+          var j = 0
+          while (j < hDim) {
+            var acc = p(pB1 + j)
+            var i = 0; while (i < dims) { acc += p(pW1 + j * dims + i) * x(i); i += 1 }
+            hPre(j) = acc; h(j) = math.max(0.0, acc)
+            j += 1
+          }
+          val logits = new Array[Double](k)
+          var c = 0
+          while (c < k) {
+            var acc = p(pB2 + c)
+            var j2 = 0; while (j2 < hDim) { acc += p(pW2 + c * hDim + j2) * h(j2); j2 += 1 }
+            logits(c) = acc
+            c += 1
+          }
+          var lmax = logits(0)
+          c = 1; while (c < k) { if (logits(c) > lmax) lmax = logits(c); c += 1 }
+          var z = 0.0
+          c = 0; while (c < k) { z += math.exp(logits(c) - lmax); c += 1 }
+          // backward: d2 = softmax - onehot(y)
+          val d2 = new Array[Double](k)
+          c = 0
+          while (c < k) {
+            d2(c) = math.exp(logits(c) - lmax) / z - (if (c == y) 1.0 else 0.0)
+            var j2 = 0
+            while (j2 < hDim) { g(pW2 + c * hDim + j2) += d2(c) * h(j2); j2 += 1 }
+            g(pB2 + c) += d2(c)
+            c += 1
+          }
+          j = 0
+          while (j < hDim) {
+            if (hPre(j) > 0) { // relu mask
+              var dh = 0.0
+              var c2 = 0; while (c2 < k) { dh += p(pW2 + c2 * hDim + j) * d2(c2); c2 += 1 }
+              var i = 0; while (i < dims) { g(pW1 + j * dims + i) += dh * x(i); i += 1 }
+              g(pB1 + j) += dh
+            }
+            j += 1
+          }
+          (g, cnt + 1L)
+        },
+        combOp = { case ((g1, n1), (g2, n2)) =>
+          var i = 0; while (i < nPar) { g1(i) += g2(i); i += 1 }
+          (g1, n1 + n2)
+        },
+        depth = 2)
+      var i = 0
+      while (i < nPar) { params(i) -= lr * grad(i) / n; i += 1 }
+    }
+    data.unpersist(blocking = false)
+    (Array.tabulate(hDim)(j => java.util.Arrays.copyOfRange(params, pW1 + j * dims, pW1 + (j + 1) * dims)),
+      java.util.Arrays.copyOfRange(params, pB1, pB1 + hDim),
+      Array.tabulate(k)(c => java.util.Arrays.copyOfRange(params, pW2 + c * hDim, pW2 + (c + 1) * hDim)),
+      java.util.Arrays.copyOfRange(params, pB2, pB2 + k))
+  }
 }

@@ -87,6 +87,22 @@ object MlOps {
     BigDecimal(math.sin(4000.0 + c + 1.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
+  /** Training-init twin of the inference MLP parameters: the same
+    * seeded sin() recipe scaled by 0.1 (small weights → near-uniform
+    * softmax at step 0, the standard-init regime where GD makes
+    * visible progress in few steps), at the training shape
+    * (8 hidden, 4 classes). */
+  val mlpGdW1Init: Array[Array[Double]] =
+    Array.tabulate(8)(h => Array.tabulate(64)(i =>
+      BigDecimal(0.1 * math.sin(5000.0 + h * 64 + i + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  val mlpGdB1Init: Array[Double] = Array.fill(8)(0.0)
+  val mlpGdW2Init: Array[Array[Double]] =
+    Array.tabulate(4)(c => Array.tabulate(8)(h =>
+      BigDecimal(0.1 * math.sin(6000.0 + c * 8 + h + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  val mlpGdB2Init: Array[Double] = Array.fill(4)(0.0)
+
   private def vecSqlLit(v: Array[Double]): String =
     v.map(w => BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
       .mkString("[", ", ", "]")
@@ -213,6 +229,33 @@ object MlOps {
       }.toIndexedSeq
       import s.implicits._
       rows.toDF("dim", "weight").orderBy("dim")
+    }),
+    "ml_train_mlp_gd" -> ((s, d) => {
+      // ✘ no oracle — per-layer BACKPROP through the 2-layer MLP (the
+      // reference's backward() beyond ml_train_logreg_gd's single
+      // layer): 5 full-batch GD steps on relu-hidden softmax-CE, k=4
+      // classes over 8 hidden units, distributed via the same
+      // treeAggregate loop. Checked in NoOracleSpec against a
+      // sequential driver reference (same math, row order) with a
+      // monotone-loss assertion. Init = the inference MLP's seeded sin
+      // recipe scaled by 0.1 (near-uniform softmax at step 0).
+      val data = Tables.embeddings(s, d)
+        .select(col("embedding"), (col("label") % 4).as("y"))
+      val (w1, b1, w2, b2) = MlPipeline.trainMlpGD(data, "embedding", "y",
+        steps = 5, lr = 0.5, dims = 64,
+        mlpGdW1Init, mlpGdB1Init, mlpGdW2Init, mlpGdB2Init)
+      val r6 = (v: Double) =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows =
+        (for (j <- w1.indices; i <- w1(j).indices)
+          yield ("w1", j.toLong, i.toLong, r6(w1(j)(i)))) ++
+        b1.indices.map(j => ("b1", j.toLong, 0L, r6(b1(j)))) ++
+        (for (c <- w2.indices; j <- w2(c).indices)
+          yield ("w2", c.toLong, j.toLong, r6(w2(c)(j)))) ++
+        b2.indices.map(c => ("b2", c.toLong, 0L, r6(b2(c))))
+      import s.implicits._
+      rows.toIndexedSeq.toDF("part", "row", "col", "weight")
+        .orderBy("part", "row", "col")
     }),
     "ml_feature_extract" -> ((s, d) => {
       Tables.embeddings(s, d).select(

@@ -155,6 +155,76 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_train_mlp_gd matches a sequential backprop reference and loss decreases") {
+    // Reference: identical 5-step full-batch backprop computed
+    // sequentially on the driver — same forward (relu hidden,
+    // max-subtracted softmax), same per-layer gradients, same update.
+    // treeAggregate may reassociate the gradient sums by ulps, so the
+    // comparison is at 1e-5, and the declared key rounds to 6 dp.
+    import ml.MlOps.{mlpGdW1Init, mlpGdB1Init, mlpGdW2Init, mlpGdB2Init}
+    val dims = 64; val hDim = 8; val k = 4
+    val rows = Tables.embeddings(spark, sf)
+      .select("embedding", "label").collect()
+      .map(r => (r.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray,
+        r.getInt(1) % 4))
+    val n = rows.length
+    val w1 = mlpGdW1Init.map(_.clone()); val b1 = mlpGdB1Init.clone()
+    val w2 = mlpGdW2Init.map(_.clone()); val b2 = mlpGdB2Init.clone()
+    def forward(x: Array[Double]): (Array[Double], Array[Double], Array[Double]) = {
+      val hPre = Array.tabulate(hDim)(j =>
+        b1(j) + (0 until dims).map(i => w1(j)(i) * x(i)).sum)
+      val h = hPre.map(math.max(0.0, _))
+      val logits = Array.tabulate(k)(c =>
+        b2(c) + (0 until hDim).map(j => w2(c)(j) * h(j)).sum)
+      val lmax = logits.max
+      val z = logits.map(l => math.exp(l - lmax)).sum
+      (hPre, h, logits.map(l => math.exp(l - lmax) / z))
+    }
+    def loss(): Double = rows.map { case (x, y) =>
+      -math.log(forward(x)._3(y) + 1e-12)
+    }.sum / n
+    val losses = scala.collection.mutable.ArrayBuffer(loss())
+    for (_ <- 1 to 5) {
+      val gW1 = Array.fill(hDim)(new Array[Double](dims)); val gB1 = new Array[Double](hDim)
+      val gW2 = Array.fill(k)(new Array[Double](hDim)); val gB2 = new Array[Double](k)
+      rows.foreach { case (x, y) =>
+        val (hPre, h, p) = forward(x)
+        val d2 = Array.tabulate(k)(c => p(c) - (if (c == y) 1.0 else 0.0))
+        for (c <- 0 until k) {
+          for (j <- 0 until hDim) gW2(c)(j) += d2(c) * h(j)
+          gB2(c) += d2(c)
+        }
+        for (j <- 0 until hDim if hPre(j) > 0) {
+          val dh = (0 until k).map(c => w2(c)(j) * d2(c)).sum
+          for (i <- 0 until dims) gW1(j)(i) += dh * x(i)
+          gB1(j) += dh
+        }
+      }
+      for (j <- 0 until hDim) {
+        for (i <- 0 until dims) w1(j)(i) -= 0.5 * gW1(j)(i) / n
+        b1(j) -= 0.5 * gB1(j) / n
+      }
+      for (c <- 0 until k) {
+        for (j <- 0 until hDim) w2(c)(j) -= 0.5 * gW2(c)(j) / n
+        b2(c) -= 0.5 * gB2(c) / n
+      }
+      losses += loss()
+    }
+    losses.toSeq.sliding(2).foreach { pr =>
+      assert(pr(1) <= pr(0) + 1e-12, s"loss rose: ${pr(0)} -> ${pr(1)}")
+    }
+    val dist = SparkEntry.queries("ml_train_mlp_gd")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(dist.size == hDim * dims + hDim + k * hDim + k)
+    def check(part: String, r: Int, c: Int, ref: Double): Unit =
+      assert(math.abs(dist((part, r.toLong, c.toLong)) - ref) < 1e-5,
+        s"$part($r,$c): dist=${dist((part, r.toLong, c.toLong))} ref=$ref")
+    for (j <- 0 until hDim; i <- 0 until dims) check("w1", j, i, w1(j)(i))
+    for (j <- 0 until hDim) check("b1", j, 0, b1(j))
+    for (c <- 0 until k; j <- 0 until hDim) check("w2", c, j, w2(c)(j))
+    for (c <- 0 until k) check("b2", c, 0, b2(c))
+  }
+
   test("stream_watermark_late returns full hourly coverage in batch mode") {
     val df = SparkEntry.queries("stream_watermark_late")(spark, sf)
     assert(df.count() > 0)
