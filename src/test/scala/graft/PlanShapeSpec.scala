@@ -88,8 +88,21 @@ class PlanShapeSpec extends AnyFunSuite {
         "SURVEY §7.2 #12)"),
     ("sim_knn_ivfpq", "TopKPerGroup",
       "both the ADC shortlist and the final top-k take the bounded-heap " +
-        "operator, never a per-query sort")
+        "operator, never a per-query sort"),
+    ("sim_knn_ivf_probe_only", "TopKPerGroup",
+      "the probe-only IVF key keeps the persisted twin's ranking shape"),
+    ("ml_infer_mlp", "MapPartitions",
+      "the 2-layer forward pass runs through the batched GEMM " +
+        "mapPartitions, not a per-row UDF")
   )
+
+  test("dedup_minhash_probe_only joins are pinned broadcast like the persisted twin") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "dedup_minhash_probe_only")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"probe-only LSH plan fell back to a shuffle join:\n$p")
+    }
+  }
 
   shapeChecks.foreach { case (k, pat, why) =>
     test(s"$k plan contains ${pat.takeWhile(_ != ' ')} ($why)") {
