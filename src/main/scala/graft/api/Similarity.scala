@@ -193,9 +193,15 @@ object Similarity {
     * admission, broadcast allowed-pair equi-join, exact cosine filter.
     * Taking (vecs, radii) lets a threshold descent reuse one cell
     * layout across rungs instead of re-deriving it per threshold. */
-  private def cellBlockedPairsCore(vecs: DataFrame, radii: Array[(Int, Double)],
+  /** The triangle-inequality cell-pair admission test, factored out of
+    * [[cellBlockedPairsCore]]: cell pair (a, b) is admitted iff the
+    * MINIMUM possible angle between their members,
+    * max(0, θ(centroid_a, centroid_b) − r_a − r_b), still fits under
+    * the threshold angle. Driver-side over the radius table (≤ |cells|
+    * rows). */
+  private def allowedCellPairs(radii: Array[(Int, Double)],
       centroids: Array[Array[Float]], minSim: Double,
-      simRound: Option[Int]): DataFrame = {
+      simRound: Option[Int]): Seq[(Int, Int)] = {
     // the output filter compares the ROUNDED sim to minSim, which
     // admits true sims down to minSim − half an ulp of the rounding
     // grid — the pruning bound must use that effective threshold or
@@ -204,11 +210,32 @@ object Similarity {
     val thetaMax = math.acos(math.max(-1.0, math.min(1.0, effMin)))
     def centAng(a: Int, b: Int): Double =
       math.acos(math.max(-1.0, math.min(1.0, Kernels.cosineWith(centroids(a).toSeq, centroids(b)))))
-    val allowedPairs = for {
+    for {
       (ca, ra) <- radii.toSeq; (cb, rb) <- radii.toSeq
       if ca <= cb
       if math.max(centAng(ca, cb) - ra - rb, 0.0) <= thetaMax + AngleEps
     } yield (ca, cb)
+  }
+
+  /** Scale-probe hook (ScaleProbeSpec): the admitted cell pairs for a
+    * corpus under a given codebook — on a clustered corpus this must
+    * track ~|cells| (self pairs + near-neighbor cells), never |cells|²/2,
+    * which is the whole reason the cell-blocked join survives scale. */
+  private[graft] def admittedCellPairs(df: DataFrame, idCol: String,
+      vecCol: String, centroids: Array[Array[Float]], minSim: Double,
+      simRound: Option[Int] = None): Seq[(Int, Int)] = {
+    val vecs = assignCells(df, idCol, vecCol, centroids)
+    allowedCellPairs(collectRadii(vecs), centroids, minSim, simRound)
+  }
+
+  private def cellBlockedPairsCore(vecs: DataFrame, radii: Array[(Int, Double)],
+      centroids: Array[Array[Float]], minSim: Double,
+      simRound: Option[Int]): DataFrame = {
+    // the output filter compares the ROUNDED sim to minSim, which
+    // admits true sims down to minSim − half an ulp of the rounding
+    // grid — the pruning bound must use that effective threshold or
+    // boundary pairs in tight cells would be silently dropped
+    val allowedPairs = allowedCellPairs(radii, centroids, minSim, simRound)
     val spark = vecs.sparkSession
     import spark.implicits._
     val allowed = allowedPairs.toDF("_ca", "_cbAllowed")

@@ -124,6 +124,87 @@ class ScaleProbeSpec extends AnyFunSuite {
     assertSubQuadratic(docs, truePairs, n)
   }
 
+  test("embedding cell-blocking admits ~|cells| cell pairs on a clustered corpus (100k vecs)") {
+    // The embedding-family twin of the PPJoin bound: on a clustered
+    // corpus (the regime the 100 TB dedup story assumes — tight
+    // thresholds like 0.99 over near-duplicate content), the
+    // triangle-inequality admission must keep the cell-pair join at
+    // ~|cells| pairs, never |cells|²/2 — THE property that stops the
+    // exact cosine join from going corpus×corpus.
+    //
+    // Corpus: 64 random centroids in 16 dims with TIGHT clusters:
+    // member = normalize(centroid + 0.04·gaussian) via a per-id seeded
+    // java.util.Random stream (noise independent across vectors — a
+    // phase-parameterized deterministic noise would manufacture
+    // correlated accidental near-dups). The 0.04 scale keeps cell
+    // radii ≈ 0.22 rad, so the admission cutoff θmax + 2r ≈ 0.58 rad
+    // (cos ≈ 0.84) sits > 3σ into the random-centroid cosine
+    // distribution (std = 1/√16 = 0.25) and cross pairs prune;
+    // looser clusters (0.08) put the cutoff inside the bulk and the
+    // admission honestly degenerates — the geometry, not the code,
+    // decides. 1600 members/cell = 102,400 vectors. Engineered dups:
+    // ids with id % 50 == 1 perturb id−1 by 0.002 (cosine ≈ 1 ≫
+    // 0.99); ordinary co-members sit near cos(0.22·√2) ≈ 0.95 < 0.99.
+    // By-chance co-member dups above 0.99 can occur and are harmless:
+    // the operator is exact, so they are TRUE pairs — the assertions
+    // check containment and cluster-locality, not exact equality.
+    val s = spark
+    import s.implicits._
+    val cells = 64; val per = 1600; val dims = 16
+    val n = cells * per
+    def normalize(v: Array[Float]): Array[Float] = {
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / nrm).toFloat)
+    }
+    val cents = Array.tabulate(cells) { k =>
+      val r = new java.util.Random(900000L + k)
+      normalize(Array.fill(dims)(r.nextGaussian().toFloat))
+    }
+    def member(id: Long, base: Array[Float], noise: Double): Array[Float] = {
+      val r = new java.util.Random(id * 2654435761L + 17)
+      normalize(Array.tabulate(dims)(i =>
+        (base(i) + noise * r.nextGaussian()).toFloat))
+    }
+    val vecsLocal = new Array[(Long, Array[Float])](n)
+    var id = 0L
+    while (id < n) {
+      val c = (id / per).toInt
+      val v =
+        if (id % 50 == 1) member(id, vecsLocal((id - 1).toInt)._2, 0.002)
+        else member(id, cents(c), 0.04)
+      vecsLocal(id.toInt) = (id, v)
+      id += 1
+    }
+    val df = spark.createDataset(vecsLocal.toIndexedSeq.map {
+      case (i, v) => (i, v.toSeq) }).toDF("id", "vec")
+      .repartition(4)
+    val truePairs = (1L until n by 50).map(i => (i - 1, i)).toSet
+
+    // 1. the admission bound itself: ≤ 2·|cells| admitted pairs
+    //    (64 self pairs + the odd by-chance close centroid pair) vs
+    //    the 2,080 unpruned possibilities
+    val admitted = graft.api.Similarity.admittedCellPairs(
+      df, "id", "vec", cents, 0.99, simRound = Some(4))
+    assert(admitted.size <= 2 * cells,
+      s"cell admission degenerated: ${admitted.size} pairs admitted " +
+        s"of ${cells * (cells + 1) / 2} — the blocked join is going corpus×corpus")
+    assert((0 until cells).forall(c => admitted.contains((c, c))),
+      "a self cell pair is missing — within-cell dups would be dropped")
+
+    // 2. completeness through the pruning: every engineered dup found,
+    //    and nothing crosses clusters (cross-centroid cosine ≈ 0)
+    val found = graft.api.Similarity.cosinePairsAboveCellBlocked(
+        df, "id", "vec", 0.99, cents, simRound = Some(4))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dropped = truePairs -- found
+    assert(dropped.isEmpty,
+      s"pruning dropped ${dropped.size} true dup pairs, e.g. ${dropped.take(3)}")
+    val crossCluster = found.filter { case (a, b) => a / per != b / per }
+    assert(crossCluster.isEmpty,
+      s"found ${crossCluster.size} impossible cross-cluster pairs, " +
+        s"e.g. ${crossCluster.take(3)}")
+  }
+
   test("packShards assignment is invariant to bandChars (banded cumsum == one window)") {
     // sizes ~U[1, 600] against a 2048 budget: straddling docs occur at
     // almost every shard boundary, in every group
