@@ -116,9 +116,8 @@ object Dedup {
     // materializes the shingle hashing exactly once — lazy would leave
     // the branches racing to compute the shared blocks in parallel
     // stages, each potentially running the full hashing
-    val sized = hashed.filter(size(col("_h")) > 0)
-      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
-      .localCheckpoint()
+    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
     val cand = jaccardCandStage(sized, threshold, pin)
     val docs = sized.select(col("_id"), col("_h"))
     cand
@@ -260,9 +259,8 @@ object Dedup {
     val hashed = fanout(df).select(col(idCol).as("_id"),
       partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
-    val sized = hashed.filter(size(col("_h")) > 0)
-      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
-      .localCheckpoint()
+    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
     jaccardCandStage(sized, threshold, pin)
   }
 
@@ -314,13 +312,12 @@ object Dedup {
       s"jaccard threshold must be in (0, 1], got $threshold")
     def pin(side: DataFrame): DataFrame =
       if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
-    def hashed(df: DataFrame): DataFrame = fanout(df)
+    def hashed(df: DataFrame): DataFrame = Checkpoints.pin(fanout(df)
       .select(col(idCol).as("_id"),
         partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
         Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
       .filter(size(col("_h")) > 0)
-      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz"))
-      .localCheckpoint()
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
     val idx = hashed(index)
     val prb = hashed(probe)
     val idxPosts = idx.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
@@ -395,12 +392,10 @@ object Dedup {
     // strategy above makes losing their size estimates harmless, and
     // the fanout BEFORE the UDFs spreads the hashing across cores
     // instead of computing it inside a single-partition scan task
-    val docs = fanout(df).select(col(idCol).as("_id"),
-      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
-      .localCheckpoint()
-    val sigs = docs.select(col("_id"),
-      Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
-      .localCheckpoint()
+    val docs = Checkpoints.pin(fanout(df).select(col(idCol).as("_id"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th")))
+    val sigs = Checkpoints.pin(docs.select(col("_id"),
+      Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig")))
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(col("_sig")).as(Seq("_band", "_bh")))
     val x = banded.select(col("_id").as("id1"), col("_sig").as("_sig1"),
@@ -446,9 +441,8 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 8,
       broadcastJoins: Boolean = true): DataFrame = {
     def prep(df: DataFrame): (DataFrame, DataFrame) = {
-      val docs = fanout(df).select(col(idCol).as("_id"),
-        Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
-        .localCheckpoint()
+      val docs = Checkpoints.pin(fanout(df).select(col(idCol).as("_id"),
+        Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th")))
       val banded = docs.select(col("_id"),
           Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
         .select(col("_id"), col("_sig"), posexplode(col("_sig")).as(Seq("_band", "_bh")))
@@ -491,9 +485,8 @@ object Dedup {
       idxBanded: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
       broadcastJoins: Boolean = true): DataFrame = {
-    val prbDocs = fanout(probe).select(col(idCol).as("_id"),
-      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
-      .localCheckpoint()
+    val prbDocs = Checkpoints.pin(fanout(probe).select(col(idCol).as("_id"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th")))
     val prbBanded = prbDocs.select(col("_id"),
         Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
       .select(col("_id"), col("_sig"), posexplode(col("_sig")).as(Seq("_band", "_bh")))
@@ -592,7 +585,9 @@ object Dedup {
     * forces both steps to have been the identity, which forces
     * component-constant labels = the reachable minimum.
     *
-    * `localCheckpoint` cuts the growing lineage each round, and the
+    * An eager checkpoint ([[Checkpoints.pin]] — local blocks by
+    * default, reliable files under `spark.graft.checkpoint.reliable`)
+    * cuts the growing lineage each round, and the
     * convergence probe rides the SAME action via `observe` — Σlabel is
     * strictly monotone until the fixpoint, and the checkpoint job's
     * CollectMetrics yields it for free: exactly ONE job per round, no
@@ -620,8 +615,8 @@ object Dedup {
     // stages racing to compute a shared lazy upstream (e.g. the whole
     // near-dup verify pipeline) can each run it in full — measured as
     // a 10 s → 37 s swing on dedup_clusters depending on stage timing
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .localCheckpoint()
+    val edges = Checkpoints.pin(
+      pairs.select(col("id1").as("a"), col("id2").as("b")))
     // SMALL-GRAPH FAST PATH — the broadcast-join analogue for CC: a
     // near-dup pair graph is usually orders of magnitude smaller than
     // the corpus that produced it, and below this edge budget a driver
@@ -643,16 +638,13 @@ object Dedup {
       val head = edges.limit(cap).collect()
       if (head.length < cap) {
         try return localUnionFind(head, edges.schema("a").dataType, spark, n)
-        finally { edges.queryExecution.logical match {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-          case _ => ()
-        } }
+        finally Checkpoints.free(edges)
       }
     }
     // hash-partition the (static) edge list by the probe key ONCE; each
     // round's join then only shuffles the much smaller label table
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      .repartition(n, col("b")).localCheckpoint()
+    val sym = Checkpoints.pin(edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(n, col("b")))
     // the eager checkpoint IS the round's one action; Σlabel rides it
     // as an observed metric instead of costing a second job. The sum is
     // taken as decimal(38,0), not long: labels are node ids, and a raw
@@ -660,18 +652,27 @@ object Dedup {
     // the strict-monotonicity argument the early-exit relies on.
     def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation()
-      val ck = df.observe(obs, coalesce(sum(col("label").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("lsum"))
-        .localCheckpoint()
+      val ck = Checkpoints.pin(
+        df.observe(obs, coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("lsum")))
       (ck, obs.get("lsum").asInstanceOf[java.math.BigDecimal])
     }
-    // free a superseded round's checkpoint blocks instead of leaving
-    // them to GC-driven cleanup — a long loop would otherwise pin every
-    // round's label table in executor storage
-    def freeCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      case _ => ()
-    }
+    // free a superseded round's checkpoint blocks (and files, in the
+    // reliable posture) instead of leaving them to GC-driven cleanup —
+    // a long loop would otherwise pin every round's label table
+    def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
+    // TEST HOOK — simulate executor loss / memory-pressure eviction:
+    // with spark.graft.cc.testEvictEachRound=true every round drops ALL
+    // persisted blocks after its checkpoint. In the reliable posture
+    // the loop still converges (data lives in checkpoint FILES, not
+    // blocks); in the local posture the next round's read of an evicted
+    // localCheckpoint block fails unrecoverably — exactly the 100 TB
+    // failure mode the conf exists to close. CheckpointPostureSpec
+    // asserts both sides of that contrast.
+    val evictEachRound =
+      spark.conf.get("spark.graft.cc.testEvictEachRound", "false").toBoolean
+    def maybeEvict(): Unit = if (evictEachRound)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     // round 1 needs no join: labels are the ids themselves, so the
     // neighbor-min is a single aggregate over the edge list
     // every checkpoint pinned by the loop is released on ALL exit
@@ -687,6 +688,7 @@ object Dedup {
       .agg(least(min(col("a")), col("b")).as("label"))
       .select(col("b").as("id"), col("label")))
     labels = l0
+    maybeEvict()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -713,6 +715,7 @@ object Dedup {
       val (next, s) = checkpointWithSum(short)
       freeCheckpoint(labels)
       labels = next
+      maybeEvict()
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1

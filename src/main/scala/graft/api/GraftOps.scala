@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * collects. The multi-branch dedup constructors (`minhashPairs`,
   * `nearJaccardPairs`/`ngramJaccardPairs`, `jaccardPairsAgainstIndex`,
   * `connectedComponents`) materialize their shared hash tables EAGERLY
-  * at call time (localCheckpoint) — building the frame runs those
+  * at call time (Checkpoints.pin) — building the frame runs those
   * jobs; see the r4 known-trap on lazy-checkpoint races for why.
   */
 private[graft] object Fanout {
@@ -50,13 +50,13 @@ private[graft] object Fanout {
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 }
-/** Lifecycle for the eager `localCheckpoint`s some constructors pin.
+/** Lifecycle and POSTURE for the eager checkpoints some constructors pin.
   *
   * RETENTION CONTRACT: `Dedup.minhashPairs`, `minhashPairsAgainstIndex`,
   * `jaccardPairsFromHashes` (via `nearJaccardPairs` / `ngramJaccardPairs`),
   * `jaccardPairsAgainstIndex`, and `Similarity.cosineTopKPairsBlocked`
   * (the `sim_knn_bruteforce` key) materialize their hashed-doc /
-  * signature / cell-layout tables with eager local checkpoints at CALL
+  * signature / cell-layout tables with eager checkpoints at CALL
   * time (to run the expensive hashing once across plan branches). Those
   * blocks stay
   * pinned in executor storage until the returned frame is garbage
@@ -64,15 +64,66 @@ private[graft] object Fanout {
   * session constructing many pipelines should release them
   * deterministically with `Checkpoints.free(result)` once the result is
   * fully materialized (written / collected / checkpointed itself).
-  * Freeing earlier BREAKS the frame: a local checkpoint truncates
-  * lineage, so its blocks cannot be recomputed. */
+  * Freeing earlier BREAKS the frame: a checkpoint truncates
+  * lineage, so its blocks cannot be recomputed.
+  *
+  * POSTURE (`spark.graft.checkpoint.reliable`, default `false`):
+  * - `false` — `localCheckpoint()`: blocks live in executor storage
+  *   with NO lineage behind them. Fastest on a single node, but a lost
+  *   executor or a memory-pressure eviction makes the block
+  *   unrecoverable ("Checkpoint block rdd_N_M not found") and kills
+  *   every job that still references it. The right default for
+  *   `local[*]`, where executor loss cannot happen.
+  * - `true` — the CLUSTER posture: reliable `checkpoint()` to the
+  *   directory in `spark.graft.checkpoint.dir` (set it to durable
+  *   shared storage — HDFS/object store — on a real cluster; defaults
+  *   to a process-local temp dir so local runs work out of the box).
+  *   Lineage is truncated the same way (the loop-carried plans stay
+  *   O(1) per round), but the data lives in FILES: an executor loss or
+  *   block eviction recomputes nothing and loses nothing — tasks
+  *   re-read the checkpoint. The cost is one write+read round trip per
+  *   pinned frame, which for the loop-carried label/edge tables is
+  *   marginal next to the joins they feed. */
 object Checkpoints {
-  /** Unpersist every localCheckpoint block in `df`'s lineage. Call only
+  private[graft] def reliable(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.checkpoint.reliable", "false").toBoolean
+
+  private def ensureDir(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      sc.setCheckpointDir(dir)
+    }
+  }
+
+  /** Materialize `df` exactly once (eagerly) under the session's
+    * checkpoint posture — `localCheckpoint()` by default, a reliable
+    * file-backed `checkpoint()` when `spark.graft.checkpoint.reliable`
+    * is true. All loop-carried and multi-branch frames in the dedup /
+    * CC / ANN constructors pin through here, so ONE conf flips the
+    * whole library to the fault-tolerant cluster posture. */
+  def pin(df: DataFrame): DataFrame =
+    if (reliable(df.sparkSession)) { ensureDir(df.sparkSession); df.checkpoint() }
+    else df.localCheckpoint()
+
+  /** Unpersist every checkpoint block in `df`'s lineage (and delete the
+    * checkpoint files, for reliably-checkpointed frames). Call only
     * after `df` (and anything else derived from the same constructor
     * call) has been fully materialized and is no longer needed. */
   def free(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+        // reliable-posture frames also hold files in the checkpoint
+        // dir; best-effort delete so a long session cannot fill disk
+        lr.rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case _: Throwable => () }
+        }
       case _ => ()
     }
 }

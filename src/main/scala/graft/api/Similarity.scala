@@ -71,7 +71,7 @@ object Similarity {
     // one cell layout shared by both passes (materialized now; freed by
     // the caller via Checkpoints.free after consuming the result, like
     // the dedup operators' shared tables)
-    val vecs = assignCells(df, idCol, vecCol, centroids).localCheckpoint()
+    val vecs = Checkpoints.pin(assignCells(df, idCol, vecCol, centroids))
     val radii = collectRadii(vecs)
     val a = vecs.select(col("_vid").as("id1"), col("_v").as("_va"), col("_cell"))
     val b = vecs.select(col("_vid").as("id2"), col("_v").as("_vb"), col("_cell"))
