@@ -298,6 +298,8 @@ object MlPipeline {
           (g1, n1 + n2)
         },
         depth = 2)
+      // same 0/0 -> all-NaN hazard as trainMlpGD: fail loudly instead
+      require(n > 0, "trainLogisticGD: empty training input (0 rows)")
       var i = 0
       while (i < dims) { w(i) -= lr * grad(i) / n; i += 1 }
     }
@@ -355,6 +357,11 @@ object MlPipeline {
       val p = params.clone() // ships once per task via the closure
       val (grad, n) = data.treeAggregate((new Array[Double](nPar), 0L))(
         seqOp = { case ((g, cnt), (x, y)) =>
+          // fail loudly on an out-of-range label: onehot(y) would
+          // otherwise silently treat it as all-negative and corrupt
+          // every gradient (r13 ADVICE)
+          require(y >= 0 && y < k,
+            s"label $y outside [0, $k) — remap labels before training")
           // forward
           val hPre = new Array[Double](hDim)
           val h = new Array[Double](hDim)
@@ -404,6 +411,9 @@ object MlPipeline {
           (g1, n1 + n2)
         },
         depth = 2)
+      // an empty input would make every update 0/0 -> all-NaN params
+      // with no error anywhere downstream (r13 ADVICE)
+      require(n > 0, "trainMlpGD: empty training input (0 rows)")
       var i = 0
       while (i < nPar) { params(i) -= lr * grad(i) / n; i += 1 }
     }

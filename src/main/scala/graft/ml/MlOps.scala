@@ -170,12 +170,29 @@ object MlOps {
     }),
     "ml_infer_mlp" -> ((s, d) => {
       // the stacked net.forward() the reference family actually ran
-      // (SURVEY §0.1 step 3): batch GEMM → relu → GEMM → softmax over
-      // fixed seeded weights — two dgemm calls per 256-row batch, the
-      // multi-layer completion of the linear/multiclass GEMM twins.
-      // fanout=false for the same measured reason as the multiclass
-      // key (a columnar scan at scale arrives pre-split by row group).
-      // ApiParitySpec asserts 4 dp parity vs the sequential UDF path.
+      // (SURVEY §0.1 step 3): GEMM → relu → GEMM → softmax over fixed
+      // seeded weights. ORACLE-GATED ON THE SEQUENTIAL UDF PATH
+      // (r13 ADVICE): mlpScore accumulates every sum in ascending
+      // index order, bit-matched to the DuckDB list-lambda twin, so
+      // the gate cannot flip on a BLAS backend's reassociation at a
+      // 4 dp rounding boundary. The batched dual-dgemm path is the
+      // declared no-oracle twin `ml_infer_mlp_gemm`, held to this
+      // key's output by NoOracleSpec + ApiParitySpec.
+      MlPipeline.mlpScore(Tables.embeddings(s, d),
+          "vec_id", "embedding", mlpW1, mlpB1, mlpW2, mlpB2)
+        .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))
+        .orderBy("vec_id")
+    }),
+    "ml_infer_mlp_gemm" -> ((s, d) => {
+      // ✘ no oracle — the batched twin: two dgemm calls per 256-row
+      // batch (the reference's minibatch stacked forward), declared so
+      // the bench artifact carries the per-row vs batched comparison
+      // at the 2-layer shape. GEMM reassociation can move raw sums by
+      // ulps through two layers, so the hard gate is 4 dp parity vs
+      // the sequential `ml_infer_mlp` key (NoOracleSpec), not the
+      // DuckDB hash compare. fanout=false for the same measured
+      // reason as the multiclass key (a columnar scan at scale
+      // arrives pre-split by row group).
       MlPipeline.mlpScoreBatchGemm(Tables.embeddings(s, d),
           "vec_id", "embedding", mlpW1, mlpB1, mlpW2, mlpB2, fanout = false)
         .select(col("vec_id"), col("pred"), Canon.r4(col("p_max")).as("p_max"))

@@ -155,6 +155,19 @@ class NoOracleSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_infer_mlp_gemm equals the oracle-gated sequential ml_infer_mlp key exactly") {
+    // the batched dual-dgemm forward pass vs the sequential UDF path,
+    // compared AT THE DECLARED OUTPUT (4 dp-rounded p_max): BLAS
+    // reassociation may move raw sums by ulps, but after the shared
+    // rounding the two keys must emit identical rows — this parity is
+    // the no-oracle key's hard gate (r13 ADVICE: the DuckDB hash gate
+    // stays on the bit-matched sequential path only).
+    val seqRows = SparkEntry.queries("ml_infer_mlp")(spark, sf).collect()
+    val gemmRows = SparkEntry.queries("ml_infer_mlp_gemm")(spark, sf).collect()
+    assert(seqRows.nonEmpty)
+    assert(seqRows.map(_.toString).toSeq == gemmRows.map(_.toString).toSeq)
+  }
+
   test("ml_train_mlp_gd matches a sequential backprop reference and loss decreases") {
     // Reference: identical 5-step full-batch backprop computed
     // sequentially on the driver — same forward (relu hidden,

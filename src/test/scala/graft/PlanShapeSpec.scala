@@ -91,10 +91,20 @@ class PlanShapeSpec extends AnyFunSuite {
         "operator, never a per-query sort"),
     ("sim_knn_ivf_probe_only", "TopKPerGroup",
       "the probe-only IVF key keeps the persisted twin's ranking shape"),
-    ("ml_infer_mlp", "MapPartitions",
-      "the 2-layer forward pass runs through the batched GEMM " +
+    ("ml_infer_mlp_gemm", "MapPartitions",
+      "the batched 2-layer forward pass runs through the GEMM " +
         "mapPartitions, not a per-row UDF")
   )
+
+  test("dedup_near_jaccard_shuffle pins the no-broadcast 100TB posture") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "dedup_near_jaccard_shuffle")
+      assert(p.contains("ShuffledHashJoin"),
+        s"expected SHUFFLE_HASH-pinned joins in the no-broadcast posture:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"a corpus-sized side got broadcast despite the pinned posture:\n$p")
+    }
+  }
 
   test("dedup_minhash_probe_only joins are pinned broadcast like the persisted twin") {
     TestSpark.withExtSession { s =>
