@@ -339,4 +339,36 @@ object TextAnalysis {
         .cast("binary")).as("set_fp"),
       Kernels.rollingFingerprintUdf(col(textCol)).as("roll_fp"),
       size(array_distinct(split(col(textCol), " "))).cast("long").as("n_distinct"))
+
+  /** PII span patterns, ASCII-only so Java regex (Spark codegen) and
+    * RE2-family engines (DuckDB, Trino, Go) agree on every span: no
+    * alternation (where leftmost-first vs leftmost-longest diverge),
+    * no lookaround (RE2 lacks it), only greedy quantifiers over
+    * disjoint character classes. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val PiiIpv4  = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PiiIdRun = "\\b\\d{9,}\\b"
+
+  /** Scrub PII-shaped spans with typed mask tokens — the standard
+    * pre-training redaction pass. One codegen'd regexp_replace chain
+    * per row (no UDF, no shuffle: stays inside WholeStageCodegen with
+    * whatever scan feeds it). Replacement order is load-bearing:
+    * email first (its local-part may contain digit runs), phone and
+    * IPv4 before the bare digit-run so their octet/group digits are
+    * not half-eaten as IDs. Emits the redacted text plus per-type
+    * match counts (counted on the ORIGINAL text, independently per
+    * pattern) so a pipeline can quarantine PII-dense documents. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clean = Seq(PiiEmail -> "<EMAIL>", PiiPhone -> "<PHONE>",
+      PiiIpv4 -> "<IP>", PiiIdRun -> "<ID>")
+      .foldLeft(col(textCol)) { case (c, (pat, mask)) =>
+        regexp_replace(c, pat, mask)
+      }
+    df.select(col(idCol), clean.as("clean"),
+      regexp_count(col(textCol), lit(PiiEmail)).cast("long").as("n_email"),
+      regexp_count(col(textCol), lit(PiiPhone)).cast("long").as("n_phone"),
+      regexp_count(col(textCol), lit(PiiIpv4)).cast("long").as("n_ip"),
+      regexp_count(col(textCol), lit(PiiIdRun)).cast("long").as("n_id"))
+  }
 }

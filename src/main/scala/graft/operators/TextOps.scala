@@ -135,6 +135,22 @@ object TextOps {
         .select("doc_id", "set_fp", "n_distinct")
         .orderBy("doc_id")
     }),
+    "text_pii_redact" -> ((s, d) => {
+      // PII scrub (api.TextAnalysis.piiScrub): the fixture corpus
+      // carries no PII, so the binding first plants one deterministic
+      // email / phone / IPv4 / 12-digit account per doc (derived from
+      // doc_id, mirrored exactly in the oracle SQL) — the regex chain
+      // is exercised against real positive spans, not a no-op pass.
+      val planted = Tables.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        lit(" ph 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" acct "), lpad(col("doc_id").cast("string"), 12, "0")
+      ).as("text"))
+      TextAnalysis.piiScrub(planted, "doc_id", "text").orderBy("doc_id")
+    }),
     "data_sample_hash" -> ((s, d) => {
       // reproducible ~10% subsample by id-hash threshold — partition-
       // and engine-independent, unlike RNG sample()
@@ -556,6 +572,26 @@ object TextOps {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_fp,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH planted AS (SELECT doc_id,
+        |  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |       || ' ph 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |       || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |       || ' acct ' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS text
+        |FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{9,}\b', '<ID>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS n_id
+        |FROM planted ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -486,4 +486,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       assert(nKept == toks.count(!sw(_)))
     }
   }
+
+  test("piiScrub: typed masks, pattern precedence, and negative spans") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // email whose local part is all digits must NOT leak as an id run
+      (1L, "mail 123456789@host.example.org end",
+        "mail <EMAIL> end", 1L, 0L, 0L, 1L),
+      // phone groups (3-3-4 digits) must not be eaten by the id-run pass
+      (2L, "call 415-555-0100 now", "call <PHONE> now", 0L, 1L, 0L, 0L),
+      // IPv4 octets redact as one <IP>, not four digit fragments
+      (3L, "host 192.168.100.200 up", "host <IP> up", 0L, 0L, 1L, 0L),
+      // bare long digit run
+      (4L, "acct 004412345678 ok", "acct <ID> ok", 0L, 0L, 0L, 1L),
+      // NEGATIVES: short digit runs, version strings, and digits glued
+      // to letters (no \b boundary) all survive untouched
+      (5L, "v1.2.3 build 12345678 rev abc1234567890",
+        "v1.2.3 build 12345678 rev abc1234567890", 0L, 0L, 0L, 0L),
+      (6L, "all four a1@b.io 212-555-0199 10.0.0.1 999999999 here",
+        "all four <EMAIL> <PHONE> <IP> <ID> here", 1L, 1L, 1L, 1L))
+    val got = graft.api.TextAnalysis
+      .piiScrub(cases.toDF("id", "text", "want", "e", "p", "i", "d"), "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    cases.foreach { case (id, _, want, e, p, i, d) =>
+      assert(got(id) == ((want, e, p, i, d)), s"case $id: got ${got(id)}")
+    }
+  }
 }
