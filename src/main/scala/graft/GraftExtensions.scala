@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSim, FirstEqIndex, JaccardSim, TokenCount}
+import graft.functions.{BloomMightContain, CosineSim, FirstEqIndex, JaccardSim, TokenCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Size, StringSplit}
@@ -39,6 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => TokenCount(exprs.head)))
     ext.injectFunction(fn("graft_first_eq", classOf[FirstEqIndex],
       exprs => FirstEqIndex(exprs(0), exprs(1))))
+    ext.injectFunction(fn("graft_bloom_probe", classOf[BloomMightContain],
+      exprs => BloomMightContain(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => TokenCountRewrite)
     // whole-operator extension: filter(row_number() <= k) over a window
     // becomes the bounded-heap TopKPerGroupExec (no per-partition sort)

@@ -60,4 +60,39 @@ object SkewJoins {
     if (k <= 1) probe.join(build, Seq(key))
     else saltedJoin(probe, build, key, probeUniqueCol, k)
   }
+
+  /** Semi-join with an EXPLICIT bloom-filter runtime pre-filter: the
+    * dim side's keys build a distributed bloom sketch (aggregated on
+    * the executors; only the ~MB bit array reaches the driver), which
+    * probes the fact side as a codegen predicate BEFORE the exact
+    * left-semi join. Answers are identical to the plain semi-join —
+    * bloom false positives are removed by the exact join; false
+    * negatives cannot happen.
+    *
+    * Why at 100 TB: a fact⋉dim semi-join where the dim survives a
+    * selective filter still shuffles the ENTIRE fact side unless the
+    * dim fits the broadcast threshold. The bloom costs one dim-side
+    * aggregate + a rowwise probe at the fact SCAN, so only the ~fpp +
+    * true-match fraction of fact rows reach the exchange — the
+    * explicit, first-run-guaranteed form of Spark's
+    * `runtime.bloomFilter` optimization (which only fires when stats
+    * line up). `fpp` trades sketch size for shuffle savings: 1% keeps
+    * the bit array ≈ 1.2 bytes/key. */
+  def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // expectedNumItems from a cheap distinct-count of the dim keys —
+    // one narrow aggregate; undersizing a bloom silently raises its
+    // real fpp, so this is measured, not guessed
+    val nKeys = math.max(1L,
+      dim.select(col(dimKey)).agg(countDistinct(col(dimKey))).collect()(0).getLong(0))
+    val bloom = dim.stat.bloomFilter(dimKey, nKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    graft.functions.BloomMightContain.register(fact.sparkSession)
+    val probe = call_function("graft_bloom_probe",
+      col(factKey).cast("long"), lit(bos.toByteArray))
+    fact.filter(probe)
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
+  }
 }

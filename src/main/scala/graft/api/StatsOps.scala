@@ -5,6 +5,7 @@ import graft.functions.Kernels
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 object StatsOps {
   /** Exact interpolated percentiles (SQL `quantile_cont` semantics)
@@ -178,6 +179,51 @@ object StatsOps {
       .crossJoin(broadcast(total))
       .filter(col("n") * phi > col("_n_total"))
       .select(col(itemCol), col("n"))
+  }
+
+  /** Pairwise Pearson correlation matrix over fixed-scale numeric
+    * columns, computed from EXACT decimal power sums — the
+    * column-relationship half of a data-profiling pass.
+    *
+    * Why not the built-in `corr`? Its Welford-style co-moment buffers
+    * merge in shuffle-arrival order, so the emitted double can differ
+    * ulp-wise between runs and engines. Here every sum (Σx, Σx², Σxy)
+    * is a DECIMAL aggregate — exact and associative, hence
+    * merge-order-independent — and the textbook closed form
+    * `(n·Σxy − Σx·Σy) / √(n·Σx² − (Σx)²) √(n·Σy² − (Σy)²)` is applied
+    * once to the exact sums, pre-rounded (4 dp) for engine portability.
+    * Inputs must be fixed-scale (money/quantity columns at ≤ `scale`
+    * dp) for the decimal casts to be lossless; a zero-variance column
+    * yields NaN (0/0) for its pairs in any engine — profile such
+    * columns out first.
+    *
+    * Scale shape: ONE full-scan aggregate with map-side partial
+    * combine — state is k + k·(k+1)/2 decimal sums regardless of row
+    * count — and a rowwise explode of the single stats row into the
+    * k·(k−1)/2 pair rows. No shuffle beyond the 1-row aggregate. */
+  def corrMatrixExact(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
+    val dt = DecimalType(18, scale)
+    def dec(c: String): Column = col(c).cast(dt)
+    val sums =
+      Seq(count(lit(1)).cast("double").as("_n")) ++
+      cols.map(c => sum(dec(c)).cast("double").as(s"_s_$c")) ++
+      (for (i <- cols.indices; j <- i until cols.size)
+        yield sum(dec(cols(i)) * dec(cols(j))).cast("double")
+          .as(s"_p_${cols(i)}_${cols(j)}"))
+    val one = df.agg(sums.head, sums.tail: _*)
+    val n = col("_n")
+    def s(c: String) = col(s"_s_$c")
+    def p(a: String, b: String) = col(s"_p_${a}_$b")
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      struct(lit(a).as("col1"), lit(b).as("col2"),
+        Canon.r4((n * p(a, b) - s(a) * s(b)) /
+          (sqrt(n * p(a, a) - s(a) * s(a)) * sqrt(n * p(b, b) - s(b) * s(b))))
+          .as("corr"))
+    }
+    one.select(explode(array(pairs: _*)).as("_r")).select(col("_r.*"))
+      .orderBy("col1", "col2")
   }
 
   /** Pass 1 of [[heavyHittersExact]]: the per-partition Misra–Gries

@@ -312,4 +312,30 @@ object TimeSeriesOps {
       .orderBy(col("n").desc, col("path").asc)
       .limit(k)
   }
+
+  /** First-order Markov transition model over per-key state sequences:
+    * for every observed (state → next state) step, its count and the
+    * row-normalized transition probability P(next | prev) — the
+    * journey-graph summary behind path mining, and the state-machine
+    * sanity check a pipeline runs over its own event logs.
+    *
+    * Scale shape: ONE shuffle on the key for the lag window (ordered
+    * by (ts, id) so ties cannot flip the sequence between runs), then
+    * a partially-aggregated count on the (prev, next) pair — state-pair
+    * cardinality, not event cardinality — and the normalizing sum as a
+    * window over that tiny pair table. Probabilities are pre-rounded
+    * (Canon.r4) so the emitted value is engine-portable. */
+  def markovTransitions(df: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .select(col(keyCol), col(stateCol).as("next_type"), col(tsCol), col(idCol))
+      .withColumn("prev_type", lag(col("next_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+    val wPrev = Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("p", Canon.r4(col("n").cast("double") / sum(col("n")).over(wPrev)))
+      .select("prev_type", "next_type", "n", "p")
+  }
 }

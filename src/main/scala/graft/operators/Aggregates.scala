@@ -281,6 +281,16 @@ object Aggregates {
           "event_type", "event_id", "value")
         .orderBy("event_type", "event_id")
     }),
+    "agg_corr_matrix" -> ((s, d) => {
+      // pairwise Pearson correlations over the lineitem measures from
+      // EXACT decimal power sums (StatsOps.corrMatrixExact): one
+      // full-scan aggregate whose state is a handful of decimal sums,
+      // merge-order-independent where the built-in corr's co-moment
+      // buffers are not — the column-relationship report of a
+      // profiling pass, at any scale, in one pass
+      graft.api.StatsOps.corrMatrixExact(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
     "agg_heavy_hitters" -> ((s, d) => {
       // EXACT frequent tokens (count·30 > N) via per-partition
       // Misra–Gries candidates + exact recount of candidates only
@@ -515,6 +525,28 @@ object Aggregates {
         |FROM events JOIN b USING (event_type)
         |WHERE value < lo OR value > hi
         |ORDER BY event_type, event_id""".stripMargin,
+    // same closed form over the same exact decimal sums — matching it
+    // proves the one-pass power-sum path is merge-order-independent
+    "agg_corr_matrix" ->
+      s"""WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_e,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_qq,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_ee,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_dd,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_qe,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_qd,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_ed
+        |  FROM lineitem)
+        |SELECT col1, col2, corr FROM (
+        |  SELECT 'l_quantity' AS col1, 'l_extendedprice' AS col2,
+        |    ${O.r4("(n*s_qe - s_q*s_e) / (sqrt(n*s_qq - s_q*s_q) * sqrt(n*s_ee - s_e*s_e))")} AS corr FROM s
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    ${O.r4("(n*s_qd - s_q*s_d) / (sqrt(n*s_qq - s_q*s_q) * sqrt(n*s_dd - s_d*s_d))")} FROM s
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    ${O.r4("(n*s_ed - s_e*s_d) / (sqrt(n*s_ee - s_e*s_e) * sqrt(n*s_dd - s_d*s_d))")} FROM s)
+        |ORDER BY col1, col2""".stripMargin,
     // naive GROUP BY twin — matching it proves the sketch-guided
     // two-pass path is exact, not just approximately right
     "agg_heavy_hitters" ->

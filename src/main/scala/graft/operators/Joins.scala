@@ -153,6 +153,23 @@ object Joins {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_regionkey", "n_nationkey")
         .orderBy("r_regionkey", "n_nationkey")
+    }),
+    "join_bloom_prefilter" -> ((s, d) => {
+      // explicit bloom runtime filter (SkewJoins.bloomSemiJoin): the
+      // urgent orders' keys build a distributed bloom sketch that
+      // probes lineitem at the SCAN as a codegen predicate, so only
+      // ~matching rows reach the exact semi-join's exchange — the
+      // first-run-guaranteed form of runtime row filtering for a
+      // fact⋉dim where the dim outgrows the broadcast threshold.
+      // Oracle is the plain semi-join: the bloom must change cost only
+      graft.api.SkewJoins.bloomSemiJoin(
+          Tables.lineitem(s, d),
+          Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select("o_orderkey"),
+          factKey = "l_orderkey", dimKey = "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Canon.sumDec(col("l_extendedprice"), 2).as("rev"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -237,6 +254,14 @@ object Joins {
         |ORDER BY e.event_id""".stripMargin,
     "join_cross_small" ->
       """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
-        |ORDER BY r_regionkey, n_nationkey""".stripMargin
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    // the plain semi-join — matching it proves the bloom pre-filter
+    // changed the plan's cost, never its answer
+    "join_bloom_prefilter" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${O.sumDec("l_extendedprice", 2)} AS rev
+        |FROM lineitem WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

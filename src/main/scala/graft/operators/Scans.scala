@@ -201,6 +201,29 @@ object Scans {
           Canon.tsStrMicros(max(col("ts"))).as("max_ts"))
         .orderBy("event_type")
     }),
+    "data_upsert_merge" -> ((s, d) => {
+      // MERGE INTO semantics (api.Maintenance.upsertMerge): a
+      // deterministic update batch (every 7th order repriced ×1.1 in
+      // exact DECIMAL, every 13th mirrored as a new negative-key
+      // insert at -k-1 — NOT -k: the fixture contains o_orderkey 0,
+      // and -0 = 0 would put key 0 in both branches, an ill-defined
+      // duplicate-key MERGE whose tie order flips between engines)
+      // merged into the orders snapshot with one full-outer
+      // key shuffle — the nightly merge-on-read loop every lakehouse
+      // table runs; the emitted action column audits keep/update/insert
+      val snap = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val priced = (col("o_totalprice").cast("decimal(18,2)")
+        * lit(new java.math.BigDecimal("1.1"))).cast("double")
+      val updates = snap.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lit("U").as("o_orderstatus"), priced.as("o_totalprice"))
+        .unionByName(snap.filter(col("o_orderkey") % 13 === 0)
+          .select((-col("o_orderkey") - 1).as("o_orderkey"), col("o_custkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      graft.api.Maintenance.upsertMerge(snap, updates, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
     "scan_schema_evolution" -> ((s, d) => {
       // schema drift — the certainty of any table ingested for years:
       // generation 1 was written BEFORE a column existed (even orders,
@@ -316,6 +339,28 @@ object Scans {
         |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
         |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same full-outer + coalesce merge over the same deterministic
+    // update batch — matching proves MERGE semantics row-for-row
+    "data_upsert_merge" ->
+      """WITH snap AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |         * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE) AS o_totalprice
+        |  FROM snap WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, o_custkey, 'N', o_totalprice
+        |  FROM snap WHERE o_orderkey % 13 = 0)
+        |SELECT coalesce(u.o_orderkey, s.o_orderkey) AS o_orderkey,
+        |  coalesce(u.o_custkey, s.o_custkey) AS o_custkey,
+        |  coalesce(u.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
+        |  coalesce(u.o_totalprice, s.o_totalprice) AS o_totalprice,
+        |  CASE WHEN s.o_orderkey IS NULL THEN 'insert'
+        |       WHEN u.o_orderkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM snap s FULL OUTER JOIN upd u ON s.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
     // recomputes both generations' contributions from the flat orders
     // table — matching the mergeSchema scan proves drift-tolerant
     // read-back loses nothing and invents nothing

@@ -169,6 +169,14 @@ object Windows {
       graft.api.StatsOps.zscoreFlags(Tables.events(s, d),
           "event_type", "event_id", "value", threshold = 3.0)
         .orderBy("event_type", "event_id")
+    }),
+    "events_markov_transitions" -> ((s, d) => {
+      // first-order journey graph: P(next event type | previous) per
+      // observed transition — one user-keyed lag window, then counts
+      // and the normalizer over the tiny (prev, next) pair table
+      graft.api.TimeSeriesOps.markovTransitions(Tables.events(s, d),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy("prev_type", "next_type")
     })
   )
 
@@ -322,6 +330,16 @@ object Windows {
         |      FROM events JOIN s USING (event_type)
         |      WHERE sd > 0)
         |SELECT event_type, event_id, value, z FROM j
-        |WHERE abs(z) >= 3.0 ORDER BY event_type, event_id""".stripMargin
+        |WHERE abs(z) >= 3.0 ORDER BY event_type, event_id""".stripMargin,
+    "events_markov_transitions" ->
+      s"""WITH seq AS (SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, next_type, count(*) AS n
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  ${O.r4("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
+        |FROM c ORDER BY prev_type, next_type""".stripMargin
   )
 }

@@ -514,4 +514,94 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       assert(got(id) == ((want, e, p, i, d)), s"case $id: got ${got(id)}")
     }
   }
+
+  test("bloomSemiJoin: identical answer to the plain semi-join; false positives exist and are removed") {
+    val s = spark
+    import s.implicits._
+    // dim = 200 member keys; fact probes 20x that range, so at fpp=0.2
+    // the bloom WILL pass non-members — the exact join must strip them
+    val dim = (0L until 1000L by 5).toDF("k")
+    val fact = (0L until 4000L).map(i => (i, i % 7)).toDF("k", "v")
+    val viaBloom = graft.api.SkewJoins.bloomSemiJoin(fact, dim, "k", "k", fpp = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val plain = fact.join(dim, Seq("k"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(viaBloom.sameElements(plain),
+      s"bloom path diverged: ${viaBloom.length} vs ${plain.length} rows")
+    // the pre-filter alone: every member passes (no false negatives),
+    // and at this fpp some non-members pass too (the filter is real,
+    // not a pass-through or an exact set)
+    val bloom = dim.stat.bloomFilter("k", 200, 0.2)
+    val passed = (0L until 4000L).count(bloom.mightContainLong)
+    assert(passed >= 800, s"bloom dropped members: only $passed passed")
+    assert((0L until 1000L by 5).forall(bloom.mightContainLong),
+      "bloom false negative — breaks the exactness contract")
+    assert(passed < 4000, "bloom passed everything — no pruning happened")
+  }
+
+  test("upsertMerge: keep/update/insert semantics and fail-loud schema mismatch") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val upd = Seq((2L, "b2", 21.0), (9L, "new", 90.0)).toDF("k", "name", "v")
+    val got = graft.api.Maintenance.upsertMerge(snap, upd, "k")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    assert(got(1L) == (("a", 10.0, "keep")))
+    assert(got(2L) == (("b2", 21.0, "update")))
+    assert(got(3L) == (("c", 30.0, "keep")))
+    assert(got(9L) == (("new", 90.0, "insert")))
+    assert(got.size == 4)
+    val bad = Seq((1L, "x")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      graft.api.Maintenance.upsertMerge(snap, bad, "k")
+    }
+    assert(e.getMessage.contains("must match"))
+  }
+
+  test("corrMatrixExact: parity with built-in corr, and exact ±1 on linear columns") {
+    val s = spark
+    import s.implicits._
+    // derived columns with known correlations: y = 2x (corr 1), z = -x
+    // (corr -1), at 2dp so the decimal casts are lossless
+    val df = (1 to 500).map(i => (i.toDouble, 2.0 * i, -i.toDouble))
+      .toDF("x", "y", "z")
+    val m = graft.api.StatsOps.corrMatrixExact(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m(("x", "y")) == 1.0 && m(("x", "z")) == -1.0 && m(("y", "z")) == -1.0)
+    // fixture parity: the exact-decimal closed form agrees with the
+    // built-in co-moment corr to well past the 4dp emission grid
+    val li = Tables.lineitem(spark, sf)
+    val want = li.select(org.apache.spark.sql.functions.corr("l_quantity", "l_extendedprice"))
+      .collect()(0).getDouble(0)
+    val got = graft.api.StatsOps.corrMatrixExact(li,
+        Seq("l_quantity", "l_extendedprice"))
+      .collect()(0).getDouble(2)
+    assert(math.abs(got - want) < 1e-4, s"corr drifted: got $got want $want")
+  }
+
+  test("markovTransitions: exact counts on a known sequence; rows normalize per prev state") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // user 1: a→b→a→b ; user 2: a→b ; transitions: a→b ×3, b→a ×1
+    val ev = Seq((1L, "a", t(1), 1L), (1L, "b", t(2), 2L), (1L, "a", t(3), 3L),
+      (1L, "b", t(4), 4L), (2L, "a", t(1), 5L), (2L, "b", t(2), 6L))
+      .toDF("u", "e", "ts", "id")
+    val got = graft.api.TimeSeriesOps.markovTransitions(ev, "u", "e", "ts", "id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", "b")) == ((3L, 1.0)))
+    assert(got(("b", "a")) == ((1L, 1.0)))
+    assert(got.size == 2)
+    // fixture-level: probabilities over each prev row-normalize to 1
+    val fix = graft.api.TimeSeriesOps.markovTransitions(
+        Tables.events(spark, sf), "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    fix.groupBy(_._1).foreach { case (prev, rs) =>
+      val tot = rs.map(_._2).sum
+      assert(math.abs(tot - 1.0) < 1e-3, s"P(·|$prev) sums to $tot")
+    }
+  }
 }

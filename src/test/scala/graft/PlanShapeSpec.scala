@@ -106,6 +106,25 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bloom_prefilter probes the bloom at the fact scan, before the exchange") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "join_bloom_prefilter")
+      assert(p.contains("graft_bloom_probe"),
+        s"expected the bloom probe predicate in the plan:\n$p")
+      // the probe must run BELOW the semi-join: find the Filter line
+      // carrying it and assert a lineitem scan sits underneath with no
+      // intervening join — textually, the probe appears after the last
+      // join operator mention in the bottom-up printed plan
+      val probeIdx = p.indexOf("graft_bloom_probe")
+      val scanIdx = p.indexOf("lineitem.parquet")
+      assert(scanIdx > probeIdx,
+        s"bloom probe should sit directly above the lineitem scan:\n$p")
+      assert(!p.substring(probeIdx, scanIdx).contains("Join"),
+        s"a join operator sits between the bloom probe and the fact scan — " +
+          s"the pre-filter is not pre:\n$p")
+    }
+  }
+
   test("dedup_minhash_probe_only joins are pinned broadcast like the persisted twin") {
     TestSpark.withExtSession { s =>
       val p = plan(s, "dedup_minhash_probe_only")
