@@ -371,4 +371,66 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(PiiIpv4)).cast("long").as("n_ip"),
       regexp_count(col(textCol), lit(PiiIdRun)).cast("long").as("n_id"))
   }
+
+  /** EXACT duplicated-substring removal at token-`n`-gram granularity —
+    * the "exact substring deduplication" pass of Lee et al. 2021
+    * (Deduplicating Training Data Makes Language Models Better,
+    * arXiv:2107.06499), re-expressed relationally: a token position is
+    * masked iff it is covered by any `n`-token window whose exact text
+    * occurs at least `minCount` times corpus-wide. Unlike document-level
+    * dedup this removes boilerplate REGIONS (headers, license blocks,
+    * templated spans) from otherwise-unique documents. Emits
+    * (id, n_tokens, n_masked, cleaned) with kept tokens in original
+    * order.
+    *
+    * Where the paper builds a corpus-wide suffix array, the relational
+    * form needs only window functions + one hash aggregate — no global
+    * index structure, no driver state:
+    *  1. tokens posexploded; the n-token window at each position built
+    *     by a single `lead`-chain window pass per doc (ONE shuffle on
+    *     the doc id) and keyed by its md5 (128-bit — gram identity must
+    *     not collide: a false gram merge masks innocent text, the trap
+    *     that killed 32-bit token hashes at 400k docs, SURVEY §7.2 #14);
+    *  2. gram occurrence counts: hash aggregate, shuffle ∝ distinct
+    *     grams, map-side combined;
+    *  3. dup grams (count ≥ minCount — a small fraction of any real
+    *     corpus) equi-joined back to their start positions;
+    *  4. coverage: masked = max(dup-start flag) over the trailing
+    *     n-1..0 positions — a second per-doc window pass;
+    *  5. reconstruction: conditional collect_list of kept (pos, token)
+    *     structs, sorted and joined — per-doc bounded state, the same
+    *     bound every per-doc text op here carries.
+    * Every stage is an equi-shuffle or hash aggregate; nothing is
+    * broadcast-sized by the corpus. */
+  def dupSpanMask(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minCount: Int = 2): DataFrame = {
+    require(n >= 2, s"gram length must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val toks = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val gram = concat_ws(" ",
+      col("_tok") +: (1 until n).map(i => lead(col("_tok"), i).over(w)): _*)
+    // a window is complete iff its last token exists — concat_ws would
+    // otherwise silently build short tail grams that alias real ones
+    val withGram = toks
+      .withColumn("_gh",
+        when(lead(col("_tok"), n - 1).over(w).isNotNull, md5(gram.cast("binary"))))
+    val dupGrams = withGram.filter(col("_gh").isNotNull)
+      .groupBy(col("_gh")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minCount).select(col("_gh"), lit(1).as("_dup"))
+    val flagged = withGram.join(dupGrams, Seq("_gh"), "left")
+    val wCov = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+      .rowsBetween(-(n - 1), Window.currentRow)
+    flagged
+      .withColumn("_cov", max(coalesce(col("_dup"), lit(0))).over(wCov))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_cov")).as("n_masked"),
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN _cov = 0 " +
+            "THEN struct(_pos, _tok) END)), x -> x._tok)"), " ").as("cleaned"))
+      .withColumnRenamed("_id", idCol)
+  }
 }

@@ -486,6 +486,14 @@ object TextOps {
       graft.api.Sampling.packShards(docs, "doc_id", "lang", "n_tokens", 2048L)
         .orderBy("lang", "doc_id")
     }),
+    "text_dup_span_mask" -> ((s, d) => {
+      // exact duplicated-substring removal (Lee et al. 2021, token
+      // 8-gram granularity): positions covered by any 8-gram occurring
+      // ≥2× corpus-wide are masked, keeping the rest in order — the
+      // boilerplate-region scrub document-level dedup cannot do
+      TextAnalysis.dupSpanMask(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "text_decontaminate" -> ((s, d) => {
       // benchmark decontamination: docs with md5(doc_id) first hex
       // < '2' (~1/8) play the held-out eval set; every remaining
@@ -519,6 +527,28 @@ object TextOps {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048
         |    AS BIGINT) AS shard
         |FROM t ORDER BY lang, doc_id""".stripMargin,
+    // gram identity compared as full STRINGS here vs 128-bit md5 keys
+    // in the Spark path — a hash match proves the md5 keying merged
+    // no innocent grams
+    "text_dup_span_mask" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS token,
+        |        unnest(generate_series(1, len(ts))) AS pos FROM toks),
+        |grams AS (SELECT doc_id, i AS pos, array_to_string(ts[i:i+7], ' ') AS g
+        |          FROM toks, LATERAL (SELECT unnest(generate_series(1, len(ts)-7)) AS i) t),
+        |dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |ds AS (SELECT grams.doc_id, grams.pos FROM grams JOIN dup USING (g)),
+        |flags AS (SELECT t.doc_id, t.pos, t.token,
+        |    CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS dsf
+        |  FROM tok t LEFT JOIN ds d ON t.doc_id = d.doc_id AND t.pos = d.pos),
+        |cov AS (SELECT doc_id, pos, token,
+        |    max(dsf) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cv
+        |  FROM flags)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cv) AS BIGINT) AS n_masked,
+        |  coalesce(string_agg(CASE WHEN cv = 0 THEN token END, ' ' ORDER BY pos), '') AS cleaned
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         |grams AS (SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS g

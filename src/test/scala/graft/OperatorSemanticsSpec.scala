@@ -515,6 +515,31 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("dupSpanMask: shared spans masked in every occurrence, unique text kept, short docs inert") {
+    val s = spark
+    import s.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10-token shared region
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $boiler t1 t2"),   // boilerplate mid-doc
+      (2L, s"$boiler v1 v2 v3 v4 v5"),   // boilerplate at head
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9"),// fully unique, ≥8 tokens
+      (4L, "x1 x2 x3"),                  // shorter than a gram: inert
+      // self-repetition inside ONE doc must also mask (count ≥ 2 is
+      // corpus-wide occurrences, not distinct docs)
+      (5L, s"p1 p2 $boiler q1 q2")       // boiler occurs 3rd time here
+    ).toDF("id", "text")
+    val got = graft.api.TextAnalysis.dupSpanMask(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // every b-token is covered by a duplicated 8-gram in all three
+    // occurrences; neighbors stay: the masked region is exactly the
+    // 10 boilerplate tokens
+    assert(got(1L) == ((15L, 10L, "u1 u2 u3 t1 t2")), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((15L, 10L, "v1 v2 v3 v4 v5")), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((9L, 0L, "w1 w2 w3 w4 w5 w6 w7 w8 w9")))
+    assert(got(4L) == ((3L, 0L, "x1 x2 x3")))
+    assert(got(5L) == ((14L, 10L, "p1 p2 q1 q2")), s"doc5: ${got(5L)}")
+  }
+
   test("bloomSemiJoin: identical answer to the plain semi-join; false positives exist and are removed") {
     val s = spark
     import s.implicits._
