@@ -423,4 +423,149 @@ object MlPipeline {
       Array.tabulate(k)(c => java.util.Arrays.copyOfRange(params, pW2 + c * hDim, pW2 + (c + 1) * hDim)),
       java.util.Arrays.copyOfRange(params, pB2, pB2 + k))
   }
+
+  /** PCA fit over a float-vector column: (mean, top-`k` principal
+    * components as rows, their eigenvalues desc) — the embedding
+    * compressor (and whitening front-end) of a vector pipeline.
+    *
+    * Scale shape: moments ride ONE `treeAggregate` whose buffer is
+    * d + d(d+1)/2 doubles (the upper-triangular second-moment sum) —
+    * independent of row count, summed shuffle-free up a depth-2 tree;
+    * the d×d eigenproblem is solved DRIVER-SIDE by cyclic Jacobi
+    * (embedding dims are small; the O(d³) solve is microseconds next
+    * to one corpus pass). Components are sign-canonicalized (largest-
+    * magnitude coordinate positive) so the decomposition is unique up
+    * to eigenvalue ties and runs reproduce bit-identically on a fixed
+    * partitioning. */
+  def pcaFit(df: DataFrame, vecCol: String, k: Int, dims: Int)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    require(k >= 1 && k <= dims, s"k must be in [1,$dims], got $k")
+    val nUpper = dims * (dims + 1) / 2
+    val data = df.select(col(vecCol)).rdd.map { r =>
+      val e = r.getAs[scala.collection.Seq[Float]](0)
+      val x = new Array[Double](dims)
+      var i = 0; while (i < dims) { x(i) = e(i).toDouble; i += 1 }
+      x
+    }
+    val (s1, s2, n) = data.treeAggregate(
+      (new Array[Double](dims), new Array[Double](nUpper), 0L))(
+      seqOp = { case ((m1, m2, cnt), x) =>
+        var i = 0; var u = 0
+        while (i < dims) {
+          m1(i) += x(i)
+          var j = i
+          while (j < dims) { m2(u) += x(i) * x(j); j += 1; u += 1 }
+          i += 1
+        }
+        (m1, m2, cnt + 1L)
+      },
+      combOp = { case ((a1, a2, n1), (b1, b2, n2)) =>
+        var i = 0; while (i < dims) { a1(i) += b1(i); i += 1 }
+        i = 0; while (i < nUpper) { a2(i) += b2(i); i += 1 }
+        (a1, a2, n1 + n2)
+      },
+      depth = 2)
+    require(n > 1, s"pcaFit: need at least 2 rows, got $n")
+    val mean = s1.map(_ / n)
+    // population covariance from the raw moments
+    val cov = Array.ofDim[Double](dims, dims)
+    var i = 0; var u = 0
+    while (i < dims) {
+      var j = i
+      while (j < dims) {
+        val c = s2(u) / n - mean(i) * mean(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1; u += 1
+      }
+      i += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigenSym(cov)
+    val order = eigVals.indices.sortBy(idx => (-eigVals(idx), idx)).take(k)
+    val comps = order.map { idx =>
+      val v = Array.tabulate(dims)(r => eigVecs(r)(idx))
+      // sign canonicalization: flip so the largest-|coordinate| is
+      // positive — eigenvectors are only defined up to sign
+      val mi = v.indices.maxBy(a => (math.abs(v(a)), -a))
+      if (v(mi) < 0) v.map(-_) else v
+    }.toArray
+    (mean, comps, order.map(eigVals).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector COLUMNS). Textbook rotations until the
+    * off-diagonal Frobenius mass is < 1e-12; d ≤ a few hundred. */
+  private[graft] def jacobiEigenSym(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (off > 1e-12 && sweep < 100) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val sn = t * c
+            var r = 0
+            while (r < d) {
+              val arp = a(r)(p); val arq = a(r)(q)
+              a(r)(p) = c * arp - sn * arq
+              a(r)(q) = sn * arp + c * arq
+              r += 1
+            }
+            r = 0
+            while (r < d) {
+              val apr = a(p)(r); val aqr = a(q)(r)
+              a(p)(r) = c * apr - sn * aqr
+              a(q)(r) = sn * apr + c * aqr
+              val vrp = v(r)(p); val vrq = v(r)(q)
+              v(r)(p) = c * vrp - sn * vrq
+              v(r)(q) = sn * vrp + c * vrq
+              r += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var x = 0
+      while (x < d - 1) {
+        var y = x + 1
+        while (y < d) { off += a(x)(y) * a(x)(y); y += 1 }
+        x += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Project a vector column onto [[pcaFit]]'s components:
+    * y = W·(x − μ), rounded to 6 dp for run-stable emission. The
+    * parameters broadcast with the closure (O(k·d)); projection is a
+    * rowwise map — no shuffle, no driver involvement past the fit. */
+  def pcaProjectUdf(mean: Array[Double], comps: Array[Array[Double]]) =
+    udf((x: scala.collection.Seq[Float]) => {
+      val k = comps.length
+      val out = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val w = comps(j)
+        var acc = 0.0
+        var i = 0
+        while (i < w.length) { acc += w(i) * (x(i) - mean(i)); i += 1 }
+        out(j) = math.floor(acc * 1e6 + 0.5) / 1e6
+        j += 1
+      }
+      out
+    })
 }

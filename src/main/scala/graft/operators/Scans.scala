@@ -174,6 +174,30 @@ object Scans {
           Canon.sumDec(col("l_extendedprice"), 2).as("sum_price"))
         .orderBy("l_returnflag")
     }),
+    "data_zorder_cluster" -> ((s, d) => {
+      // Z-order clustered layout round-trip — multi-dimension data
+      // skipping, completing the layout family beyond single-column
+      // range clustering: lineitem rewritten along the Morton curve
+      // of (l_partkey, l_suppkey), so EACH single-column predicate
+      // prunes by footer min/max (~√files touched) where a
+      // partkey-sorted layout would leave suppkey predicates scanning
+      // everything. Both probe predicates aggregate from the z-curve
+      // layout; the oracle runs them on the flat parquet, proving the
+      // rewrite loses nothing. WritePathSpec MEASURES the per-file
+      // min/max rectangles both ways.
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice")
+      val dir = graft.sources.Writers.roundTripDir("graft_zorder_li", d)
+      graft.sources.Writers.writeZOrdered(li, "l_partkey", "l_suppkey", 16, dir)
+      val z = s.read.parquet(dir)
+      def probe(name: String, f: org.apache.spark.sql.Column) =
+        z.filter(f).agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          Canon.sumDec(col("l_extendedprice"), 2).as("rev"))
+          .select(lit(name).as("probe"), col("n"), col("sum_qty"), col("rev"))
+      probe("partkey", col("l_partkey") <= 40)
+        .unionByName(probe("suppkey", col("l_suppkey") <= 2))
+        .orderBy("probe")
+    }),
     "data_compact_small_files" -> ((s, d) => {
       // small-file compaction — the #1 100 TB scan-throughput killer
       // (every file costs a task + footer read + open/close) and the
@@ -339,6 +363,17 @@ object Scans {
         |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
         |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // flat-parquet twin of both z-layout probes — matching proves the
+    // Morton rewrite moved every row exactly once
+    "data_zorder_cluster" ->
+      s"""SELECT probe, n, sum_qty, rev FROM (
+        |  SELECT 'partkey' AS probe, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |    ${O.sumDec("l_extendedprice", 2)} AS rev
+        |  FROM lineitem WHERE l_partkey <= 40
+        |  UNION ALL
+        |  SELECT 'suppkey', count(*), sum(l_quantity), ${O.sumDec("l_extendedprice", 2)}
+        |  FROM lineitem WHERE l_suppkey <= 2)
+        |ORDER BY probe""".stripMargin,
     // same full-outer + coalesce merge over the same deterministic
     // update batch — matching proves MERGE semantics row-for-row
     "data_upsert_merge" ->

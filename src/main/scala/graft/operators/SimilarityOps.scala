@@ -196,6 +196,20 @@ object SimilarityOps {
           array_join(col("q"), ",").as("q"))
         .orderBy("vec_id")
     }),
+    "embed_pca_project" -> ((s, d) => {
+      // ✘ no oracle — eigendecomposition has no DuckDB twin. PCA
+      // compression of the embedding table to 8 components: moments in
+      // ONE treeAggregate (buffer d + d(d+1)/2 doubles, corpus-size-
+      // independent), the 64×64 eigenproblem solved driver-side by
+      // Jacobi, projection a rowwise broadcast map. Unit-tested:
+      // orthonormality, eigen residuals vs a local covariance, trace
+      // identity, variance ordering, projection parity (NoOracleSpec).
+      val e = Tables.embeddings(s, d)
+      val (mu, comps, _) = graft.api.MlPipeline.pcaFit(e, "embedding", k = 8, dims = 64)
+      e.select(col("vec_id"),
+          graft.api.MlPipeline.pcaProjectUdf(mu, comps)(col("embedding")).as("proj"))
+        .orderBy("vec_id")
+    }),
     "embed_centroid_by_label" -> ((s, d) => {
       // Row output avoids array-encoding equivalence issues and the
       // groupBy(label, dim) partial-aggregates before the shuffle.

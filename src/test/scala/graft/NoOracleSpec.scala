@@ -375,6 +375,59 @@ class NoOracleSpec extends AnyFunSuite {
     info(f"rpLSH recall $recall%.3f over ${exact.size} truth pairs")
   }
 
+  test("embed_pca_project: orthonormal components, eigen residuals vs a local covariance, projection parity") {
+    val e = Tables.embeddings(spark, sf)
+    val (mu, comps, eigs) = graft.api.MlPipeline.pcaFit(e, "embedding", k = 8, dims = 64)
+    // components orthonormal: W Wᵀ = I_k
+    for (a <- comps.indices; b <- comps.indices) {
+      val dot = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"W$a . W$b = $dot, want $want")
+    }
+    // eigenvalues desc and nonnegative (covariance is PSD)
+    assert(eigs.zip(eigs.tail).forall { case (x, y) => x >= y },
+      s"eigenvalues not descending: ${eigs.toSeq}")
+    assert(eigs.forall(_ >= -1e-10), s"negative eigenvalue: ${eigs.toSeq}")
+    // independent ground truth: covariance recomputed LOCALLY from the
+    // collected fixture (1k vectors), then residual ‖Σw − λw‖ ≈ 0 and
+    // trace(Σ) = Σ all-eigenvalues for each returned pair
+    val X = e.select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
+    val n = X.length; val d = 64
+    val lmu = Array.tabulate(d)(i => X.map(_(i)).sum / n)
+    assert(lmu.zip(mu).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+      "distributed mean diverged from local mean")
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      X.map(x => (x(i) - lmu(i)) * (x(j) - lmu(j))).sum / n
+    }
+    comps.zip(eigs).foreach { case (w, lam) =>
+      val res = (0 until d).map { i =>
+        val sw = (0 until d).map(j => cov(i)(j) * w(j)).sum
+        math.pow(sw - lam * w(i), 2)
+      }.sum
+      assert(math.sqrt(res) < 1e-8, s"eigen residual ${math.sqrt(res)} for λ=$lam")
+    }
+    // projection parity on the declared key's first rows
+    val got = SparkEntry.queries("embed_pca_project")(spark, sf)
+      .limit(5).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]](1)).toMap
+    val byId = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    got.foreach { case (id, proj) =>
+      val x = byId(id)
+      comps.indices.foreach { j =>
+        val want = (0 until d).map(i => comps(j)(i) * (x(i) - mu(i))).sum
+        assert(math.abs(proj(j) - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-9,
+          s"vec $id comp $j: ${proj(j)} vs $want")
+      }
+    }
+    // the 8 kept components must actually concentrate variance: their
+    // eigenvalue mass beats 8 average directions' share
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(eigs.sum > trace * 8.0 / d,
+      s"top-8 variance ${eigs.sum} does not beat the uniform share of trace $trace")
+  }
+
   test("multimodal decode matches a driver-side recompute (now also oracle-checked)") {
     // oracle-checked since r9, but the mapPartitions-vs-driver parity
     // still pins the per-partition decoder-reuse plumbing itself

@@ -75,6 +75,48 @@ class WritePathSpec extends AnyFunSuite {
       s"($matching actually match)")
   }
 
+  test("z-order layout prunes BOTH columns' predicates; single-column clustering prunes only its own") {
+    // data_zorder_cluster's measured claim: after writeZOrdered on
+    // (l_partkey, l_suppkey), EACH single-column range predicate
+    // decodes only the row groups whose footer rectangle overlaps it,
+    // while a partkey-only range layout answers suppkey predicates by
+    // scanning everything (every file spans the full suppkey range).
+    val zdir = Files.createTempDirectory("graft-z").toString
+    val pdir = Files.createTempDirectory("graft-p").toString
+    // sf0.01 (not the usual sf0.001): pruning geometry needs real key
+    // cardinality — 2000 partkeys × 100 suppkeys over 16 files
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val total = li.count()
+    Writers.writeZOrdered(li, "l_partkey", "l_suppkey", 16, zdir)
+    Writers.writeRangeClustered(li, "l_partkey", 16, pdir)
+    def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val qe = spark.read.parquet(path).filter(pred).queryExecution
+      qe.executedPlan.executeCollect()
+      qe.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.head
+    }
+    // sf0.01: partkey 0..1999, suppkey 0..99 — both probes ~2-3%
+    val partPred = col("l_partkey") <= 40
+    val suppPred = col("l_suppkey") <= 2
+    val zPart = scanRows(zdir, partPred)
+    val zSupp = scanRows(zdir, suppPred)
+    val pPart = scanRows(pdir, partPred)
+    val pSupp = scanRows(pdir, suppPred)
+    // the single-column layout is the stronger prune on ITS column...
+    assert(pPart <= total / 4, s"partkey layout did not prune partkey: $pPart/$total")
+    // ...but cannot prune the other at all
+    assert(pSupp == total,
+      s"partkey-range layout unexpectedly pruned a suppkey predicate: $pSupp/$total")
+    // the z-curve prunes both: strictly better than full scan on each
+    assert(zPart <= total / 2, s"z-order did not prune partkey: $zPart/$total")
+    assert(zSupp <= total / 2, s"z-order did not prune suppkey: $zSupp/$total")
+    info(s"scan emitted (partkey, suppkey) = ($zPart, $zSupp)/$total z-ordered " +
+      s"vs ($pPart, $pSupp)/$total partkey-clustered")
+  }
+
   test("compact shrinks a fragmented table to ceil(bytes/target) files, losing nothing") {
     val frag = Files.createTempDirectory("graft-frag").toString
     val comp = Files.createTempDirectory("graft-comp").toString
