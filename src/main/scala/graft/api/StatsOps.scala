@@ -181,6 +181,26 @@ object StatsOps {
       .select(col(itemCol), col("n"))
   }
 
+  /** Shannon entropy of a categorical column's distribution per group:
+    * H(group) = −Σ_cat p·ln(p) — the mix-diversity profile (bot
+    * detection: single-action users score 0; balanced k-way mixes
+    * score ln k), and the label-balance check of a dataset audit.
+    *
+    * Scale shape: one hash aggregate on (group, category) — shuffle ∝
+    * distinct pairs, map-side combined — then the normalizer and the
+    * entropy fold as a window + aggregate over that pair table (rows ∝
+    * pairs, never events). Entropy is pre-rounded (4 dp). */
+  def entropyByGroup(df: DataFrame, groupCol: String, catCol: String): DataFrame = {
+    val pairs = df.groupBy(col(groupCol), col(catCol))
+      .agg(count(lit(1)).as("_n"))
+    val wg = Window.partitionBy(col(groupCol))
+    val p = col("_n").cast("double") / col("_tot").cast("double")
+    pairs.withColumn("_tot", sum(col("_n")).over(wg))
+      .groupBy(col(groupCol))
+      .agg(max(col("_tot")).as("n_events"),
+        Canon.r4(-sum(p * log(p))).as("entropy"))
+  }
+
   /** Pairwise Pearson correlation matrix over fixed-scale numeric
     * columns, computed from EXACT decimal power sums — the
     * column-relationship half of a data-profiling pass.

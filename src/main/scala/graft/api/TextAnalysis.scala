@@ -158,6 +158,39 @@ object TextAnalysis {
           / col("n_tok").cast("double")).as("logprob"))
   }
 
+  /** Bigram language-model score per document: the mean add-1-smoothed
+    * conditional log probability ln((c(w₁w₂)+1)/(c(w₁)+|V|)) of the
+    * doc's token transitions under the corpus's own bigram counts —
+    * one step up the CCNet-style perplexity-filter ladder from
+    * [[unigramLogProb]] (word-salad scores low even when its unigrams
+    * are common; fluent n-gram structure scores high).
+    *
+    * Scale shape: bigrams come from ONE per-doc lag-window pass (the
+    * same doc-keyed shuffle every per-doc text op pays); bigram and
+    * unigram count tables are hash aggregates ∝ (bigram/unigram)
+    * vocabulary; |V| is a broadcast scalar; scoring joins are
+    * vocabulary equi-joins. No driver state. Returns
+    * (idCol, n_bigrams, avg_logprob — unrounded, same emission
+    * contract as [[unigramLogProb]]). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("_pos", "_w")))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
+    val big = tok.withColumn("_w1", lag(col("_w"), 1).over(w))
+      .filter(col("_w1").isNotNull)
+      .select(col("_id"), col("_w1"), col("_w").as("_w2"))
+    val bc = big.groupBy("_w1", "_w2").agg(count(lit(1)).as("_cb"))
+    val uc = tok.groupBy(col("_w").as("_w1")).agg(count(lit(1)).as("_cu"))
+    val v = tok.agg(countDistinct(col("_w")).as("_vsz"))
+    big.join(bc, Seq("_w1", "_w2")).join(uc, Seq("_w1"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(log((col("_cb") + lit(1.0)) / (col("_cu") + col("_vsz"))))
+          / count(lit(1))).as("avg_logprob"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Sliding n-grams over any array column, elements joined with
     * `sep`; arrays shorter than n yield an empty array. Shared by the
     * word-gram operators here and the event-path miner. Pure codegen

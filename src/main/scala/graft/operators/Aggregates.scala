@@ -281,6 +281,15 @@ object Aggregates {
           "event_type", "event_id", "value")
         .orderBy("event_type", "event_id")
     }),
+    "agg_entropy_by_group" -> ((s, d) => {
+      // per-user Shannon entropy of the event-type mix — the
+      // diversity profile behind bot/spam triage: one (user, type)
+      // hash aggregate, then the normalizer and entropy fold over
+      // that pair table (StatsOps.entropyByGroup)
+      graft.api.StatsOps.entropyByGroup(Tables.events(s, d),
+          "user_id", "event_type")
+        .orderBy("user_id")
+    }),
     "agg_corr_matrix" -> ((s, d) => {
       // pairwise Pearson correlations over the lineitem measures from
       // EXACT decimal power sums (StatsOps.corrMatrixExact): one
@@ -525,6 +534,14 @@ object Aggregates {
         |FROM events JOIN b USING (event_type)
         |WHERE value < lo OR value > hi
         |ORDER BY event_type, event_id""".stripMargin,
+    "agg_entropy_by_group" ->
+      s"""WITH c AS (SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.user_id, CAST(t.tot AS BIGINT) AS n_events,
+        |  ${O.r4("-sum((n / CAST(tot AS DOUBLE)) * ln(n / CAST(tot AS DOUBLE)))")} AS entropy
+        |FROM c JOIN t USING (user_id) GROUP BY c.user_id, t.tot
+        |ORDER BY user_id""".stripMargin,
     // same closed form over the same exact decimal sums — matching it
     // proves the one-pass power-sum path is merge-order-independent
     "agg_corr_matrix" ->

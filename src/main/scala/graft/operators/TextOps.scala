@@ -486,6 +486,17 @@ object TextOps {
       graft.api.Sampling.packShards(docs, "doc_id", "lang", "n_tokens", 2048L)
         .orderBy("lang", "doc_id")
     }),
+    "text_bigram_logprob" -> ((s, d) => {
+      // bigram-LM quality score: mean add-1-smoothed conditional log
+      // prob of each doc's transitions under the corpus's own bigram
+      // counts — the next rung of the perplexity-filter ladder above
+      // text_unigram_logprob (word salad scores low even when its
+      // unigrams are common)
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          Canon.r4(col("avg_logprob")).as("avg_logprob"))
+        .orderBy("doc_id")
+    }),
     "text_dup_span_mask" -> ((s, d) => {
       // exact duplicated-substring removal (Lee et al. 2021, token
       // 8-gram granularity): positions covered by any 8-gram occurring
@@ -527,6 +538,22 @@ object TextOps {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2048
         |    AS BIGINT) AS shard
         |FROM t ORDER BY lang, doc_id""".stripMargin,
+    "text_bigram_logprob" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tok AS (SELECT doc_id, unnest(ts) AS w,
+        |        unnest(generate_series(1, len(ts))) AS pos FROM toks),
+        |big AS (SELECT doc_id, pos, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+        |        w AS w2 FROM tok),
+        |bc AS (SELECT w1, w2, count(*) AS cb FROM big WHERE w1 IS NOT NULL GROUP BY 1, 2),
+        |uc AS (SELECT w AS w1, count(*) AS cu FROM tok GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS vsz FROM tok),
+        |sc AS (SELECT b.doc_id, ln((bc.cb + 1.0) / (uc.cu + v.vsz)) AS lp
+        |  FROM big b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+        |  JOIN uc ON b.w1 = uc.w1 CROSS JOIN v
+        |  WHERE b.w1 IS NOT NULL)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  ${O.r4("sum(lp) / count(*)")} AS avg_logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // gram identity compared as full STRINGS here vs 128-bit md5 keys
     // in the Spark path — a hash match proves the md5 keying merged
     // no innocent grams

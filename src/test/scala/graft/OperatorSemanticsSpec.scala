@@ -515,6 +515,35 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("entropyByGroup: 0 for a pure group, ln k for a uniform k-way mix") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(10)((1L, "a")) ++                      // pure: H = 0
+      Seq("a", "b", "c", "d").flatMap(c => Seq.fill(5)((2L, c))) // uniform 4-way
+      ).toDF("u", "c")
+    val got = graft.api.StatsOps.entropyByGroup(df, "u", "c")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((10L, 0.0)))
+    assert(got(2L)._1 == 20L)
+    assert(math.abs(got(2L)._2 - math.log(4.0)) < 1e-3, s"uniform-4 entropy ${got(2L)._2}")
+  }
+
+  test("bigramLogProb: structured repetition outscores word salad over the same unigrams") {
+    val s = spark
+    import s.implicits._
+    // both docs use the same 2 tokens with the same unigram profile;
+    // doc 1 repeats one transition (high bigram counts), doc 2
+    // alternates against the corpus grain
+    val structured = Seq.fill(20)("x y").mkString(" ")
+    val df = Seq((1L, structured), (2L, structured), (3L, "y x " * 10 + "x y")).toDF("id", "text")
+    val got = graft.api.TextAnalysis.bigramLogProb(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // docs 1 and 2 are identical → identical scores; doc 3 runs against
+    // the dominant transition direction and must score lower
+    assert(got(1L) == got(2L))
+    assert(got(3L) < got(1L), s"salad ${got(3L)} should score below structured ${got(1L)}")
+  }
+
   test("dupSpanMask: shared spans masked in every occurrence, unique text kept, short docs inert") {
     val s = spark
     import s.implicits._
