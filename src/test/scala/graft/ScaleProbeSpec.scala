@@ -124,6 +124,45 @@ class ScaleProbeSpec extends AnyFunSuite {
     assertSubQuadratic(docs, truePairs, n)
   }
 
+  test("dupSpanMask at 200k docs: exactly the planted boilerplate masked, nothing else") {
+    // 200k docs, ~31 tokens each (6M token rows through the window +
+    // gram-count + coverage pipeline): every 5th doc embeds the SAME
+    // 12-token boilerplate block between an id-unique head token and
+    // 18 id-unique tail tokens. The only duplicated 8-grams in the
+    // corpus are the 5 all-inside-boilerplate windows (40k occurrences
+    // each); every gram touching a head/tail token is id-unique. So
+    // the exact-substring pass must mask exactly the 12 boilerplate
+    // tokens in exactly the 40k planted docs — a masked head or tail
+    // token anywhere means gram keying merged distinct text (the
+    // §7.2#14 collision class, at volume), and a missed boilerplate
+    // token means the dup threshold or coverage window broke.
+    val n = 200000L
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val uniq = expr("concat_ws(' ', transform(sequence(0, 17), " +
+      "j -> concat('u', cast(id as string), '_', j)))")
+    val docs = spark.range(n).select(col("id"),
+      when(col("id") % 5 === 0,
+        concat_ws(" ", expr("concat('h', id)"), lit(boiler), uniq))
+        .otherwise(concat_ws(" ", expr("concat('h', id)"), uniq)).as("text"))
+    val res = graft.api.TextAnalysis.dupSpanMask(docs, "id", "text")
+    val agg = res.agg(
+      sum(col("n_masked")),
+      count(when(col("n_masked") =!= 0, 1)),
+      count(when(col("n_masked") === 12, 1)),
+      sum(col("n_tokens"))).collect()(0)
+    assert(agg.getLong(0) == 40000L * 12,
+      s"total masked ${agg.getLong(0)}, want ${40000L * 12}")
+    assert(agg.getLong(1) == 40000L, s"docs with masking: ${agg.getLong(1)}")
+    assert(agg.getLong(2) == 40000L,
+      "some planted doc masked a count other than exactly its 12 boilerplate tokens")
+    assert(agg.getLong(3) == 40000L * 31 + 160000L * 19)
+    // spot-check reconstruction on one planted doc: boilerplate gone,
+    // head + tail intact and in order
+    val d0 = res.filter(col("id") === 0L).collect()(0).getString(3)
+    val want0 = "h0 " + (0 to 17).map(j => s"u0_$j").mkString(" ")
+    assert(d0 == want0, s"doc 0 cleaned to '$d0'")
+  }
+
   private val embCells = 64; private val embPer = 1600; private val embDims = 16
 
   /** The shared 100k clustered corpus (64 cells × 1600 members,
