@@ -44,4 +44,32 @@ object Maintenance {
       .otherwise(lit("update")).as("action")
     merged.select(out :+ action: _*)
   }
+
+  /** Version-aware upsert: like [[upsertMerge]], but on a key collision
+    * the row with the GREATER `versionCol` wins (ties → the update) —
+    * the out-of-order-tolerant CDC apply. Folding batches through this
+    * converges to the per-key max-version row in ANY arrival order,
+    * which is what lets a streaming foreachBatch sink apply change
+    * batches as they land without a global ordering barrier
+    * (StreamingParitySpec proves the convergence with shuffled
+    * batches). Same schema/uniqueness contract and the same one
+    * full-outer key-shuffle shape as [[upsertMerge]]. */
+  def upsertMergeLatest(snapshot: DataFrame, updates: DataFrame,
+      keyCol: String, versionCol: String): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    require(cols.contains(keyCol), s"key column $keyCol missing from snapshot")
+    require(cols.contains(versionCol), s"version column $versionCol missing")
+    require(updates.columns.toSeq.sorted == cols.sorted,
+      s"updates schema ${updates.columns.toSeq.sorted} must match " +
+        s"snapshot schema ${cols.sorted}")
+    val s = snapshot.select(cols.map(c => col(c).as(s"_s_$c")): _*)
+    val u = updates.select(cols.map(c => col(c).as(s"_u_$c")): _*)
+    val takeUpd = col(s"_s_$keyCol").isNull ||
+      (col(s"_u_$keyCol").isNotNull &&
+        col(s"_u_$versionCol") >= col(s"_s_$versionCol"))
+    val out = cols.map(c =>
+      when(takeUpd, col(s"_u_$c")).otherwise(col(s"_s_$c")).as(c))
+    s.join(u, col(s"_s_$keyCol") === col(s"_u_$keyCol"), "full_outer")
+      .select(out: _*)
+  }
 }

@@ -188,6 +188,36 @@ object StreamOps {
         .select("win_start", "event_type", "n", "sum_val")
         .orderBy("win_start", "event_type")
     }),
+    "stream_cdc_upsert" -> ((s, d) => {
+      // CDC apply loop, batch semantics declared: the events month is
+      // replayed as three chronological micro-batches; each batch's
+      // per-user LATEST row (the change record) is SCD-1-upserted into
+      // the running snapshot (Maintenance.upsertMerge — the same
+      // full-outer key-shuffle merge the lakehouse key uses). The
+      // oracle computes each user's global latest event directly, so
+      // the hash match proves per-batch merges COMPOSE: fold(upsert,
+      // batches) ≡ one-shot latest — the property a streaming
+      // foreachBatch CDC sink rests on. Deterministic batch cuts;
+      // ties inside a batch break on event_id like every window here.
+      val ev = Tables.events(s, d)
+      def latest(df: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .select(col("user_id"), col("event_type").as("last_type"),
+            col("value").as("last_value"), col("ts").as("last_ts"))
+      }
+      val batches = Seq(
+        ev.filter(col("ts") < "2024-01-11"),
+        ev.filter(col("ts") >= "2024-01-11" && col("ts") < "2024-01-21"),
+        ev.filter(col("ts") >= "2024-01-21"))
+      val merged = batches.map(latest).reduce { (snap, upd) =>
+        graft.api.Maintenance.upsertMerge(snap, upd, "user_id").drop("action")
+      }
+      merged.select(col("user_id"), col("last_type"), col("last_value"),
+          Canon.tsStrMicros(col("last_ts")).as("last_ts"))
+        .orderBy("user_id")
+    }),
     "stream_watermark_late" -> ((s, d) => {
       // ✘ no oracle: watermarking is a no-op in batch; the unit suite
       // injects late rows through MemoryStream and asserts they drop.
@@ -201,6 +231,17 @@ object StreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // the one-shot global latest — matching the 3-batch merge fold
+    // proves per-batch SCD-1 merges compose
+    "stream_cdc_upsert" ->
+      """WITH r AS (SELECT user_id, event_type AS last_type, value AS last_value,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, last_type, last_value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "stream_tumbling_counts" ->
       s"""SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
         |                '%Y-%m-%d %H:%M:%S') AS win_start,

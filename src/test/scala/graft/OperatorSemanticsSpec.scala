@@ -614,6 +614,25 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must match"))
   }
 
+  test("upsertMergeLatest: version wins over arrival order; ties go to the update") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "new", 5L), (2L, "old", 1L), (3L, "only", 7L))
+      .toDF("k", "v", "ver")
+    val upd = Seq((1L, "stale", 3L),  // older version must NOT overwrite
+      (2L, "fresh", 9L),              // newer version must overwrite
+      (3L, "tie", 7L),                // equal version: update wins
+      (4L, "ins", 2L)                 // new key: insert
+    ).toDF("k", "v", "ver")
+    val got = graft.api.Maintenance.upsertMergeLatest(snap, upd, "k", "ver")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == (("new", 5L)))
+    assert(got(2L) == (("fresh", 9L)))
+    assert(got(3L) == (("tie", 7L)))
+    assert(got(4L) == (("ins", 2L)))
+    assert(got.size == 4)
+  }
+
   test("corrMatrixExact: parity with built-in corr, and exact ±1 on linear columns") {
     val s = spark
     import s.implicits._

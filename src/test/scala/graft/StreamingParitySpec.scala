@@ -158,6 +158,54 @@ class StreamingParitySpec extends AnyFunSuite {
         .select("user_id", "n_events", "first_ts", "last_ts", "n_types")))
   }
 
+  test("out-of-order CDC apply (upsertMergeLatest per micro-batch) converges to the global latest") {
+    // the streaming half of stream_cdc_upsert's claim: change batches
+    // applied AS THEY LAND — here deliberately landed in a
+    // NON-chronological order (event_id % 4 file split, one file per
+    // trigger) — must still converge to every user's max-ts row,
+    // because the version-aware merge resolves each key collision by
+    // timestamp instead of arrival order. A plain SCD-1 overwrite
+    // would be arrival-order-dependent and flaky under exactly this
+    // test.
+    val s = spark
+    import s.implicits._
+    val inDir = freshDir(); val snapBase = freshDir()
+    (0 to 3).foreach { k =>
+      batchEvents.filter(col("event_id") % 4 === k)
+        .write.mode("append").parquet(inDir)
+    }
+    def latest(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"))
+    }
+    @volatile var snapVersion = -1L
+    val stream = spark.readStream.schema(batchEvents.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val upd = latest(batch)
+        val merged =
+          if (snapVersion < 0) upd
+          else graft.api.Maintenance.upsertMergeLatest(
+            batch.sparkSession.read.parquet(s"$snapBase/v=$snapVersion"),
+            upd, "user_id", "last_ts")
+        merged.write.mode("overwrite").parquet(s"$snapBase/v=$id")
+        snapVersion = id
+        ()
+      }
+      .option("checkpointLocation", freshDir())
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    assert(snapVersion >= 3, s"expected >= 4 micro-batches, last id $snapVersion")
+    val got = sortedRows(spark.read.parquet(s"$snapBase/v=$snapVersion"))
+    val want = sortedRows(latest(batchEvents))
+    assert(got == want,
+      s"CDC fold diverged from one-shot latest: ${got.size} vs ${want.size} rows")
+  }
+
   test("stateful user stats survive a stop/restart from the checkpoint: no loss, no dup") {
     // the recovery half of the exactly-once story: process half the
     // corpus, kill the query, land more files, restart from the SAME
