@@ -131,6 +131,26 @@ object MultimodalOps {
         .filter(col("n") > 1)
         .orderBy("fh")
     }),
+    "multimodal_resize" -> ((s, d) => {
+      // temporal resize: every media's frame sequence resampled to
+      // EXACTLY 4 frames by nearest-frame selection (index
+      // floor(i·nf/4)) — the video analogue of nearest-neighbor image
+      // resize, and the fixed-shape step before batching into a model.
+      // Shorter media upsample by frame repetition, longer media
+      // downsample — output shape is constant either way, which is
+      // the point. Pure rowwise substring transforms on the binary
+      // column (no whole-blob decode, no UDF); ASCII fixture ⇒ byte
+      // frames == char frames keeps the DuckDB twin expressible.
+      mediaFrame(s, d)
+        .select(col("doc_id"), col("media"),
+          ceil(length(col("media")) / lit(16.0)).cast("long").as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(Seq(col("doc_id"), col("n_frames")) ++
+          (0 until 4).map(i => md5(expr(
+            s"substring(media, cast(floor($i * n_frames / 4.0) as long) * 16 + 1, 16)"))
+            .as(s"r${i}_h")): _*)
+        .orderBy("doc_id")
+    }),
     "multimodal_decode_stub" -> ((s, d) => {
       // (key name is the SURVEY §2 contract; the decode is real as of
       // r9 and oracle-checked) mapPartitions with ONE decoder instance
@@ -177,6 +197,16 @@ object MultimodalOps {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  min(doc_id) AS keep_doc
         |FROM f GROUP BY fh HAVING count(*) > 1 ORDER BY fh""".stripMargin,
+    "multimodal_resize" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    CAST(ceil(strlen(text) / 16.0) AS BIGINT) AS n_frames
+        |  FROM documents WHERE strlen(text) > 0)
+        |SELECT doc_id, n_frames,
+        |  md5(substring(text, CAST(floor(0 * n_frames / 4.0) AS BIGINT) * 16 + 1, 16)) AS r0_h,
+        |  md5(substring(text, CAST(floor(1 * n_frames / 4.0) AS BIGINT) * 16 + 1, 16)) AS r1_h,
+        |  md5(substring(text, CAST(floor(2 * n_frames / 4.0) AS BIGINT) * 16 + 1, 16)) AS r2_h,
+        |  md5(substring(text, CAST(floor(3 * n_frames / 4.0) AS BIGINT) * 16 + 1, 16)) AS r3_h
+        |FROM t ORDER BY doc_id""".stripMargin,
     "multimodal_decode_stub" -> {
       // the DuckDB twin of TextMediaDecoder.decode — text IS the media
       // byte stream (ASCII, so strlen == byte count), every feature an
