@@ -108,6 +108,43 @@ object Similarity {
       .select("qid", "cid", "sim", "rank")
   }
 
+  /** PCA-prefiltered kNN: the corpus scanned in `pcaK`-dim PCA space
+    * (coarse L2 — PCA is orthonormal, so projected L2 is the best
+    * rank-`pcaK` approximation of centered L2), a per-query
+    * `shortlist` kept by bounded heap, then EXACT cosine re-rank of
+    * the shortlist only. The dimensionality-reduction member of the
+    * ANN family: where IVF prunes by partition and PQ by code size,
+    * this prunes per-comparison arithmetic + scan width (store the
+    * projection column and the coarse pass reads pcaK/d of the
+    * vector bytes — 8× here). At 100 TB it composes with IVF (coarse
+    * scan inside probed cells); alone it is the flat-scan variant.
+    * Approximate by design: a true neighbor whose gap lives in the
+    * trailing d−pcaK components can miss the shortlist — recall vs
+    * the exact baseline is unit-tested (NoOracleSpec). */
+  def pcaKnn(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, dims: Int, pcaK: Int = 8,
+      shortlist: Int = 50, simRound: Option[Int] = None): DataFrame = {
+    val (mu, comps, _) = MlPipeline.pcaFit(df, vecCol, pcaK, dims)
+    val proj = MlPipeline.pcaProjectUdf(mu, comps)
+    val c = fanout(df).select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+      .withColumn("_cp", proj(col("_ce")))
+    val q = df.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+      .withColumn("_qp", proj(col("_qe")))
+    val d2 = expr(
+      "aggregate(zip_with(_cp, _qp, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
+    val wCoarse = Window.partitionBy("qid").orderBy(col("_d2").asc, col("cid").asc)
+    val short = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("_d2", d2)
+      .withColumn("_crn", row_number().over(wCoarse))
+      .filter(col("_crn") <= shortlist)
+    val sim = cos(df)(col("_qe"), col("_ce"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    short.withColumn("sim", simRound.map(Canon.rk(sim, _)).getOrElse(sim))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "sim", "rank")
+  }
+
   /** All same-group pairs with cosine ≥ minSim. */
   def cosineThresholdJoin(df: DataFrame, idCol: String, vecCol: String,
       groupCol: String, minSim: Double, simRound: Option[Int] = None): DataFrame = {

@@ -130,6 +130,23 @@ object SimilarityOps {
         .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
+    "sim_knn_pca" -> ((s, d) => {
+      // ✘ no oracle (approximate by design): PCA-prefiltered kNN for
+      // the same queries as sim_knn_per_query — coarse L2 in 16-dim
+      // PCA space → per-query shortlist-100 → exact cosine re-rank.
+      // The dimensionality-reduction member of the ANN family (IVF
+      // prunes by partition, PQ by code bytes, this by per-comparison
+      // width); recall vs the exact baseline unit-tested. pcaK=16 of
+      // 64, not 8: these fixture embeddings are near-isotropic (the
+      // spectrum is flat, unlike real text/image embeddings whose
+      // energy concentrates in the head), so an 8-dim coarse space
+      // under-ranks — the spec records the measured recall ladder.
+      Similarity.pcaKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5, dims = 64,
+          pcaK = 16, shortlist = 100, simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
     "sim_knn_rplsh" -> ((s, d) => {
       // ✘ no oracle (approximate by design): random-hyperplane LSH kNN
       // for the same queries as sim_knn_per_query — the data-

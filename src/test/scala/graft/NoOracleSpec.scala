@@ -275,6 +275,28 @@ class NoOracleSpec extends AnyFunSuite {
     info(f"trained recall $recall%.3f vs untrained ${untrained.map(u => f"$u%.3f")}")
   }
 
+  test("sim_knn_pca: 16-dim shortlist-100 recall vs brute-force top-5, and re-ranked sims are exact") {
+    val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val pca = SparkEntry.queries("sim_knn_pca")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val recall = exact.keySet.count(pca.keySet.contains).toDouble / exact.size
+    // a 16-of-64-dim coarse space keeping 100 of ~1000 candidates on a
+    // near-isotropic fixture (flat spectrum — the hard case for PCA
+    // pruning; measured 0.88, vs 0.44 at pcaK=8/shortlist=50): a true
+    // neighbor only misses when its similarity gap lives in the
+    // trailing 48 components
+    assert(recall >= 0.6, s"PCA-prefilter recall too low: $recall")
+    // the re-rank is EXACT cosine: every pair both paths emit must
+    // carry the identical rounded similarity
+    val common = exact.keySet & pca.keySet
+    assert(common.nonEmpty)
+    common.foreach { p =>
+      assert(exact(p) == pca(p), s"pair $p: exact ${exact(p)} vs pca ${pca(p)}")
+    }
+    info(f"PCA-prefilter recall $recall%.3f over ${exact.size} truth pairs")
+  }
+
   test("sim_knn_ivfpq recall tracks the IVF bound (re-rank recovers ADC error)") {
     val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
