@@ -464,6 +464,48 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"candidates $candidates within 10× of the all-pairs volume — binning is not pruning")
   }
 
+  test("bloomSemiJoin pre-filter passes ~matches + fpp·rest at 2M fact rows; codegen == interpreted") {
+    // join_bloom_prefilter's measured claim, at a scale where the fpp
+    // arithmetic is visible: 2M fact rows probing a 10k-key dim bloom
+    // at fpp=0.01 must pass the 10k true matches plus ~1% of the ~2M
+    // non-matches — the shuffle the exact join then pays is ~1.5% of
+    // the fact, not 100%. A broken sizing (undersized bloom) shows up
+    // here as a blown false-positive rate.
+    val fact = spark.range(2000000L).select(col("id").as("k"))
+    // 10k distinct dim keys, all < 100k — so exactly 10k fact rows match
+    val dim = spark.range(10000L).select((col("id") * 10L).as("k"))
+    val nKeys = 10000L
+    val bloom = dim.stat.bloomFilter("k", nKeys, 0.01)
+    val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos)
+    graft.functions.BloomMightContain.register(spark)
+    val passed = fact.filter(call_function("graft_bloom_probe",
+      col("k").cast("long"), lit(bos.toByteArray))).count()
+    val matches = 10000L
+    assert(passed >= matches, s"bloom dropped true matches: $passed < $matches")
+    val fpObserved = (passed - matches).toDouble / (2000000L - matches)
+    assert(fpObserved <= 0.03,
+      f"observed false-positive rate $fpObserved%.4f far above the 0.01 target — " +
+        "bloom sizing is broken")
+    info(f"bloom passed $passed of 2M rows (fp rate $fpObserved%.4f at target 0.01)")
+    // interpreted path (eval, no codegen) must agree with the codegen
+    // path bit-for-bit — probe a slice through both
+    val expr = graft.functions.BloomMightContain(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.catalyst.expressions.Literal(bos.toByteArray))
+    val interp = (0L until 100000L).count { k =>
+      expr.eval(org.apache.spark.sql.catalyst.InternalRow(k)).asInstanceOf[Boolean]
+    }
+    val codegen = fact.filter(col("k") < 100000L)
+      .filter(call_function("graft_bloom_probe",
+        col("k").cast("long"), lit(bos.toByteArray))).count()
+    assert(interp.toLong == codegen,
+      s"interpreted eval passed $interp, codegen passed $codegen — paths diverge")
+    // and the end-to-end semi-join at this scale is still exact
+    val viaBloom = graft.api.SkewJoins.bloomSemiJoin(fact, dim, "k", "k").count()
+    assert(viaBloom == matches, s"bloom semi-join emitted $viaBloom of $matches")
+  }
+
   test("runtime bloom filter thins the fact side of a selective shuffle join, result unchanged") {
     // the Verify/Bench sessions run with
     // spark.sql.optimizer.runtime.bloomFilter.enabled=true — a no-op
