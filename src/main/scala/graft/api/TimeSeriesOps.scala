@@ -109,6 +109,48 @@ object TimeSeriesOps {
       .select(col(keyCol), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Truncated exponentially-weighted moving average over the dense
+    * [[resampleGapfill]] grid: per series,
+    * s_t = Σ_{k=0..W−1} d^k·x_{t−k} / Σ d^k (available history only —
+    * pandas `adjust=True` normalization, truncated at `window` bins).
+    * The smoothing step of a metric/anomaly pipeline, after resample
+    * and before thresholding.
+    *
+    * Engine-portable BY CONSTRUCTION: the decay d = 7/10 is applied as
+    * exact INTEGER weights 7^k·10^(W−1−k) (ratio d^k; max 10^11, long-
+    * safe), so numerator and denominator are exact integer sums in any
+    * engine and float enters once, at the final division (r4-rounded
+    * by the caller). A float `pow(0.7, k)` here would gamble the hash
+    * gate on two libms rounding identically.
+    *
+    * Scale shape: the grid is dense per key, so "k bins back" is an
+    * exact integer-index equi-join with bounded fanout `window` —
+    * rows ∝ grid·window, never a per-row subquery; one hash aggregate
+    * folds the weighted sums. Window functions cannot weight by frame
+    * offset, which is why this is a bounded join, not a frame. */
+  def ewmaSmooth(grid: DataFrame, keyCol: String, binCol: String,
+      valCol: String, binSeconds: Int, window: Int = 12): DataFrame = {
+    require(window >= 1 && window <= 16,
+      s"window must be in [1,16] (integer weights overflow past 7^15·10), got $window")
+    val w = Array.tabulate(window)(k =>
+      BigInt(7).pow(k) * BigInt(10).pow(window - 1 - k))
+    require(w.forall(_.isValidLong))
+    val wExpr = (k: Column) => element_at(
+      array(w.map(x => lit(x.toLong)): _*), (k + 1).cast("int"))
+    val idx = (c: Column) => (unix_timestamp(c) / binSeconds).cast("long")
+    val cur = grid.select(col(keyCol).as("_k"), col(binCol).as("_b"),
+      idx(col(binCol)).as("_i"))
+    val hist = grid.select(col(keyCol).as("_hk"), idx(col(binCol)).as("_j"),
+      col(valCol).as("_x"))
+    cur.join(hist, col("_k") === col("_hk") && col("_j") <= col("_i")
+        && col("_j") > col("_i") - window)
+      .withColumn("_w", wExpr(col("_i") - col("_j")))
+      .groupBy(col("_k").as(keyCol), col("_b").as(binCol))
+      .agg((sum(col("_w") * col("_x")).cast("double")
+        / sum(col("_w")).cast("double")).as("ewma"),
+        max(when(col("_j") === col("_i"), col("_x"))).as(valCol))
+  }
+
   /** Session assignment with an inactivity gap (batch; the streaming
     * twin is graft.streaming.StreamOps.sessionAgg). */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, gap: String): DataFrame =

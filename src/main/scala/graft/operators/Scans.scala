@@ -174,6 +174,41 @@ object Scans {
           Canon.sumDec(col("l_extendedprice"), 2).as("sum_price"))
         .orderBy("l_returnflag")
     }),
+    "data_gdpr_delete" -> ((s, d) => {
+      // right-to-be-forgotten pass — the deletion op every stored
+      // training corpus legally needs: users whose md5 first hex
+      // < '2' (~1/8, the established deterministic request-set
+      // convention) are scrubbed by an anti-filter REWRITE of the
+      // table, and the audit reads KEPT counts from the REWRITTEN
+      // parquet (not the source), so the oracle hash proves the
+      // rewrite deleted exactly the request set and kept everything
+      // else. n_leaked re-scans the rewritten table for request-set
+      // users — 0 on both sides, the scrub-completeness witness in
+      // the declared output itself. At 100 TB this is a partition-
+      // pruned rewrite of affected partitions, not a full-table pass;
+      // the per-file shape here is the same filter+rewrite.
+      def isDel(c: org.apache.spark.sql.Column) =
+        substring(md5(c.cast("string").cast("binary")), 1, 1) < "2"
+      val ev = Tables.events(s, d)
+      val dir = graft.sources.Writers.roundTripDir("graft_gdpr_events", d)
+      ev.filter(!isDel(col("user_id"))).write.mode("overwrite").parquet(dir)
+      val kept = s.read.parquet(dir)
+      val keptAgg = kept.groupBy("event_type")
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(col("user_id")).as("users_kept"),
+          sum(isDel(col("user_id")).cast("long")).as("n_leaked"))
+      val delAgg = ev.filter(isDel(col("user_id"))).groupBy("event_type")
+        .agg(count(lit(1)).as("n_deleted"),
+          countDistinct(col("user_id")).as("users_deleted"))
+      keptAgg.join(delAgg, Seq("event_type"), "full_outer")
+        .select(col("event_type"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("users_kept"), lit(0L)).as("users_kept"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          coalesce(col("users_deleted"), lit(0L)).as("users_deleted"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+        .orderBy("event_type")
+    }),
     "data_zorder_cluster" -> ((s, d) => {
       // Z-order clustered layout round-trip — multi-dimension data
       // skipping, completing the layout family beyond single-column
@@ -363,6 +398,19 @@ object Scans {
         |  strftime(CAST(min(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
         |  strftime(CAST(max(ts) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // recomputes both halves from the flat table — matching the
+    // rewritten-table audit proves the scrub deleted exactly the
+    // request set; n_leaked = 0 is the completeness witness
+    "data_gdpr_delete" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '2' AS del FROM events)
+        |SELECT event_type,
+        |  count(CASE WHEN NOT del THEN 1 END) AS n_kept,
+        |  CAST(count(DISTINCT CASE WHEN NOT del THEN user_id END) AS BIGINT) AS users_kept,
+        |  count(CASE WHEN del THEN 1 END) AS n_deleted,
+        |  CAST(count(DISTINCT CASE WHEN del THEN user_id END) AS BIGINT) AS users_deleted,
+        |  CAST(0 AS BIGINT) AS n_leaked
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // flat-parquet twin of both z-layout probes — matching proves the
     // Morton rewrite moved every row exactly once
     "data_zorder_cluster" ->

@@ -188,6 +188,19 @@ object StreamOps {
         .select("win_start", "event_type", "n", "sum_val")
         .orderBy("win_start", "event_type")
     }),
+    "ts_ewma_smooth" -> ((s, d) => {
+      // truncated EWMA (d = 7/10, window 12) over the dense 5-minute
+      // grid — the smoothing step between resample and thresholding.
+      // Decay applied as exact INTEGER weights (7^k·10^(11-k)), so
+      // both engines sum identical integers and float enters once at
+      // the final division (TimeSeriesOps.ewmaSmooth).
+      val g = graft.api.TimeSeriesOps.resampleGapfill(
+        Tables.events(s, d), "ts", "event_type", 300)
+      graft.api.TimeSeriesOps.ewmaSmooth(g, "event_type", "bin", "n", 300)
+        .select(col("event_type"), Canon.tsStr(col("bin")).as("win_start"),
+          col("n"), Canon.r4(col("ewma")).as("ewma"))
+        .orderBy("event_type", "win_start")
+    }),
     "stream_cdc_upsert" -> ((s, d) => {
       // CDC apply loop, batch semantics declared: the events month is
       // replayed as three chronological micro-batches; each batch's
@@ -281,6 +294,37 @@ object StreamOps {
         |                '%Y-%m-%d %H:%M:%S') AS win_start,
         |  event_type, count(*) AS n, ${O.sumDec("value", 2)} AS sum_val
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // same integer-weight fold over the same dense grid — float enters
+    // once, at the division, on both sides
+    "ts_ewma_smooth" ->
+      s"""WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',
+        |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(bin) AS minb, max(bin) AS maxb FROM c),
+        |g AS (SELECT t.event_type, gs.bin
+        |      FROM (SELECT DISTINCT event_type FROM events) t
+        |      CROSS JOIN (SELECT unnest(generate_series(minb, maxb,
+        |                    INTERVAL '5 minutes')) AS bin FROM r) gs),
+        |f AS (SELECT g.event_type, g.bin,
+        |        CAST(epoch(g.bin) // 300 AS BIGINT) AS i,
+        |        COALESCE(c.n, 0) AS x
+        |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin),
+        |j AS (SELECT a.event_type, a.bin, a.i - b.i AS k, b.x,
+        |        CASE a.i - b.i
+        |          WHEN 0 THEN 100000000000 WHEN 1 THEN 70000000000
+        |          WHEN 2 THEN 49000000000 WHEN 3 THEN 34300000000
+        |          WHEN 4 THEN 24010000000 WHEN 5 THEN 16807000000
+        |          WHEN 6 THEN 11764900000 WHEN 7 THEN 8235430000
+        |          WHEN 8 THEN 5764801000 WHEN 9 THEN 4035360700
+        |          WHEN 10 THEN 2824752490 WHEN 11 THEN 1977326743
+        |        END AS w
+        |      FROM f a JOIN f b ON a.event_type = b.event_type
+        |        AND b.i <= a.i AND b.i > a.i - 12)
+        |SELECT event_type, strftime(bin, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  max(CASE WHEN k = 0 THEN x END) AS n,
+        |  ${O.r4("CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)")} AS ewma
+        |FROM j GROUP BY event_type, bin
+        |ORDER BY event_type, win_start""".stripMargin,
     "ts_resample_gapfill" ->
       """WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',
         |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),

