@@ -170,6 +170,55 @@ object Windows {
           "event_type", "event_id", "value", threshold = 3.0)
         .orderBy("event_type", "event_id")
     }),
+    "events_rfm_segments" -> ((s, d) => {
+      // RFM segmentation — the classic customer-value triage, shaped
+      // for scale: per-user (recency, frequency, monetary) is ONE
+      // aggregate; each dimension's quartile cuts come from the
+      // bounded-state exact percentile (StatsOps.binnedPercentiles)
+      // and broadcast back as rowwise comparisons — NEVER a global
+      // ntile, whose unpartitioned window is a single-reducer sort at
+      // 1e9 users. Cuts are pre-rounded (4 dp) so a score cannot
+      // straddle an ulp between engines; equal metrics get equal
+      // scores (cut semantics, better than ntile's arbitrary split of
+      // ties). r_score inverts recency: recent = high.
+      val ev = Tables.events(s, d)
+      val maxTs = ev.agg(max(to_date(col("ts"))).as("_maxd"))
+      val u = ev.groupBy("user_id")
+        .agg(max(to_date(col("ts"))).as("_lastd"),
+          count(lit(1)).as("frequency"),
+          Canon.sumDec(col("value"), 2).as("monetary"))
+        .crossJoin(broadcast(maxTs))
+        .select(col("user_id"),
+          datediff(col("_maxd"), col("_lastd")).cast("long").as("recency_days"),
+          col("frequency"), col("monetary"))
+        .withColumn("_g", lit(1))
+      // score expression over the cut columns the fold below joins in:
+      // bucket = 1 + how many pre-rounded quartile cuts the metric
+      // strictly exceeds
+      def score(metric: String, invert: Boolean): org.apache.spark.sql.Column = {
+        val m = col(metric).cast("double")
+        val b = lit(1L) + (m > col(s"_${metric}_q25")).cast("long") +
+          (m > col(s"_${metric}_q50")).cast("long") +
+          (m > col(s"_${metric}_q75")).cast("long")
+        if (invert) lit(5L) - b else b
+      }
+      val withCuts = Seq("recency_days", "frequency", "monetary")
+        .foldLeft(u) { (df, m) =>
+          df.crossJoin(broadcast(
+            graft.api.StatsOps.binnedPercentiles(u, "_g", col(m),
+                Seq("_q25" -> 0.25, "_q50" -> 0.5, "_q75" -> 0.75))
+              .select(Canon.r4(col("_q25")).as(s"_${m}_q25"),
+                Canon.r4(col("_q50")).as(s"_${m}_q50"),
+                Canon.r4(col("_q75")).as(s"_${m}_q75"))))
+        }
+      withCuts
+        .withColumn("r_score", score("recency_days", invert = true))
+        .withColumn("f_score", score("frequency", invert = false))
+        .withColumn("m_score", score("monetary", invert = false))
+        .select("user_id", "recency_days", "frequency", "monetary",
+          "r_score", "f_score", "m_score")
+        .orderBy("user_id")
+    }),
     "events_markov_transitions" -> ((s, d) => {
       // first-order journey graph: P(next event type | previous) per
       // observed transition — one user-keyed lag window, then counts
@@ -331,6 +380,36 @@ object Windows {
         |      WHERE sd > 0)
         |SELECT event_type, event_id, value, z FROM j
         |WHERE abs(z) >= 3.0 ORDER BY event_type, event_id""".stripMargin,
+    // quantile_cont cuts (pre-rounded like the Spark side) + the same
+    // strict-exceed bucket — equal metrics score equally on both sides
+    "events_rfm_segments" ->
+      s"""WITH u AS (SELECT user_id,
+        |    date_diff('day', CAST(max(CAST(ts AS TIMESTAMP)) AS DATE),
+        |      (SELECT CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) FROM events)) AS recency_days,
+        |    count(*) AS frequency,
+        |    ${O.sumDec("value", 2)} AS monetary
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT
+        |    ${O.r4("quantile_cont(CAST(recency_days AS DOUBLE), 0.25)")} AS r25,
+        |    ${O.r4("quantile_cont(CAST(recency_days AS DOUBLE), 0.5)")} AS r50,
+        |    ${O.r4("quantile_cont(CAST(recency_days AS DOUBLE), 0.75)")} AS r75,
+        |    ${O.r4("quantile_cont(CAST(frequency AS DOUBLE), 0.25)")} AS f25,
+        |    ${O.r4("quantile_cont(CAST(frequency AS DOUBLE), 0.5)")} AS f50,
+        |    ${O.r4("quantile_cont(CAST(frequency AS DOUBLE), 0.75)")} AS f75,
+        |    ${O.r4("quantile_cont(monetary, 0.25)")} AS m25,
+        |    ${O.r4("quantile_cont(monetary, 0.5)")} AS m50,
+        |    ${O.r4("quantile_cont(monetary, 0.75)")} AS m75
+        |  FROM u)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |  frequency, monetary,
+        |  5 - (1 + CAST(recency_days > r25 AS BIGINT)
+        |         + CAST(recency_days > r50 AS BIGINT)
+        |         + CAST(recency_days > r75 AS BIGINT)) AS r_score,
+        |  1 + CAST(frequency > f25 AS BIGINT) + CAST(frequency > f50 AS BIGINT)
+        |    + CAST(frequency > f75 AS BIGINT) AS f_score,
+        |  1 + CAST(monetary > m25 AS BIGINT) + CAST(monetary > m50 AS BIGINT)
+        |    + CAST(monetary > m75 AS BIGINT) AS m_score
+        |FROM u CROSS JOIN c ORDER BY user_id""".stripMargin,
     "events_markov_transitions" ->
       s"""WITH seq AS (SELECT user_id, event_type AS next_type,
         |    lag(event_type) OVER (PARTITION BY user_id
