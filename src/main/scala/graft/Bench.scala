@@ -105,14 +105,18 @@ object Bench {
         // (r10 ADVICE — the free is off the wall clock AND off the
         // gc meter, consistently)
         val gcSec = (gcMillis() - g0) / 1e3
+        // close the CPU window HERE, aligned with dt and gcSec: the
+        // checkpoint release below is off the wall clock and the gc
+        // meter, so billing its CPU to cpuSec would blur the exact
+        // wall-vs-cpu contention signature this field exists for
+        val c1 = procCpuNanos()
+        val cpuSec = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
         // release eagerly-pinned localCheckpoint blocks OFF the clock
         // (like System.gc below) and even when the run failed — a
         // leaked checkpoint would bill every later key's memory
         // pressure, the exact accumulation this call exists to stop
         if (df != null)
           try graft.api.Checkpoints.free(df) catch { case _: Throwable => () }
-        val c1 = procCpuNanos()
-        val cpuSec = if (c0 < 0 || c1 < 0) -1.0 else (c1 - c0) / 1e9
         Run(dt, plan, gcSec, err, cpuSec, loadAvg1())
       }
       // drop each run's dead broadcasts/shuffles off the clock,
@@ -158,6 +162,13 @@ object Bench {
       errors: Map[String, String]): Seq[(String, Seq[Run])] =
     results.filterNot { case (k, _) => errors.contains(k) }
 
+  /** Per-key min-of-runs over the timed (non-errored) keys — the ONE
+    * definition both the artifact and the stdout headline aggregate
+    * from, so the two cannot drift if the exclusion rule changes. */
+  private[graft] def minTimes(results: Seq[(String, Seq[Run])],
+      errors: Map[String, String]): Seq[(String, Double)] =
+    timedOnly(results, errors).map { case (k, rs) => k -> rs.map(_.sec).min }
+
   /** The complete bench artifact (bench_full.json), factored out of
     * main so HarnessSpec can assert its contract: errored keys appear
     * ONLY under "errors"/"runs"/"gc_sec"/"plans" (never in
@@ -167,7 +178,7 @@ object Bench {
   private[graft] def renderFullJson(results: Seq[(String, Seq[Run])],
       errors: Map[String, String], sfDir: String): String = {
     val timed = timedOnly(results, errors)
-    val times = timed.map { case (k, rs) => k -> rs.map(_.sec).min }
+    val times = minTimes(results, errors)
     // median alongside min (r12 judge #8): round-over-round comparisons
     // shouldn't chase first-run JIT noise; median of 3 is robust to a
     // single cold/co-tenant outlier while min stays the headline
@@ -228,7 +239,7 @@ object Bench {
     val fullJson = renderFullJson(results, errors, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       fullJson.getBytes("UTF-8"))
-    val times = timedOnly(results, errors).map { case (k, rs) => k -> rs.map(_.sec).min }
+    val times = minTimes(results, errors)
     val total = if (times.nonEmpty) times.map(_._2).sum else 0.0
     val head = times.filter(r => headline.contains(r._1)).toMap
     val errKeys = errors.keys.toSeq.sorted.map(jstr).mkString("[", ",", "]")

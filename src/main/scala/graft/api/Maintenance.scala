@@ -38,7 +38,14 @@ object Maintenance {
     val s = snapshot.select(cols.map(c => col(c).as(s"_s_$c")): _*)
     val u = updates.select(cols.map(c => col(c).as(s"_u_$c")): _*)
     val merged = s.join(u, col(s"_s_$keyCol") === col(s"_u_$keyCol"), "full_outer")
-    val out = cols.map(c => coalesce(col(s"_u_$c"), col(s"_s_$c")).as(c))
+    // whole-ROW take, not per-column coalesce: an update row's NULL
+    // cell is a real write (clears the field), exactly like
+    // [[upsertMergeLatest]] — coalesce would silently resurrect the
+    // snapshot value and the two merge APIs would disagree on
+    // identical input
+    val takeUpd = col(s"_u_$keyCol").isNotNull
+    val out = cols.map(c =>
+      when(takeUpd, col(s"_u_$c")).otherwise(col(s"_s_$c")).as(c))
     val action = when(col(s"_s_$keyCol").isNull, lit("insert"))
       .when(col(s"_u_$keyCol").isNull, lit("keep"))
       .otherwise(lit("update")).as("action")

@@ -81,6 +81,18 @@ object SkewJoins {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // fail LOUDLY on non-integral keys: the probe casts to long, and a
+    // string key would cast to NULL per row (non-ANSI), silently
+    // dropping every fact row — including true matches — instead of
+    // erroring. The long-key bloom is the scale-relevant shape; string
+    // keys should hash to a long first (xxhash64) on BOTH sides.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq(factKey -> fact.schema(factKey).dataType,
+        dimKey -> dim.schema(dimKey).dataType).foreach { case (n, t) =>
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+        s"bloomSemiJoin requires an integral key; $n is ${t.simpleString} — " +
+          "hash non-integral keys to a long (e.g. xxhash64) on both sides first")
+    }
     // expectedNumItems from a cheap distinct-count of the dim keys —
     // one narrow aggregate; undersizing a bloom silently raises its
     // real fpp, so this is measured, not guessed

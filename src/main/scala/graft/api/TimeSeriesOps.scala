@@ -149,11 +149,20 @@ object TimeSeriesOps {
       col(valCol).as("_x"))
       .withColumn("_o", explode(lit((0 until window).toArray)))
       .withColumn("_ti", col("_j") + col("_o"))
+    // DECIMAL sums, not long: weights reach 1e11, so a bin value past
+    // ~9.2e7 would overflow the long product and WRAP silently under
+    // non-ANSI Spark (DuckDB promotes to HUGEINT — the engines would
+    // diverge exactly when the data gets big). Decimal keeps both
+    // sides exact at any scale; float still enters only at the final
+    // division.
+    val wDec = wExpr(col("_o")).cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    val xDec = col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 0))
     cur.join(hist, col("_ck") === col("_hk") && col("_i") === col("_ti"))
-      .withColumn("_w", wExpr(col("_o")))
+      .withColumn("_wx", wDec * xDec)
+      .withColumn("_wd", wDec)
       .groupBy(col("_ck").as(keyCol), col("_b").as(binCol))
-      .agg((sum(col("_w") * col("_x")).cast("double")
-        / sum(col("_w")).cast("double")).as("ewma"),
+      .agg((sum(col("_wx")).cast("double")
+        / sum(col("_wd")).cast("double")).as("ewma"),
         max(when(col("_o") === 0, col("_x"))).as(valCol))
   }
 

@@ -435,10 +435,11 @@ object Scans {
         |  UNION ALL
         |  SELECT -o_orderkey - 1, o_custkey, 'N', o_totalprice
         |  FROM snap WHERE o_orderkey % 13 = 0)
-        |SELECT coalesce(u.o_orderkey, s.o_orderkey) AS o_orderkey,
-        |  coalesce(u.o_custkey, s.o_custkey) AS o_custkey,
-        |  coalesce(u.o_orderstatus, s.o_orderstatus) AS o_orderstatus,
-        |  coalesce(u.o_totalprice, s.o_totalprice) AS o_totalprice,
+        |SELECT
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderkey ELSE s.o_orderkey END AS o_orderkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey ELSE s.o_custkey END AS o_custkey,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE s.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE s.o_totalprice END AS o_totalprice,
         |  CASE WHEN s.o_orderkey IS NULL THEN 'insert'
         |       WHEN u.o_orderkey IS NULL THEN 'keep'
         |       ELSE 'update' END AS action

@@ -322,7 +322,8 @@ object StreamOps {
         |        AND b.i <= a.i AND b.i > a.i - 12)
         |SELECT event_type, strftime(bin, '%Y-%m-%d %H:%M:%S') AS win_start,
         |  max(CASE WHEN k = 0 THEN x END) AS n,
-        |  ${O.r4("CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)")} AS ewma
+        |  ${O.r4("CAST(sum(CAST(w AS DECIMAL(20,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE)" +
+          " / CAST(sum(CAST(w AS DECIMAL(20,0))) AS DOUBLE)")} AS ewma
         |FROM j GROUP BY event_type, bin
         |ORDER BY event_type, win_start""".stripMargin,
     "ts_resample_gapfill" ->

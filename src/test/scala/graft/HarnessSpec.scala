@@ -71,7 +71,10 @@ class HarnessSpec extends AnyFunSuite {
       val arr = m.get(f).get(k)
       assert(arr != null && arr.isArray && arr.size == 2, s"$f/$k missing")
     }
-    assert(m.get("loadavg1").get("ok_key").get(0).asDouble > 0.0,
+    // >= 0, not > 0: /proc/loadavg legitimately reads 0.00 on an idle
+    // machine — the contract is that the sample is present and parsed,
+    // not that the box is busy
+    assert(m.get("loadavg1").get("ok_key").get(0).asDouble >= 0.0,
       "loadavg sample should be readable on this platform")
     assert(m.get("proc_cpu_sec").get("ok_key").get(0).asDouble >= 0.0)
   }

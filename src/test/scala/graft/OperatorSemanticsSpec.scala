@@ -641,6 +641,15 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       graft.api.Maintenance.upsertMerge(snap, bad, "k")
     }
     assert(e.getMessage.contains("must match"))
+    // whole-row take: an update row's NULL cell is a real write that
+    // CLEARS the field — per-column coalesce would silently resurrect
+    // the snapshot value and diverge from upsertMergeLatest
+    val nullUpd = Seq((2L, Option.empty[String], Option(22.0))).toDF("k", "name", "v")
+    val cleared = graft.api.Maintenance.upsertMerge(snap, nullUpd, "k")
+      .filter(org.apache.spark.sql.functions.col("k") === 2L).collect()(0)
+    assert(cleared.isNullAt(1) && cleared.getDouble(2) == 22.0
+      && cleared.getString(3) == "update",
+      s"NULL update cell did not clear the field: $cleared")
   }
 
   test("upsertMergeLatest: version wins over arrival order; ties go to the update") {
