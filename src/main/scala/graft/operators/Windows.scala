@@ -40,6 +40,25 @@ object Windows {
           Canon.r4(col("prnk")).as("prnk"), col("tile"))
         .orderBy("o_orderkey")
     }),
+    "window_first_last" -> ((s, d) => {
+      // first/last/nth_value analytic functions, per-user over event
+      // time — completing the window-function surface beyond
+      // lag/lead/ranks. The frame is the CLASSIC gotcha: last_value
+      // over the default frame (UNBOUNDED PRECEDING..CURRENT ROW) is
+      // just the current row; the full-extent frame here is what
+      // makes it the partition's true last. One user-keyed shuffle;
+      // (ts, event_id) order so ties cannot flip endpoints.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          first(col("event_type")).over(wFull).as("first_type"),
+          last(col("event_type")).over(wFull).as("last_type"),
+          nth_value(col("value"), 2).over(wFull).as("second_value"),
+          row_number().over(w).as("_rn"))
+        .filter(col("_rn") === 1).drop("_rn")
+        .orderBy("user_id")
+    }),
     "window_cume_dist" -> ((s, d) => {
       // cume_dist over the same coarse band order — rides the banded
       // two-pass ranks (per-band lookup broadcast back), completing
@@ -380,6 +399,18 @@ object Windows {
         |      WHERE sd > 0)
         |SELECT event_type, event_id, value, z FROM j
         |WHERE abs(z) >= 3.0 ORDER BY event_type, event_id""".stripMargin,
+    "window_first_last" ->
+      """WITH t AS (SELECT user_id,
+        |    first_value(event_type) OVER w AS first_type,
+        |    last_value(event_type) OVER w AS last_type,
+        |    nth_value(value, 2) OVER w AS second_value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, first_type, last_type, second_value
+        |FROM t WHERE rn = 1 ORDER BY user_id""".stripMargin,
     // quantile_cont cuts (pre-rounded like the Spark side) + the same
     // strict-exceed bucket — equal metrics score equally on both sides
     "events_rfm_segments" ->
