@@ -203,6 +203,40 @@ class WritePathSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertMerge over bucketed snapshot + updates runs exchange-free") {
+    // Maintenance.upsertMerge's steady-state claim executed: when both
+    // the snapshot and the update batch are laid out bucketed by the
+    // merge key, the full-outer merge joins on the bucket layout with
+    // NO hash exchange — the nightly 100 TB merge loop pays the
+    // shuffle zero times, not once per night. The merged result is
+    // also byte-equal to the unbucketed merge (layout must never
+    // change answers).
+    val base = Files.createTempDirectory("graft-merge-buck")
+    val snap = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val upd = snap.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"), col("o_totalprice"))
+    Writers.writeBucketed(snap, "o_orderkey", 4, "t_merge_snap", s"$base/s")
+    Writers.writeBucketed(upd, "o_orderkey", 4, "t_merge_upd", s"$base/u")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val merged = graft.api.Maintenance.upsertMerge(
+        spark.table("t_merge_snap"), spark.table("t_merge_upd"), "o_orderkey")
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed merge still shuffles:\n$plan")
+      val got = merged.collect().map(_.toString).sorted.toSeq
+      val want = graft.api.Maintenance.upsertMerge(snap, upd, "o_orderkey")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "bucketed merge diverged from the plain merge")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS t_merge_snap")
+      spark.sql("DROP TABLE IF EXISTS t_merge_upd")
+    }
+  }
+
   test("a persisted bucketed minhash index probes with no exchange on the index side") {
     // the production incremental-dedup layout: the corpus signature
     // tables are written ONCE (banded bucketed by its join key
