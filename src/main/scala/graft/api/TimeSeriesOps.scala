@@ -91,22 +91,31 @@ object TimeSeriesOps {
     * needs before it can difference or smooth.
     *
     * Scale: the observed bins are one hash aggregate; the dense grid is
-    * keys × `sequence(min, max, step)` — cardinality bins·keys, NOT
-    * rows — built from a broadcast 1-row range and joined back with a
-    * left join on (key, bin). No window, no per-row state. */
+    * cardinality bins·keys, NOT rows. Each key's observed bins pack
+    * into ONE map row (state per key ∝ bins in the time range — a
+    * month of 5-min bins is 8 640 entries — bounded by the RANGE, not
+    * by row count), the corpus [min,max] ships as a broadcast 1-row
+    * range, and the dense grid unrolls key-locally from a transform
+    * over `sequence` with a map lookup per bin. No (key,bin) join:
+    * two hash aggregates + one scalar broadcast is the whole plan, and
+    * the output stays hash-partitioned on the KEY — downstream per-key
+    * consumers (ewmaSmooth's window, differencing) add no exchange. */
   def resampleGapfill(df: DataFrame, tsCol: String, keyCol: String,
       binSeconds: Int): DataFrame = {
-    val bin = timestamp_seconds(
-      floor(unix_timestamp(col(tsCol)) / binSeconds).cast("long") * binSeconds)
-    val counts = df.select(col(keyCol), bin.as("bin"))
-      .groupBy(keyCol, "bin").agg(count(lit(1)).as("n"))
-    val range = counts.agg(min(col("bin")).as("_minb"), max(col("bin")).as("_maxb"))
-    val grid = df.select(col(keyCol)).distinct()
-      .crossJoin(broadcast(range))
-      .select(col(keyCol), explode(sequence(col("_minb"), col("_maxb"),
-        expr(s"INTERVAL $binSeconds SECONDS"))).as("bin"))
-    grid.join(counts, Seq(keyCol, "bin"), "left")
-      .select(col(keyCol), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
+    val binIdx = floor(unix_timestamp(col(tsCol)) / binSeconds).cast("long")
+    val counts = df.select(col(keyCol), binIdx.as("_bi"))
+      .groupBy(keyCol, "_bi").agg(count(lit(1)).as("n"))
+    val perKey = counts.groupBy(keyCol)
+      .agg(map_from_entries(collect_list(struct(col("_bi"), col("n")))).as("_m"))
+    val range = counts.agg(min(col("_bi")).as("_lo"), max(col("_bi")).as("_hi"))
+    perKey.crossJoin(broadcast(range))
+      .select(col(keyCol), col("_lo"),
+        transform(sequence(col("_lo"), col("_hi")),
+          bi => coalesce(element_at(col("_m"), bi), lit(0L))).as("_xs"))
+      .select(col(keyCol), col("_lo"), posexplode(col("_xs")).as(Seq("_off", "n")))
+      .select(col(keyCol),
+        timestamp_seconds((col("_lo") + col("_off")) * binSeconds).as("bin"),
+        col("n"))
   }
 
   /** Truncated exponentially-weighted moving average over the dense
@@ -123,47 +132,57 @@ object TimeSeriesOps {
     * by the caller). A float `pow(0.7, k)` here would gamble the hash
     * gate on two libms rounding identically.
     *
-    * Scale shape: the grid is dense per key, so "k bins back" is an
-    * exact integer-index EQUI-join with bounded fanout `window`: each
-    * history row explodes into the ≤ `window` target indexes it
-    * feeds (_j + offset), and the join is on (key, index) — rows ∝
-    * grid·window, never a per-row subquery, and crucially never a
-    * key-equi join with the range as a POST-filter, which Spark plans
-    * as a per-key cartesian (373M filtered pairs at sf0.1, measured
-    * 5.9 s vs 0.9 s for this shape). One hash aggregate folds the
-    * weighted sums. Window functions cannot weight by frame offset,
-    * which is why this is a bounded join, not a frame. */
+    * Scale shape: ONE window pass, partitioned by key and ordered by
+    * bin — "k bins back" is `lag(x, k)` guarded by `lag(idx, k) ==
+    * idx − k` (on the dense grid the guard is always true; on a gappy
+    * input it DROPS the mismatched term rather than silently weighting
+    * the wrong bin — the grid precondition fails conservative, not
+    * wrong). All `2·window` lags share one frame, so the plan is a
+    * single sort within the key partitioning — and when the grid
+    * comes from [[resampleGapfill]] the input is ALREADY
+    * hash-partitioned on the key, so the whole smoothing step adds
+    * ZERO exchanges (r15; the previous explode-to-target-index
+    * equi-join re-shuffled grid·window rows through (key, index) and
+    * back — 3 more exchanges for the same integers). Never a key-equi
+    * join with the range as a POST-filter, which Spark plans as a
+    * per-key cartesian (373M filtered pairs at sf0.1, measured 5.9 s).
+    *
+    * `valueScale`: `valCol` is summed in exact DECIMAL at this scale
+    * (default 0 — counts). A fractional input beyond the declared
+    * scale is silently HALF_UP-rounded by the decimal cast, so pass
+    * the scale your values actually carry (e.g. 2 for money). */
   def ewmaSmooth(grid: DataFrame, keyCol: String, binCol: String,
-      valCol: String, binSeconds: Int, window: Int = 12): DataFrame = {
+      valCol: String, binSeconds: Int, window: Int = 12,
+      valueScale: Int = 0): DataFrame = {
     require(window >= 1 && window <= 16,
       s"window must be in [1,16] (integer weights overflow past 7^15·10), got $window")
+    require(valueScale >= 0 && valueScale <= 8,
+      s"valueScale must be in [0,8], got $valueScale")
     val w = Array.tabulate(window)(k =>
       BigInt(7).pow(k) * BigInt(10).pow(window - 1 - k))
     require(w.forall(_.isValidLong))
-    val wExpr = (k: Column) => element_at(
-      array(w.map(x => lit(x.toLong)): _*), (k + 1).cast("int"))
-    val idx = (c: Column) => (unix_timestamp(c) / binSeconds).cast("long")
-    val cur = grid.select(col(keyCol).as("_ck"), col(binCol).as("_b"),
-      idx(col(binCol)).as("_i"))
-    val hist = grid.select(col(keyCol).as("_hk"), idx(col(binCol)).as("_j"),
-      col(valCol).as("_x"))
-      .withColumn("_o", explode(lit((0 until window).toArray)))
-      .withColumn("_ti", col("_j") + col("_o"))
     // DECIMAL sums, not long: weights reach 1e11, so a bin value past
     // ~9.2e7 would overflow the long product and WRAP silently under
     // non-ANSI Spark (DuckDB promotes to HUGEINT — the engines would
     // diverge exactly when the data gets big). Decimal keeps both
     // sides exact at any scale; float still enters only at the final
     // division.
-    val wDec = wExpr(col("_o")).cast(org.apache.spark.sql.types.DecimalType(20, 0))
-    val xDec = col("_x").cast(org.apache.spark.sql.types.DecimalType(18, 0))
-    cur.join(hist, col("_ck") === col("_hk") && col("_i") === col("_ti"))
-      .withColumn("_wx", wDec * xDec)
-      .withColumn("_wd", wDec)
-      .groupBy(col("_ck").as(keyCol), col("_b").as(binCol))
-      .agg((sum(col("_wx")).cast("double")
-        / sum(col("_wd")).cast("double")).as("ewma"),
-        max(when(col("_o") === 0, col("_x"))).as(valCol))
+    val decW = org.apache.spark.sql.types.DecimalType(20, 0)
+    val decX = org.apache.spark.sql.types.DecimalType(18 + valueScale, valueScale)
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(binCol))
+    val idx = (unix_timestamp(col(binCol)) / binSeconds).cast("long")
+    val terms = (0 until window).map { k =>
+      val hit = if (k == 0) lit(true) else lag(idx, k).over(ord) === idx - k
+      val x = (if (k == 0) col(valCol) else lag(col(valCol), k).over(ord)).cast(decX)
+      val wk = lit(w(k).toLong).cast(decW)
+      (when(hit && x.isNotNull, wk * x).otherwise(lit(0).cast(decW) * lit(0).cast(decX)),
+        when(hit && x.isNotNull, wk).otherwise(lit(0).cast(decW)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    grid.select(col(keyCol), col(binCol),
+      (num.cast("double") / den.cast("double")).as("ewma"), col(valCol))
   }
 
   /** Session assignment with an inactivity gap (batch; the streaming

@@ -40,6 +40,25 @@ object SimilarityOps {
       base
     })
 
+  /** Spec-seeded literal projection parameters (embed_project_literal):
+    * the SAME rowwise kernel as embed_pca_project but against a PINNED
+    * 8×64 component matrix and mean — so the projection kernel gets an
+    * exact DuckDB hash gate independent of the eigensolver. Same
+    * deterministic recipe as ml.MlOps.weights (6 dp-rounded sin(), so
+    * the SQL literal and the JVM double are identical):
+    * C(j)(i) = round6(sin(7000 + j·64 + i + 1)),
+    * mu(i) = round6(sin(8000 + i + 1)). */
+  val litComps: Array[Array[Double]] =
+    Array.tabulate(8)(j => Array.tabulate(64)(i =>
+      BigDecimal(math.sin(7000.0 + j * 64 + i + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  val litMean: Array[Double] = Array.tabulate(64)(i =>
+    BigDecimal(math.sin(8000.0 + i + 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  private def vecLit(v: Array[Double]): String =
+    v.map(w => BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
+      .mkString("[", ", ", "]")
+
   val queries: Map[String, Q] = Map(
     "sim_knn_bruteforce" -> ((s, d) => {
       // exact global top-100 pairs — same result as the brute-force
@@ -223,9 +242,29 @@ object SimilarityOps {
       // identity, variance ordering, projection parity (NoOracleSpec).
       val e = Tables.embeddings(s, d)
       val (mu, comps, _) = graft.api.MlPipeline.pcaFit(e, "embedding", k = 8, dims = 64)
+      // Transport: comma-joined scalars (the embed_quantize_int8
+      // convention) — a raw array<double> column breaks generic result
+      // harnesses (unsortable/unhashable cells). The UDF already emits
+      // a 6-dp grid, so the string form is stable across partitionings.
       e.select(col("vec_id"),
-          graft.api.MlPipeline.pcaProjectUdf(mu, comps)(col("embedding")).as("proj"))
+          array_join(transform(
+            graft.api.MlPipeline.pcaProjectUdf(mu, comps)(col("embedding")),
+            x => x.cast("string")), ",").as("proj"))
         .orderBy("vec_id")
+    }),
+    "embed_project_literal" -> ((s, d) => {
+      // Oracle-checked twin of embed_pca_project's TRANSFORM half: the
+      // identical rowwise projection kernel (pcaProjectUdf — centered
+      // dot per component, 6-dp grid) against pinned literal
+      // components, long-form output (the embed_centroid_by_label
+      // transport). The DuckDB twin spells the same centered
+      // accumulation via list_zip/list_dot_product, so the kernel gets
+      // a rows+schema+hash gate independent of the eigensolver.
+      val e = Tables.embeddings(s, d)
+      e.select(col("vec_id"),
+          posexplode(graft.api.MlPipeline.pcaProjectUdf(litMean, litComps)(col("embedding")))
+            .as(Seq("comp", "value")))
+        .orderBy("vec_id", "comp")
     }),
     "embed_centroid_by_label" -> ((s, d) => {
       // Row output avoids array-encoding equivalence issues and the
@@ -308,6 +347,18 @@ object SimilarityOps {
         |           CAST(floor((v - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
         |    END, ',') AS q
         |FROM t ORDER BY vec_id""".stripMargin,
+    "embed_project_literal" -> {
+      val projExprs = litComps.map { w =>
+        O.rk("list_dot_product(list_transform(" +
+          s"list_zip(CAST(embedding AS DOUBLE[]), CAST(${vecLit(litMean)} AS DOUBLE[])), " +
+          s"p -> p[1] - p[2]), CAST(${vecLit(w)} AS DOUBLE[]))", 6)
+      }.mkString("[\n    ", ",\n    ", "]")
+      s"""WITH t AS (SELECT vec_id, $projExprs AS proj FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(generate_subscripts(proj, 1) - 1 AS INTEGER) AS comp,
+        |  unnest(proj) AS value
+        |FROM t ORDER BY vec_id, comp""".stripMargin
+    },
     "embed_centroid_by_label" ->
       s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |  ${O.r4("avg(CAST(embedding[i] AS DOUBLE))")} AS centroid

@@ -201,18 +201,43 @@ object Windows {
       // scores (cut semantics, better than ntile's arbitrary split of
       // ties). r_score inverts recency: recent = high.
       val ev = Tables.events(s, d)
-      val maxTs = ev.agg(max(to_date(col("ts"))).as("_maxd"))
-      val u = ev.groupBy("user_id")
+      val perUser = ev.groupBy("user_id")
         .agg(max(to_date(col("ts"))).as("_lastd"),
           count(lit(1)).as("frequency"),
           Canon.sumDec(col("value"), 2).as("monetary"))
+      // global anchor from the per-user frame (max of per-user maxes),
+      // not a second events scan
+      val maxTs = perUser.agg(max(col("_lastd")).as("_maxd"))
+      // pin: u feeds BOTH the cuts pass and the final join — without
+      // the pin each consumer re-runs the events aggregate (and its
+      // anchor broadcast) from the scan; one materialization ∝ |users|
+      // honors the multi-branch pin contract (Checkpoints doc)
+      val u = graft.api.Checkpoints.pin(perUser
         .crossJoin(broadcast(maxTs))
         .select(col("user_id"),
           datediff(col("_maxd"), col("_lastd")).cast("long").as("recency_days"),
-          col("frequency"), col("monetary"))
-        .withColumn("_g", lit(1))
-      // score expression over the cut columns the fold below joins in:
-      // bucket = 1 + how many pre-rounded quartile cuts the metric
+          col("frequency"), col("monetary")))
+      // ALL nine quartile cuts in ONE binnedPercentiles pass: stack
+      // the three metrics into (metric, value) rows — the metric name
+      // IS the percentile group — then pivot the 3-row result into a
+      // single 1-row frame broadcast ONCE (r15; the former per-metric
+      // fold broadcast seven 1-row frames = six more stage barriers
+      // than the operator needs at any scale). Per-metric group math
+      // is identical, so the cuts (and the hash) are unchanged.
+      val metrics = Seq("recency_days", "frequency", "monetary")
+      val stacked = u.select(expr(
+        """stack(3,
+          |  'recency_days', CAST(recency_days AS DOUBLE),
+          |  'frequency',    CAST(frequency AS DOUBLE),
+          |  'monetary',     monetary) AS (_m, _v)""".stripMargin))
+      val cutsLong = graft.api.StatsOps.binnedPercentiles(stacked, "_m",
+        col("_v"), Seq("_q25" -> 0.25, "_q50" -> 0.5, "_q75" -> 0.75))
+      val cutsRow = cutsLong.agg(
+        (for { m <- metrics; q <- Seq("_q25", "_q50", "_q75") } yield
+          max(when(col("_m") === m, Canon.r4(col(q)))).as(s"_$m$q")).head,
+        (for { m <- metrics; q <- Seq("_q25", "_q50", "_q75") } yield
+          max(when(col("_m") === m, Canon.r4(col(q)))).as(s"_$m$q")).tail: _*)
+      // score = 1 + how many pre-rounded quartile cuts the metric
       // strictly exceeds
       def score(metric: String, invert: Boolean): org.apache.spark.sql.Column = {
         val m = col(metric).cast("double")
@@ -221,16 +246,7 @@ object Windows {
           (m > col(s"_${metric}_q75")).cast("long")
         if (invert) lit(5L) - b else b
       }
-      val withCuts = Seq("recency_days", "frequency", "monetary")
-        .foldLeft(u) { (df, m) =>
-          df.crossJoin(broadcast(
-            graft.api.StatsOps.binnedPercentiles(u, "_g", col(m),
-                Seq("_q25" -> 0.25, "_q50" -> 0.5, "_q75" -> 0.75))
-              .select(Canon.r4(col("_q25")).as(s"_${m}_q25"),
-                Canon.r4(col("_q50")).as(s"_${m}_q50"),
-                Canon.r4(col("_q75")).as(s"_${m}_q75"))))
-        }
-      withCuts
+      u.crossJoin(broadcast(cutsRow))
         .withColumn("r_score", score("recency_days", invert = true))
         .withColumn("f_score", score("frequency", invert = false))
         .withColumn("m_score", score("monetary", invert = false))

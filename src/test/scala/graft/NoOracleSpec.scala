@@ -432,7 +432,7 @@ class NoOracleSpec extends AnyFunSuite {
     // projection parity on the declared key's first rows
     val got = SparkEntry.queries("embed_pca_project")(spark, sf)
       .limit(5).collect()
-      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]](1)).toMap
+      .map(r => r.getLong(0) -> r.getString(1).split(",").toSeq.map(_.toDouble)).toMap
     val byId = e.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
     got.foreach { case (id, proj) =>
