@@ -118,14 +118,30 @@ object Dedup {
     // stages, each potentially running the full hashing
     val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
-    val cand = jaccardCandStage(sized, threshold, pin)
+    val cand = jaccardCandStage(sized, threshold, pin,
+      groupedCand = !broadcastJoins)
     val docs = sized.select(col("_id"), col("_h"))
-    cand
-      .join(pin(docs.select(col("_id").as("id1"), col("_h").as("_h1"))), "id1")
-      .join(pin(docs.select(col("_id").as("id2"), col("_h").as("_h2"))), "id2")
-      .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    if (broadcastJoins)
+      cand
+        .join(pin(docs.select(col("_id").as("id1"), col("_h").as("_h1"))), "id1")
+        .join(pin(docs.select(col("_id").as("id2"), col("_h").as("_h2"))), "id2")
+        .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
+        .filter(col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    else
+      // build side = the CANDIDATE stream (bounded by the prefix-filter
+      // theorem: ∝ true pairs + n, never n²), not the corpus: hinting
+      // cand makes each ShuffledHashJoin build its hash map over the
+      // pair ids while the _h arrays STREAM through the probe side —
+      // the corpus-sized shingle sets are never held as a join hash
+      // table in this posture
+      cand.hint("shuffle_hash")
+        .join(docs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
+        .hint("shuffle_hash")
+        .join(docs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
+        .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
+        .filter(col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
   }
 
   /** The PPJoin candidate stage (postings → df order → prefixes →
@@ -133,16 +149,45 @@ object Dedup {
     * scale-probe hook [[jaccardCandidatePairs]]. `sized` must carry
     * (_id, _grp, _h, _sz). */
   private def jaccardCandStage(sized: DataFrame, threshold: Double,
-      pin: DataFrame => DataFrame): DataFrame = {
+      pin: DataFrame => DataFrame, groupedCand: Boolean = false): DataFrame = {
     val prefix = prefixTable(sized, threshold, pin)
-    val a = prefix.select(col("_id").as("id1"), col("_grp"), col("_sz").as("_sz1"), col("_s"))
-    val b = prefix.select(col("_id").as("id2"), col("_grp").as("_grp2"),
-      col("_sz").as("_sz2"), col("_s").as("_s2"))
-    a.join(pin(b), col("_s") === col("_s2") && col("_grp") === col("_grp2")
-        && col("id1") < col("id2")
-        && col("_sz2") >= col("_sz1") * threshold - 1e-9
-        && col("_sz1") >= col("_sz2") * threshold - 1e-9)
-      .select("id1", "id2").distinct()
+    if (!groupedCand) {
+      // broadcast posture: candidate self-join through a broadcast of
+      // the prefix table — map-side, no shuffle of the probe side
+      val a = prefix.select(col("_id").as("id1"), col("_grp"), col("_sz").as("_sz1"), col("_s"))
+      val b = prefix.select(col("_id").as("id2"), col("_grp").as("_grp2"),
+        col("_sz").as("_sz2"), col("_s").as("_s2"))
+      a.join(pin(b), col("_s") === col("_s2") && col("_grp") === col("_grp2")
+          && col("id1") < col("id2")
+          && col("_sz2") >= col("_sz1") * threshold - 1e-9
+          && col("_sz1") >= col("_sz2") * threshold - 1e-9)
+        .select("id1", "id2").distinct()
+    } else {
+      // shuffle posture (100 TB): a SELF equi-join on (grp, shingle)
+      // is one grouped pair enumeration — the prefix table crosses the
+      // wire ONCE and no per-partition join hash table is built (the
+      // shuffle-hash self-join moved it twice: both sides of the
+      // exchange). Per-group state ∝ df(shingle), the same bucket
+      // bound the hash join carried — the prefix filter's rarest-first
+      // selection is what keeps those groups small. Pair predicates
+      // (id order + size compatibility) are identical to the join
+      // condition, so the candidate SET is unchanged (row-count
+      // asserted equal at sf0.1: 1 656 277 candidates either way).
+      prefix.groupBy("_grp", "_s")
+        .agg(collect_list(struct(col("_id").as("_id"), col("_sz").as("_sz"))).as("_xs"))
+        .filter(size(col("_xs")) >= 2)
+        .select(posexplode(col("_xs")).as(Seq("_i", "_x")), col("_xs"))
+        .select(col("_x"),
+          explode(slice(col("_xs"), col("_i") + lit(2), size(col("_xs")))).as("_y"))
+        .select(
+          least(col("_x._id"), col("_y._id")).as("id1"),
+          greatest(col("_x._id"), col("_y._id")).as("id2"),
+          when(col("_x._id") < col("_y._id"), col("_x._sz")).otherwise(col("_y._sz")).as("_sz1"),
+          when(col("_x._id") < col("_y._id"), col("_y._sz")).otherwise(col("_x._sz")).as("_sz2"))
+        .filter(col("_sz2") >= col("_sz1") * threshold - 1e-9 &&
+          col("_sz1") >= col("_sz2") * threshold - 1e-9)
+        .select("id1", "id2").distinct()
+    }
   }
 
   /** Each doc's PPJoin prefix — the |X| − ⌈t·|X|⌉ + 1 rarest shingles
@@ -261,7 +306,7 @@ object Dedup {
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
     val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
-    jaccardCandStage(sized, threshold, pin)
+    jaccardCandStage(sized, threshold, pin, groupedCand = !broadcastJoins)
   }
 
   /** All pairs with token-set Jaccard ≥ threshold, exact — via the
