@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
   * graft.sources.Writers / TextAnalysis.packShards).
   */
 object Maintenance {
+  /** Opt-in key-uniqueness gate for the MERGE contract
+    * (`spark.graft.merge.checkKeys`, default false): one count-vs-
+    * distinct aggregate per side, thrown eagerly so a duplicate-keyed
+    * merge fails before any downstream write sees fanned-out rows. */
+  private def assertUniqueKeys(snapshot: DataFrame, updates: DataFrame,
+      keyCol: String): Unit = {
+    val check = snapshot.sparkSession.conf
+      .get("spark.graft.merge.checkKeys", "false").toBoolean
+    if (check) Seq("snapshot" -> snapshot, "updates" -> updates)
+      .foreach { case (side, df) =>
+        val r = df.agg(count(col(keyCol)).as("n"),
+          countDistinct(col(keyCol)).as("d")).collect()(0)
+        require(r.getLong(0) == r.getLong(1),
+          s"$side has duplicate $keyCol keys (${r.getLong(0)} rows, " +
+            s"${r.getLong(1)} distinct) — MERGE requires unique keys per side")
+      }
+  }
+
   /** SCD-type-1 upsert (MERGE INTO semantics): rows of `updates`
     * overwrite same-key rows of `snapshot`, unmatched update rows are
     * inserts, unmatched snapshot rows are kept. Emits the merged table
@@ -17,7 +35,12 @@ object Maintenance {
     * Both sides must share the schema (same columns, `keyCol`
     * included). Keys must be unique per side — this is a row merge,
     * not a join-explode; with duplicate keys a MERGE is ill-defined
-    * (Delta/Iceberg reject it at runtime for the same reason).
+    * (Delta/Iceberg reject it at runtime for the same reason). The
+    * precondition is UNCHECKED by default (checking costs an extra
+    * aggregate over both sides); set `spark.graft.merge.checkKeys=true`
+    * to assert it eagerly — a violated contract then fails loudly like
+    * the schema check, instead of silently fanning rows out through
+    * the full-outer join.
     *
     * Scale shape: ONE full-outer equi-shuffle on the key — the
     * merge-on-read shape. At 100 TB both sides arrive hash-partitioned
@@ -35,6 +58,7 @@ object Maintenance {
     require(updates.columns.toSeq.sorted == cols.sorted,
       s"updates schema ${updates.columns.toSeq.sorted} must match " +
         s"snapshot schema ${cols.sorted}")
+    assertUniqueKeys(snapshot, updates, keyCol)
     val s = snapshot.select(cols.map(c => col(c).as(s"_s_$c")): _*)
     val u = updates.select(cols.map(c => col(c).as(s"_u_$c")): _*)
     val merged = s.join(u, col(s"_s_$keyCol") === col(s"_u_$keyCol"), "full_outer")
@@ -60,7 +84,15 @@ object Maintenance {
     * batches as they land without a global ordering barrier
     * (StreamingParitySpec proves the convergence with shuffled
     * batches). Same schema/uniqueness contract and the same one
-    * full-outer key-shuffle shape as [[upsertMerge]]. */
+    * full-outer key-shuffle shape as [[upsertMerge]].
+    *
+    * NULL versions are ordered EXPLICITLY: a NULL version loses to any
+    * non-NULL version (on either side), and a both-NULL collision
+    * falls to the tie rule — the update wins, matching
+    * [[upsertMerge]]. Without the explicit arms a NULL would make the
+    * `>=` comparison NULL and the snapshot would silently win — a
+    * divergence from upsertMerge's update-always-wins tie semantics
+    * that surfaced only on NULL-versioned data. */
   def upsertMergeLatest(snapshot: DataFrame, updates: DataFrame,
       keyCol: String, versionCol: String): DataFrame = {
     val cols = snapshot.columns.toSeq
@@ -69,11 +101,17 @@ object Maintenance {
     require(updates.columns.toSeq.sorted == cols.sorted,
       s"updates schema ${updates.columns.toSeq.sorted} must match " +
         s"snapshot schema ${cols.sorted}")
+    assertUniqueKeys(snapshot, updates, keyCol)
     val s = snapshot.select(cols.map(c => col(c).as(s"_s_$c")): _*)
     val u = updates.select(cols.map(c => col(c).as(s"_u_$c")): _*)
+    val sv = col(s"_s_$versionCol")
+    val uv = col(s"_u_$versionCol")
     val takeUpd = col(s"_s_$keyCol").isNull ||
       (col(s"_u_$keyCol").isNotNull &&
-        col(s"_u_$versionCol") >= col(s"_s_$versionCol"))
+        when(uv.isNull && sv.isNull, lit(true))   // both NULL: tie → update
+          .when(uv.isNull, lit(false))            // NULL loses to non-NULL
+          .when(sv.isNull, lit(true))
+          .otherwise(uv >= sv))
     val out = cols.map(c =>
       when(takeUpd, col(s"_u_$c")).otherwise(col(s"_s_$c")).as(c))
     s.join(u, col(s"_s_$keyCol") === col(s"_u_$keyCol"), "full_outer")

@@ -93,11 +93,16 @@ object SkewJoins {
         s"bloomSemiJoin requires an integral key; $n is ${t.simpleString} — " +
           "hash non-integral keys to a long (e.g. xxhash64) on both sides first")
     }
-    // expectedNumItems from a cheap distinct-count of the dim keys —
-    // one narrow aggregate; undersizing a bloom silently raises its
-    // real fpp, so this is measured, not guessed
-    val nKeys = math.max(1L,
-      dim.select(col(dimKey)).agg(countDistinct(col(dimKey))).collect()(0).getLong(0))
+    // expectedNumItems from an APPROX distinct-count of the dim keys —
+    // bloom sizing tolerates estimate error, and the exact countDistinct
+    // this used to run was a full extra distinct-shuffle of the dim side
+    // (the operator already scans dim twice more: bloom build + exact
+    // semi-join). HLL++ partial-aggregates map-side instead; the 10%
+    // headroom covers its default ~5% rsd so an under-estimate cannot
+    // silently raise the real fpp
+    val nKeys = math.max(1L, (1.1 *
+      dim.select(col(dimKey)).agg(approx_count_distinct(col(dimKey)))
+        .collect()(0).getLong(0)).toLong)
     val bloom = dim.stat.bloomFilter(dimKey, nKeys, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)

@@ -671,6 +671,40 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got.size == 4)
   }
 
+  test("upsertMergeLatest: NULL versions lose to non-NULL; both-NULL ties go to the update") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "sv", Option(5L)), (2L, "sn", Option.empty[Long]),
+      (3L, "sn2", Option.empty[Long])).toDF("k", "v", "ver")
+    val upd = Seq((1L, "un", Option.empty[Long]),  // NULL update ver loses to 5
+      (2L, "uv", Option(1L)),                      // non-NULL beats NULL snapshot
+      (3L, "un2", Option.empty[Long])              // both NULL: tie → update
+    ).toDF("k", "v", "ver")
+    val got = graft.api.Maintenance.upsertMergeLatest(snap, upd, "k", "ver")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "sv", s"NULL update version must lose: $got")
+    assert(got(2L) == "uv", s"non-NULL update must beat NULL snapshot: $got")
+    assert(got(3L) == "un2", s"both-NULL tie must go to the update: $got")
+  }
+
+  test("upsertMerge: spark.graft.merge.checkKeys=true fails loudly on duplicate keys") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dup = Seq((2L, "x"), (2L, "y")).toDF("k", "v")
+    s.conf.set("spark.graft.merge.checkKeys", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.api.Maintenance.upsertMerge(snap, dup, "k")
+      }
+      assert(e.getMessage.contains("duplicate"), e.getMessage)
+      // unique keys pass the gate and merge normally
+      val ok = graft.api.Maintenance.upsertMerge(snap,
+        Seq((2L, "x")).toDF("k", "v"), "k")
+      assert(ok.count() == 2)
+    } finally s.conf.set("spark.graft.merge.checkKeys", "false")
+  }
+
   test("corrMatrixExact: parity with built-in corr, and exact ±1 on linear columns") {
     val s = spark
     import s.implicits._
