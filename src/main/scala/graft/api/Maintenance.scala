@@ -117,4 +117,43 @@ object Maintenance {
     s.join(u, col(s"_s_$keyCol") === col(s"_u_$keyCol"), "full_outer")
       .select(out: _*)
   }
+
+  /** Snapshot diff: classify every key across two versions of a table
+    * as `added` (only in new), `removed` (only in old), or `changed`
+    * (present in both, any non-key column differs under null-safe
+    * equality) — unchanged keys are omitted, like a diff. The audit
+    * half of table maintenance: what a merge/rewrite actually did,
+    * the input to incremental downstream refresh, and the first tool
+    * reached for when two "identical" snapshots disagree.
+    *
+    * Same schema contract as [[upsertMerge]]; unique keys per side
+    * (same opt-in `spark.graft.merge.checkKeys` gate).
+    *
+    * Scale shape: ONE full-outer equi-shuffle on the key, column
+    * comparison rowwise post-join — never a row-hash pre-pass (which
+    * would scan both sides twice) and never a content groupBy. On
+    * bucketed snapshots the shuffle disappears exactly as for
+    * upsertMerge. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String): DataFrame = {
+    val cols = oldDf.columns.toSeq
+    require(cols.contains(keyCol), s"key column $keyCol missing from old side")
+    require(newDf.columns.toSeq.sorted == cols.sorted,
+      s"new-side schema ${newDf.columns.toSeq.sorted} must match " +
+        s"old-side schema ${cols.sorted}")
+    assertUniqueKeys(oldDf, newDf, keyCol)
+    val o = oldDf.select(cols.map(c => col(c).as(s"_o_$c")): _*)
+    val n = newDf.select(cols.map(c => col(c).as(s"_n_$c")): _*)
+    val rowEq = cols.filter(_ != keyCol)
+      .map(c => col(s"_o_$c") <=> col(s"_n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val change = when(col(s"_o_$keyCol").isNull, lit("added"))
+      .when(col(s"_n_$keyCol").isNull, lit("removed"))
+      .when(!rowEq, lit("changed"))
+    o.join(n, col(s"_o_$keyCol") === col(s"_n_$keyCol"), "full_outer")
+      .withColumn("change", change)
+      .filter(col("change").isNotNull)
+      .select(coalesce(col(s"_n_$keyCol"), col(s"_o_$keyCol")).as(keyCol),
+        col("change"))
+  }
 }

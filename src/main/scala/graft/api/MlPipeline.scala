@@ -568,4 +568,30 @@ object MlPipeline {
       }
       out
     })
+
+  /** Nearest-centroid assignment (the k-means E-step / IVF cell
+    * routing) over broadcast-captured centroids: per row, squared-L2
+    * to each centroid accumulated index-ascending, argmin under a
+    * STRICT `<` scan (first minimum wins — the `list_indexof(d,
+    * list_min(d))` tie rule, so a DuckDB twin spelling the identical
+    * arithmetic hash-matches). Returns (cell int, dist2 on the 6-dp
+    * grid) as a struct; one rowwise map, centroids ship once per
+    * executor. */
+  def kmeansAssignUdf(cents: Array[Array[Double]]) =
+    udf((x: scala.collection.Seq[Float]) => {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val w = cents(c)
+        var acc = 0.0
+        var i = 0
+        while (i < w.length) {
+          val d = x(i) - w(i); acc += d * d; i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      (best, math.floor(bestD * 1e6 + 0.5) / 1e6)
+    })
 }

@@ -98,6 +98,52 @@ object StatsOps {
     agged.select(col(groupCol) +: outs: _*)
   }
 
+  /** WEIGHTED percentiles, exact, lower-quantile semantics: per group,
+    * the smallest value whose cumulative weight reaches p·W (W = total
+    * group weight) — the sample-survey / token-budget form of the
+    * quantile ("the price below which 25% of the QUANTITY sits", "the
+    * doc length below which half the TOKENS sit"), which the unweighted
+    * [[binnedPercentiles]] cannot express.
+    *
+    * Engine-portable BY CONSTRUCTION: weights aggregate in exact
+    * DECIMAL and the selection compares `10000·cum ≥ round(10⁴p)·W` —
+    * pure integer-scaled decimal arithmetic on both sides, so the cut
+    * cannot straddle a float ulp (p must be exactly representable in
+    * 4 decimal digits; the selected value is an ACTUAL input value,
+    * never interpolated). NULL values/weights are excluded; a group
+    * with only NULLs drops out. Zero-weight bins can never move a cut.
+    *
+    * Scale shape: same as [[binnedPercentiles]] — one (group, value)
+    * hash aggregate summing weights (state ∝ distinct values), two
+    * window passes over the bin table, one tiny final aggregate. */
+  def weightedPercentilesBinned(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String, ps: Seq[(String, Double)],
+      weightScale: Int = 0): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    ps.foreach { case (n, p) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile $n must be in [0,1], got $p")
+      require(math.abs(p * 10000 - math.round(p * 10000)) < 1e-9,
+        s"percentile $n = $p must be representable in 4 decimal digits " +
+          "(the exact integer-scaled cut compare)")
+    }
+    val decW = DecimalType(28, weightScale)
+    val hist = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("_v"),
+        col(weightCol).cast(decW).as("_w"))
+      .groupBy(col(groupCol), col("_v")).agg(sum(col("_w")).as("_w"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("_v"))
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("_cum", sum(col("_w")).over(wCum))
+      .withColumn("_tot", sum(col("_w")).over(wAll))
+    val aggs = ps.map { case (name, p) =>
+      val num = math.round(p * 10000).toInt
+      min(when(col("_cum") * 10000 >= col("_tot") * num, col("_v"))).as(name)
+    }
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-key z-score anomaly flags: rows whose value is at least
     * `threshold` population standard deviations from their key's mean —
     * the monitoring/outlier report over a metric stream.

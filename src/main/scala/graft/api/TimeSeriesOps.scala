@@ -25,6 +25,49 @@ object TimeSeriesOps {
       keyCol: String, tsCol: String, leftIdCol: String): DataFrame =
     asofJoin(left, right, keyCol, tsCol, leftIdCol, forward = true)
 
+  /** Nearest as-of join: for each `left` row, the `right` timestamp
+    * closest IN EITHER DIRECTION per key — |gap| minimized, ties to
+    * the PRIOR side (matching [[asofPrior]]'s at-or-before bias; an
+    * exact-equal right timestamp is both directions' answer anyway).
+    * Returns left rows + `asof_ts` + `asof_dir`
+    * (`prior` / `next` / NULL when the key has no right rows at all).
+    *
+    * Scale shape: the SAME one-shuffle union as the directional
+    * joins, with BOTH running-`last` passes over that single key
+    * partitioning — two window sorts, one exchange, never two joins
+    * stitched back by a second shuffle on the left id. */
+  def asofNearest(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, leftIdCol: String): DataFrame = {
+    val r = right.select(col(keyCol), col(tsCol)).distinct()
+      .select(col(keyCol), col(tsCol), lit(null).cast("long").as(leftIdCol), lit(0).as("_kind"))
+    val l = left.select(col(keyCol), col(tsCol), col(leftIdCol), lit(1).as("_kind"))
+    val wAsc = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc_nulls_first, col("_kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDesc = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).desc_nulls_first, col("_kind").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rTs = when(col("_kind") === 0, col(tsCol))
+    val gapP = unix_micros(col(tsCol)) - unix_micros(col("_prior_ts"))
+    val gapN = unix_micros(col("_next_ts")) - unix_micros(col(tsCol))
+    r.unionByName(l)
+      .withColumn("_prior_ts", last(rTs, ignoreNulls = true).over(wAsc))
+      .withColumn("_next_ts", last(rTs, ignoreNulls = true).over(wDesc))
+      .filter(col("_kind") === 1)
+      .withColumn("asof_ts",
+        when(col("_prior_ts").isNull, col("_next_ts"))
+          .when(col("_next_ts").isNull, col("_prior_ts"))
+          .when(gapP <= gapN, col("_prior_ts"))
+          .otherwise(col("_next_ts")))
+      .withColumn("asof_dir",
+        when(col("_prior_ts").isNull && col("_next_ts").isNull, lit(null).cast("string"))
+          .when(col("_prior_ts").isNull, lit("next"))
+          .when(col("_next_ts").isNull, lit("prior"))
+          .when(gapP <= gapN, lit("prior"))
+          .otherwise(lit("next")))
+      .drop("_kind", "_prior_ts", "_next_ts")
+  }
+
   /** Shared body of the two as-of directions. NULL timestamps match
     * nothing in either direction (the native ASOF-join behavior both
     * DuckDB twins have): null-ts rows sort FIRST in both scan orders,

@@ -107,6 +107,31 @@ object MlOps {
     v.map(w => BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
       .mkString("[", ", ", "]")
 
+  /** 8 literal k-means centroids, same deterministic 6 dp-rounded sin()
+    * recipe as the weight families (exact SQL literals), offset 9000. */
+  val kmCents: Array[Array[Double]] =
+    Array.tabulate(8)(c => Array.tabulate(64)(i =>
+      BigDecimal(math.sin(9000.0 + c * 64 + i + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+
+  /** DuckDB twin of [[MlPipeline.kmeansAssignUdf]]: per-centroid
+    * squared L2 via list_zip diff + list_dot_product(diff, diff) (the
+    * sequential-accumulation spelling every kernel oracle uses), argmin
+    * = first index of list_min, dist2 on the shared 6-dp grid. */
+  private def duckKmeansAssign: String = {
+    val dists = kmCents.map { c =>
+      "list_dot_product(" +
+        s"list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(${vecSqlLit(c)} AS DOUBLE[])), p -> p[1] - p[2]), " +
+        s"list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(${vecSqlLit(c)} AS DOUBLE[])), p -> p[1] - p[2]))"
+    }.mkString("[\n     ", ",\n     ", "]")
+    s"""WITH t AS (SELECT vec_id, $dists AS d FROM embeddings),
+       |m AS (SELECT vec_id, d, list_min(d) AS dm FROM t)
+       |SELECT vec_id,
+       |  CAST(list_indexof(d, dm) - 1 AS INTEGER) AS cell,
+       |  ${O.rk("dm", 6)} AS dist2
+       |FROM m ORDER BY vec_id""".stripMargin
+  }
+
   /** DuckDB twin of the 2-layer forward pass: hidden list via one
     * greatest(0, dot + b) per unit, logits via list_dot_product over
     * the computed hidden list, then the shared argmax/softmax tail —
@@ -281,6 +306,20 @@ object MlOps {
         Canon.r4(Kernels.l2norm(slice(col("embedding"), 1, 8))).as("norm8"),
         Canon.r4(element_at(col("embedding"), 1).cast("double")).as("f0"))
         .orderBy("vec_id")
+    }),
+    "ml_kmeans_assign" -> ((s, d) => {
+      // k-means E-step against PINNED literal centroids (the
+      // trainCodebook/IVF assignment kernel with its learned-codebook
+      // nondeterminism removed): per-vector nearest of 8 centroids by
+      // squared L2, first-minimum tie rule — so the assignment kernel
+      // gets a rows+schema+hash gate like the inference family; the
+      // DuckDB twin spells the identical index-ascending (x−c)·(x−c)
+      // accumulation via list_zip/list_dot_product
+      val a = MlPipeline.kmeansAssignUdf(kmCents)(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), a.getField("_1").as("cell"),
+          a.getField("_2").as("dist2"))
+        .orderBy("vec_id")
     })
   )
 
@@ -298,6 +337,7 @@ object MlOps {
     "ml_infer_multiclass_udf" -> duckMulticlass,
     "ml_infer_multiclass_gemm" -> duckMulticlass,
     "ml_infer_mlp" -> duckMlp,
+    "ml_kmeans_assign" -> duckKmeansAssign,
     "ml_eval_confusion" ->
       s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings)
         |SELECT

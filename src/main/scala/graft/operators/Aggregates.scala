@@ -162,6 +162,17 @@ object Aggregates {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "agg_percentile_weighted" -> ((s, d) => {
+      // quantity-weighted price quartiles per return flag: "the price
+      // below which 25/50/75% of the shipped QUANTITY sits" —
+      // lower-quantile semantics over exact decimal cumulative
+      // weights, integer-scaled cut compare, selected values are
+      // actual input prices (StatsOps.weightedPercentilesBinned)
+      graft.api.StatsOps.weightedPercentilesBinned(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice", "l_quantity",
+          Seq("wp25" -> 0.25, "wp50" -> 0.5, "wp75" -> 0.75))
+        .orderBy("l_returnflag")
+    }),
     "agg_percentile_approx" -> ((s, d) => {
       // ✘ no oracle (sketch): GK-summary approximate percentile ladder
       // (approx_percentile, accuracy 10000 → rank error ≤ 1e-4·n) —
@@ -484,6 +495,23 @@ object Aggregates {
         |tot AS (SELECT ${O.sumDec("o_totalprice", 2)} AS t FROM orders)
         |SELECT o_orderpriority, rev, ${O.r4("rev / t")} AS share
         |FROM per, tot ORDER BY o_orderpriority""".stripMargin,
+    // the identical integer-scaled decimal cut compare as the Spark
+    // side — no float enters the selection at all
+    "agg_percentile_weighted" ->
+      """WITH h AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    SUM(CAST(l_quantity AS DECIMAL(28,0))) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |  GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum * 10000 >= tot * 2500 THEN v END) AS wp25,
+        |  MIN(CASE WHEN cum * 10000 >= tot * 5000 THEN v END) AS wp50,
+        |  MIN(CASE WHEN cum * 10000 >= tot * 7500 THEN v END) AS wp75
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentiles_multi" ->
       s"""SELECT event_type,
         |  ${O.r4("quantile_cont(value, 0.5)")} AS p50,

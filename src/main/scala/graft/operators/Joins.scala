@@ -149,6 +149,25 @@ object Joins {
           Canon.tsStrMicros(col("asof_ts")).as("view_ts"))
         .orderBy("event_id")
     }),
+    "join_asof_nearest" -> ((s, d) => {
+      // the bidirectional member completing the as-of family: for each
+      // error, the same user's click closest in time EITHER way (|gap|
+      // minimized, ties to the prior side). One union + ONE key
+      // shuffle carrying both directional window passes
+      // (TimeSeriesOps.asofNearest); the oracle runs BOTH native ASOF
+      // joins and picks with the identical integer-μs gap compare.
+      val ev = Tables.events(s, d)
+      graft.api.TimeSeriesOps.asofNearest(
+          left = ev.filter(col("event_type") === "error")
+            .select("user_id", "ts", "event_id"),
+          right = ev.filter(col("event_type") === "click"),
+          keyCol = "user_id", tsCol = "ts", leftIdCol = "event_id")
+        .select(col("event_id"), col("user_id"),
+          Canon.tsStrMicros(col("ts")).as("error_ts"),
+          Canon.tsStrMicros(col("asof_ts")).as("click_ts"),
+          col("asof_dir"))
+        .orderBy("event_id")
+    }),
     "join_cross_small" -> ((s, d) => {
       Tables.region(s, d).crossJoin(Tables.nation(s, d))
         .select("r_regionkey", "n_nationkey")
@@ -251,6 +270,36 @@ object Joins {
         |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
         |FROM errors e ASOF LEFT JOIN views v
         |  ON e.user_id = v.user_id AND v.ts >= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |                FROM events WHERE event_type = 'error'),
+        |     clicks AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |                FROM events WHERE event_type = 'click'),
+        |p AS (SELECT e.event_id, c.ts AS pts
+        |      FROM errors e ASOF LEFT JOIN clicks c
+        |        ON e.user_id = c.user_id AND e.ts >= c.ts),
+        |n AS (SELECT e.event_id, c.ts AS nts
+        |      FROM errors e ASOF LEFT JOIN clicks c
+        |        ON e.user_id = c.user_id AND c.ts >= e.ts)
+        |SELECT e.event_id, e.user_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+        |  strftime(CASE
+        |    WHEN p.pts IS NULL THEN n.nts
+        |    WHEN n.nts IS NULL THEN p.pts
+        |    WHEN epoch_us(e.ts) - epoch_us(p.pts)
+        |      <= epoch_us(n.nts) - epoch_us(e.ts) THEN p.pts
+        |    ELSE n.nts END, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  CASE
+        |    WHEN p.pts IS NULL AND n.nts IS NULL THEN NULL
+        |    WHEN p.pts IS NULL THEN 'next'
+        |    WHEN n.nts IS NULL THEN 'prior'
+        |    WHEN epoch_us(e.ts) - epoch_us(p.pts)
+        |      <= epoch_us(n.nts) - epoch_us(e.ts) THEN 'prior'
+        |    ELSE 'next' END AS asof_dir
+        |FROM errors e
+        |JOIN p ON e.event_id = p.event_id
+        |JOIN n ON e.event_id = n.event_id
         |ORDER BY e.event_id""".stripMargin,
     "join_cross_small" ->
       """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation

@@ -283,6 +283,29 @@ object Scans {
       graft.api.Maintenance.upsertMerge(snap, updates, "o_orderkey")
         .orderBy("o_orderkey")
     }),
+    "data_snapshot_diff" -> ((s, d) => {
+      // version diff (api.Maintenance.snapshotDiff): old = the orders
+      // snapshot, new = a deterministic next version (every 11th
+      // repriced ×1.1 in exact DECIMAL = changed, every 17th dropped =
+      // removed unless also repriced — the drop applies first, every
+      // 19th mirrored at -k-1 = added; -k-1 not -k, the o_orderkey-0
+      // rule from data_upsert_merge). One full-outer key shuffle,
+      // null-safe column compare post-join; unchanged keys are absent
+      // from the output, so the hash also proves no false diffs.
+      val old = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      val priced = (col("o_totalprice").cast("decimal(18,2)")
+        * lit(new java.math.BigDecimal("1.1"))).cast("double")
+      val next = old.filter(col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          when(col("o_orderkey") % 11 === 0, priced)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+        .unionByName(old.filter(col("o_orderkey") % 19 === 0)
+          .select((-col("o_orderkey") - 1).as("o_orderkey"), col("o_custkey"),
+            lit("A").as("o_orderstatus"), col("o_totalprice")))
+      graft.api.Maintenance.snapshotDiff(old, next, "o_orderkey")
+        .orderBy("o_orderkey")
+    }),
     "scan_schema_evolution" -> ((s, d) => {
       // schema drift — the certainty of any table ingested for years:
       // generation 1 was written BEFORE a column existed (even orders,
@@ -444,6 +467,30 @@ object Scans {
         |       WHEN u.o_orderkey IS NULL THEN 'keep'
         |       ELSE 'update' END AS action
         |FROM snap s FULL OUTER JOIN upd u ON s.o_orderkey = u.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "data_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |           * CAST(1.1 AS DECIMAL(2,1)) AS DOUBLE)
+        |    ELSE o_totalprice END AS o_totalprice
+        |  FROM o WHERE o_orderkey % 17 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey - 1, o_custkey, 'A', o_totalprice
+        |  FROM o WHERE o_orderkey % 19 = 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        |               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+        |           THEN 'changed' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |WHERE change IS NOT NULL
         |ORDER BY o_orderkey""".stripMargin,
     // recomputes both generations' contributions from the flat orders
     // table — matching the mergeSchema scan proves drift-tolerant

@@ -749,4 +749,78 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       assert(math.abs(tot - 1.0) < 1e-3, s"P(·|$prev) sums to $tot")
     }
   }
+
+  test("snapshotDiff: added/removed/changed classified, unchanged omitted, NULL-safe compare") {
+    val s = spark
+    import s.implicits._
+    val old = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, Option.empty[String])).toDF("k", "v")
+    val neu = Seq((1L, Option("a")),       // unchanged → omitted
+      (2L, Option("B")),                   // changed
+      (4L, Option.empty[String]),          // NULL == NULL → unchanged
+      (5L, Option("e"))                    // added
+    ).toDF("k", "v")                       // 3L missing → removed
+    val got = graft.api.Maintenance.snapshotDiff(old, neu, "k")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 5L -> "added"), got.toString)
+  }
+
+  test("asofNearest: picks the closer side, ties go to prior, one-sided falls through") {
+    val s = spark
+    import s.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    val right = Seq((1L, t(0)), (1L, t(1000))).toDF("u", "ts")
+    val left = Seq((1L, t(200), 10L),  // 200 vs 800 → prior t(0)
+      (1L, t(900), 11L),               // 900 vs 100 → next t(1000)
+      (1L, t(500), 12L),               // tie 500/500 → prior t(0)
+      (1L, t(5000), 13L),              // after all rights → prior t(1000)
+      (2L, t(0), 14L)                  // key with no rights → NULL
+    ).toDF("u", "ts", "id")
+    val got = graft.api.TimeSeriesOps
+      .asofNearest(left, right, "u", "ts", "id")
+      .collect().map(r => r.getLong(2) ->
+        (Option(r.getTimestamp(3)).map(_.getTime), Option(r.getString(4)))).toMap
+    assert(got(10L) == ((Some(1700000000000L), Some("prior"))), got(10L).toString)
+    assert(got(11L) == ((Some(1700000001000L), Some("next"))), got(11L).toString)
+    assert(got(12L) == ((Some(1700000000000L), Some("prior"))), got(12L).toString)
+    assert(got(13L) == ((Some(1700000001000L), Some("prior"))), got(13L).toString)
+    assert(got(14L) == ((None, None)), got(14L).toString)
+  }
+
+  test("weightedPercentilesBinned: uniform weights = lower quantile; heavy weight drags the cut") {
+    val s = spark
+    import s.implicits._
+    // uniform weight 1 over values 1..4: cuts at p50 → v where cum≥2
+    val uni = Seq((1, 1L), (2, 1L), (3, 1L), (4, 1L)).map { case (v, w) => ("g", v.toDouble, w) }
+      .toDF("g", "v", "w")
+    val gotU = graft.api.StatsOps.weightedPercentilesBinned(uni, "g", "v", "w",
+      Seq("p50" -> 0.5)).collect()(0).getDouble(1)
+    assert(gotU == 2.0, s"uniform p50 = $gotU")
+    // 97% of the weight on value 1 → every quartile is 1
+    val heavy = Seq(("g", 1.0, 97L), ("g", 2.0, 1L), ("g", 3.0, 1L), ("g", 4.0, 1L))
+      .toDF("g", "v", "w")
+    val gotH = graft.api.StatsOps.weightedPercentilesBinned(heavy, "g", "v", "w",
+      Seq("p25" -> 0.25, "p75" -> 0.75)).collect()(0)
+    assert(gotH.getDouble(1) == 1.0 && gotH.getDouble(2) == 1.0, gotH.toString)
+  }
+
+  test("kmeansAssignUdf: matches a local argmin recompute on fixture vectors") {
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val cents = graft.ml.MlOps.kmCents
+    val got = e.select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.api.MlPipeline.kmeansAssignUdf(cents)(
+          org.apache.spark.sql.functions.col("embedding")).as("a"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getStruct(1).getInt(0), r.getStruct(1).getDouble(1))).toMap
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]](1)).toMap
+    vecs.foreach { case (id, x) =>
+      val ds = cents.map { c =>
+        c.indices.map(i => { val d = x(i) - c(i); d * d }).sum
+      }
+      val best = ds.indexOf(ds.min)
+      assert(got(id)._1 == best, s"vec $id: cell ${got(id)._1} vs $best")
+      assert(math.abs(got(id)._2 - math.floor(ds.min * 1e6 + 0.5) / 1e6) < 1e-9)
+    }
+  }
 }
