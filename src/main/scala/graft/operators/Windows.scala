@@ -97,6 +97,28 @@ object Windows {
         .select("o_orderkey", "o_orderstatus", "mavg")
         .orderBy("o_orderkey")
     }),
+    "window_moving_median" -> ((s, d) => {
+      // exact trailing-15-row MEDIAN per user over event time — the
+      // robust moving-average twin (spikes cannot drag it), a frame
+      // aggregate no built-in window function provides. Discrete
+      // LOWER-median semantics (sorted frame, 1-based index
+      // (n+1)÷2): the result is an ACTUAL input value, so both
+      // engines select bit-identically — an interpolated median would
+      // gamble the hash on float blends. Frame state is bounded (≤15
+      // values) per row; order pinned by (ts, event_id) so ties
+      // cannot reshuffle frames.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-14, 0)
+      val frame = collect_list(col("value")).over(w)
+      val sorted = array_sort(frame)
+      val med = element_at(sorted, ((size(sorted) + 1) / 2).cast("int"))
+      Tables.events(s, d)
+        .withColumn("med15", med)
+        .select(col("event_id"), col("user_id"),
+          Canon.tsStrMicros(col("ts")).as("ts"), col("value"), col("med15"))
+        .orderBy("event_id")
+    }),
     "window_range_frame" -> ((s, d) => {
       // RANGE frame over a value column. Aggregates inside the frame
       // are integer-exact (count + key sum) so segment-tree vs
@@ -308,6 +330,20 @@ object Windows {
         |  ${O.r4("avg(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")} AS mavg
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    // lower-median (actual input value) so selection is bit-exact;
+    // DuckDB's windowed list() + list_sort mirrors the frame collect
+    "window_moving_median" ->
+      """SELECT event_id, user_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  value,
+        |  l[CAST((len(l) + 1) // 2 AS INT)] AS med15
+        |FROM (
+        |  SELECT event_id, user_id, ts, value,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS l
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "window_range_frame" ->
       """SELECT o_orderkey, o_orderstatus,
         |  count(*) OVER w AS n_in_range,

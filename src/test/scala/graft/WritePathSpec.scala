@@ -237,6 +237,40 @@ class WritePathSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff over two bucketed versions runs exchange-free") {
+    // the audit twin of the bucketed-merge proof: diffing two versions
+    // laid out bucketed by the key joins on the bucket layout with NO
+    // hash exchange, and the diff is identical to the flat-layout diff
+    val base = Files.createTempDirectory("graft-diff-buck")
+    val old = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val neu = old.filter(col("o_orderkey") % 5 =!= 0)
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lit("C"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+        col("o_totalprice"))
+    Writers.writeBucketed(old, "o_orderkey", 4, "t_diff_old", s"$base/o")
+    Writers.writeBucketed(neu, "o_orderkey", 4, "t_diff_new", s"$base/n")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diff = graft.api.Maintenance.snapshotDiff(
+        spark.table("t_diff_old"), spark.table("t_diff_new"), "o_orderkey")
+      val plan = diff.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed diff still shuffles:\n$plan")
+      val got = diff.collect().map(_.toString).sorted.toSeq
+      val want = graft.api.Maintenance.snapshotDiff(old, neu, "o_orderkey")
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want, "bucketed diff diverged from the plain diff")
+      assert(got.nonEmpty, "diff fixture produced no changes")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS t_diff_old")
+      spark.sql("DROP TABLE IF EXISTS t_diff_new")
+    }
+  }
+
   test("a persisted bucketed minhash index probes with no exchange on the index side") {
     // the production incremental-dedup layout: the corpus signature
     // tables are written ONCE (banded bucketed by its join key
