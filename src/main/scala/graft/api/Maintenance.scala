@@ -118,6 +118,36 @@ object Maintenance {
       .select(out: _*)
   }
 
+  /** SCD-Type-2 history build from a change log: per key, collapse
+    * consecutive rows with the SAME state (null-safe compare) and emit
+    * one row per distinct state RUN with its validity interval —
+    * `valid_from` = the run's first timestamp, `valid_to` = the next
+    * run's start (NULL for the current run). The dimension-history
+    * table every warehouse keeps; dual of [[upsertMergeLatest]], which
+    * keeps only the latest state.
+    *
+    * `ordCol` breaks timestamp ties (two changes in the same
+    * microsecond each get a deterministic interval), which is what
+    * keeps the output a pure function of the input rows.
+    *
+    * Scale shape: ONE key shuffle; both window passes (lag for
+    * change detection, lead for interval close) share the
+    * (key, ts, ord) sort — the filter between them preserves
+    * partitioning and ordering, so the second window re-sorts
+    * nothing. */
+  def scd2History(log: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, ordCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
+    log
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .filter(!(col("_prev") <=> col(stateCol)))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol).as("state"),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("long").as("is_current"))
+  }
+
   /** Snapshot diff: classify every key across two versions of a table
     * as `added` (only in new), `removed` (only in old), or `changed`
     * (present in both, any non-key column differs under null-safe

@@ -283,6 +283,24 @@ object Scans {
       graft.api.Maintenance.upsertMerge(snap, updates, "o_orderkey")
         .orderBy("o_orderkey")
     }),
+    "data_scd2_history" -> ((s, d) => {
+      // SCD-2 dimension history from the event change log: per user,
+      // consecutive same-type runs collapse into one row with
+      // [valid_from, valid_to) and an is_current flag — the
+      // keep-history dual of the SCD-1 merges; ONE key shuffle, both
+      // window passes share the (ts, event_id)-pinned sort
+      // (api.Maintenance.scd2History). valid_to NULL-free via the
+      // empty-string sentinel (open interval), the NULL-cell-hashing
+      // convention.
+      graft.api.Maintenance.scd2History(
+          Tables.events(s, d).select("user_id", "event_type", "ts", "event_id"),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("state"),
+          Canon.tsStrMicros(col("valid_from")).as("valid_from"),
+          coalesce(Canon.tsStrMicros(col("valid_to")), lit("")).as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from")
+    }),
     "data_snapshot_diff" -> ((s, d) => {
       // version diff (api.Maintenance.snapshotDiff): old = the orders
       // snapshot, new = a deterministic next version (every 11th
@@ -468,6 +486,21 @@ object Scans {
         |       ELSE 'update' END AS action
         |FROM snap s FULL OUTER JOIN upd u ON s.o_orderkey = u.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+    "data_scd2_history" ->
+      """WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    lag(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM ch)
+        |SELECT user_id, event_type AS state,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  COALESCE(strftime(vt, '%Y-%m-%d %H:%M:%S.%f'), '') AS valid_to,
+        |  CAST(vt IS NULL AS BIGINT) AS is_current
+        |FROM v ORDER BY user_id, valid_from""".stripMargin,
     "data_snapshot_diff" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |  FROM orders),

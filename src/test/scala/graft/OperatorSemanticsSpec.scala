@@ -804,6 +804,28 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(gotH.getDouble(1) == 1.0 && gotH.getDouble(2) == 1.0, gotH.toString)
   }
 
+  test("scd2History: same-state runs collapse, intervals chain, current row open") {
+    val s = spark
+    import s.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val log = Seq(
+      (1L, "A", t(0), 100L), (1L, "A", t(1), 101L),  // run collapses
+      (1L, "B", t(2), 102L),
+      (1L, "A", t(3), 103L),                         // state may recur
+      (2L, "X", t(0), 104L)
+    ).toDF("u", "st", "ts", "id")
+    val got = graft.api.Maintenance.scd2History(log, "u", "st", "ts", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime,
+        Option(r.getTimestamp(3)).map(_.getTime), r.getLong(4))).toSet
+    val base = 1700000000000L
+    assert(got == Set(
+      (1L, "A", base, Some(base + 2000), 0L),
+      (1L, "B", base + 2000, Some(base + 3000), 0L),
+      (1L, "A", base + 3000, None, 1L),
+      (2L, "X", base, None, 1L)), got.toString)
+  }
+
   test("kmeansAssignUdf: matches a local argmin recompute on fixture vectors") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val cents = graft.ml.MlOps.kmCents
