@@ -292,6 +292,37 @@ object StatsOps {
       .orderBy("col1", "col2")
   }
 
+  /** Per-group simple linear regression (OLS y on x) by the closed
+    * form over EXACT decimal power sums — the same
+    * merge-order-independent trick as [[corrMatrixExact]]: Σx, Σy,
+    * Σx², Σxy accumulate in DECIMAL (associative, deterministic at
+    * any partitioning), float enters once when the closed form is
+    * applied to the finished sums, and both engines spell the
+    * identical expression tree, so slope/intercept hash-match.
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²); the intercept uses its own
+    * closed form (ΣyΣx² − ΣxΣxy)/(nΣx² − (Σx)²) rather than the
+    * ROUNDED slope. Zero-variance groups emit NULL (guarded on the
+    * exact-sums denominator, so the verdict cannot differ between
+    * engines). One hash aggregate, O(1) state per group. */
+  def linRegByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val x = col(xCol).cast(dt)
+    val y = col(yCol).cast(dt)
+    val agged = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("_nl"),
+      sum(x).cast("double").as("_sx"), sum(y).cast("double").as("_sy"),
+      sum(x * x).cast("double").as("_sxx"),
+      sum(x * y).cast("double").as("_sxy"))
+    val n = col("_nl").cast("double")
+    val den = n * col("_sxx") - col("_sx") * col("_sx")
+    agged.select(col(groupCol), col("_nl").as("n"),
+      when(den =!= 0.0, Canon.r4(
+        (n * col("_sxy") - col("_sx") * col("_sy")) / den)).as("slope"),
+      when(den =!= 0.0, Canon.r4(
+        (col("_sy") * col("_sxx") - col("_sx") * col("_sxy")) / den)).as("intercept"))
+  }
+
   /** Pass 1 of [[heavyHittersExact]]: the per-partition Misra–Gries
     * candidate union, ≤ phi counters live per partition and ≤ phi
     * candidates emitted per partition — exposed so ScaleProbeSpec can

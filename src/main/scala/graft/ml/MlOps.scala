@@ -307,6 +307,16 @@ object MlOps {
         Canon.r4(element_at(col("embedding"), 1).cast("double")).as("f0"))
         .orderBy("vec_id")
     }),
+    "ml_linreg_closed_form" -> ((s, d) => {
+      // distributed OLS by the normal-equation closed form: per return
+      // flag, price regressed on quantity from ONE aggregate of exact
+      // decimal power sums (StatsOps.linRegByGroup) — the trend-line /
+      // drift-detector rung of the ML-stats surface; the oracle spells
+      // the identical float expression over the identical exact sums
+      graft.api.StatsOps.linRegByGroup(Tables.lineitem(s, d),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
     "ml_kmeans_assign" -> ((s, d) => {
       // k-means E-step against PINNED literal centroids (the
       // trainCodebook/IVF assignment kernel with its learned-codebook
@@ -338,6 +348,25 @@ object MlOps {
     "ml_infer_multiclass_gemm" -> duckMulticlass,
     "ml_infer_mlp" -> duckMlp,
     "ml_kmeans_assign" -> duckKmeansAssign,
+    "ml_linreg_closed_form" -> {
+      val dq = "CAST(l_quantity AS DECIMAL(18,2))"
+      val dp = "CAST(l_extendedprice AS DECIMAL(18,2))"
+      s"""WITH s AS (SELECT l_returnflag,
+        |    count(*) AS nl,
+        |    CAST(sum($dq) AS DOUBLE) AS sx,
+        |    CAST(sum($dp) AS DOUBLE) AS sy,
+        |    CAST(sum($dq * $dq) AS DOUBLE) AS sxx,
+        |    CAST(sum($dq * $dp) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, nl AS n,
+        |  CASE WHEN CAST(nl AS DOUBLE) * sxx - sx * sx <> 0 THEN
+        |    ${O.r4("(CAST(nl AS DOUBLE) * sxy - sx * sy) / (CAST(nl AS DOUBLE) * sxx - sx * sx)")}
+        |  END AS slope,
+        |  CASE WHEN CAST(nl AS DOUBLE) * sxx - sx * sx <> 0 THEN
+        |    ${O.r4("(sy * sxx - sx * sxy) / (CAST(nl AS DOUBLE) * sxx - sx * sx)")}
+        |  END AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin
+    },
     "ml_eval_confusion" ->
       s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings)
         |SELECT

@@ -804,6 +804,19 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(gotH.getDouble(1) == 1.0 && gotH.getDouble(2) == 1.0, gotH.toString)
   }
 
+  test("linRegByGroup: exact line recovered; zero-variance group guarded to NULL") {
+    val s = spark
+    import s.implicits._
+    val line = (1 to 100).map(i => ("g", i.toDouble, 2.0 * i + 3.0))
+    val flat = (1 to 10).map(_ => ("z", 5.0, 7.0))   // zero x-variance
+    val got = graft.api.StatsOps.linRegByGroup(
+        (line ++ flat).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got("g") == ((100L, Some(2.0), Some(3.0))), got("g").toString)
+    assert(got("z") == ((10L, None, None)), got("z").toString)
+  }
+
   test("scd2History: same-state runs collapse, intervals chain, current row open") {
     val s = spark
     import s.implicits._
