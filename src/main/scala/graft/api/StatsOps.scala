@@ -292,6 +292,38 @@ object StatsOps {
       .orderBy("col1", "col2")
   }
 
+  /** Per-group Gini coefficient — the inequality summary of a value
+    * distribution (0 = perfectly even, →1 = one row holds everything):
+    * the share-of-revenue / token-budget concentration audit. Computed
+    * by the sorted-rank identity G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n
+    * (x₍ᵢ₎ ascending, i 1-based). Ranks come from a row_number over
+    * the value order; ties rank arbitrarily but Σ i·x is INVARIANT
+    * under permutations within a tie run (equal x factor out), so the
+    * result — and the hash — is deterministic anyway. Σ i·x and Σx
+    * accumulate in exact DECIMAL; float enters once in the final
+    * identity. Defined for non-negative values (negative inputs make
+    * the index exceed its [0,1) meaning; values pass through as
+    * given). One key shuffle (the rank window) + one hash aggregate.
+    * Groups with Σx = 0 emit NULL (guarded on the exact sum). */
+  def giniByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 2): DataFrame = {
+    val dt = DecimalType(28, scale)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("_i", row_number().over(w))
+    val agged = ranked.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("_n"),
+      sum(col(valueCol).cast(dt)).cast("double").as("_sx"),
+      sum(col("_i").cast(DecimalType(28, 0)) * col(valueCol).cast(dt))
+        .cast("double").as("_six"))
+    val n = col("_n").cast("double")
+    agged.select(col(groupCol), col("_n").as("n"),
+      when(col("_sx") =!= 0.0, Canon.r4(
+        lit(2.0) * col("_six") / (n * col("_sx")) - (n + lit(1.0)) / n))
+        .as("gini"))
+  }
+
   /** Per-group simple linear regression (OLS y on x) by the closed
     * form over EXACT decimal power sums — the same
     * merge-order-independent trick as [[corrMatrixExact]]: Σx, Σy,

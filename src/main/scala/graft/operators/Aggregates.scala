@@ -162,6 +162,15 @@ object Aggregates {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "agg_gini" -> ((s, d) => {
+      // revenue concentration per return flag: the Gini coefficient by
+      // the sorted-rank identity over exact decimal sums — tie ranks
+      // cancel in Σ i·x, so the one rank window cannot make the hash
+      // partitioning-dependent (StatsOps.giniByGroup)
+      graft.api.StatsOps.giniByGroup(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
     "agg_percentile_weighted" -> ((s, d) => {
       // quantity-weighted price quartiles per return flag: "the price
       // below which 25/50/75% of the shipped QUANTITY sits" —
@@ -495,6 +504,22 @@ object Aggregates {
         |tot AS (SELECT ${O.sumDec("o_totalprice", 2)} AS t FROM orders)
         |SELECT o_orderpriority, rev, ${O.r4("rev / t")} AS share
         |FROM per, tot ORDER BY o_orderpriority""".stripMargin,
+    // identical sorted-rank identity over identical exact decimal sums;
+    // tie ranks cancel so row_number order cannot drift the hash
+    "agg_gini" ->
+      s"""WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS i
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(i AS DECIMAL(28,0)) * CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN sx <> 0 THEN
+        |    ${O.r4("2.0 * six / (CAST(n AS DOUBLE) * sx) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)")}
+        |  END AS gini
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     // the identical integer-scaled decimal cut compare as the Spark
     // side — no float enters the selection at all
     "agg_percentile_weighted" ->

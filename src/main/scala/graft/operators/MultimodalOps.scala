@@ -151,6 +151,29 @@ object MultimodalOps {
             .as(s"r${i}_h")): _*)
         .orderBy("doc_id")
     }),
+    "multimodal_chunk_bytes" -> ((s, d) => {
+      // blob sharding: each media blob split into fixed 64-byte chunks
+      // with (chunk_idx, offset, n_bytes, md5) — the multipart step
+      // before parallel transfer/decode of large blobs; a tail chunk
+      // carries its true short length. Pure rowwise substring
+      // transform + posexplode on the binary column (no whole-blob
+      // decode); ASCII fixture ⇒ byte chunks == char chunks keeps the
+      // DuckDB twin on string ops.
+      mediaFrame(s, d)
+        .select(col("doc_id"), col("media"),
+          length(col("media")).cast("long").as("_nb"))
+        .filter(col("_nb") > 0)
+        .select(col("doc_id"), col("_nb"),
+          posexplode(expr(
+            "transform(sequence(1, cast(ceil(_nb / 64.0) as int)), " +
+              "i -> md5(substring(media, (i-1)*64 + 1, 64)))"))
+            .as(Seq("_i", "h")))
+        .select(col("doc_id"), col("_i").cast("long").as("chunk_idx"),
+          (col("_i") * 64L).as("offset"),
+          least(lit(64L), col("_nb") - col("_i") * 64L).as("n_bytes"),
+          col("h"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     "multimodal_decode_stub" -> ((s, d) => {
       // (key name is the SURVEY §2 contract; the decode is real as of
       // r9 and oracle-checked) mapPartitions with ONE decoder instance
@@ -207,6 +230,18 @@ object MultimodalOps {
         |  md5(substring(text, CAST(floor(2 * n_frames / 4.0) AS BIGINT) * 16 + 1, 16)) AS r2_h,
         |  md5(substring(text, CAST(floor(3 * n_frames / 4.0) AS BIGINT) * 16 + 1, 16)) AS r3_h
         |FROM t ORDER BY doc_id""".stripMargin,
+    "multimodal_chunk_bytes" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS nb,
+        |    unnest(range(1, CAST(ceil(strlen(text)/64.0) AS BIGINT) + 1)) AS i,
+        |    text
+        |  FROM documents WHERE strlen(text) > 0)
+        |SELECT doc_id,
+        |  i - 1 AS chunk_idx,
+        |  (i - 1) * 64 AS offset,
+        |  CASE WHEN nb - (i - 1) * 64 < 64 THEN nb - (i - 1) * 64 ELSE 64 END AS n_bytes,
+        |  md5(substring(text, CAST((i-1)*64 + 1 AS BIGINT), 64)) AS h
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "multimodal_decode_stub" -> {
       // the DuckDB twin of TextMediaDecoder.decode — text IS the media
       // byte stream (ASCII, so strlen == byte count), every feature an

@@ -204,6 +204,28 @@ object Windows {
           windowUs = 604800000000L)
         .orderBy("channel")
     }),
+    "events_interarrival" -> ((s, d) => {
+      // inter-arrival-time profile per event type: integer-μs gaps
+      // from ONE type-keyed lag window ((ts, event_id)-pinned order),
+      // then the p50/p90/p99/max ladder from the bounded-state exact
+      // percentile — the traffic-shape / rate-anomaly baseline every
+      // event pipeline monitors. Gaps are exact integers, so the
+      // percentile interpolation sees identical inputs in both engines.
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val us = unix_micros(col("ts"))
+      val gaps = Tables.events(s, d)
+        .withColumn("gap", us - lag(us, 1).over(w))
+        .filter(col("gap").isNotNull)
+      graft.api.StatsOps.binnedPercentiles(gaps, "event_type",
+          col("gap").cast("double"),
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99),
+          maxName = Some("pmax"))
+        .select(col("event_type"), Canon.r4(col("p50")).as("p50"),
+          Canon.r4(col("p90")).as("p90"), Canon.r4(col("p99")).as("p99"),
+          col("pmax"))
+        .orderBy("event_type")
+    }),
     "events_anomaly_zscore" -> ((s, d) => {
       // metric anomalies: |z| >= 3 per event type — one stats
       // aggregate broadcast back, rowwise verdict, no second shuffle
@@ -442,6 +464,20 @@ object Windows {
         |       count(*) AS n_conversions,
         |       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS revenue
         |FROM a GROUP BY 1 ORDER BY channel""".stripMargin,
+    "events_interarrival" ->
+      s"""WITH g AS (SELECT event_type,
+        |    CAST(epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |          PARTITION BY event_type
+        |          ORDER BY CAST(ts AS TIMESTAMP), event_id) AS DOUBLE) AS gap
+        |  FROM events)
+        |SELECT event_type,
+        |  ${graft.Canon.sql.r4("quantile_cont(gap, 0.5)")} AS p50,
+        |  ${graft.Canon.sql.r4("quantile_cont(gap, 0.9)")} AS p90,
+        |  ${graft.Canon.sql.r4("quantile_cont(gap, 0.99)")} AS p99,
+        |  max(gap) AS pmax
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_anomaly_zscore" ->
       s"""WITH s AS (SELECT event_type, avg(value) AS mu,
         |             stddev_pop(value) AS sd FROM events GROUP BY 1),

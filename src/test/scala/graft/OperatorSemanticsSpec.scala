@@ -804,6 +804,17 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(gotH.getDouble(1) == 1.0 && gotH.getDouble(2) == 1.0, gotH.toString)
   }
 
+  test("giniByGroup: 0 for an even split, (n-1)/n when one row holds everything") {
+    val s = spark
+    import s.implicits._
+    val even = (1 to 50).map(_ => ("even", 4.0))
+    val one = ("one", 100.0) +: (1 to 9).map(_ => ("one", 0.0))
+    val got = graft.api.StatsOps.giniByGroup((even ++ one).toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("even") == ((50L, 0.0)), got("even").toString)
+    assert(got("one") == ((10L, 0.9)), got("one").toString)
+  }
+
   test("linRegByGroup: exact line recovered; zero-variance group guarded to NULL") {
     val s = spark
     import s.implicits._
