@@ -195,6 +195,45 @@ object TextAnalysis {
     * `sep`; arrays shorter than n yield an empty array. Shared by the
     * word-gram operators here and the event-path miner. Pure codegen
     * (transform/slice/concat_ws). */
+  /** Directed word co-occurrence with PMI over a forward window of
+    * `window` tokens — the word2vec / PMI-matrix input every
+    * embedding-training pipeline computes from its corpus: pairs
+    * (w, w₊ₖ), k ≤ window, counted corpus-wide, scored
+    * pmi = ln(c₁₂·N / (cl·cr)) against the pair-space margins
+    * (cl = pairs with that left word, cr = right). Only pairs with
+    * c₁₂ ≥ `minCount` survive (the standard sparsity cut).
+    *
+    * Engine-portable: every count is an exact integer, the ln sees the
+    * identical double on both sides (c₁₂·N ≤ ~1e13 stays exact in
+    * int64 before the one division), and the result is pre-rounded.
+    *
+    * Scale shape: pair generation is a ROWWISE array transform (no
+    * window function, no per-doc shuffle); counts are one hash
+    * aggregate ∝ distinct pairs; margins fold from the PAIR table
+    * (rows ∝ vocab², in practice ≪ corpus) — the corpus is scanned
+    * once. */
+  def cooccurrencePmi(df: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5L): DataFrame = {
+    require(window >= 1 && window <= 8, s"window must be in [1,8], got $window")
+    val pairCols = (1 to window).map { k =>
+      s"filter(transform(_toks, (t, i) -> struct(t AS w1, try_element_at(_toks, i + 1 + $k) AS w2)), p -> p.w2 IS NOT NULL)"
+    }.mkString("concat(", ", ", ")")
+    val pairs = df
+      .select(split(col(textCol), " ").as("_toks"))
+      .select(explode(expr(pairCols)).as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val c12 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cl = c12.groupBy("w1").agg(sum(col("c12")).as("cl"))
+    val cr = c12.groupBy("w2").agg(sum(col("c12")).as("cr"))
+    val n2 = c12.agg(sum(col("c12")).as("n2"))
+    c12.join(cl, "w1").join(cr, "w2")
+      .crossJoin(broadcast(n2))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"),
+        Canon.r4(log((col("c12") * col("n2")).cast("double")
+          / (col("cl") * col("cr")).cast("double"))).as("pmi"))
+  }
+
   private[api] def arrayNgrams(arr: Column, n: Int, sep: String): Column = {
     val cnt = (size(arr) - (n - 1)).cast("int")
     when(cnt > 0,

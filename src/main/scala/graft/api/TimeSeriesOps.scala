@@ -161,6 +161,53 @@ object TimeSeriesOps {
         col("n"))
   }
 
+  /** Cross-correlation between two series over the dense
+    * [[resampleGapfill]] grid: Pearson corr of (x_t, y_{t+k}) for each
+    * lag k in [−maxLag, maxLag] — "does series Y follow series X, and
+    * by how many bins?", the lead/lag detector behind funnel timing
+    * and cascading-failure forensics. Zero-filled bins COUNT (two
+    * series silent together is signal), which is why this runs on the
+    * gap-filled grid, not raw events.
+    *
+    * Engine-portable like [[StatsOps.corrMatrixExact]]: power sums in
+    * exact DECIMAL, float enters once in the closed form (sqrt is
+    * correctly-rounded IEEE); zero-variance windows guard to NULL on
+    * the exact-sums denominator.
+    *
+    * Scale shape: lags ride ONE equi-join — the y series explodes to
+    * its ≤ 2·maxLag+1 (lag, bin−k) target rows and joins x on the bin
+    * index (the ewma explode-to-target trick), then one hash aggregate
+    * per lag. Never a join per lag, never a window. */
+  def crossCorrelation(df: DataFrame, tsCol: String, typeCol: String,
+      typeX: String, typeY: String, binSeconds: Int,
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 16, s"maxLag must be in [1,16], got $maxLag")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val g = resampleGapfill(df.filter(col(typeCol).isin(typeX, typeY)),
+      tsCol, typeCol, binSeconds)
+    val bi = (unix_timestamp(col("bin")) / binSeconds).cast("long")
+    val x = g.filter(col(typeCol) === typeX)
+      .select(bi.as("_i"), col("n").cast(dec).as("_x"))
+    val y = g.filter(col(typeCol) === typeY)
+      .select(bi.as("_iy"), col("n").cast(dec).as("_y"))
+      .withColumn("_k", explode(lit((-maxLag to maxLag).toArray)))
+      .select(col("_k"), (col("_iy") - col("_k")).as("_i"), col("_y"))
+    val agged = x.join(y, "_i").groupBy("_k").agg(
+      count(lit(1)).as("_n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+      sum(col("_y") * col("_y")).cast("double").as("_syy"),
+      sum(col("_x") * col("_y")).cast("double").as("_sxy"))
+    val n = col("_n").cast("double")
+    val denx = n * col("_sxx") - col("_sx") * col("_sx")
+    val deny = n * col("_syy") - col("_sy") * col("_sy")
+    agged.select(col("_k").cast("long").as("lag"), col("_n").as("n"),
+      when(denx =!= 0.0 && deny =!= 0.0, Canon.r4(
+        (n * col("_sxy") - col("_sx") * col("_sy"))
+          / (sqrt(denx) * sqrt(deny)))).as("xcorr"))
+  }
+
   /** Truncated exponentially-weighted moving average over the dense
     * [[resampleGapfill]] grid: per series,
     * s_t = Σ_{k=0..W−1} d^k·x_{t−k} / Σ d^k (available history only —

@@ -244,6 +244,16 @@ object TextOps {
       // ∝ distinct grams → global top-k (TakeOrderedAndProject)
       TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
     }),
+    "text_cooccurrence_pmi" -> ((s, d) => {
+      // the word2vec / PMI-matrix input: directed forward-2-window
+      // co-occurrence counts with pointwise mutual information against
+      // the pair-space margins; rowwise pair generation (no per-doc
+      // window function), one hash aggregate ∝ distinct pairs, margins
+      // folded from the pair table (TextAnalysis.cooccurrencePmi)
+      TextAnalysis.cooccurrencePmi(Tables.documents(s, d), "text",
+          window = 2, minCount = 5L)
+        .orderBy("w1", "w2")
+    }),
     "text_stopword_prune" -> ((s, d) => {
       // stopword removal + density counts, rowwise filter() lambda
       TextAnalysis.stopwordPrune(Tables.documents(s, d), "doc_id", "text", stopwords)
@@ -768,6 +778,25 @@ object TextOps {
         |  CAST(len(w[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[(i*48 + 1):(i*48 + 64)], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // identical pair space (forward window 2), identical integer
+    // counts; the ln sees the same exact-integer ratio on both sides
+    "text_cooccurrence_pmi" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |p1 AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |         i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p FROM t),
+        |p2 AS (SELECT unnest(list_transform(generate_series(1, len(w) - 2),
+        |         i -> struct_pack(w1 := w[i], w2 := w[i+2]))) AS p FROM t),
+        |pr AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM p1
+        |       UNION ALL SELECT p.w1, p.w2 FROM p2),
+        |c AS (SELECT w1, w2, count(*) AS c12 FROM pr GROUP BY 1, 2),
+        |m AS (SELECT c.w1, c.w2, c.c12,
+        |    sum(c.c12) OVER (PARTITION BY c.w1) AS cl,
+        |    sum(c.c12) OVER (PARTITION BY c.w2) AS cr,
+        |    sum(c.c12) OVER () AS n2
+        |  FROM c)
+        |SELECT w1, w2, c12,
+        |  ${graft.Canon.sql.r4("ln(CAST(c12 * n2 AS DOUBLE) / CAST(cl * cr AS DOUBLE))")} AS pmi
+        |FROM m WHERE c12 >= 5 ORDER BY w1, w2""".stripMargin,
     "text_top_bigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
         |b AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),

@@ -188,6 +188,16 @@ object StreamOps {
         .select("win_start", "event_type", "n", "sum_val")
         .orderBy("win_start", "event_type")
     }),
+    "ts_xcorr_lagged" -> ((s, d) => {
+      // lead/lag detector: Pearson cross-correlation of the click and
+      // purchase series at lags −3..+3 over the dense 5-min grid —
+      // zero-filled bins count (joint silence is signal). Lags ride
+      // ONE equi-join (y explodes to its 7 lag targets), power sums in
+      // exact decimal, closed form once (TimeSeriesOps.crossCorrelation)
+      graft.api.TimeSeriesOps.crossCorrelation(Tables.events(s, d),
+          "ts", "event_type", "click", "purchase", binSeconds = 300)
+        .orderBy("lag")
+    }),
     "ts_ewma_smooth" -> ((s, d) => {
       // truncated EWMA (d = 7/10, window 12) over the dense 5-minute
       // grid — the smoothing step between resample and thresholding.
@@ -326,6 +336,33 @@ object StreamOps {
           " / CAST(sum(CAST(w AS DECIMAL(20,0))) AS DOUBLE)")} AS ewma
         |FROM j GROUP BY event_type, bin
         |ORDER BY event_type, win_start""".stripMargin,
+    // identical dense-grid pair space and exact decimal power sums;
+    // float enters once in the same closed form (sqrt is
+    // correctly-rounded, so both engines agree bit-for-bit pre-round)
+    "ts_xcorr_lagged" ->
+      s"""WITH e AS (SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT) AS bi
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT event_type, bi, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(bi) AS lo, max(bi) AS hi FROM c),
+        |g AS (SELECT unnest(generate_series(lo, hi)) AS bi FROM r),
+        |x AS (SELECT g.bi, CAST(COALESCE(c.n, 0) AS DECIMAL(18,0)) AS x
+        |      FROM g LEFT JOIN c ON c.event_type = 'click' AND c.bi = g.bi),
+        |y AS (SELECT g.bi, CAST(COALESCE(c.n, 0) AS DECIMAL(18,0)) AS y
+        |      FROM g LEFT JOIN c ON c.event_type = 'purchase' AND c.bi = g.bi),
+        |l AS (SELECT unnest(generate_series(-3, 3)) AS k),
+        |j AS (SELECT l.k, x.x, y.y FROM l JOIN x ON true JOIN y ON y.bi = x.bi + l.k),
+        |s AS (SELECT k, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM j GROUP BY k)
+        |SELECT k AS lag, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+        |        AND CAST(n AS DOUBLE) * syy - sy * sy <> 0 THEN
+        |    ${graft.Canon.sql.r4("(CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")}
+        |  END AS xcorr
+        |FROM s ORDER BY lag""".stripMargin,
     "ts_resample_gapfill" ->
       """WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',
         |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),

@@ -804,6 +804,44 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(gotH.getDouble(1) == 1.0 && gotH.getDouble(2) == 1.0, gotH.toString)
   }
 
+  test("crossCorrelation: a shifted copy peaks at exactly its lag with corr 1") {
+    val s = spark
+    import s.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 300000L)
+    // x = varying series; y = the SAME series shifted 2 bins later →
+    // corr(x_t, y_{t+2}) = 1 exactly, off-peak lags below 1
+    val xs = Seq(5, 1, 9, 2, 7, 3, 8, 4, 6, 2, 9, 1)
+    val ev = xs.zipWithIndex.flatMap { case (n, i) =>
+      Seq.fill(n)(("x", t(i))) ++ Seq.fill(n)(("y", t(i + 2)))
+    }.toDF("et", "ts")
+    val got = graft.api.TimeSeriesOps
+      .crossCorrelation(ev, "ts", "et", "x", "y", 300, maxLag = 3)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(got(2L).contains(1.0), s"peak lag: ${got(2L)}")
+    got.filter(_._1 != 2L).foreach { case (k, v) =>
+      v.foreach(c => assert(c < 1.0, s"lag $k corr $c should be < 1"))
+    }
+  }
+
+  test("cooccurrencePmi: counts and margins on a pinned tiny corpus") {
+    val s = spark
+    import s.implicits._
+    // "a b a b a b": k=1 pairs (a,b)×3 (b,a)×2; k=2 pairs (a,a)×2
+    // (b,b)×2 — 9 pairs per doc, ×5 docs to clear minCount
+    val df = Seq.fill(5)("a b a b a b").toDF("text")
+    val got = graft.api.TextAnalysis.cooccurrencePmi(df, "text",
+        window = 2, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("a", "b"))._1 == 15L, got.toString)
+    assert(got(("b", "a"))._1 == 10L, got.toString)
+    assert(got(("a", "a"))._1 == 10L, got.toString)
+    assert(got(("b", "b"))._1 == 10L, got.toString)
+    // margins: cl(a)=15+10=25, cr(b)=15+10=25, N=45 → pmi(a,b)
+    val want = math.floor(math.log(15.0 * 45 / (25.0 * 25)) * 1e4 + 0.5) / 1e4
+    assert(got(("a", "b"))._2 == want, s"pmi ${got(("a", "b"))._2} vs $want")
+  }
+
   test("giniByGroup: 0 for an even split, (n-1)/n when one row holds everything") {
     val s = spark
     import s.implicits._
