@@ -317,6 +317,24 @@ object MlOps {
           "l_returnflag", "l_quantity", "l_extendedprice")
         .orderBy("l_returnflag")
     }),
+    "ml_kmeans_update" -> ((s, d) => {
+      // ONE full Lloyd iteration, distributed: E-step assigns every
+      // vector to its nearest pinned literal centroid (the
+      // ml_kmeans_assign kernel), M-step recomputes centroids as
+      // per-cell dimension means — long-form (cell, dim, centroid)
+      // output, the embed_centroid_by_label transport; groupBy
+      // (cell, dim) partial-aggregates before the shuffle. The pinned
+      // init makes the full train-step arithmetic oracle-checkable —
+      // the learned-codebook twin (Similarity.trainCodebook) is
+      // unit-tested instead.
+      val a = MlPipeline.kmeansAssignUdf(kmCents)(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(a.getField("_1").as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(Canon.r4(avg(col("v").cast("double"))).as("centroid"))
+        .orderBy("cell", "dim")
+    }),
     "ml_kmeans_assign" -> ((s, d) => {
       // k-means E-step against PINNED literal centroids (the
       // trainCodebook/IVF assignment kernel with its learned-codebook
@@ -348,6 +366,21 @@ object MlOps {
     "ml_infer_multiclass_gemm" -> duckMulticlass,
     "ml_infer_mlp" -> duckMlp,
     "ml_kmeans_assign" -> duckKmeansAssign,
+    "ml_kmeans_update" -> {
+      val dists = kmCents.map { c =>
+        "list_dot_product(" +
+          s"list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(${vecSqlLit(c)} AS DOUBLE[])), p -> p[1] - p[2]), " +
+          s"list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(${vecSqlLit(c)} AS DOUBLE[])), p -> p[1] - p[2]))"
+      }.mkString("[\n     ", ",\n     ", "]")
+      s"""WITH t AS (SELECT embedding, $dists AS d FROM embeddings),
+        |a AS (SELECT embedding,
+        |    CAST(list_indexof(d, list_min(d)) - 1 AS INTEGER) AS cell
+        |  FROM t)
+        |SELECT cell, CAST(i - 1 AS INTEGER) AS dim,
+        |  ${O.r4("avg(CAST(embedding[i] AS DOUBLE))")} AS centroid
+        |FROM a CROSS JOIN generate_series(1, 64) AS g(i)
+        |GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin
+    },
     "ml_linreg_closed_form" -> {
       val dq = "CAST(l_quantity AS DECIMAL(18,2))"
       val dp = "CAST(l_extendedprice AS DECIMAL(18,2))"
