@@ -134,31 +134,30 @@ object TimeSeriesOps {
     * needs before it can difference or smooth.
     *
     * Scale: the observed bins are one hash aggregate; the dense grid is
-    * cardinality bins·keys, NOT rows. Each key's observed bins pack
-    * into ONE map row (state per key ∝ bins in the time range — a
-    * month of 5-min bins is 8 640 entries — bounded by the RANGE, not
-    * by row count), the corpus [min,max] ships as a broadcast 1-row
-    * range, and the dense grid unrolls key-locally from a transform
-    * over `sequence` with a map lookup per bin. No (key,bin) join:
-    * two hash aggregates + one scalar broadcast is the whole plan, and
-    * the output stays hash-partitioned on the KEY — downstream per-key
-    * consumers (ewmaSmooth's window, differencing) add no exchange. */
+    * keys × `sequence(min, max, step)` — cardinality bins·keys, NOT
+    * rows — built from a broadcast 1-row range and joined back with a
+    * left join on (key, bin). No window, no per-row state.
+    *
+    * (r15 note: a per-key map-pack variant — collect each key's bins
+    * into one map row and unroll with `element_at` lookups — measured
+    * 5× SLOWER at sf0.1: Spark's ArrayBasedMapData `element_at` is a
+    * LINEAR scan, so the unroll is O(bins²) per key, and the whole
+    * grid runs at |keys|-way parallelism. The (key,bin) equi-join
+    * keeps every stage hash-parallel; consumers needing per-key
+    * partitioning (ewmaSmooth's window) pay one key exchange.) */
   def resampleGapfill(df: DataFrame, tsCol: String, keyCol: String,
       binSeconds: Int): DataFrame = {
-    val binIdx = floor(unix_timestamp(col(tsCol)) / binSeconds).cast("long")
-    val counts = df.select(col(keyCol), binIdx.as("_bi"))
-      .groupBy(keyCol, "_bi").agg(count(lit(1)).as("n"))
-    val perKey = counts.groupBy(keyCol)
-      .agg(map_from_entries(collect_list(struct(col("_bi"), col("n")))).as("_m"))
-    val range = counts.agg(min(col("_bi")).as("_lo"), max(col("_bi")).as("_hi"))
-    perKey.crossJoin(broadcast(range))
-      .select(col(keyCol), col("_lo"),
-        transform(sequence(col("_lo"), col("_hi")),
-          bi => coalesce(element_at(col("_m"), bi), lit(0L))).as("_xs"))
-      .select(col(keyCol), col("_lo"), posexplode(col("_xs")).as(Seq("_off", "n")))
-      .select(col(keyCol),
-        timestamp_seconds((col("_lo") + col("_off")) * binSeconds).as("bin"),
-        col("n"))
+    val bin = timestamp_seconds(
+      floor(unix_timestamp(col(tsCol)) / binSeconds).cast("long") * binSeconds)
+    val counts = df.select(col(keyCol), bin.as("bin"))
+      .groupBy(keyCol, "bin").agg(count(lit(1)).as("n"))
+    val range = counts.agg(min(col("bin")).as("_minb"), max(col("bin")).as("_maxb"))
+    val grid = df.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(range))
+      .select(col(keyCol), explode(sequence(col("_minb"), col("_maxb"),
+        expr(s"INTERVAL $binSeconds SECONDS"))).as("bin"))
+    grid.join(counts, Seq(keyCol, "bin"), "left")
+      .select(col(keyCol), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
   /** Cross-correlation between two series over the dense
@@ -227,15 +226,13 @@ object TimeSeriesOps {
     * idx − k` (on the dense grid the guard is always true; on a gappy
     * input it DROPS the mismatched term rather than silently weighting
     * the wrong bin — the grid precondition fails conservative, not
-    * wrong). All `2·window` lags share one frame, so the plan is a
-    * single sort within the key partitioning — and when the grid
-    * comes from [[resampleGapfill]] the input is ALREADY
-    * hash-partitioned on the key, so the whole smoothing step adds
-    * ZERO exchanges (r15; the previous explode-to-target-index
-    * equi-join re-shuffled grid·window rows through (key, index) and
-    * back — 3 more exchanges for the same integers). Never a key-equi
-    * join with the range as a POST-filter, which Spark plans as a
-    * per-key cartesian (373M filtered pairs at sf0.1, measured 5.9 s).
+    * wrong). All `2·window` lags share one frame, so the whole
+    * smoothing step is ONE key exchange + one sort (r15; the previous
+    * explode-to-target-index equi-join re-shuffled grid·window rows
+    * through (key, index) and back — 3 exchanges for the same
+    * integers). Never a key-equi join with the range as a
+    * POST-filter, which Spark plans as a per-key cartesian (373M
+    * filtered pairs at sf0.1, measured 5.9 s).
     *
     * `valueScale`: `valCol` is summed in exact DECIMAL at this scale
     * (default 0 — counts). A fractional input beyond the declared

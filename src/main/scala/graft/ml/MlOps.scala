@@ -327,10 +327,14 @@ object MlOps {
       // init makes the full train-step arithmetic oracle-checkable —
       // the learned-codebook twin (Similarity.trainCodebook) is
       // unit-tested instead.
+      // assign FIRST, explode second: a generator select evaluates its
+      // sibling expressions per EXPLODED row, so the UDF must sit in
+      // its own projection below the Generate (once per vector, not
+      // 64× per vector)
       val a = MlPipeline.kmeansAssignUdf(kmCents)(col("embedding"))
       Tables.embeddings(s, d)
-        .select(a.getField("_1").as("cell"),
-          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .withColumn("cell", a.getField("_1"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .groupBy("cell", "dim")
         .agg(Canon.r4(avg(col("v").cast("double"))).as("centroid"))
         .orderBy("cell", "dim")
