@@ -62,7 +62,7 @@ object Bench {
   private val planOps = Seq("BroadcastHashJoin", "SortMergeJoin",
     "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct",
     "TopKPerGroup", "Exchange", "BroadcastExchange", "ReusedExchange")
-  private def planSummary(p: String): String =
+  private[graft] def planSummary(p: String): String =
     planOps.flatMap { op =>
       val c = ("\\b" + op).r.findAllIn(p).size
       if (c == 0) None else Some(s"$op*$c")

@@ -18,8 +18,16 @@ object Maintenance {
       .get("spark.graft.merge.checkKeys", "false").toBoolean
     if (check) Seq("snapshot" -> snapshot, "updates" -> updates)
       .foreach { case (side, df) =>
-        val r = df.agg(count(col(keyCol)).as("n"),
-          countDistinct(col(keyCol)).as("d")).collect()(0)
+        // count(lit(1)) — NOT count(keyCol) — so NULL-keyed rows are
+        // caught too: count(col)/countDistinct both skip NULLs, which
+        // would let N NULL-keyed rows sail through the gate and then
+        // land as N separate never-matching join rows
+        val r = df.agg(count(lit(1)).as("n"),
+          countDistinct(col(keyCol)).as("d"),
+          count(when(col(keyCol).isNull, 1)).as("nn")).collect()(0)
+        require(r.getLong(2) == 0,
+          s"$side has ${r.getLong(2)} NULL $keyCol key(s) — a NULL key " +
+            "never matches in a key merge; MERGE requires non-null keys")
         require(r.getLong(0) == r.getLong(1),
           s"$side has duplicate $keyCol keys (${r.getLong(0)} rows, " +
             s"${r.getLong(1)} distinct) — MERGE requires unique keys per side")
@@ -140,8 +148,13 @@ object Maintenance {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(ordCol).asc)
     log
+      .withColumn("_rn", row_number().over(w))
       .withColumn("_prev", lag(col(stateCol), 1).over(w))
-      .filter(!(col("_prev") <=> col(stateCol)))
+      // the explicit first-row arm: lag()'s NULL default is otherwise
+      // indistinguishable from a real NULL first state, and the
+      // null-safe compare would DROP that run (NULL <=> NULL) — a
+      // key's history must always start at its first log row
+      .filter(col("_rn") === 1 || !(col("_prev") <=> col(stateCol)))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col(stateCol).as("state"),
         col(tsCol).as("valid_from"), col("valid_to"),

@@ -341,7 +341,12 @@ object StatsOps {
     val dt = DecimalType(18, scale)
     val x = col(xCol).cast(dt)
     val y = col(yCol).cast(dt)
-    val agged = df.groupBy(col(groupCol)).agg(
+    // NULL rows must leave n too, not just the sums — counting them
+    // inflates n against sums that skipped them, which both skews the
+    // fit and defeats the zero-variance guard
+    val agged = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
       count(lit(1)).as("_nl"),
       sum(x).cast("double").as("_sx"), sum(y).cast("double").as("_sy"),
       sum(x * x).cast("double").as("_sxx"),

@@ -185,10 +185,20 @@ object TimeSeriesOps {
     val g = resampleGapfill(df.filter(col(typeCol).isin(typeX, typeY)),
       tsCol, typeCol, binSeconds)
     val bi = (unix_timestamp(col("bin")) / binSeconds).cast("long")
-    val x = g.filter(col(typeCol) === typeX)
-      .select(bi.as("_i"), col("n").cast(dec).as("_x"))
-    val y = g.filter(col(typeCol) === typeY)
-      .select(bi.as("_iy"), col("n").cast(dec).as("_y"))
+    // each series zero-fills from the grid's BIN set, not just its own
+    // rows: a series with no events at all is the constant-0 series
+    // over the other's range (lags emitted, xcorr NULL via the
+    // variance guard) — without this the inner lag join would emit
+    // zero rows for a missing series while a grid-based twin emits
+    // the lag rows
+    val bins = g.select(bi.as("_i")).distinct()
+    def series(t: String, out: String) = bins
+      .join(g.filter(col(typeCol) === t).select(bi.as("_i"), col("n")),
+        Seq("_i"), "left")
+      .select(col("_i"), coalesce(col("n"), lit(0L)).cast(dec).as(out))
+    val x = series(typeX, "_x")
+    val y = series(typeY, "_y")
+      .withColumnRenamed("_i", "_iy")
       .withColumn("_k", explode(lit((-maxLag to maxLag).toArray)))
       .select(col("_k"), (col("_iy") - col("_k")).as("_i"), col("_y"))
     val agged = x.join(y, "_i").groupBy("_k").agg(

@@ -394,7 +394,9 @@ object MlOps {
         |    CAST(sum($dp) AS DOUBLE) AS sy,
         |    CAST(sum($dq * $dq) AS DOUBLE) AS sxx,
         |    CAST(sum($dq * $dp) AS DOUBLE) AS sxy
-        |  FROM lineitem GROUP BY 1)
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1)
         |SELECT l_returnflag, nl AS n,
         |  CASE WHEN CAST(nl AS DOUBLE) * sxx - sx * sx <> 0 THEN
         |    ${O.r4("(CAST(nl AS DOUBLE) * sxy - sx * sy) / (CAST(nl AS DOUBLE) * sxx - sx * sx)")}

@@ -488,11 +488,12 @@ object Scans {
         |ORDER BY o_orderkey""".stripMargin,
     "data_scd2_history" ->
       """WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
-        |    lag(event_type) OVER w AS prev
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
         |ch AS (SELECT user_id, event_type, ts, event_id FROM o
-        |  WHERE prev IS DISTINCT FROM event_type),
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
         |v AS (SELECT user_id, event_type, ts,
         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
         |  FROM ch)

@@ -110,9 +110,13 @@ object Windows {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
         .rowsBetween(-14, 0)
+      // median over the frame's NON-NULL values (collect_list drops
+      // NULLs; the twin list_filters to match), guarded: an all-NULL
+      // frame has no median — element_at(…, 0) would THROW, not null
       val frame = collect_list(col("value")).over(w)
       val sorted = array_sort(frame)
-      val med = element_at(sorted, ((size(sorted) + 1) / 2).cast("int"))
+      val med = when(size(sorted) > 0,
+        element_at(sorted, ((size(sorted) + 1) / 2).cast("int")))
       Tables.events(s, d)
         .withColumn("med15", med)
         .select(col("event_id"), col("user_id"),
@@ -276,11 +280,9 @@ object Windows {
           |  'monetary',     monetary) AS (_m, _v)""".stripMargin))
       val cutsLong = graft.api.StatsOps.binnedPercentiles(stacked, "_m",
         col("_v"), Seq("_q25" -> 0.25, "_q50" -> 0.5, "_q75" -> 0.75))
-      val cutsRow = cutsLong.agg(
-        (for { m <- metrics; q <- Seq("_q25", "_q50", "_q75") } yield
-          max(when(col("_m") === m, Canon.r4(col(q)))).as(s"_$m$q")).head,
-        (for { m <- metrics; q <- Seq("_q25", "_q50", "_q75") } yield
-          max(when(col("_m") === m, Canon.r4(col(q)))).as(s"_$m$q")).tail: _*)
+      val cutExprs = for { m <- metrics; q <- Seq("_q25", "_q50", "_q75") }
+        yield max(when(col("_m") === m, Canon.r4(col(q)))).as(s"_$m$q")
+      val cutsRow = cutsLong.agg(cutExprs.head, cutExprs.tail: _*)
       // score = 1 + how many pre-rounded quartile cuts the metric
       // strictly exceeds
       def score(metric: String, invert: Boolean): org.apache.spark.sql.Column = {
@@ -358,12 +360,13 @@ object Windows {
       """SELECT event_id, user_id,
         |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
         |  value,
-        |  l[CAST((len(l) + 1) // 2 AS INT)] AS med15
+        |  CASE WHEN len(l) > 0 THEN l[CAST((len(l) + 1) // 2 AS INT)] END AS med15
         |FROM (
         |  SELECT event_id, user_id, ts, value,
-        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |    list_sort(list_filter(list(value) OVER (PARTITION BY user_id
         |      ORDER BY CAST(ts AS TIMESTAMP), event_id
-        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)) AS l
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW),
+        |      x -> x IS NOT NULL)) AS l
         |  FROM events)
         |ORDER BY event_id""".stripMargin,
     "window_range_frame" ->

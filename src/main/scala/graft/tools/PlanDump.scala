@@ -1,15 +1,18 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only: print the executed-plan operator summary (the
-  * bench_full.json `plans` recipe) for the keys given as args —
-  * `runMain graft.tools.PlanDump <sfDir> key [key ...]` — so a plan
-  * trim can be checked without a full Bench run (which would
-  * overwrite bench_full.json with the subset artifact). */
+/** Dev-only: print the executed-plan operator summary for the keys
+  * given as args — `runMain graft.tools.PlanDump <sfDir> key [key ...]`
+  * — so a plan trim can be checked without a full Bench run (which
+  * would overwrite bench_full.json with the subset artifact). Uses
+  * Bench.planSummary ITSELF (\b-anchored), so the counts mean exactly
+  * what the bench artifact's `plans` field means — a raw substring
+  * scan here once double-counted BroadcastExchange as Exchange and
+  * reported phantom shuffles. Plus the window/sort/aggregate shapes
+  * the bench summary leaves out. Set GRAFT_PLAN_FULL=1 for the tree.
+  */
 object PlanDump {
-  private val ops = Seq("BroadcastHashJoin", "SortMergeJoin",
-    "ShuffledHashJoin", "BroadcastNestedLoopJoin", "CartesianProduct",
-    "Exchange", "ReusedXchg", "TopKPerGroup", "Sort", "Window", "Generate",
+  private val extraOps = Seq("Sort", "Window", "Generate",
     "HashAggregate", "ObjectHashAggregate", "SortAggregate")
 
   def main(args: Array[String]): Unit = {
@@ -23,15 +26,14 @@ object PlanDump {
     args.tail.foreach { k =>
       val df = graft.SparkEntry.queries(k)(spark, d)
       df.write.format("noop").mode("overwrite").save() // execute → AQE final plan
-      // "ReusedExchange" would double-count as "Exchange" in a raw
-      // substring scan — rename it first so reuse shows separately
       val p = df.queryExecution.executedPlan.toString
-        .replace("ReusedExchange", "ReusedXchg")
-      val summary = ops.flatMap { op =>
-        val n = p.sliding(op.length).count(_ == op)
-        if (n > 0) Some(s"$op*$n") else None
-      }.mkString(",")
-      println(s"PLAN $k :: $summary")
+      val extra = extraOps.flatMap { op =>
+        // \b on BOTH sides: a left anchor alone would still let "Sort"
+        // match inside SortMergeJoin/SortAggregate
+        val c = ("\\b" + op + "\\b").r.findAllIn(p).size
+        if (c == 0) None else Some(s"$op*$c")
+      }
+      println(s"PLAN $k :: ${(graft.Bench.planSummary(p) +: extra).mkString(",")}")
       if (sys.env.contains("GRAFT_PLAN_FULL")) println(p)
     }
     spark.stop()

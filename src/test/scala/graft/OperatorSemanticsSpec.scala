@@ -842,6 +842,60 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got(("a", "b"))._2 == want, s"pmi ${got(("a", "b"))._2} vs $want")
   }
 
+  test("scd2History: a NULL first state opens the history, not a dropped run") {
+    val s = spark
+    import s.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val log = Seq((1L, Option.empty[String], t(0), 1L),
+      (1L, Option("A"), t(1), 2L),
+      (2L, Option.empty[String], t(0), 3L)   // only row is NULL-state
+    ).toDF("u", "st", "ts", "id")
+    val got = graft.api.Maintenance.scd2History(log, "u", "st", "ts", "id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getTimestamp(3)).isEmpty)).toSet
+    assert(got == Set((1L, None, false), (1L, Some("A"), true), (2L, None, true)),
+      got.toString)
+  }
+
+  test("linRegByGroup: NULL rows leave n as well as the sums") {
+    val s = spark
+    import s.implicits._
+    // non-null points have zero x-variance; the NULL-x row must not
+    // fake a nonzero denominator through an inflated n
+    val df = Seq((Option(1.0), Option(2.0)), (Option(1.0), Option(4.0)),
+      (Option.empty[Double], Option(9.0))).map { case (x, y) => ("g", x, y) }
+      .toDF("g", "x", "y")
+    val r = graft.api.StatsOps.linRegByGroup(df, "g", "x", "y").collect()(0)
+    assert(r.getLong(1) == 2L, s"n must exclude NULL rows: $r")
+    assert(r.isNullAt(2) && r.isNullAt(3), s"zero-variance must guard to NULL: $r")
+  }
+
+  test("crossCorrelation: an entirely absent series still emits every lag, xcorr NULL") {
+    val s = spark
+    import s.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1700000000000L + i * 300000L)
+    val ev = (0 to 9).map(i => ("x", t(i))).toDF("et", "ts")  // no 'y' at all
+    val got = graft.api.TimeSeriesOps
+      .crossCorrelation(ev, "ts", "et", "x", "y", 300, maxLag = 3)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(got.keySet == (-3L to 3L).toSet, s"lags: ${got.keySet}")
+    assert(got.values.forall(identity), "constant-0 series must guard xcorr to NULL")
+  }
+
+  test("merge key gate rejects NULL keys, not just duplicates") {
+    val s = spark
+    import s.implicits._
+    val snap = Seq((Option(1L), "a")).toDF("k", "v")
+    val nullKeyed = Seq((Option.empty[Long], "x")).toDF("k", "v")
+    s.conf.set("spark.graft.merge.checkKeys", "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.api.Maintenance.upsertMerge(snap, nullKeyed, "k")
+      }
+      assert(e.getMessage.contains("NULL"), e.getMessage)
+    } finally s.conf.set("spark.graft.merge.checkKeys", "false")
+  }
+
   test("giniByGroup: 0 for an even split, (n-1)/n when one row holds everything") {
     val s = spark
     import s.implicits._
