@@ -292,6 +292,47 @@ object StatsOps {
       .orderBy("col1", "col2")
   }
 
+  /** Welch's two-sample t-test between TWO named groups of `groupCol`:
+    * t-stat and Welch–Satterthwaite degrees of freedom from exact
+    * decimal power sums — the A/B-experiment readout (unequal
+    * variances, the safe default). t = (m_a − m_b)/√(v_a/n_a + v_b/n_b) with sample
+    * variance v = (nΣx² − (Σx)²)/(n(n−1)); both engines apply the
+    * identical float expression to identical exact sums, so the stat
+    * hash-matches. Groups with n < 2 or zero variance-sum emit NULL
+    * (guarded on the exact sums). One hash aggregate over both groups,
+    * O(1) state. Returns ONE row: (group_a, group_b, n_a, n_b, t, df). */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val x = col(valueCol).cast(dt)
+    def side(g: String, suf: String) = Seq(
+      count(when(col(groupCol) === g, 1)).as(s"_n$suf"),
+      sum(when(col(groupCol) === g, x)).cast("double").as(s"_s$suf"),
+      sum(when(col(groupCol) === g, x * x)).cast("double").as(s"_ss$suf"))
+    val aggs = side(groupA, "a") ++ side(groupB, "b")
+    val one = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def stats(suf: String) = {
+      val n = col(s"_n$suf").cast("double")
+      val m = col(s"_s$suf") / n
+      val v = (n * col(s"_ss$suf") - col(s"_s$suf") * col(s"_s$suf")) /
+        (n * (n - lit(1.0)))
+      (n, m, v)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val se2 = va / na + vb / nb
+    val ok = col("_na") >= 2 && col("_nb") >= 2 && se2 > 0.0
+    val dfw = (se2 * se2) /
+      ((va / na) * (va / na) / (na - lit(1.0)) +
+        (vb / nb) * (vb / nb) / (nb - lit(1.0)))
+    one.select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("_na").as("n_a"), col("_nb").as("n_b"),
+      when(ok, Canon.r4((ma - mb) / sqrt(se2))).as("t"),
+      when(ok, Canon.r4(dfw)).as("df"))
+  }
+
   /** Per-group Gini coefficient — the inequality summary of a value
     * distribution (0 = perfectly even, →1 = one row holds everything):
     * the share-of-revenue / token-budget concentration audit. Computed

@@ -162,6 +162,14 @@ object Aggregates {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "agg_ttest_welch" -> ((s, d) => {
+      // the A/B-experiment readout: Welch's t between click and
+      // purchase values — one aggregate of exact decimal power sums
+      // over both arms, t and Welch–Satterthwaite df from the closed
+      // form applied once (StatsOps.welchTTest)
+      graft.api.StatsOps.welchTTest(Tables.events(s, d),
+        "event_type", "value", "click", "purchase")
+    }),
     "agg_gini" -> ((s, d) => {
       // revenue concentration per return flag: the Gini coefficient by
       // the sorted-rank identity over exact decimal sums — tie ranks
@@ -504,6 +512,38 @@ object Aggregates {
         |tot AS (SELECT ${O.sumDec("o_totalprice", 2)} AS t FROM orders)
         |SELECT o_orderpriority, rev, ${O.r4("rev / t")} AS share
         |FROM per, tot ORDER BY o_orderpriority""".stripMargin,
+    // identical float expression over identical exact decimal sums —
+    // means/variances/se²/df all derived inside the CTE chain
+    "agg_ttest_welch" -> {
+      val dv = "CAST(value AS DECIMAL(18,2))"
+      s"""WITH s AS (SELECT
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN $dv END) AS DOUBLE) AS sa,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN $dv * $dv END) AS DOUBLE) AS ssa,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS nb,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN $dv END) AS DOUBLE) AS sb,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN $dv * $dv END) AS DOUBLE) AS ssb
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |m AS (SELECT na, nb,
+        |    sa / CAST(na AS DOUBLE) AS ma, sb / CAST(nb AS DOUBLE) AS mb,
+        |    (CAST(na AS DOUBLE) * ssa - sa * sa)
+        |      / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)) AS va,
+        |    (CAST(nb AS DOUBLE) * ssb - sb * sb)
+        |      / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)) AS vb
+        |  FROM s),
+        |e AS (SELECT na, nb, ma, mb, va, vb,
+        |    va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2
+        |  FROM m)
+        |SELECT 'click' AS group_a, 'purchase' AS group_b,
+        |  na AS n_a, nb AS n_b,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+        |    ${O.r4("(ma - mb) / sqrt(se2)")} END AS t,
+        |  CASE WHEN na >= 2 AND nb >= 2 AND se2 > 0 THEN
+        |    ${O.r4("(se2 * se2) / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0) + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))")}
+        |  END AS df
+        |FROM e""".stripMargin
+    },
     // identical sorted-rank identity over identical exact decimal sums;
     // tie ranks cancel so row_number order cannot drift the hash
     "agg_gini" ->

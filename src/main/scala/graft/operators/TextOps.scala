@@ -244,6 +244,28 @@ object TextOps {
       // ∝ distinct grams → global top-k (TakeOrderedAndProject)
       TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
     }),
+    "text_zipf_slope" -> ((s, d) => {
+      // corpus health check: OLS slope of ln(freq) on ln(rank) over the
+      // top-100 terms — natural text tracks Zipf (slope ≈ −1); template
+      // spam and boilerplate floods flatten or steepen it. Frequencies
+      // and ranks are exact integers; ln lands on the 6-dp floor grid
+      // BEFORE the regression, whose sums then run in exact decimal
+      // (linRegByGroup at scale 6) — the money-column convention
+      // applied to log space. Rank window runs over the VOCAB-sized
+      // term table, never the corpus.
+      val counts = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("term").asc)
+      val xy = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(lit("zipf").as("g"),
+          Canon.rk(log(col("rk").cast("double")), 6).as("x"),
+          Canon.rk(log(col("f").cast("double")), 6).as("y"))
+      graft.api.StatsOps.linRegByGroup(xy, "g", "x", "y", scale = 6)
+        .select(col("n"), col("slope"), col("intercept"))
+    }),
     "text_cooccurrence_pmi" -> ((s, d) => {
       // the word2vec / PMI-matrix input: directed forward-2-window
       // co-occurrence counts with pointwise mutual information against
@@ -778,6 +800,30 @@ object TextOps {
         |  CAST(len(w[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[(i*48 + 1):(i*48 + 64)], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // ln of exact integers → shared 6-dp floor grid → the identical
+    // exact-decimal regression sums and closed form as the Spark side
+    "text_zipf_slope" -> {
+      def lg(x: String) = graft.Canon.sql.rk(s"ln(CAST($x AS DOUBLE))", 6)
+      s"""WITH c AS (SELECT t AS term, count(*) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) AS rk FROM c),
+        |xy AS (SELECT CAST(${lg("rk")} AS DECIMAL(18,6)) AS x,
+        |              CAST(${lg("f")} AS DECIMAL(18,6)) AS y
+        |       FROM r WHERE rk <= 100),
+        |s AS (SELECT count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM xy)
+        |SELECT n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
+        |    ${graft.Canon.sql.r4("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)")}
+        |  END AS slope,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 THEN
+        |    ${graft.Canon.sql.r4("(sy * sxx - sx * sxy) / (CAST(n AS DOUBLE) * sxx - sx * sx)")}
+        |  END AS intercept
+        |FROM s""".stripMargin
+    },
     // identical pair space (forward window 2), identical integer
     // counts; the ln sees the same exact-integer ratio on both sides
     "text_cooccurrence_pmi" ->

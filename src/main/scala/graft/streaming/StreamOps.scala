@@ -188,6 +188,17 @@ object StreamOps {
         .select("win_start", "event_type", "n", "sum_val")
         .orderBy("win_start", "event_type")
     }),
+    "ts_seasonal_hourly" -> ((s, d) => {
+      // seasonal profile: per (event_type, UTC hour-of-day) event count
+      // and exact-decimal mean value — the diurnal baseline an anomaly
+      // detector normalizes against before flagging; ONE hash
+      // aggregate, 24·|types| output rows at any scale
+      Tables.events(s, d)
+        .groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("n"),
+          Canon.r4(Canon.sumDec(col("value"), 2) / count(lit(1))).as("avg_val"))
+        .orderBy("event_type", "hod")
+    }),
     "ts_xcorr_lagged" -> ((s, d) => {
       // lead/lag detector: Pearson cross-correlation of the click and
       // purchase series at lags −3..+3 over the dense 5-min grid —
@@ -339,6 +350,12 @@ object StreamOps {
     // identical dense-grid pair space and exact decimal power sums;
     // float enters once in the same closed form (sqrt is
     // correctly-rounded, so both engines agree bit-for-bit pre-round)
+    "ts_seasonal_hourly" ->
+      s"""SELECT event_type,
+        |  CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+        |  count(*) AS n,
+        |  ${graft.Canon.sql.r4(graft.Canon.sql.sumDec("value", 2) + " / count(*)")} AS avg_val
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hod""".stripMargin,
     "ts_xcorr_lagged" ->
       s"""WITH e AS (SELECT event_type,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT) AS bi

@@ -882,6 +882,23 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got.values.forall(identity), "constant-0 series must guard xcorr to NULL")
   }
 
+  test("welchTTest: equal samples give t=0; a known shift gives the textbook stat") {
+    val s = spark
+    import s.implicits._
+    val same = (1 to 20).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+    val r0 = graft.api.StatsOps.welchTTest(same.toDF("g", "v"), "g", "v", "a", "b")
+      .collect()(0)
+    assert(r0.getLong(2) == 20L && r0.getLong(3) == 20L)
+    assert(r0.getDouble(4) == 0.0, s"identical samples must give t=0: $r0")
+    // a = {1,2,3}, b = {4,5,6}: means 2/5, var 1 each, se²=2/3,
+    // t = −3/√(2/3) = −3.6742, Welch df = (2/3)²/((1/3)²/2·2) = 4
+    val ab = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val r1 = graft.api.StatsOps.welchTTest(ab, "g", "v", "a", "b").collect()(0)
+    assert(math.abs(r1.getDouble(4) + 3.6742) < 1e-4, s"t: $r1")
+    assert(r1.getDouble(5) == 4.0, s"df: $r1")
+  }
+
   test("merge key gate rejects NULL keys, not just duplicates") {
     val s = spark
     import s.implicits._
