@@ -621,4 +621,85 @@ class ScaleProbeSpec extends AnyFunSuite {
       s"sketch-guided result diverged from naive: got=$got expected=$naive")
     assert(got.keySet == heavies.toSet, s"expected exactly the 5 heavies, got ${got.keySet}")
   }
+
+  test("cooccurrencePmi at 200k docs: pair table ~ vocab^2, counts exact") {
+    // the scale claim on the key: the aggregate's state and the margin
+    // folds are ∝ DISTINCT pairs (≤ vocab², here ≤ 2500), never ∝ the
+    // corpus's 1.4M token positions — the property that makes the PMI
+    // matrix computable from a 100 TB corpus with a bounded vocabulary
+    val s = spark
+    import s.implicits._
+    val vocab = (0 until 50).map(i => s"w$i")
+    // deterministic 8-token docs over the 50-word vocab
+    val docs = (0 until 200000).map { i =>
+      (0 until 8).map(j => vocab((i * 31 + j * 7 + (i % 13)) % 50)).mkString(" ")
+    }.toDF("text").repartition(16)
+    val pmi = graft.api.TextAnalysis.cooccurrencePmi(docs, "text",
+      window = 2, minCount = 1L)
+    val rows = pmi.collect()
+    assert(rows.length <= 2500,
+      s"pair table ${rows.length} exceeds vocab² = 2500")
+    // conservation: Σc12 over ALL pairs = docs·(7 + 6) forward positions
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == 200000L * 13,
+      s"pair-count mass $total != 200000·13 — pairs lost or duplicated")
+  }
+
+  test("weightedPercentilesBinned at 2M rows matches a local histogram reference") {
+    // state ∝ distinct values (the 4dp-grid contract), not rows: 2M
+    // rows over a 1 000-value grid collapse to 1 000 bins; the cuts
+    // must EQUAL a local recompute from the value→weight histogram
+    val s = spark
+    import s.implicits._
+    val n = 2000000
+    val df = (0 until n).map { i =>
+      val v = (i * 2654435761L % 1000).toDouble   // 1 000 distinct values
+      val w = 1L + (i % 7)                        // varying integer weights
+      ("g", v, w)
+    }.toDF("g", "v", "w").repartition(16)
+    val got = graft.api.StatsOps.weightedPercentilesBinned(df, "g", "v", "w",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9))
+      .collect()(0)
+    // local reference from the same histogram law
+    val hist = scala.collection.mutable.TreeMap[Double, Long]()
+    var tot = 0L
+    (0 until n).foreach { i =>
+      val v = (i * 2654435761L % 1000).toDouble
+      val w = 1L + (i % 7)
+      hist(v) = hist.getOrElse(v, 0L) + w; tot += w
+    }
+    def cut(p: Double): Double = {
+      var cum = 0L
+      hist.iterator.collectFirst {
+        case (v, w) if { cum += w; cum * 10000 >= tot * math.round(p * 10000) } => v
+      }.get
+    }
+    assert(got.getDouble(1) == cut(0.25), s"p25 ${got.getDouble(1)} vs ${cut(0.25)}")
+    assert(got.getDouble(2) == cut(0.5), s"p50 ${got.getDouble(2)} vs ${cut(0.5)}")
+    assert(got.getDouble(3) == cut(0.9), s"p90 ${got.getDouble(3)} vs ${cut(0.9)}")
+  }
+
+  test("snapshotDiff at 2M rows: classification counts exact, one key-shuffle plan") {
+    // the audit op at volume: 2M-key snapshot vs a derived next
+    // version with a known change recipe — every 7th changed, every
+    // 13th removed, 100k added — classified EXACTLY, through the one
+    // full-outer key shuffle (no row-hash pre-pass, no second scan)
+    val s = spark
+    import s.implicits._
+    val n = 2000000
+    val old = (0L until n.toLong).map(k => (k, k % 1000)).toDF("k", "v")
+      .repartition(16)
+    val neu = old.filter(col("k") % 13 =!= 0)
+      .select(col("k"),
+        when(col("k") % 7 === 0, col("v") + 1).otherwise(col("v")).as("v"))
+      .unionByName((0 until 100000).map(i => (n + i.toLong, 0L)).toDF("k", "v"))
+    val counts = graft.api.Maintenance.snapshotDiff(old, neu, "k")
+      .groupBy("change").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val removed = (0L until n.toLong).count(_ % 13 == 0)
+    val changed = (0L until n.toLong).count(k => k % 13 != 0 && k % 7 == 0)
+    assert(counts("added") == 100000L, counts.toString)
+    assert(counts("removed") == removed.toLong, counts.toString)
+    assert(counts("changed") == changed.toLong, counts.toString)
+  }
 }
