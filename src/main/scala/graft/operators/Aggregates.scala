@@ -162,6 +162,32 @@ object Aggregates {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "agg_chi2_contrib" -> ((s, d) => {
+      // chi-squared independence audit of event_type × UTC hour as a
+      // per-cell CONTRIBUTION table: observed count, expected
+      // row·col/total, and (o−e)²/e — the cells that deviate ARE the
+      // finding (which type misbehaves at which hour), and emitting
+      // per-cell terms sidesteps the one thing that would break the
+      // hash gate: a cross-cell float sum, whose order neither engine
+      // pins. All inputs are exact integer counts; each cell's floats
+      // are engine-identical. Margins fold from the CELL table (rows ∝
+      // types·24, never events) and broadcast back.
+      val ev = Tables.events(s, d)
+      val ct = ev.groupBy(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(count(lit(1)).as("o"))
+      val rowT = ct.groupBy("event_type").agg(sum(col("o")).as("_r"))
+      val colT = ct.groupBy("hod").agg(sum(col("o")).as("_c"))
+      val tot = ct.agg(sum(col("o")).as("_t"))
+      val e = (col("_r") * col("_c")).cast("double") / col("_t").cast("double")
+      ct.join(broadcast(rowT), "event_type")
+        .join(broadcast(colT), "hod")
+        .crossJoin(broadcast(tot))
+        .select(col("event_type"), col("hod"), col("o"),
+          Canon.r4(e).as("e"),
+          Canon.r4((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+            .as("contrib"))
+        .orderBy("event_type", "hod")
+    }),
     "agg_ttest_welch" -> ((s, d) => {
       // the A/B-experiment readout: Welch's t between click and
       // purchase values — one aggregate of exact decimal power sums
@@ -512,6 +538,23 @@ object Aggregates {
         |tot AS (SELECT ${O.sumDec("o_totalprice", 2)} AS t FROM orders)
         |SELECT o_orderpriority, rev, ${O.r4("rev / t")} AS share
         |FROM per, tot ORDER BY o_orderpriority""".stripMargin,
+    // per-cell floats over exact integer margins — no cross-cell
+    // float sum exists to drift
+    "agg_chi2_contrib" ->
+      s"""WITH ct AS (SELECT event_type,
+        |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(o) AS rt FROM ct GROUP BY 1),
+        |c AS (SELECT hod, sum(o) AS cl FROM ct GROUP BY 1),
+        |t AS (SELECT sum(o) AS tt FROM ct),
+        |j AS (SELECT ct.event_type, ct.hod, ct.o,
+        |    CAST(r.rt * c.cl AS DOUBLE) / CAST(t.tt AS DOUBLE) AS e
+        |  FROM ct JOIN r USING (event_type) JOIN c USING (hod) CROSS JOIN t)
+        |SELECT event_type, hod, o,
+        |  ${O.r4("e")} AS e,
+        |  ${O.r4("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e")} AS contrib
+        |FROM j ORDER BY event_type, hod""".stripMargin,
     // identical float expression over identical exact decimal sums —
     // means/variances/se²/df all derived inside the CTE chain
     "agg_ttest_welch" -> {
