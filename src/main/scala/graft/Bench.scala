@@ -52,9 +52,13 @@ object Bench {
 
   // the plan-diagnostic summary per query: counts of the operators a
   // plan flip would change (join strategies, exchanges, the custom
-  // top-k). Extracted from the POST-execution plan, i.e. AQE's final
-  // choices — so a stats-dependent broadcast->shuffle flip is visible
-  // in the bench artifact itself, not only as a timing anomaly.
+  // top-k). NOTE the capture point honestly: count() below runs its
+  // own QueryExecution, so df.queryExecution stays unexecuted and
+  // this string is the INITIAL AdaptiveSparkPlan — cost-based
+  // broadcast decisions and static planning are visible; a purely
+  // RUNTIME AQE re-plan (skew split, runtime broadcast flip) is not.
+  // Every artifact in the series captures at this same point, so
+  // round-over-round plan equality stays a valid comparison.
   // \b-anchored so "Exchange" counts ONLY shuffle exchanges, not
   // BroadcastExchange/ReusedExchange (tracked separately) — the
   // artifact exists to catch broadcast<->shuffle flips, so the two

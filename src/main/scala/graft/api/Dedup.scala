@@ -83,7 +83,10 @@ object Dedup {
     *     on skewed corpora;
     *  3. candidates = prefix self-equi-join on (grp, shingle) with
     *     id1 < id2 and the exact length filter
-    *     (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t), deduped;
+    *     (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t), deduped — map-side + distinct
+    *     in the broadcast posture; exactly-once emission at the first
+    *     common prefix shingle (no distinct shuffle) in the chunked
+    *     shuffle posture;
     *  4. exact verify: join the two hash arrays back (equi-shuffle on
     *     id; AQE broadcasts when small) and keep pairs with
     *     `Kernels.jaccardLongs ≥ t`.
@@ -129,16 +132,19 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     else
-      // build side = the CANDIDATE stream (bounded by the prefix-filter
-      // theorem: ∝ true pairs + n, never n²), not the corpus: hinting
-      // cand makes each ShuffledHashJoin build its hash map over the
-      // pair ids while the _h arrays STREAM through the probe side —
-      // the corpus-sized shingle sets are never held as a join hash
-      // table in this posture
+      // first join: build side = the BARE candidate pair stream
+      // (bounded by the prefix-filter theorem: ∝ true pairs + n, never
+      // n²) while the _h arrays stream through the probe side. Second
+      // join: build side = the DOCS shard — per-partition memory
+      // ∝ |corpus|/partitions · array size, the same bound as any scan
+      // of the corpus itself. The r15 shape hinted the FIRST join's
+      // result instead, whose build table held one full shingle array
+      // per candidate pair (build ∝ candidates × array size — on a
+      // duplicate-heavy corpus candidates ≫ docs, the wrong bound)
       cand.hint("shuffle_hash")
         .join(docs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
-        .hint("shuffle_hash")
-        .join(docs.select(col("_id").as("id2"), col("_h").as("_h2")), "id2")
+        .join(docs.select(col("_id").as("id2"), col("_h").as("_h2"))
+          .hint("shuffle_hash"), "id2")
         .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
         .filter(col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
@@ -150,7 +156,7 @@ object Dedup {
     * (_id, _grp, _h, _sz). */
   private def jaccardCandStage(sized: DataFrame, threshold: Double,
       pin: DataFrame => DataFrame, groupedCand: Boolean = false): DataFrame = {
-    val prefix = prefixTable(sized, threshold, pin)
+    val prefix = prefixTable(sized, threshold, pin, withChunkCols = groupedCand)
     if (!groupedCand) {
       // broadcast posture: candidate self-join through a broadcast of
       // the prefix table — map-side, no shuffle of the probe side
@@ -163,30 +169,65 @@ object Dedup {
           && col("_sz1") >= col("_sz2") * threshold - 1e-9)
         .select("id1", "id2").distinct()
     } else {
-      // shuffle posture (100 TB): a SELF equi-join on (grp, shingle)
-      // is one grouped pair enumeration — the prefix table crosses the
-      // wire ONCE and no per-partition join hash table is built (the
-      // shuffle-hash self-join moved it twice: both sides of the
-      // exchange). Per-group state ∝ df(shingle), the same bucket
-      // bound the hash join carried — the prefix filter's rarest-first
-      // selection is what keeps those groups small. Pair predicates
-      // (id order + size compatibility) are identical to the join
-      // condition, so the candidate SET is unchanged (row-count
-      // asserted equal at sf0.1: 1 656 277 candidates either way).
-      prefix.groupBy("_grp", "_s")
-        .agg(collect_list(struct(col("_id").as("_id"), col("_sz").as("_sz"))).as("_xs"))
-        .filter(size(col("_xs")) >= 2)
-        .select(posexplode(col("_xs")).as(Seq("_i", "_x")), col("_xs"))
-        .select(col("_x"),
-          explode(slice(col("_xs"), col("_i") + lit(2), size(col("_xs")))).as("_y"))
-        .select(
-          least(col("_x._id"), col("_y._id")).as("id1"),
-          greatest(col("_x._id"), col("_y._id")).as("id2"),
-          when(col("_x._id") < col("_y._id"), col("_x._sz")).otherwise(col("_y._sz")).as("_sz1"),
-          when(col("_x._id") < col("_y._id"), col("_y._sz")).otherwise(col("_x._sz")).as("_sz2"))
-        .filter(col("_sz2") >= col("_sz1") * threshold - 1e-9 &&
-          col("_sz1") >= col("_sz2") * threshold - 1e-9)
-        .select("id1", "id2").distinct()
+      // shuffle posture (100 TB): a CHUNKED self equi-join. The naive
+      // shapes both serialize hot shingles — an equi-shuffle on
+      // (grp, shingle) lands a whole posting bucket on ONE reducer, so
+      // that task alone enumerates the bucket's O(n²) pairs (the r15
+      // grouped enumeration had the same property, plus it copied the
+      // collected group array once per emitted row across two Generate
+      // operators — measured 3.0–3.9 s vs the broadcast twin's ~1 s on
+      // the identical candidate set). Here each bucket is split into
+      // ~⌈df/256⌉ chunks (capped at 1024) keyed INTO the join: side A
+      // replicates each row to its own-and-higher target chunks, side B
+      // keeps its own chunk, and the join key (grp, shingle, chunk)
+      // spreads a hot bucket's enumeration over ~K²/2 independent
+      // tasks. Orientation — cross-chunk pairs by chunk order,
+      // same-chunk by id order — counts every unordered pair exactly
+      // once (a doc's chunk is a pure function of its id, so a pair
+      // can never appear under two chunk assignments).
+      //
+      // Chunk count derives from the shingle's DOCUMENT FREQUENCY,
+      // which every prefix row already carries from its construction —
+      // zero extra shuffles (true bucket sizes would cost two more
+      // prefix-sized exchanges). df only over-estimates the prefix
+      // bucket, so the error direction is harmless: extra EMPTY chunk
+      // keys, never a missed pair. A-side replication is bounded by
+      // bucketRows·df/(2·256) ≪ the bucket's pair-enumeration work.
+      // df=1 rows can never pair and are dropped before the join.
+      //
+      // Emission is EXACTLY-ONCE, not distinct-deduped: a pair sharing
+      // k prefix shingles is emitted only in the bucket of the
+      // MINIMUM-HASH shingle its prefixes share — per raw collision
+      // row, the native codegen merge scan `graft_min_common` over the
+      // hash-sorted whole-prefix array each row carries answers "is MY
+      // shingle that minimum?". The r15 grouped path emitted every
+      // duplicate and paid a pair-stream distinct whose partial
+      // aggregation was useless (a pair's duplicates land in DIFFERENT
+      // shingle buckets, hence different partitions): measured ~2 s of
+      // the 3.2 s candidate stage at sf0.1 (7.3 M raw → 1.66 M
+      // distinct). The candidate SET is unchanged (row-count asserted
+      // equal at sf0.1: 1 656 277).
+      graft.functions.MinCommonLong.register(prefix.sparkSession)
+      val p = prefix.filter(col("_df") >= 2)
+        .withColumn("_nk",
+          least(lit(1024L), ceil(col("_df") / lit(256.0))).cast("int"))
+        .withColumn("_ck", pmod(xxhash64(col("_id")), col("_nk")).cast("int"))
+      val a = p.select(col("_id").as("_ida"), col("_grp"), col("_sz").as("_sza"),
+        col("_s"), col("_psh").as("_psha"), col("_ck").as("_ca"),
+        explode(sequence(col("_ck"), col("_nk") - 1)).as("_cb"))
+      val b = p.select(col("_id").as("_idb"), col("_grp").as("_grp2"),
+        col("_sz").as("_szb"), col("_s").as("_s2"),
+        col("_psh").as("_pshb"), col("_ck").as("_cb2"))
+      a.join(b.hint("shuffle_hash"),
+          col("_s") === col("_s2") && col("_grp") === col("_grp2")
+            && col("_cb") === col("_cb2")
+            && (col("_ca") < col("_cb2") || col("_ida") < col("_idb"))
+            && col("_szb") >= col("_sza") * threshold - 1e-9
+            && col("_sza") >= col("_szb") * threshold - 1e-9
+            && call_function("graft_min_common",
+              col("_psha"), col("_pshb")) === col("_s"))
+        .select(least(col("_ida"), col("_idb")).as("id1"),
+          greatest(col("_ida"), col("_idb")).as("id2"))
     }
   }
 
@@ -231,14 +272,16 @@ object Dedup {
   }
 
   /** Map-side prefix selection against a collected (grp, shingle)→df
-    * table: emits (_id, _grp, _sz, _s) prefix rows from `sized` in one
-    * narrow pass — no posting⋈df join, no per-doc window. `defaultDf`
-    * is the df assumed for shingles ABSENT from the map (0 for probe
-    * docs scored against an index-side df table, matching the window
-    * path's left-join + coalesce(_df, 0)). */
+    * table: emits (_id, _grp, _sz, _s, _df) prefix rows from `sized` in
+    * one narrow pass — no posting⋈df join, no per-doc window. `_df` is
+    * the shingle's document frequency under the same map (the chunked
+    * candidate join derives its chunk count from it); `defaultDf` is
+    * the df assumed for shingles ABSENT from the map (0 for probe docs
+    * scored against an index-side df table, matching the window path's
+    * left-join + coalesce(_df, 0)). */
   private def localPrefixRows(sized: DataFrame,
       rows: Array[org.apache.spark.sql.Row], threshold: Double,
-      defaultDf: Long): DataFrame = {
+      defaultDf: Long, withChunkCols: Boolean = false): DataFrame = {
     def grpKey(v: Any): String = if (v == null) "\u0000" else v.toString
     val byGrp: Map[String, scala.collection.mutable.LongMap[Long]] =
       rows.groupBy(r => grpKey(r.get(0))).map { case (g, rs) =>
@@ -247,26 +290,49 @@ object Dedup {
         g -> m
       }
     val bc = sized.sparkSession.sparkContext.broadcast(byGrp)
-    val prefUdf = udf((grp: String, h: Seq[Long]) => {
-      val dfm = bc.value.getOrElse(if (grp == null) "\u0000" else grp,
-        scala.collection.mutable.LongMap.empty[Long])
+    def dfMap(grp: String) = bc.value.getOrElse(if (grp == null) "\u0000" else grp,
+      scala.collection.mutable.LongMap.empty[Long])
+    def prefixOf(dfm: scala.collection.mutable.LongMap[Long], h: Seq[Long]): Seq[Long] = {
       val sz = h.length
       val k = (sz - math.ceil(sz * threshold - 1e-9) + 1).toInt
-      if (k >= sz) h.toArray
-      else h.sortBy(s => (dfm.getOrElse(s, defaultDf), s)).take(k).toArray
-    })
-    sized.select(col("_id"), col("_grp"), col("_sz"),
-      explode(prefUdf(col("_grp").cast("string"), col("_h"))).as("_s"))
+      if (k >= sz) h
+      else h.sortBy(s => (dfm.getOrElse(s, defaultDf), s)).take(k)
+    }
+    if (!withChunkCols) {
+      // broadcast-posture shape: bare prefix shingles, no per-element
+      // tuple allocation (the tuple+array spelling below measured
+      // ~0.6 s extra on the ngram shingle table at sf0.1 for columns
+      // that plan never reads)
+      val prefUdf = udf((grp: String, h: Seq[Long]) =>
+        prefixOf(dfMap(grp), h).toArray)
+      sized.select(col("_id"), col("_grp"), col("_sz"),
+        explode(prefUdf(col("_grp").cast("string"), col("_h"))).as("_s"))
+    } else {
+      // chunked shuffle-posture shape: each row also carries `_df`
+      // (the shingle's document frequency — the chunk-count basis) and
+      // `_psh` (the doc's whole prefix re-sorted ASCENDING BY HASH —
+      // the min-common-shingle exactly-once test input)
+      val prefUdf = udf((grp: String, h: Seq[Long]) => {
+        val dfm = dfMap(grp)
+        prefixOf(dfm, h).map(s => (s, dfm.getOrElse(s, defaultDf))).toArray
+      })
+      sized.withColumn("_pp", prefUdf(col("_grp").cast("string"), col("_h")))
+        .select(col("_id"), col("_grp"), col("_sz"),
+          sort_array(col("_pp._1")).as("_psh"),
+          explode(col("_pp")).as("_p"))
+        .select(col("_id"), col("_grp"), col("_sz"), col("_psh"),
+          col("_p._1").as("_s"), col("_p._2").as("_df"))
+    }
   }
 
   private def prefixTable(sized: DataFrame, threshold: Double,
-      pin: DataFrame => DataFrame): DataFrame = {
+      pin: DataFrame => DataFrame, withChunkCols: Boolean = false): DataFrame = {
     val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
     val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
     collectDfIfSmall(dfreq) match {
       case Some(rows) =>
         // every shingle is in its own df table, so defaultDf is moot
-        localPrefixRows(sized, rows, threshold, defaultDf = 1L)
+        localPrefixRows(sized, rows, threshold, defaultDf = 1L, withChunkCols)
       case None =>
         // prefix length |X| − ⌈t·|X|⌉ + 1, with a 1e-9 slack so float
         // rounding can only LENGTHEN a prefix (safe) never shorten it
@@ -276,10 +342,18 @@ object Dedup {
         // action and the post-shuffle window recompute is cheap codegen
         // — an explicit checkpoint here measured SLOWER on large
         // shingle tables (ngram)
-        posts.join(pin(dfreq), Seq("_grp", "_s"))
+        val rows = posts.join(pin(dfreq), Seq("_grp", "_s"))
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
-          .select("_id", "_grp", "_sz", "_s")
+        if (!withChunkCols) rows.select("_id", "_grp", "_sz", "_s")
+        else
+          // `_psh` — the doc's whole prefix sorted ascending by hash,
+          // for the chunked join's min-common-shingle test — rides a
+          // second window over the SAME partition key as the
+          // row_number, so it reuses that exchange and adds no shuffle
+          rows.withColumn("_psh", sort_array(collect_list(col("_s"))
+              .over(Window.partitionBy("_id"))))
+            .select("_id", "_grp", "_sz", "_psh", "_s", "_df")
     }
   }
 

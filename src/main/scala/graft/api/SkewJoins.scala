@@ -97,11 +97,14 @@ object SkewJoins {
     // bloom sizing tolerates estimate error, and the exact countDistinct
     // this used to run was a full extra distinct-shuffle of the dim side
     // (the operator already scans dim twice more: bloom build + exact
-    // semi-join). HLL++ partial-aggregates map-side instead; the 10%
-    // headroom covers its default ~5% rsd so an under-estimate cannot
-    // silently raise the real fpp
+    // semi-join). HLL++ partial-aggregates map-side instead; rsd is a
+    // STANDARD DEVIATION, not a bound, so we pin it to 2% — the 10%
+    // headroom then sits ~5 sigma out, making an under-sized bloom
+    // (and thus a real fpp above the requested one) vanishingly
+    // unlikely; even then only filter selectivity suffers, never
+    // correctness — the exact semi-join below decides membership
     val nKeys = math.max(1L, (1.1 *
-      dim.select(col(dimKey)).agg(approx_count_distinct(col(dimKey)))
+      dim.select(col(dimKey)).agg(approx_count_distinct(col(dimKey), 0.02))
         .collect()(0).getLong(0)).toLong)
     val bloom = dim.stat.bloomFilter(dimKey, nKeys, fpp)
     val bos = new java.io.ByteArrayOutputStream()

@@ -115,7 +115,15 @@ object StatsOps {
     *
     * Scale shape: same as [[binnedPercentiles]] — one (group, value)
     * hash aggregate summing weights (state ∝ distinct values), two
-    * window passes over the bin table, one tiny final aggregate. */
+    * window passes over the bin table, one tiny final aggregate.
+    *
+    * @param weightScale decimal scale the weights are cast to. Pass
+    *   the scale your weights ACTUALLY carry: the default 0 HALF_UP
+    *   rounds fractional weights to integers before accumulating, so
+    *   e.g. weights of 0.4 all become 0 and the cuts shift silently —
+    *   the same trap [[TimeSeriesOps.ewmaSmooth]]'s valueScale
+    *   documents. Integral weights (counts, tokens, bytes) are exact
+    *   at 0. */
   def weightedPercentilesBinned(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String, ps: Seq[(String, Double)],
       weightScale: Int = 0): DataFrame = {

@@ -203,9 +203,12 @@ object TextAnalysis {
     * (cl = pairs with that left word, cr = right). Only pairs with
     * c₁₂ ≥ `minCount` survive (the standard sparsity cut).
     *
-    * Engine-portable: every count is an exact integer, the ln sees the
-    * identical double on both sides (c₁₂·N ≤ ~1e13 stays exact in
-    * int64 before the one division), and the result is pre-rounded.
+    * Engine-portable: every count is an exact integer, each factor is
+    * cast to double BEFORE the multiply (an int64 product c₁₂·N or
+    * cl·cr would silently wrap past 2⁶³ on a web-scale corpus under
+    * non-ANSI Spark while DuckDB promotes), the ln sees the identical
+    * double on both sides, and the result is pre-rounded. Counts
+    * themselves stay ≤ 2⁵³ so the double cast is exact per factor.
     *
     * Scale shape: pair generation is a ROWWISE array transform (no
     * window function, no per-doc shuffle); counts are one hash
@@ -230,8 +233,8 @@ object TextAnalysis {
       .crossJoin(broadcast(n2))
       .filter(col("c12") >= minCount)
       .select(col("w1"), col("w2"), col("c12"),
-        Canon.r4(log((col("c12") * col("n2")).cast("double")
-          / (col("cl") * col("cr")).cast("double"))).as("pmi"))
+        Canon.r4(log((col("c12").cast("double") * col("n2").cast("double"))
+          / (col("cl").cast("double") * col("cr").cast("double")))).as("pmi"))
   }
 
   private[api] def arrayNgrams(arr: Column, n: Int, sep: String): Column = {

@@ -825,7 +825,8 @@ object TextOps {
         |FROM s""".stripMargin
     },
     // identical pair space (forward window 2), identical integer
-    // counts; the ln sees the same exact-integer ratio on both sides
+    // counts; each factor is cast to double before the multiply on
+    // both sides (no int64 product that could wrap at corpus scale)
     "text_cooccurrence_pmi" ->
       s"""WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
         |p1 AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
@@ -841,7 +842,7 @@ object TextOps {
         |    sum(c.c12) OVER () AS n2
         |  FROM c)
         |SELECT w1, w2, c12,
-        |  ${graft.Canon.sql.r4("ln(CAST(c12 * n2 AS DOUBLE) / CAST(cl * cr AS DOUBLE))")} AS pmi
+        |  ${graft.Canon.sql.r4("ln((CAST(c12 AS DOUBLE) * CAST(n2 AS DOUBLE)) / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE)))")} AS pmi
         |FROM m WHERE c12 >= 5 ORDER BY w1, w2""".stripMargin,
     "text_top_bigrams" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),

@@ -25,7 +25,14 @@ object PlanDump {
     val d = args.head
     args.tail.foreach { k =>
       val df = graft.SparkEntry.queries(k)(spark, d)
-      df.write.format("noop").mode("overwrite").save() // execute → AQE final plan
+      // The noop write runs its OWN QueryExecution, so df.queryExecution
+      // below stays unexecuted and prints the INITIAL AdaptiveSparkPlan,
+      // not the AQE-finalized one — deliberately the same property as
+      // Bench (whose count() is likewise a separate QueryExecution), so
+      // these counts compare 1:1 with bench_full.json's `plans` field.
+      // The write still exists to surface runtime errors the plan
+      // string alone would hide.
+      df.write.format("noop").mode("overwrite").save()
       val p = df.queryExecution.executedPlan.toString
       val extra = extraOps.flatMap { op =>
         // \b on BOTH sides: a left anchor alone would still let "Sort"

@@ -104,6 +104,42 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("MinCommonLong codegen expression matches a reference set intersection") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.MinCommonLong.register(spark)
+    // reference: minimum of the set intersection, MinValue when disjoint
+    def ref(a: Seq[Long], b: Seq[Long]): Long = {
+      val c = a.toSet.intersect(b.toSet)
+      if (c.isEmpty) Long.MinValue else c.min
+    }
+    val rnd = new Random(17)
+    // sorted-ascending inputs (the expression's contract), small value
+    // domain so intersections actually occur; negatives included since
+    // shingle hashes span the full i64 range
+    def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(30).toLong - 15L)
+      .distinct.sorted
+    val rows = Seq.fill(400)((arr(), arr())) :+
+      ((Seq.empty[Long], Seq.empty[Long])) :+
+      ((Seq(Long.MinValue, 3L), Seq(Long.MinValue, 7L))) :+
+      ((Seq(-5L, 0L, 2L), Seq(2L)))
+    val got = rows.toDF("a", "b")
+      .select(call_function("graft_min_common", col("a"), col("b"))).as[Long].collect()
+    rows.zip(got).foreach { case ((a, b), r) =>
+      assert(r == ref(a, b), s"mismatch for $a vs $b")
+    }
+    // interpreted (non-codegen) path must agree too
+    rows.foreach { case (a, b) =>
+      val e = graft.functions.MinCommonLong(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+      assert(e.eval(null) == ref(a, b), s"interpreted mismatch for $a vs $b")
+    }
+  }
+
   test("simhash XOR first-chunk logic agrees with the chunk-array definition") {
     // simhashPairs dedups on "first band whose bit slice of sh1^sh2 is
     // zero"; that must equal the first index where the two chunk
