@@ -399,6 +399,92 @@ object Dedup {
     jaccardPairsFromHashes(hashed, threshold, broadcastJoins)
   }
 
+  /** Directed CONTAINMENT near-dup pairs: all (id1, id2) with
+    * C(A→B) = |A∩B| / |A| ≥ threshold over distinct token sets, id1 ≠
+    * id2 — the asymmetric complement of [[nearJaccardPairs]]. A short
+    * doc quoted or templated wholly inside a long one scores ~1 here
+    * while symmetric Jaccard dilutes it by the long doc's size; LLM
+    * corpus dedup needs exactly this to catch quoted-inclusion /
+    * superset duplicates.
+    *
+    * One-sided prefix filter (the containment form of the PPJoin
+    * lemma): C(A→B) ≥ t ⇒ |A∩B| ≥ ⌈t·|A|⌉, so B must share one of
+    * A's first |A| − ⌈t·|A|⌉ + 1 shingles under the canonical
+    * rarest-first order — but unlike Jaccard there is NO prefix on the
+    * container side (B may be arbitrarily large), so candidates come
+    * from the CONTAINEE-prefix ⋈ FULL-postings equi-join on
+    * (grp, shingle) — the PRETTI/set-containment-join shape. Size
+    * filter: |B| ≥ t·|A| (since |A∩B| ≤ |B|); no upper bound on B.
+    * Candidate volume is Σ_s prefA(s)·df(s), kept sub-quadratic by the
+    * same rarest-first prefix selection as the Jaccard path. Exact
+    * verification via the native codegen `graft_containment` merge.
+    *
+    * Join pinning follows `jaccardPairsFromHashes`: the broadcast
+    * posture broadcasts the PREFIX side (the postings side is
+    * corpus-sized and streams); `broadcastJoins=false` swaps in
+    * SHUFFLE_HASH hints — equi-shuffles on (grp, shingle) / id only. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, partitionCol: Option[String] = None,
+      broadcastJoins: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
+    val hashed = fanout(df).select(col(idCol).as("_id"),
+      partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
+    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
+    val cand = containmentCandStage(sized, threshold, pin)
+    graft.functions.ContainmentSim.register(df.sparkSession)
+    val docs = sized.select(col("_id"), col("_h"))
+    cand
+      .join(pin(docs.select(col("_id").as("id1"), col("_h").as("_h1"))), "id1")
+      .join(pin(docs.select(col("_id").as("id2"), col("_h").as("_h2"))), "id2")
+      .withColumn("containment", call_function("graft_containment", col("_h1"), col("_h2")))
+      .filter(col("containment") >= threshold)
+      .select("id1", "id2", "containment")
+  }
+
+  /** The containment candidate stage (containee prefix ⋈ full
+    * postings): shared by [[containmentPairs]] and the scale-probe
+    * hook [[containmentCandidatePairs]]. */
+  private def containmentCandStage(sized: DataFrame, threshold: Double,
+      pin: DataFrame => DataFrame): DataFrame = {
+    val pref = prefixTable(sized, threshold, pin)
+      .select(col("_id").as("id1"), col("_grp").as("_grpa"),
+        col("_sz").as("_sza"), col("_s").as("_sa"))
+    val posts = sized.select(col("_id").as("id2"), col("_grp"),
+      col("_sz").as("_szb"), explode(col("_h")).as("_s"))
+    posts
+      .join(pin(pref), col("_sa") === col("_s") && col("_grpa") === col("_grp")
+        && col("id1") =!= col("id2")
+        && col("_szb") >= col("_sza") * threshold - 1e-9)
+      .select("id1", "id2").distinct()
+  }
+
+  /** Scale-probe hook: the (contained, container) CANDIDATE pairs the
+    * one-sided prefix filter admits for `containmentPairs(df, …,
+    * threshold)` — before exact verification. The sub-quadraticity
+    * claim is that this count tracks c·(true pairs + n), not n²; the
+    * hashed table is checkpointed like the real path — release with
+    * `Checkpoints.free` after counting. */
+  private[graft] def containmentCandidatePairs(df: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      partitionCol: Option[String] = None,
+      broadcastJoins: Boolean = true): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containment threshold must be in (0, 1], got $threshold")
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
+    val hashed = fanout(df).select(col(idCol).as("_id"),
+      partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
+    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
+    containmentCandStage(sized, threshold, pin)
+  }
+
   /** Incremental near-dup detection: all (index_id, probe_id) pairs
     * with token-set Jaccard ≥ threshold BETWEEN a new batch (probe) and
     * an existing corpus (index) — the production shape "dedup today's

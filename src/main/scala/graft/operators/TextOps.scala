@@ -457,6 +457,47 @@ object TextOps {
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     }),
+    "dedup_containment" -> ((s, d) => {
+      // directed token-set containment |A∩B|/|A| >= 0.9 within lang
+      // blocks — quoted-inclusion/superset near-dups that symmetric
+      // Jaccard dilutes by the container's size. Containee-prefix ⋈
+      // full-postings candidates (the one-sided PPJoin bound), exact
+      // verify via the native codegen graft_containment merge.
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 0.9, Some("lang"))
+        .select(col("id1"), col("id2"), Canon.r4(col("containment")).as("containment"))
+        .orderBy("id1", "id2")
+    }),
+    "dedup_cluster_stats" -> ((s, d) => {
+      // the QA report a data engineer reads before pulling the dedup
+      // trigger: cluster-size histogram over the near-dup pair graph's
+      // connected components, with the min cluster id per size as a
+      // deterministic sample anchor and that cluster's first members
+      // inline. Pure rollup over the CC output — aggregate state is
+      // ∝ clusters, then ∝ distinct sizes.
+      val pairs = Dedup.nearJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", 0.8, Some("lang"))
+      val clusters = Dedup.connectedComponents(pairs)
+      graft.api.Checkpoints.free(pairs)
+      val bySize = clusters.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      val hist = bySize.groupBy("cluster_size").agg(
+        count(lit(1)).as("n_clusters"),
+        min(col("label")).as("min_cluster"))
+      // sample docs of the per-size anchor cluster: broadcast the tiny
+      // histogram back onto the label table, never the reverse
+      val sample = clusters
+        .join(broadcast(hist.select(col("min_cluster"))),
+          clusters("label") === col("min_cluster"))
+        .groupBy(col("label").as("_lbl"))
+        .agg(array_join(transform(slice(sort_array(collect_list(col("id"))), 1, 5),
+          x => x.cast("string")), ",").as("sample_docs"))
+      hist
+        .join(broadcast(sample), hist("min_cluster") === sample("_lbl"))
+        .select(col("cluster_size"),
+          col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"),
+          col("min_cluster"), col("sample_docs"))
+        .orderBy("cluster_size")
+    }),
     "dedup_clusters" -> ((s, d) => {
       // duplicate-cluster resolution: connected components over the
       // exact near-dup pair graph; cluster id = min doc_id reachable,
@@ -988,6 +1029,42 @@ object TextOps {
         |        AND NOT a.is_new AND b.is_new)
         |SELECT index_id, probe_id, ${O.r4("jac")} AS jac
         |FROM p WHERE jac >= 0.8 ORDER BY index_id, probe_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ${graft.Canon.sql.r4("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks)")} AS containment
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks) >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
+    // same recursive-CTE connected components as dedup_clusters, then
+    // the histogram rollup + per-size anchor-cluster sample
+    "dedup_cluster_stats" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |p AS (SELECT id1, id2 FROM (
+        |        SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |          CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |            / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+        |        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |      WHERE jac >= 0.8),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM p
+        |          UNION ALL SELECT id2, id1 FROM p),
+        |reach AS (SELECT a, b FROM edges
+        |          UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT a AS doc_id, least(a, min(b)) AS cluster
+        |        FROM reach GROUP BY a),
+        |cs AS (SELECT cluster, count(*) AS cluster_size FROM lab GROUP BY 1),
+        |h AS (SELECT cluster_size, count(*) AS n_clusters,
+        |             min(cluster) AS min_cluster FROM cs GROUP BY 1),
+        |smp AS (SELECT l.cluster AS _lbl,
+        |          array_to_string(list_sort(list(l.doc_id))[1:5], ',') AS sample_docs
+        |        FROM lab l JOIN h ON l.cluster = h.min_cluster GROUP BY 1)
+        |SELECT h.cluster_size, h.n_clusters,
+        |  h.cluster_size * h.n_clusters AS n_docs,
+        |  h.min_cluster, smp.sample_docs
+        |FROM h JOIN smp ON h.min_cluster = smp._lbl
+        |ORDER BY h.cluster_size""".stripMargin,
     "dedup_clusters" ->
       """WITH RECURSIVE t AS (SELECT doc_id, lang,
         |             list_distinct(string_split(text, ' ')) AS toks FROM documents),

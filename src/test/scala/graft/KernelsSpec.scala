@@ -140,6 +140,38 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("ContainmentSim codegen expression matches a reference set containment") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.ContainmentSim.register(spark)
+    def ref(a: Seq[Long], b: Seq[Long]): Double =
+      if (a.isEmpty) 1.0
+      else a.toSet.intersect(b.toSet).size.toDouble / a.size
+    val rnd = new Random(19)
+    def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(20).toLong - 10L)
+      .distinct.sorted
+    val rows = Seq.fill(400)((arr(), arr())) :+
+      ((Seq.empty[Long], Seq.empty[Long])) :+
+      ((Seq.empty[Long], Seq(1L, 2L))) :+
+      ((Seq(1L, 2L), Seq.empty[Long])) :+
+      ((Seq(3L, 7L), Seq(1L, 3L, 5L, 7L, 9L)))
+    val got = rows.toDF("a", "b")
+      .select(call_function("graft_containment", col("a"), col("b"))).as[Double].collect()
+    rows.zip(got).foreach { case ((a, b), r) =>
+      assert(r == ref(a, b), s"mismatch for $a vs $b: $r != ${ref(a, b)}")
+    }
+    // interpreted (non-codegen) path must agree too
+    rows.foreach { case (a, b) =>
+      val e = graft.functions.ContainmentSim(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+      assert(e.eval(null) == ref(a, b), s"interpreted mismatch for $a vs $b")
+    }
+  }
+
   test("simhash XOR first-chunk logic agrees with the chunk-array definition") {
     // simhashPairs dedups on "first band whose bit slice of sh1^sh2 is
     // zero"; that must equal the first index where the two chunk

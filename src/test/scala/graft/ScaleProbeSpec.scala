@@ -124,6 +124,57 @@ class ScaleProbeSpec extends AnyFunSuite {
     assertSubQuadratic(docs, truePairs, n)
   }
 
+  test("containment candidate volume tracks true pairs + n (200k docs, unblocked)") {
+    // 200k docs: every 10th-plus-one id is a SHORT quote doc holding
+    // 10 of doc (id-1)'s 30 content tokens; all docs carry the same 8
+    // corpus-wide stopwords. The only C >= 0.9 pairs are
+    // (short -> quoted long): C = 18/18 = 1.0 (the 10 quoted tokens +
+    // 8 stopwords all reappear in the long). Short->short and
+    // long->anything overlap only on the 8 stopwords (8/18, 8/38 —
+    // far below 0.9). The one-sided prefix for a short (sz 18, t 0.9)
+    // is its 2 rarest tokens — quote tokens with df = 2 — so its
+    // posting join admits exactly the quoted long; a long's prefix is
+    // 4 df=1 unique tokens admitting nobody. Stopwords (df = 200k)
+    // must never enter a prefix: if they did, the full-postings join
+    // would go quadratic and the bound below would explode.
+    // broadcastJoins=false: the 100 TB shuffle-hash posture, and the
+    // unbounded token universe (7.6M distinct) forces the distributed
+    // window prefix path.
+    val n = 200000L
+    val common = lit((1 to 8).map(i => s"the$i").mkString(" "))
+    val base = expr("concat_ws(' ', transform(sequence(0, 29), " +
+      "j -> concat('w', cast(id as string), '_', j)))")
+    val quote = expr("concat_ws(' ', transform(sequence(0, 9), " +
+      "j -> concat('w', cast(id - 1 as string), '_', j)))")
+    val docs = spark.range(n).select(col("id"),
+      concat_ws(" ",
+        when(col("id") % 10 === 1, quote).otherwise(base),
+        common).as("text"))
+    val truePairs = (1L until n by 10).map(id => (id, id - 1)).toSet
+    val cand = graft.api.Dedup.containmentCandidatePairs(docs, "id", "text", 0.9,
+      broadcastJoins = false)
+    val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.api.Checkpoints.free(cand)
+    val dropped = truePairs -- got
+    assert(dropped.isEmpty,
+      s"one-sided prefix filter dropped ${dropped.size} pairs, e.g. ${dropped.take(3)}")
+    val bound = 2L * (truePairs.size + n)
+    assert(got.size <= bound,
+      s"candidate volume ${got.size} exceeds 2(true+n) = $bound — " +
+        "a hot token entered a containee prefix")
+    // end-to-end: the operator verifies exactly the true pairs, all
+    // with containment 1.0
+    val verified = graft.api.Dedup.containmentPairs(docs, "id", "text", 0.9,
+      broadcastJoins = false)
+    val pairs = verified.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.api.Checkpoints.free(verified)
+    val missing = truePairs -- pairs
+    val extra = pairs -- truePairs
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing=${missing.size} e.g. ${missing.take(3)}; " +
+        s"extra=${extra.size} e.g. ${extra.take(3)}")
+  }
+
   test("dupSpanMask at 200k docs: exactly the planted boilerplate masked, nothing else") {
     // 200k docs, ~31 tokens each (6M token rows through the window +
     // gram-count + coverage pipeline): every 5th doc embeds the SAME
