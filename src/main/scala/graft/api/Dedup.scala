@@ -947,7 +947,18 @@ object Dedup {
     * hashed once per row (over Unicode code points, not UTF-16 units);
     * pairs come from the same inverted-index count join as
     * `nearJaccardPairs`. Sub-n-char docs have no shingles and are
-    * excluded (J(∅,·) = 0), mirrored by the oracle's `len(gs) > 0`. */
+    * excluded (J(∅,·) = 0), mirrored by the oracle's `len(gs) > 0`.
+    *
+    * CHOOSE n SO THE GRAM UNIVERSE OUTGROWS THE CORPUS. The prefix
+    * filter is sub-quadratic only while most grams are rare; a small n
+    * on a large corpus SATURATES the universe (every gram hot, every
+    * doc ~half-similar to every other) and candidate mass goes ∝ n² —
+    * no exact algorithm avoids examining it once ambient similarity
+    * crowds the threshold. Measured (BENCH_SCALE10_r16.json): at 10×
+    * sf0.1's corpus, n=3 (universe pinned at ~1.8k grams) grows 38–46×
+    * in wall time while n=5 (universe ≫ corpus) grows 2.1× with 10×
+    * the output pairs. At 100 TB use n ≥ 7, or the probabilistic
+    * [[minhashPairs]]. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, partitionCol: Option[String] = None,
       broadcastJoins: Boolean = true): DataFrame = {
