@@ -263,6 +263,49 @@ class ApiParitySpec extends AnyFunSuite {
         s"extra=${(gotCross -- expectedCross).take(3)}")
   }
 
+  test("chunked shuffle-posture PPJoin splits a HOT prefix bucket and still emits exactly-once") {
+    val s = spark
+    import s.implicits._
+    // A corpus engineered so a df=600 token ENTERS every prefix
+    // (2-token docs at t=0.5 have prefix length 2 = the whole set) —
+    // the fixture corpora and the 400k probes keep hot tokens OUT of
+    // prefixes, so without this test the multi-chunk code path
+    // (_nk = ceil(600/256) = 3, cross-chunk orientation, same-chunk
+    // id order, min-common exactly-once) would only ever be covered
+    // indirectly through the sf oracle. 100 duplicate doc pairs
+    // (hot v_k) are the truth; all (hot u_i) docs share ONLY the hot
+    // token pairwise (J = 1/3 < 0.5), yet every pair IS a candidate
+    // (the hot bucket admits all ~180k of them — kept small enough to
+    // collect).
+    val docs = ((0L until 400L).map(i => (i, s"hot u_$i")) ++
+      (0L until 100L).flatMap(k =>
+        Seq((400 + 2 * k, s"hot v_$k"), (401 + 2 * k, s"hot v_$k")))).toDF("doc_id", "text")
+    val truth = (0L until 100L).map(k => (400 + 2 * k, 401 + 2 * k)).toSet
+    val cand = graft.api.Dedup.jaccardCandidatePairs(docs, "doc_id", "text", 0.5,
+      broadcastJoins = false)
+    val gotCand = cand.collect().map(r => (r.getLong(0), r.getLong(1)))
+    graft.api.Checkpoints.free(cand)
+    // exactly-once emission: the raw candidate stream has NO distinct
+    // behind it, so duplicate rows here mean the chunk-orientation or
+    // min-common logic double-emits
+    assert(gotCand.length == gotCand.toSet.size,
+      s"candidate stream emitted duplicates: ${gotCand.length} rows, " +
+        s"${gotCand.toSet.size} distinct")
+    // the hot bucket admits u-u / u-v pairs (they DO share the hot
+    // token, sizes compatible) — candidates are quadratic IN THE HOT
+    // BUCKET by construction; what must hold is completeness and that
+    // the exact verify then prunes to the truth, in BOTH postures
+    assert(truth.subsetOf(gotCand.toSet),
+      s"missing candidates: ${(truth -- gotCand.toSet).take(3)}")
+    for (bc <- Seq(true, false)) {
+      val got = graft.api.Dedup.nearJaccardPairs(docs, "doc_id", "text", 0.5,
+          broadcastJoins = bc)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth,
+        s"broadcastJoins=$bc: missing=${(truth -- got).take(3)} extra=${(got -- truth).take(3)}")
+    }
+  }
+
   test("the local-df prefix fast path returns the same pairs as the window path") {
     // both prefix regimes — map-side selection against the collected
     // df table (small universe) vs posting⋈df join + window — must be
