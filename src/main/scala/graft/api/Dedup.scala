@@ -435,12 +435,25 @@ object Dedup {
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
     val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
-    val cand = containmentCandStage(sized, threshold, pin)
+    val cand = containmentCandStage(sized, threshold, pin,
+      chunked = !broadcastJoins)
     graft.functions.ContainmentSim.register(df.sparkSession)
     val docs = sized.select(col("_id"), col("_h"))
-    cand
-      .join(pin(docs.select(col("_id").as("id1"), col("_h").as("_h1"))), "id1")
-      .join(pin(docs.select(col("_id").as("id2"), col("_h").as("_h2"))), "id2")
+    val verified =
+      if (broadcastJoins)
+        cand
+          .join(pin(docs.select(col("_id").as("id1"), col("_h").as("_h1"))), "id1")
+          .join(pin(docs.select(col("_id").as("id2"), col("_h").as("_h2"))), "id2")
+      else
+        // same build-side discipline as the jaccard shuffle verify:
+        // first join builds the BARE pair stream, second builds the
+        // docs SHARD (per-partition memory ∝ corpus/partitions, never
+        // ∝ candidates × arrays)
+        cand.hint("shuffle_hash")
+          .join(docs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
+          .join(docs.select(col("_id").as("id2"), col("_h").as("_h2"))
+            .hint("shuffle_hash"), "id2")
+    verified
       .withColumn("containment", call_function("graft_containment", col("_h1"), col("_h2")))
       .filter(col("containment") >= threshold)
       .select("id1", "id2", "containment")
@@ -448,19 +461,55 @@ object Dedup {
 
   /** The containment candidate stage (containee prefix ⋈ full
     * postings): shared by [[containmentPairs]] and the scale-probe
-    * hook [[containmentCandidatePairs]]. */
+    * hook [[containmentCandidatePairs]].
+    *
+    * `chunked = true` is the no-broadcast posture's hot-bucket
+    * defense, the containment analogue of the jaccard chunked join: a
+    * shingle with a hot posting list would land its whole bucket on
+    * ONE reducer of the (grp, shingle) equi-shuffle, serializing the
+    * prefA(s)·df(s) enumeration. Both sides split the bucket into
+    * ~⌈df/256⌉ chunks keyed into the join — the CONTAINEE prefix row
+    * replicates to every chunk (replication = work/256, bounded) and
+    * each container posting keeps its own id-hash chunk. Containment
+    * pairs are DIRECTED, so there is no orientation halving and —
+    * unlike the jaccard path — no min-common exactly-once rule: the
+    * container side would have to carry its whole hash array per
+    * POSTING row (Σ sz² volume — the exact blowup the jaccard verify
+    * avoids), so multi-shingle duplicates are still resolved by the
+    * `distinct`. The container side pays one extra postings⋈dfreq
+    * equi-join to learn its bucket's chunk count. */
   private def containmentCandStage(sized: DataFrame, threshold: Double,
-      pin: DataFrame => DataFrame): DataFrame = {
-    val pref = prefixTable(sized, threshold, pin)
-      .select(col("_id").as("id1"), col("_grp").as("_grpa"),
-        col("_sz").as("_sza"), col("_s").as("_sa"))
+      pin: DataFrame => DataFrame, chunked: Boolean = false): DataFrame = {
     val posts = sized.select(col("_id").as("id2"), col("_grp"),
       col("_sz").as("_szb"), explode(col("_h")).as("_s"))
-    posts
-      .join(pin(pref), col("_sa") === col("_s") && col("_grpa") === col("_grp")
-        && col("id1") =!= col("id2")
-        && col("_szb") >= col("_sza") * threshold - 1e-9)
-      .select("id1", "id2").distinct()
+    if (!chunked) {
+      val pref = prefixTable(sized, threshold, pin)
+        .select(col("_id").as("id1"), col("_grp").as("_grpa"),
+          col("_sz").as("_sza"), col("_s").as("_sa"))
+      posts
+        .join(pin(pref), col("_sa") === col("_s") && col("_grpa") === col("_grp")
+          && col("id1") =!= col("id2")
+          && col("_szb") >= col("_sza") * threshold - 1e-9)
+        .select("id1", "id2").distinct()
+    } else {
+      def nk(df: Column): Column =
+        least(lit(1024L), ceil(df / lit(256.0))).cast("int")
+      val a = prefixTable(sized, threshold, pin, withChunkCols = true)
+        .select(col("_id").as("id1"), col("_grp").as("_grpa"),
+          col("_sz").as("_sza"), col("_s").as("_sa"),
+          explode(sequence(lit(0), nk(col("_df")) - 1)).as("_cb"))
+      // the container side re-derives the same per-bucket chunk count
+      // from its own posting frequencies (one hash aggregate + one
+      // equi-join over postings — linear, no sort, no broadcast)
+      val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_dfb"))
+      val b = posts.join(pin(dfreq), Seq("_grp", "_s"))
+        .withColumn("_cb2", pmod(xxhash64(col("id2")), nk(col("_dfb"))).cast("int"))
+      b.join(pin(a), col("_sa") === col("_s") && col("_grpa") === col("_grp")
+          && col("_cb") === col("_cb2")
+          && col("id1") =!= col("id2")
+          && col("_szb") >= col("_sza") * threshold - 1e-9)
+        .select("id1", "id2").distinct()
+    }
   }
 
   /** Scale-probe hook: the (contained, container) CANDIDATE pairs the
@@ -482,7 +531,7 @@ object Dedup {
       Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_h"))
     val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
-    containmentCandStage(sized, threshold, pin)
+    containmentCandStage(sized, threshold, pin, chunked = !broadcastJoins)
   }
 
   /** Incremental near-dup detection: all (index_id, probe_id) pairs

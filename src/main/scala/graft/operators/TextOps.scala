@@ -467,6 +467,19 @@ object TextOps {
         .select(col("id1"), col("id2"), Canon.r4(col("containment")).as("containment"))
         .orderBy("id1", "id2")
     }),
+    "dedup_containment_shuffle" -> ((s, d) => {
+      // the 100 TB posture of dedup_containment DECLARED AND BENCHED,
+      // mirroring dedup_near_jaccard_shuffle: broadcastJoins=false —
+      // chunked containee-prefix ⋈ postings candidate join (both
+      // sides re-derive the same ~⌈df/256⌉ bucket chunking), verify
+      // joins SHUFFLE_HASH with bare-pair/docs-shard builds, zero
+      // corpus-sized broadcasts. Oracle IDENTICAL to
+      // dedup_containment: join strategy must not change answers.
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", 0.9,
+          Some("lang"), broadcastJoins = false)
+        .select(col("id1"), col("id2"), Canon.r4(col("containment")).as("containment"))
+        .orderBy("id1", "id2")
+    }),
     "dedup_cluster_stats" -> ((s, d) => {
       // the QA report a data engineer reads before pulling the dedup
       // trigger: cluster-size histogram over the near-dup pair graph's
@@ -1030,6 +1043,16 @@ object TextOps {
         |SELECT index_id, probe_id, ${O.r4("jac")} AS jac
         |FROM p WHERE jac >= 0.8 ORDER BY index_id, probe_id""".stripMargin,
     "dedup_containment" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |             list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  ${graft.Canon.sql.r4("CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks)")} AS containment
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / len(a.toks) >= 0.9
+        |ORDER BY id1, id2""".stripMargin,
+    // IDENTICAL SQL to dedup_containment by design: the shuffle-hash
+    // posture must not change answers
+    "dedup_containment_shuffle" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |             list_distinct(string_split(text, ' ')) AS toks FROM documents)
         |SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -106,6 +106,16 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_containment_shuffle pins the no-broadcast 100TB posture") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "dedup_containment_shuffle")
+      assert(p.contains("ShuffledHashJoin"),
+        s"expected SHUFFLE_HASH-pinned joins in the no-broadcast posture:\n$p")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"a corpus-sized side got broadcast despite the pinned posture:\n$p")
+    }
+  }
+
   test("join_bloom_prefilter probes the bloom at the fact scan, before the exchange") {
     TestSpark.withExtSession { s =>
       val p = plan(s, "join_bloom_prefilter")
