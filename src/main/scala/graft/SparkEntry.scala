@@ -17,6 +17,7 @@ object SparkEntry {
     (operators.Aggregates.queries, operators.Aggregates.oracles),
     (operators.Windows.queries, operators.Windows.oracles),
     (operators.SetOps.queries, operators.SetOps.oracles),
+    (operators.Graphs.queries, operators.Graphs.oracles),
     (operators.Scalars.queries, operators.Scalars.oracles),
     (operators.TextOps.queries, operators.TextOps.oracles),
     (operators.SimilarityOps.queries, operators.SimilarityOps.oracles),

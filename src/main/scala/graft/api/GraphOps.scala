@@ -1,0 +1,146 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over relational edge tables — the
+  * link-graph side of a corpus pipeline (domain authority for crawl
+  * quality weighting, community/cluster diagnostics). Everything here
+  * is expressed as joins + hash aggregates over an `(src, dst)` edge
+  * DataFrame, so Catalyst plans the shuffles and the same code runs
+  * from a 25-node fixture graph to a web-scale link graph.
+  *
+  * Determinism: PageRank iterates in FIXED-POINT integer mass (see
+  * [[pagerankMass]]) — double-sum iteration would make each round's
+  * ranks order-dependent (partial-agg merge order), and iteration
+  * AMPLIFIES that drift; bigint sums are associative, so every engine
+  * and every shuffle order produces bit-identical ranks.
+  */
+object GraphOps {
+
+  /** PageRank by integer mass conservation: each node starts with
+    * `massScale / N` units; per iteration a node keeps nothing, sends
+    * `((mass * dampPct) div 100) div outdeg` along each out-edge, and
+    * every node receives `(massScale * (100-dampPct) / 100) div N`
+    * teleport mass plus its in-edge sum. After `iters` rounds the mass
+    * vector is the (damped) PageRank scaled by `massScale`, exact to
+    * one unit per division (~1e-12 relative at the default scale).
+    *
+    * Why fixed point: rank sums in double depend on aggregation merge
+    * order and so differ run-to-run and engine-to-engine — and a rank
+    * DIVERGENCE in round k multiplies through rounds k+1..n. Integer
+    * sums are exact and associative: the result is a pure function of
+    * the edge set, reproducible anywhere (the floor-division losses —
+    * at most outdeg units per node per round — are deterministic too).
+    * Dangling nodes (no out-edges) simply retain no damped mass: their
+    * 85% share leaves the system rather than being redistributed; at
+    * `massScale`=1e12 that costs nothing to stability and keeps the
+    * per-iteration plan a single equi-join + hash aggregate.
+    *
+    * Scale shape: the edge list and out-degree frame are loop-invariant
+    * and pinned once ([[Checkpoints]]); each iteration is one
+    * mass⋈edges equi-join (mass broadcast when `broadcastMass`, the
+    * single-node default — an equi-shuffle on node id otherwise, the
+    * web-scale posture where the rank vector itself is billions of
+    * rows) plus one hash aggregate on dst. Mass frames re-pin per
+    * round, so the loop-carried plan stays O(1) and survives executor
+    * loss under the reliable-checkpoint conf. The only driver scalar is
+    * N (one long). */
+  def pagerankMass(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, massScale: Long = 1000000000000L, dampPct: Int = 85,
+      broadcastMass: Boolean = true): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampPct > 0 && dampPct < 100, s"dampPct must be in (0,100), got $dampPct")
+    val e = Checkpoints.pin(edges
+      .select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
+      .filter(col("_src") =!= col("_dst")).distinct())
+    val nodes = Checkpoints.pin(
+      e.select(col("_src").as("node")).union(e.select(col("_dst").as("node"))).distinct())
+    val eDeg = Checkpoints.pin(
+      e.join(e.groupBy("_src").agg(count(lit(1)).as("_outdeg")), "_src"))
+    val n = nodes.count() // bounded driver scalar: one long
+    require(n > 0, "pagerank needs a non-empty edge set")
+    val teleport = (massScale * (100L - dampPct) / 100L) / n
+    def pinMass(m: DataFrame): DataFrame =
+      if (broadcastMass) broadcast(m) else m.hint("shuffle_hash")
+    var mass = nodes.withColumn("mass", lit(massScale / n))
+    for (_ <- 1 to iters) {
+      val in = eDeg.join(pinMass(mass), col("_src") === col("node"))
+        .select(col("_dst"), expr(s"((mass * $dampPct) div 100) div _outdeg").as("_send"))
+        .groupBy("_dst").agg(sum(col("_send")).as("_in"))
+      mass = Checkpoints.pin(nodes.join(in, col("node") === col("_dst"), "left")
+        .select(col("node"), (lit(teleport) + coalesce(col("_in"), lit(0L))).as("mass")))
+    }
+    mass
+  }
+
+  /** Per-node degree/strength profile of a weighted directed edge
+    * table: out/in degree (distinct neighbors) and out/in strength
+    * (summed `weightCol`), zero-coalesced over the full node universe.
+    * Two hash aggregates + one outer join on node id — no window, no
+    * sort; at scale every step is the pre-aggregated tiny side of the
+    * pipeline that produced the edges. */
+  def degreeStats(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+      col(weightCol).cast("long").as("_w"))
+    val out = e.groupBy(col("_src").as("node"))
+      .agg(count(lit(1)).as("out_deg"), sum(col("_w")).as("out_w"))
+    val in = e.groupBy(col("_dst").as("node"))
+      .agg(count(lit(1)).as("in_deg"), sum(col("_w")).as("in_w"))
+    out.join(in, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("out_w"), lit(0L)).as("out_w"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"))
+  }
+
+  /** Per-node triangle counts of the UNDIRECTED simple graph underlying
+    * a directed edge table, by degree-oriented enumeration: each
+    * undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one, wedges are enumerated at the low end, and a
+    * wedge closes iff its (v, w) cap edge exists in the same
+    * orientation. Every triangle is counted exactly once under ANY
+    * acyclic orientation, so the result is orientation-independent —
+    * but the DEGREE orientation bounds per-node wedge fan-out by
+    * O(sqrt(m)) on skewed graphs (a celebrity node of degree d would
+    * otherwise enumerate d² wedges on one reducer; oriented by degree
+    * it enumerates almost none). Output: (node, n_tri) for every node
+    * of the undirected graph, zero-coalesced. */
+  def trianglesPerNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = Checkpoints.pin(edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val deg = und.select(col("lo").as("node")).union(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("_deg"))
+    // total orientation order: (degree, id) packed into one long —
+    // node ids here are key columns (< 2^31), degree < 2^31
+    def okey(d: Column, id: Column): Column = d * lit(4294967296L) + id
+    val kLo = okey(col("_dlo"), col("lo"))
+    val kHi = okey(col("_dhi"), col("hi"))
+    val oriented = Checkpoints.pin(und
+      .join(deg.select(col("node").as("lo"), col("_deg").as("_dlo")), "lo")
+      .join(deg.select(col("node").as("hi"), col("_deg").as("_dhi")), "hi")
+      .select(
+        when(kLo < kHi, col("lo")).otherwise(col("hi")).as("u"),
+        when(kLo < kHi, col("hi")).otherwise(col("lo")).as("v"),
+        // the orientation key of v, for the wedge ordering below
+        greatest(kLo, kHi).as("_kv")))
+    // wedges at u: pairs of out-neighbors ordered by orientation key,
+    // closed by the (v, w) oriented cap edge
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("_kv").as("_kx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("_kv").as("_ky"))
+    val tri = e1.join(e2, Seq("u")).filter(col("_kx") < col("_ky"))
+      .join(oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    val nodes = deg.select("node")
+    val counts = tri.select(col("u").as("node"))
+      .union(tri.select(col("x").as("node")))
+      .union(tri.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    nodes.join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.{Canon, Q, Tables}
+import graft.api.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.13 — graph analytics over a relational edge derivation: the
+  * nation-level trade graph (supplier nation → customer nation, one
+  * edge per above-average-volume trading pair). The heavy work is the
+  * lineitem×supplier×orders×customer multiway join that BUILDS the
+  * edges — Catalyst's territory (broadcast dims, shuffled fact) — and
+  * the graph kernels ([[graft.api.GraphOps]]) then run on the
+  * aggregated edge list: joins + hash aggregates only, the same code
+  * path a web-scale link graph would take.
+  *
+  * The above-average cut (`w > avg(w)`) makes the graph's SHAPE
+  * scale-free: absolute trade counts grow with sf, the relative
+  * threshold keeps roughly the same sparsified topology, so the keys
+  * discriminate (varying degrees, non-uniform ranks) at every scale.
+  * The avg is exact in both engines: integer sum below 2^53 divided by
+  * an integer count — one correctly-rounded double op each.
+  */
+object Graphs {
+
+  /** Directed above-average trade edges: (src, dst, w) with w = the
+    * lineitem count shipped from supplier-nation src to customer-nation
+    * dst, self-loops excluded, kept iff w > corpus-average pair weight.
+    * The threshold rides a 1-row aggregate broadcast (scalar BNLJ) —
+    * the one shape where a broadcast nested loop is the right plan. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    all.join(broadcast(all.agg(avg(col("w")).as("_avg"))))
+      .filter(col("w") > col("_avg"))
+      .select("src", "dst", "w")
+  }
+
+  private def nationNames(s: SparkSession, d: String): DataFrame =
+    broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")))
+
+  val queries: Map[String, Q] = Map(
+    "graph_pagerank" -> ((s, d) => {
+      // 4 damped iterations of fixed-point integer-mass PageRank — see
+      // GraphOps.pagerankMass for why bigint mass (not double ranks) is
+      // what makes an ITERATED rank oracle-checkable at all
+      GraphOps.pagerankMass(tradeEdges(s, d), "src", "dst", iters = 4)
+        .join(nationNames(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("mass").as("pr_mass"),
+          Canon.rk(col("mass") / 1000000000000.0, 8).as("pr"))
+        .orderBy("n_name")
+    }),
+    "graph_degree_stats" -> ((s, d) => {
+      GraphOps.degreeStats(tradeEdges(s, d), "src", "dst", "w")
+        .join(nationNames(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("out_deg"), col("in_deg"),
+          col("out_w"), col("in_w"))
+        .orderBy("n_name")
+    }),
+    "graph_triangle_count" -> ((s, d) => {
+      GraphOps.trianglesPerNode(tradeEdges(s, d), "src", "dst")
+        .join(nationNames(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("n_tri"))
+        .orderBy("n_name")
+    })
+  )
+
+  /** Shared oracle CTE prologue: the directed thresholded edge list.
+    * MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs per
+    * reference, and the pagerank oracle's chained iteration CTEs would
+    * re-expand the whole multiway join tree exponentially (measured:
+    * the inlined form spilled the machine's disk at sf0.1; the
+    * materialized form runs in seconds). */
+  private val edgesCte =
+    """rawe AS MATERIALIZED (
+      |  SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE s.s_nationkey <> c.c_nationkey
+      |  GROUP BY 1, 2),
+      |dedges AS MATERIALIZED (
+      |  SELECT src, dst, w FROM rawe
+      |  WHERE w > (SELECT avg(w) FROM rawe))""".stripMargin
+
+  /** One unrolled fixed-point PageRank round: `cur` from `prev`. The
+    * arithmetic mirrors GraphOps.pagerankMass token for token —
+    * ((mass*85) // 100) // outdeg per edge, bigint-exact sums, plus
+    * the integer teleport share. */
+  private def prRound(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (SELECT nd.node,
+       |  CAST((SELECT tele FROM consts) + COALESCE(s.inm, 0) AS BIGINT) AS mass
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT e.dst AS node, sum(((m.mass * 85) // 100) // e.outdeg) AS inm
+       |    FROM edeg e JOIN $prev m ON e.src = m.node GROUP BY 1) s
+       |  ON nd.node = s.node)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH $edgesCte,
+         |nodes AS MATERIALIZED (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+         |consts AS MATERIALIZED (SELECT 1000000000000 // count(*) AS m0,
+         |                  150000000000 // count(*) AS tele FROM nodes),
+         |edeg AS MATERIALIZED (SELECT d.src, d.dst, g.outdeg FROM dedges d
+         |  JOIN (SELECT src, count(*) AS outdeg FROM dedges GROUP BY 1) g
+         |  ON d.src = g.src),
+         |mass0 AS MATERIALIZED (SELECT node, CAST((SELECT m0 FROM consts) AS BIGINT) AS mass FROM nodes),
+         |${prRound("mass0", "mass1")},
+         |${prRound("mass1", "mass2")},
+         |${prRound("mass2", "mass3")},
+         |${prRound("mass3", "mass4")}
+         |SELECT n.n_name, m.mass AS pr_mass,
+         |  ${Canon.sql.rk("m.mass / 1000000000000.0", 8)} AS pr
+         |FROM mass4 m JOIN nation n ON m.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin,
+    "graph_degree_stats" ->
+      s"""WITH $edgesCte,
+         |outs AS (SELECT src AS node, count(*) AS out_deg,
+         |                CAST(sum(w) AS BIGINT) AS out_w FROM dedges GROUP BY 1),
+         |ins AS (SELECT dst AS node, count(*) AS in_deg,
+         |               CAST(sum(w) AS BIGINT) AS in_w FROM dedges GROUP BY 1),
+         |nodes AS (SELECT node FROM outs UNION SELECT node FROM ins)
+         |SELECT n.n_name,
+         |  COALESCE(o.out_deg, 0) AS out_deg, COALESCE(i.in_deg, 0) AS in_deg,
+         |  COALESCE(o.out_w, 0) AS out_w, COALESCE(i.in_w, 0) AS in_w
+         |FROM nodes u
+         |LEFT JOIN outs o ON u.node = o.node
+         |LEFT JOIN ins i ON u.node = i.node
+         |JOIN nation n ON u.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin,
+    "graph_triangle_count" ->
+      s"""WITH $edgesCte,
+         |und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+         |        FROM dedges),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM und e1
+         |        JOIN und e2 ON e1.hi = e2.lo
+         |        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         |pern AS (SELECT node, count(*) AS n_tri FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY 1),
+         |nodes AS (SELECT lo AS node FROM und UNION SELECT hi FROM und)
+         |SELECT n.n_name, COALESCE(p.n_tri, 0) AS n_tri
+         |FROM nodes u
+         |LEFT JOIN pern p ON u.node = p.node
+         |JOIN nation n ON u.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin
+  )
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.api.GraphOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft.api.GraphOps — fixed-point PageRank against a driver-side
+  * reference of the same integer recurrence, triangle counting against
+  * known graphs and against a naive orientation (orientation
+  * independence), degree stats against hand counts. */
+class GraphSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def edgeDf(es: Seq[(Long, Long)]): DataFrame = {
+    val s = spark; import s.implicits._
+    es.toDF("src", "dst")
+  }
+
+  /** Driver-side replica of pagerankMass's integer recurrence. */
+  private def prReference(es: Seq[(Long, Long)], iters: Int,
+      massScale: Long = 1000000000000L, dampPct: Long = 85L): Map[Long, Long] = {
+    val e = es.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val n = nodes.size.toLong
+    val teleport = (massScale * (100L - dampPct) / 100L) / n
+    var mass = nodes.map(_ -> massScale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (dst, ins) =>
+        dst -> ins.map { case (src, _) =>
+          (mass(src) * dampPct / 100L) / outdeg(src)
+        }.sum
+      }
+      mass = nodes.map(v => v -> (teleport + in.getOrElse(v, 0L))).toMap
+    }
+    mass
+  }
+
+  test("pagerankMass matches the driver-side integer recurrence on a hub graph") {
+    // 1,2,3 all point at 4; 4 points back at 1 — rank concentrates on 4
+    val es = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L), (1L, 2L))
+    val got = GraphOps.pagerankMass(edgeDf(es), "src", "dst", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = prReference(es, iters = 6)
+    assert(got == want)
+    // the hub outranks the spokes, and every node keeps >= teleport mass
+    assert(got(4L) > got(2L) && got(4L) > got(3L))
+    val teleport = (1000000000000L * 15L / 100L) / 4L
+    got.values.foreach(m => assert(m >= teleport))
+    // conservation: floor losses only ever REMOVE mass
+    assert(got.values.sum <= 1000000000000L)
+  }
+
+  test("pagerankMass is posture-independent: broadcast and shuffle mass agree") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (4L, 1L), (1L, 4L))
+    val b = GraphOps.pagerankMass(edgeDf(es), "src", "dst", iters = 4,
+      broadcastMass = true).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val sh = GraphOps.pagerankMass(edgeDf(es), "src", "dst", iters = 4,
+      broadcastMass = false).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(b == sh)
+  }
+
+  test("trianglesPerNode: K4 has 3 per node, a path has none, directed dups collapse") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b) // directed K4
+    val got = GraphOps.trianglesPerNode(edgeDf(k4), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got2 = GraphOps.trianglesPerNode(edgeDf(path), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.forall(_ == 0L) && got2.size == 4)
+  }
+
+  test("trianglesPerNode degree orientation equals naive id orientation") {
+    // deterministic pseudo-random graph with a skewed hub (node 0)
+    val es = (1L to 40L).map(i => (0L, i)) ++
+      (1L to 120L).map { i => (i % 37L + 1L, (i * 31L) % 41L + 2L) }
+    val df = edgeDf(es)
+    val got = GraphOps.trianglesPerNode(df, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive: id-oriented closure over the undirected simple graph
+    val und = es.flatMap { case (a, b) => if (a == b) None
+      else Some((math.min(a, b), math.max(a, b))) }.distinct.toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2))
+    val naive = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- und; (b2, c) <- und if b2 == b && und.contains((a, c))) {
+      naive(a) += 1; naive(b) += 1; naive(c) += 1
+    }
+    val want = nodes.map(v => v -> naive(v)).toMap
+    assert(got == want)
+  }
+
+  test("degreeStats hand graph") {
+    val s = spark; import s.implicits._
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 5L), (2L, 3L, 7L)).toDF("src", "dst", "w")
+    val got = GraphOps.degreeStats(e, "src", "dst", "w")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      1L -> (2L, 0L, 15L, 0L),
+      2L -> (1L, 1L, 7L, 10L),
+      3L -> (0L, 2L, 0L, 12L)))
+  }
+}
