@@ -5,6 +5,7 @@ import graft.functions.Kernels
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 object Sampling {
   /** Deterministic hex digest column for id-keyed selection: lowercase
@@ -91,6 +92,44 @@ object Sampling {
     val u = conv(substring(idHex(idCol), 1, 6), 16, 10)
       .cast("long").cast("double") / 16777216.0
     df.filter(u < weight)
+  }
+
+  /** Temperature-weighted corpus mixing (the multi-source LLM-data
+    * rebalancing step): per-group sampling rate r_g = min(1, M·w_g/n_g)
+    * with mixture weight w_g ∝ sqrt(n_g) (temperature α = 0.5, the
+    * standard flatten-the-natural-distribution exponent) and M =
+    * ⌊budgetFrac · N⌋ the target corpus size — over-represented groups
+    * are downsampled hardest, rare groups keep (up to) everything.
+    * Selection is the same digest-uniform u(id) < rate rowwise test as
+    * [[weightedHashSample]]: no RNG, identical rows kept across runs,
+    * partitionings, and engines. Output carries the per-row `rate` so
+    * a correctness gate pins the mixture math, not just the kept set.
+    *
+    * Engine-exact by construction: sqrt is correctly rounded in every
+    * IEEE engine, each sqrt is grid-rounded to 6 dp ([[graft.Canon]])
+    * before the exact DECIMAL total, and the rate is grid-rounded
+    * again — so the rates are pure functions of the integer group
+    * counts, never of shuffle or sum order. Plan shape: one tiny
+    * groupBy(group) aggregate, whole-frame window totals over
+    * |groups| rows, broadcast join back, pushed rowwise filter — the
+    * corpus is scanned once and never shuffled. */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      budgetFrac: Double): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_sq", Canon.rk(sqrt(col("_n")), 6))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("_tot",
+        sum(col("_sq").cast(DecimalType(18, 6))).over(w).cast("double"))
+      .withColumn("_m", floor(lit(budgetFrac) * sum(col("_n")).over(w)))
+      .withColumn("rate", Canon.rk(least(lit(1.0),
+        col("_m") * col("_sq") / col("_tot") / col("_n")), 6))
+      .select(col(groupCol), col("rate"))
+    val u = conv(substring(idHex(idCol), 1, 6), 16, 10)
+      .cast("long").cast("double") / 16777216.0
+    df.join(broadcast(rates), groupCol).filter(u < col("rate"))
   }
 
   /** Deterministic per-group cap: keep the `n` rows with the smallest

@@ -153,7 +153,35 @@ object MlOps {
        |FROM m ORDER BY vec_id""".stripMargin
   }
 
+  /** The fixture GBT: three depth-2 trees over lineitem scalar
+    * features, literal splits/leaves. Leaf values are 4 dp literals so
+    * both engines parse the identical doubles; the fixed tree ORDER is
+    * part of the model contract (the score is a left-fold sum). */
+  private val gbtModel: Seq[TreeInfer.TreeNode] = {
+    import TreeInfer.{Leaf, Split}
+    Seq(
+      Split("l_quantity", 25.0,
+        Split("l_discount", 0.05, Leaf(0.4212), Leaf(-0.1337)),
+        Split("l_extendedprice", 30000.0, Leaf(0.2118), Leaf(-0.3105))),
+      Split("l_discount", 0.03, Leaf(0.3751),
+        Split("l_quantity", 40.0, Leaf(-0.0592), Leaf(-0.2214))),
+      Split("l_tax", 0.04,
+        Split("l_quantity", 10.0, Leaf(0.1859), Leaf(-0.0217)),
+        Leaf(0.0946)))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ml_infer_tree_ensemble" -> ((s, d) => {
+      // GBT inference COMPILED TO EXPRESSIONS (TreeInfer): the whole
+      // ensemble is one codegen'd scalar expression fused into the
+      // scan projection — no UDF, no model object, no extra operator
+      val score = TreeInfer.ensembleScore(gbtModel)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Canon.r4(score).as("score"),
+          when(score > 0, 1L).otherwise(0L).as("pred"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "ml_infer_linear_udf" -> ((s, d) => {
       scored(s, d).select("vec_id", "score").orderBy("vec_id")
     }),
@@ -356,6 +384,23 @@ object MlOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "ml_infer_tree_ensemble" -> {
+      val score =
+        """(CASE WHEN l_quantity <= 25.0 THEN
+          |   CASE WHEN l_discount <= 0.05 THEN 0.4212 ELSE -0.1337 END
+          | ELSE
+          |   CASE WHEN l_extendedprice <= 30000.0 THEN 0.2118 ELSE -0.3105 END END
+          | + CASE WHEN l_discount <= 0.03 THEN 0.3751
+          |   ELSE CASE WHEN l_quantity <= 40.0 THEN -0.0592 ELSE -0.2214 END END
+          | + CASE WHEN l_tax <= 0.04 THEN
+          |   CASE WHEN l_quantity <= 10.0 THEN 0.1859 ELSE -0.0217 END
+          |   ELSE 0.0946 END)""".stripMargin
+      s"""SELECT l_orderkey, l_linenumber,
+        |  ${O.r4(score)} AS score,
+        |  CAST(CASE WHEN $score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    },
     "ml_infer_linear_udf" ->
       s"""SELECT vec_id, $duckScore AS score
         |FROM embeddings ORDER BY vec_id""".stripMargin,

@@ -203,6 +203,17 @@ object TextOps {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+    "data_sample_temperature" -> ((s, d) => {
+      // temperature-α=0.5 language rebalancing at a 40% token budget:
+      // en (~40% of the corpus) is downsampled hardest, rare langs
+      // keep more — the multi-source mixing step of a training-data
+      // pipeline, deterministic via the id digest (Sampling scaladoc
+      // has the engine-exactness argument)
+      graft.api.Sampling.temperatureSample(Tables.documents(s, d),
+          "doc_id", "lang", budgetFrac = 0.4)
+        .select("doc_id", "lang", "rate")
+        .orderBy("doc_id")
+    }),
     "data_sample_group_topn" -> ((s, d) => {
       // per-language cap: at most 50 docs per lang, chosen by digest
       // order (deterministic, unbiased) — planned as the bounded-heap
@@ -814,6 +825,23 @@ object TextOps {
         |     + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
         |     + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) / 16777216.0
         |  < least(1.0, n_chars / 400.0)
+        |ORDER BY doc_id""".stripMargin,
+    "data_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, floor(sqrt(n)*1000000 + 0.5)/1000000 AS sq FROM c),
+        |t AS (SELECT CAST(sum(CAST(sq AS DECIMAL(18,6))) AS DOUBLE) AS tot,
+        |             sum(n) AS nn FROM w),
+        |r AS (SELECT lang,
+        |        floor(least(1.0, ((floor(0.4 * t.nn) * w.sq) / t.tot) / w.n)*1000000 + 0.5)/1000000 AS rate
+        |      FROM w, t)
+        |SELECT d.doc_id, d.lang, r.rate FROM documents d JOIN r USING (lang)
+        |WHERE ((strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 65536
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 4096
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1) * 256
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 5, 1)) - 1) * 16
+        |     + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 6, 1)) - 1)) / 16777216.0
+        |  < r.rate
         |ORDER BY doc_id""".stripMargin,
     "data_sample_group_topn" ->
       """SELECT doc_id, lang, source FROM (

@@ -1,0 +1,63 @@
+package graft
+
+import graft.api.Sampling
+import graft.ml.TreeInfer
+import graft.ml.TreeInfer.{Leaf, Split}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TreeInfer expression compilation + Sampling.temperatureSample. */
+class TreeInferSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("treeColumn routes hand rows, NULL features go right") {
+    val s = spark; import s.implicits._
+    val t = Split("x", 10.0, Split("y", 1.0, Leaf(1.0), Leaf(2.0)), Leaf(3.0))
+    val df = Seq(
+      (1L, Some(5.0), Some(0.5)),  // x<=10, y<=1  -> 1.0
+      (2L, Some(5.0), Some(2.0)),  // x<=10, y>1   -> 2.0
+      (3L, Some(50.0), Some(0.5)), // x>10         -> 3.0
+      (4L, None: Option[Double], Some(0.5)) // NULL x -> right -> 3.0
+    ).toDF("id", "x", "y")
+    val got = df.select(col("id"), TreeInfer.treeColumn(t).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 3.0))
+  }
+
+  test("ensembleScore is the fixed-order sum of tree outputs") {
+    val s = spark; import s.implicits._
+    val trees = Seq(Leaf(0.1), Leaf(0.2), Split("x", 0.0, Leaf(-1.0), Leaf(1.0)))
+    val df = Seq((1L, -5.0), (2L, 5.0)).toDF("id", "x")
+    val got = df.select(col("id"),
+        TreeInfer.ensembleScore(trees).as("sc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.1 + 0.2 + -1.0)
+    assert(got(2L) == 0.1 + 0.2 + 1.0)
+  }
+
+  test("temperatureSample: rates favor rare groups, kept counts track M, reruns identical") {
+    val s = spark; import s.implicits._
+    // 800 'big' docs vs 100 'small' docs
+    val df = ((1L to 800L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "small"))).toDF("doc_id", "grp")
+    val out = Sampling.temperatureSample(df, "doc_id", "grp", budgetFrac = 0.5)
+    val rates = out.select("grp", "rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // w_big = sqrt(800)/(sqrt(800)+sqrt(100)), M = 450
+    // rate_big = 450*w_big/800 ~ 0.415; rate_small = 450*w_small/100 ~ 1.18 -> capped 1.0
+    assert(rates("small") == 1.0, s"rare group should keep everything: $rates")
+    assert(rates("big") > 0.3 && rates("big") < 0.5, s"big rate off: $rates")
+    val byGrp = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp("small") == 100L)
+    // digest-uniform selection: kept 'big' count within 20% of rate*800
+    val expBig = rates("big") * 800
+    assert(math.abs(byGrp("big") - expBig) < 0.2 * expBig,
+      s"kept ${byGrp("big")} vs expected ~$expBig")
+    // pure function of ids: a rerun keeps the identical set
+    val a = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.temperatureSample(df, "doc_id", "grp", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+}
