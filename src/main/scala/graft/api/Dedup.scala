@@ -279,16 +279,24 @@ object Dedup {
     * the df assumed for shingles ABSENT from the map (0 for probe docs
     * scored against an index-side df table, matching the window path's
     * left-join + coalesce(_df, 0)). */
+  /** (grp -> shingle -> df) lookup from collected dfreq rows — shared
+    * by the prefix construction and (containment) the container-side
+    * chunk assignment, so ONE collected aggregate serves both sides
+    * map-side. */
+  private def dfMapByGrp(rows: Array[org.apache.spark.sql.Row])
+      : Map[String, scala.collection.mutable.LongMap[Long]] = {
+    def grpKey(v: Any): String = if (v == null) "\u0000" else v.toString
+    rows.groupBy(r => grpKey(r.get(0))).map { case (g, rs) =>
+      val m = new scala.collection.mutable.LongMap[Long](rs.length * 2)
+      rs.foreach(r => m.update(r.getLong(1), r.getLong(2)))
+      g -> m
+    }
+  }
+
   private def localPrefixRows(sized: DataFrame,
       rows: Array[org.apache.spark.sql.Row], threshold: Double,
       defaultDf: Long, withChunkCols: Boolean = false): DataFrame = {
-    def grpKey(v: Any): String = if (v == null) "\u0000" else v.toString
-    val byGrp: Map[String, scala.collection.mutable.LongMap[Long]] =
-      rows.groupBy(r => grpKey(r.get(0))).map { case (g, rs) =>
-        val m = new scala.collection.mutable.LongMap[Long](rs.length * 2)
-        rs.foreach(r => m.update(r.getLong(1), r.getLong(2)))
-        g -> m
-      }
+    val byGrp = dfMapByGrp(rows)
     val bc = sized.sparkSession.sparkContext.broadcast(byGrp)
     def dfMap(grp: String) = bc.value.getOrElse(if (grp == null) "\u0000" else grp,
       scala.collection.mutable.LongMap.empty[Long])
@@ -476,8 +484,11 @@ object Dedup {
     * container side would have to carry its whole hash array per
     * POSTING row (Σ sz² volume — the exact blowup the jaccard verify
     * avoids), so multi-shingle duplicates are still resolved by the
-    * `distinct`. The container side pays one extra postings⋈dfreq
-    * equi-join to learn its bucket's chunk count. */
+    * `distinct`. Both sides share ONE document-frequency aggregate
+    * (map-side broadcast lookup in the local-df regime, a pinned frame
+    * joined into both sides in the distributed fallback), and df=1
+    * postings — provably unpairable — drop before any replication or
+    * shuffle. */
   private def containmentCandStage(sized: DataFrame, threshold: Double,
       pin: DataFrame => DataFrame, chunked: Boolean = false): DataFrame = {
     val posts = sized.select(col("_id").as("id2"), col("_grp"),
@@ -494,15 +505,52 @@ object Dedup {
     } else {
       def nk(df: Column): Column =
         least(lit(1024L), ceil(df / lit(256.0))).cast("int")
-      val a = prefixTable(sized, threshold, pin, withChunkCols = true)
+      // ONE document-frequency aggregate serves BOTH sides (r16: the
+      // first cut re-aggregated the postings and paid a postings-wide
+      // (grp, shingle) equi-join just to teach each container posting
+      // its bucket's chunk count). In the local-df regime (bounded by
+      // spark.graft.jaccard.localDfThreshold) the collected map is
+      // broadcast once and BOTH the prefix construction and the
+      // container chunk assignment are pure map-side projections; the
+      // distributed fallback pins the aggregate once and equi-joins it
+      // into both sides.
+      val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
+      val (pref, cont) = collectDfIfSmall(dfreq) match {
+        case Some(rows) =>
+          val bc = sized.sparkSession.sparkContext.broadcast(dfMapByGrp(rows))
+          val dfbUdf = udf((grp: String, sh: Long) =>
+            bc.value.getOrElse(if (grp == null) "\u0000" else grp,
+              scala.collection.mutable.LongMap.empty[Long]).getOrElse(sh, 1L))
+          // the BARE prefix shape + a map-side df lookup: the
+          // withChunkCols=true shape would also carry `_psh`, the
+          // jaccard min-common input, which containment never reads —
+          // and its sort_array sibling of the explode re-evaluates per
+          // EXPLODED row (the 7.2 generator-sibling trap)
+          (localPrefixRows(sized, rows, threshold, defaultDf = 1L)
+              .withColumn("_df", dfbUdf(col("_grp").cast("string"), col("_s"))),
+            posts.withColumn("_dfb",
+              dfbUdf(col("_grp").cast("string"), col("_s"))))
+        case None =>
+          val pinned = Checkpoints.pin(dfreq)
+          val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+          val prefPosts = sized.select(col("_id"), col("_grp"), col("_sz"),
+            explode(col("_h")).as("_s"))
+          val prefD = prefPosts.join(pin(pinned), Seq("_grp", "_s"))
+            .withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
+            .select(col("_id"), col("_grp"), col("_sz"), col("_s"), col("_df"))
+          (prefD, posts.join(pin(pinned.withColumnRenamed("_df", "_dfb")),
+            Seq("_grp", "_s")))
+      }
+      // df = 1 rows can never cross-pair (the shingle occurs in one
+      // posting only) — drop them BEFORE anything is replicated or
+      // shuffled; on long-tail token corpora that is most of the
+      // postings volume
+      val a = pref.filter(col("_df") >= 2)
         .select(col("_id").as("id1"), col("_grp").as("_grpa"),
           col("_sz").as("_sza"), col("_s").as("_sa"),
           explode(sequence(lit(0), nk(col("_df")) - 1)).as("_cb"))
-      // the container side re-derives the same per-bucket chunk count
-      // from its own posting frequencies (one hash aggregate + one
-      // equi-join over postings — linear, no sort, no broadcast)
-      val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_dfb"))
-      val b = posts.join(pin(dfreq), Seq("_grp", "_s"))
+      val b = cont.filter(col("_dfb") >= 2)
         .withColumn("_cb2", pmod(xxhash64(col("id2")), nk(col("_dfb"))).cast("int"))
       b.join(pin(a), col("_sa") === col("_s") && col("_grpa") === col("_grp")
           && col("_cb") === col("_cb2")
