@@ -275,6 +275,47 @@ object StatsOps {
     * combine — state is k + k·(k+1)/2 decimal sums regardless of row
     * count — and a rowwise explode of the single stats row into the
     * k·(k−1)/2 pair rows. No shuffle beyond the 1-row aggregate. */
+  /** Per-group skewness and excess kurtosis from EXACT decimal power
+    * sums Σx, Σx², Σx³, Σx⁴ — the distribution-shape half of a
+    * profiling pass, same merge-order-proof construction as
+    * [[corrMatrixExact]] (the one-pass co-moment buffers the built-ins
+    * use merge in shuffle-arrival order and drift ulp-wise).
+    *
+    * Decimal staging is chosen so every product stays LOSSLESS inside
+    * precision 38: x at (9,2), x² recast to (12,4) (exact — a 2 dp
+    * value squared has exactly 4 dp), then x³ = x²·x at (22,6) and
+    * x⁴ = x²·x² at (25,8). Squaring (19,4)·(19,4) directly would
+    * exceed 38 and Spark would silently TRUNCATE the scale to 7 — one
+    * lost digit, a hash mismatch against any engine that kept 8.
+    *
+    * Population moments via the standard raw→central expansion, the
+    * identical float expression applied to identical exact sums in
+    * both engines (skew uses m2·√m2, not pow(m2, 1.5) — pow is not
+    * correctly rounded everywhere, mult and sqrt are). Zero-variance
+    * groups emit NULL (guarded on m2 > 0). One hash aggregate, O(1)
+    * state per group. */
+  def momentsByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast(DecimalType(9, 2))
+    val x2 = (x * x).cast(DecimalType(12, 4))
+    val agged = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("_s1"),
+        sum(x2).cast("double").as("_s2"),
+        sum(x2 * x).cast("double").as("_s3"),
+        sum(x2 * x2).cast("double").as("_s4"))
+    val n = col("n").cast("double")
+    val m = col("_s1") / n
+    val m2 = col("_s2") / n - m * m
+    val m3 = col("_s3") / n - lit(3.0) * m * col("_s2") / n + lit(2.0) * m * m * m
+    val m4 = col("_s4") / n - lit(4.0) * m * col("_s3") / n +
+      lit(6.0) * m * m * col("_s2") / n - lit(3.0) * m * m * m * m
+    agged.select(col(groupCol), col("n"),
+      Canon.r4(m).as("mean"),
+      Canon.r4(when(m2 > 0, m3 / (m2 * sqrt(m2)))).as("skewness"),
+      Canon.r4(when(m2 > 0, m4 / (m2 * m2) - lit(3.0))).as("kurtosis_excess"))
+  }
+
   def corrMatrixExact(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
     val dt = DecimalType(18, scale)

@@ -182,6 +182,23 @@ object MlOps {
           when(score > 0, 1L).otherwise(0L).as("pred"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "ml_feature_hashing" -> ((s, d) => {
+      // the hashing-trick vectorizer (feature hashing): token → bucket
+      // = md5-hex-prefix mod 64, counted per (doc, bucket) — fixed-width
+      // sparse features with NO vocabulary state, the property that
+      // makes it the 100 TB featurizer (a learned vocab is a corpus-
+      // sized broadcast; a hash is free). md5 keeps the bucket
+      // assignment engine-portable; collisions are the accepted
+      // semantics of the trick, not a bug
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("_tok"))
+        .filter(length(col("_tok")) > 0)
+      toks.withColumn("bucket",
+          pmod(conv(substring(md5(col("_tok").cast("binary")), 1, 4), 16, 10)
+            .cast("long"), lit(64L)))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")
+    }),
     "ml_infer_linear_udf" -> ((s, d) => {
       scored(s, d).select("vec_id", "score").orderBy("vec_id")
     }),
@@ -401,6 +418,18 @@ object MlOps {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    "ml_feature_hashing" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |ft AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE len(tok) > 0)
+        |SELECT doc_id,
+        |  ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 64 AS bucket,
+        |  count(*) AS cnt
+        |FROM ft GROUP BY 1, 2
+        |ORDER BY doc_id, bucket""".stripMargin,
     "ml_infer_linear_udf" ->
       s"""SELECT vec_id, $duckScore AS score
         |FROM embeddings ORDER BY vec_id""".stripMargin,

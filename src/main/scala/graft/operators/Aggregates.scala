@@ -344,6 +344,15 @@ object Aggregates {
           "user_id", "event_type")
         .orderBy("user_id")
     }),
+    "agg_skewness_kurtosis" -> ((s, d) => {
+      // distribution-shape profile per return flag: skewness + excess
+      // kurtosis from exact decimal power sums (StatsOps.momentsByGroup
+      // — the scaladoc has the lossless decimal staging and the
+      // engine-portable float-expression argument)
+      graft.api.StatsOps.momentsByGroup(Tables.lineitem(s, d),
+          "l_returnflag", "l_quantity")
+        .orderBy("l_returnflag")
+    }),
     "agg_corr_matrix" -> ((s, d) => {
       // pairwise Pearson correlations over the lineitem measures from
       // EXACT decimal power sums (StatsOps.corrMatrixExact): one
@@ -680,6 +689,26 @@ object Aggregates {
         |ORDER BY user_id""".stripMargin,
     // same closed form over the same exact decimal sums — matching it
     // proves the one-pass power-sum path is merge-order-independent
+    "agg_skewness_kurtosis" ->
+      s"""WITH q AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(9,2)) AS x,
+        |    CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))
+        |         AS DECIMAL(12,4)) AS x2
+        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |a AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        |    CAST(sum(x2 * x) AS DOUBLE) AS s3, CAST(sum(x2 * x2) AS DOUBLE) AS s4
+        |  FROM q GROUP BY 1),
+        |b AS (SELECT l_returnflag, n, s1, s2, s3, s4, (s1 / n) AS m FROM a),
+        |c AS (SELECT l_returnflag, n, m,
+        |    ((s2 / n) - (m * m)) AS m2,
+        |    (((s3 / n) - (((3.0 * m) * s2) / n)) + (((2.0 * m) * m) * m)) AS m3,
+        |    ((((s4 / n) - (((4.0 * m) * s3) / n)) + ((((6.0 * m) * m) * s2) / n))
+        |      - ((((3.0 * m) * m) * m) * m)) AS m4
+        |  FROM b)
+        |SELECT l_returnflag, n, ${O.r4("m")} AS mean,
+        |  ${O.r4("CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END")} AS skewness,
+        |  ${O.r4("CASE WHEN m2 > 0 THEN (m4 / (m2 * m2)) - 3.0 END")} AS kurtosis_excess
+        |FROM c ORDER BY l_returnflag""".stripMargin,
     "agg_corr_matrix" ->
       s"""WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,

@@ -149,6 +149,26 @@ object Joins {
           Canon.tsStrMicros(col("asof_ts")).as("view_ts"))
         .orderBy("event_id")
     }),
+    "join_asof_tolerance" -> ((s, d) => {
+      // tolerance-bounded as-of (the pandas merge_asof(tolerance=...)
+      // shape): nearest click either way, but a match farther than 12
+      // hours is NO match — the left row survives with a NULL partner.
+      // Same one-shuffle asofNearest core; the tolerance is a pure
+      // rowwise post-filter on the integer-microsecond gap
+      val ev = Tables.events(s, d)
+      val tolUs = 43200000000L // 12 h
+      val base = graft.api.TimeSeriesOps.asofNearest(
+        left = ev.filter(col("event_type") === "error")
+          .select("user_id", "ts", "event_id"),
+        right = ev.filter(col("event_type") === "click"),
+        keyCol = "user_id", tsCol = "ts", leftIdCol = "event_id")
+      val gap = abs(unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+      base.select(col("event_id"), col("user_id"),
+          Canon.tsStrMicros(col("ts")).as("error_ts"),
+          Canon.tsStrMicros(when(gap <= tolUs, col("asof_ts"))).as("click_ts"),
+          when(gap <= tolUs, col("asof_dir")).as("asof_dir"))
+        .orderBy("event_id")
+    }),
     "join_asof_nearest" -> ((s, d) => {
       // the bidirectional member completing the as-of family: for each
       // error, the same user's click closest in time EITHER way (|gap|
@@ -271,6 +291,41 @@ object Joins {
         |FROM errors e ASOF LEFT JOIN views v
         |  ON e.user_id = v.user_id AND v.ts >= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |                FROM events WHERE event_type = 'error'),
+        |     clicks AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |                FROM events WHERE event_type = 'click'),
+        |p AS (SELECT e.event_id, c.ts AS pts
+        |      FROM errors e ASOF LEFT JOIN clicks c
+        |        ON e.user_id = c.user_id AND e.ts >= c.ts),
+        |n AS (SELECT e.event_id, c.ts AS nts
+        |      FROM errors e ASOF LEFT JOIN clicks c
+        |        ON e.user_id = c.user_id AND c.ts >= e.ts),
+        |m AS (SELECT e.event_id, e.user_id, e.ts,
+        |  CASE
+        |    WHEN p.pts IS NULL THEN n.nts
+        |    WHEN n.nts IS NULL THEN p.pts
+        |    WHEN epoch_us(e.ts) - epoch_us(p.pts)
+        |      <= epoch_us(n.nts) - epoch_us(e.ts) THEN p.pts
+        |    ELSE n.nts END AS cts,
+        |  CASE
+        |    WHEN p.pts IS NULL AND n.nts IS NULL THEN NULL
+        |    WHEN p.pts IS NULL THEN 'next'
+        |    WHEN n.nts IS NULL THEN 'prior'
+        |    WHEN epoch_us(e.ts) - epoch_us(p.pts)
+        |      <= epoch_us(n.nts) - epoch_us(e.ts) THEN 'prior'
+        |    ELSE 'next' END AS dir
+        |  FROM errors e
+        |  JOIN p ON e.event_id = p.event_id
+        |  JOIN n ON e.event_id = n.event_id)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS error_ts,
+        |  strftime(CASE WHEN abs(epoch_us(cts) - epoch_us(ts)) <= 43200000000
+        |           THEN cts END, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  CASE WHEN abs(epoch_us(cts) - epoch_us(ts)) <= 43200000000
+        |       THEN dir END AS asof_dir
+        |FROM m ORDER BY event_id""".stripMargin,
     "join_asof_nearest" ->
       """WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |                FROM events WHERE event_type = 'error'),

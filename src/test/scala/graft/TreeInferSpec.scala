@@ -35,6 +35,32 @@ class TreeInferSpec extends AnyFunSuite {
     assert(got(2L) == 0.1 + 0.2 + 1.0)
   }
 
+  test("momentsByGroup matches a driver-side reference on hand data") {
+    val s = spark; import s.implicits._
+    val vals = Seq(1.0, 2.0, 2.0, 3.0, 7.0, 9.0, 9.0, 9.5, 0.25, 4.75)
+    val df = vals.map(v => ("g", v)).toDF("grp", "v")
+    val got = graft.api.StatsOps.momentsByGroup(df, "grp", "v").collect().head
+    // reference: population moments in exact arithmetic via BigDecimal sums
+    val n = vals.size.toDouble
+    val s1 = vals.map(BigDecimal(_)).sum.toDouble
+    val s2 = vals.map(v => BigDecimal(v) * BigDecimal(v)).sum.toDouble
+    val s3 = vals.map(v => BigDecimal(v) * BigDecimal(v) * BigDecimal(v)).sum.toDouble
+    val s4 = vals.map(v => BigDecimal(v).pow(4)).sum.toDouble
+    val m = s1 / n
+    val m2 = s2 / n - m * m
+    val m3 = s3 / n - 3.0 * m * s2 / n + 2.0 * m * m * m
+    val m4 = s4 / n - 4.0 * m * s3 / n + 6.0 * m * m * s2 / n - 3.0 * m * m * m * m
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got.getLong(1) == 10L)
+    assert(got.getDouble(2) == r4(m))
+    assert(math.abs(got.getDouble(3) - r4(m3 / (m2 * math.sqrt(m2)))) < 1e-12)
+    assert(math.abs(got.getDouble(4) - r4(m4 / (m2 * m2) - 3.0)) < 1e-12)
+    // zero-variance group -> NULL shape stats, non-null mean
+    val z = Seq(("z", 5.0), ("z", 5.0)).toDF("grp", "v")
+    val gz = graft.api.StatsOps.momentsByGroup(z, "grp", "v").collect().head
+    assert(gz.getDouble(2) == 5.0 && gz.isNullAt(3) && gz.isNullAt(4))
+  }
+
   test("temperatureSample: rates favor rare groups, kept counts track M, reruns identical") {
     val s = spark; import s.implicits._
     // 800 'big' docs vs 100 'small' docs
