@@ -36,6 +36,53 @@ object TimeSeriesOps {
     * joins, with BOTH running-`last` passes over that single key
     * partitioning — two window sorts, one exchange, never two joins
     * stitched back by a second shuffle on the left id. */
+  /** CUSUM changepoint per series: the time-ordered point where the
+    * cumulative deviation from the series mean peaks — the classic
+    * level-shift detector (a step change makes |Σ(xᵢ − mean)| a tent
+    * function peaking AT the shift).
+    *
+    * Integer-exact across engines: values grid-round to `scale` dp
+    * units (vᵢ, bigint), and the mean never materializes — the k-th
+    * cumulative deviation times n is D_k = n·Σᵢ≤ₖvᵢ − k·Σvᵢ, a pure
+    * bigint expression whose argmax equals the float CUSUM's (scaling
+    * by n·10^scale is monotone). Float cumulative sums would be
+    * engine-hostile twice over: windowed SUM may accumulate via
+    * segment trees (association varies), and iteration order is the
+    * whole point here. Requires n²·max|v|·10^scale < 2⁶³ per series
+    * (e.g. 1e5 points × values to 1e8 at scale 4). Ties on |D| break
+    * to the EARLIEST point. Normalized `cusum` = D/(n·10^scale) =
+    * Σ(v − mean) in value units at the peak.
+    *
+    * One shuffle on the series key; the window passes share its
+    * partitioning (per-series sequential scan — series length, not
+    * corpus size, bounds the critical path). The rn=1 pick rides the
+    * bounded-heap TopKPerGroup rewrite under GraftExtensions. */
+  def changepointCusum(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, idCol: String, scale: Int = 4): DataFrame = {
+    require(scale >= 0 && scale <= 6, s"scale must be in [0, 6], got $scale")
+    val unit = math.pow(10.0, scale)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(idCol),
+        floor(col(valueCol) * unit + 0.5).cast("long").as("_vi"))
+    val wTot = Window.partitionBy(keyCol)
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol).asc, col(idCol).asc)
+    val wCum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = base
+      .withColumn("_n", count(lit(1)).over(wTot))
+      .withColumn("_s", sum(col("_vi")).over(wTot))
+      .withColumn("_k", row_number().over(ord).cast("long"))
+      .withColumn("_cum", sum(col("_vi")).over(wCum))
+      .withColumn("_d", col("_n") * col("_cum") - col("_k") * col("_s"))
+    val wPick = Window.partitionBy(keyCol)
+      .orderBy(abs(col("_d")).desc, col(tsCol).asc, col(idCol).asc)
+    d.withColumn("_rn", row_number().over(wPick))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol), col(tsCol), col(idCol),
+        col("_d").as("cusum_units"),
+        Canon.r4(col("_d").cast("double") /
+          (col("_n").cast("double") * unit)).as("cusum"))
+  }
+
   def asofNearest(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, leftIdCol: String): DataFrame = {
     val r = right.select(col(keyCol), col(tsCol)).distinct()

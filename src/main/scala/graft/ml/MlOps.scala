@@ -277,6 +277,40 @@ object MlOps {
           sum(when(col("score") < 0.5 && col("y") === 0, 1).otherwise(0)).cast("long").as("tn"),
           sum(when(col("score") < 0.5 && col("y") === 1, 1).otherwise(0)).cast("long").as("fn"))
     }),
+    "ml_eval_pr_curve" -> ((s, d) => {
+      // precision / recall / F1 at 19 fixed thresholds — the
+      // operating-point report behind a classifier launch decision.
+      // Scale shape mirrors ml_eval_auc: ONE aggregate to the tiny
+      // (4 dp score, y) bin table, then a broadcast threshold cross —
+      // never 19 scans of the corpus
+      val bins = scored(s, d).select(col("score"), (col("label") % 2).as("y"))
+        .groupBy("score", "y").agg(count(lit(1)).as("c"))
+      val thr = broadcast(bins.sparkSession.range(1, 20)
+        .select((col("id") / 20.0).as("thr")))
+      val agg = bins.crossJoin(thr).groupBy("thr").agg(
+        sum(when(col("score") >= col("thr") && col("y") === 1, col("c"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr") && col("y") === 0, col("c"))
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr") && col("y") === 1, col("c"))
+          .otherwise(0L)).as("fn"))
+      // empty-denominator conventions (NULL-free by design — the
+      // driver's NULL-cell hashing is unpinned, SKILL r11): zero
+      // predictions -> vacuous precision 1.0; zero positives ->
+      // vacuous recall 1.0
+      agg.select(col("thr"), col("tp"), col("fp"), col("fn"),
+          Canon.r4(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+            .otherwise(lit(1.0))).as("precision"),
+          Canon.r4(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+            .otherwise(lit(1.0))).as("recall"),
+          Canon.r4(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+            (lit(2.0) * col("tp")) /
+              (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+            .otherwise(lit(0.0))).as("f1"))
+        .orderBy("thr")
+    }),
     "ml_eval_auc" -> ((s, d) => {
       // ROC AUC over the binned (4 dp) scores — rank-sum formula, one
       // aggregate per distinct score + a cumulative pass over the tiny
@@ -488,6 +522,20 @@ object MlOps {
         |  CAST(sum(CASE WHEN score < 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
         |  CAST(sum(CASE WHEN score < 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
         |FROM t""".stripMargin,
+    "ml_eval_pr_curve" ->
+      s"""WITH sc AS (SELECT $duckScore AS score, (label % 2) AS y FROM embeddings),
+        |bins AS (SELECT score, y, count(*) AS c FROM sc GROUP BY 1, 2),
+        |thr AS (SELECT (i / 20.0) AS thr FROM range(1, 20) t(i)),
+        |agg AS (SELECT thr,
+        |    CAST(sum(CASE WHEN score >= thr AND y = 1 THEN c ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score >= thr AND y = 0 THEN c ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score < thr AND y = 1 THEN c ELSE 0 END) AS BIGINT) AS fn
+        |  FROM bins, thr GROUP BY 1)
+        |SELECT thr, tp, fp, fn,
+        |  ${O.r4("CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 1.0 END")} AS precision,
+        |  ${O.r4("CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE 1.0 END")} AS recall,
+        |  ${O.r4("CASE WHEN (2 * tp) + fp + fn > 0 THEN (2.0 * tp) / CAST((2 * tp) + fp + fn AS DOUBLE) ELSE 0.0 END")} AS f1
+        |FROM agg ORDER BY thr""".stripMargin,
     "ml_eval_auc" ->
       s"""WITH t AS (SELECT $duckScore AS s, label % 2 AS y FROM embeddings),
         |b AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,

@@ -209,6 +209,17 @@ object StreamOps {
           "ts", "event_type", "click", "purchase", binSeconds = 300)
         .orderBy("lag")
     }),
+    "ts_changepoint_cusum" -> ((s, d) => {
+      // level-shift detection per user: the time-ordered point where
+      // the cumulative deviation from the user's mean value peaks
+      // (TimeSeriesOps.changepointCusum — integer-exact D_k, the mean
+      // never materializes, ties to the earliest point)
+      graft.api.TimeSeriesOps.changepointCusum(Tables.events(s, d),
+          "user_id", "ts", "value", "event_id")
+        .select(col("user_id"), Canon.tsStrMicros(col("ts")).as("cp_ts"),
+          col("event_id"), col("cusum_units"), col("cusum"))
+        .orderBy("user_id")
+    }),
     "ts_ewma_smooth" -> ((s, d) => {
       // truncated EWMA (d = 7/10, window 12) over the dense 5-minute
       // grid — the smoothing step between resample and thresholding.
@@ -317,6 +328,27 @@ object StreamOps {
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     // same integer-weight fold over the same dense grid — float enters
     // once, at the division, on both sides
+    "ts_changepoint_cusum" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vi
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT user_id, ts, event_id, vi,
+        |    count(*) OVER (PARTITION BY user_id) AS n,
+        |    sum(vi) OVER (PARTITION BY user_id) AS s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS k,
+        |    sum(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b),
+        |d AS (SELECT user_id, ts, event_id,
+        |    ((n * cum) - (k * s)) AS dd, n FROM w),
+        |p AS (SELECT user_id, ts, event_id, dd, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY abs(dd) DESC, ts, event_id) AS rn
+        |  FROM d)
+        |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS cp_ts,
+        |  event_id, CAST(dd AS BIGINT) AS cusum_units,
+        |  floor((CAST(dd AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0))*10000 + 0.5)/10000 AS cusum
+        |FROM p WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "ts_ewma_smooth" ->
       s"""WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',
         |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),

@@ -61,6 +61,29 @@ class TreeInferSpec extends AnyFunSuite {
     assert(gz.getDouble(2) == 5.0 && gz.isNullAt(3) && gz.isNullAt(4))
   }
 
+  test("changepointCusum finds a planted level shift, ties to earliest") {
+    val s = spark; import s.implicits._
+    // series: 30 points at 10.0 then 30 at 20.0 — |CUSUM| peaks at the
+    // last low point (index 30, ts 30)
+    val rows = (1 to 30).map(i => ("u", i.toLong, i.toLong, 10.0)) ++
+      (31 to 60).map(i => ("u", i.toLong, i.toLong, 20.0))
+    val df = rows.toDF("k", "ts_l", "id", "v")
+      .withColumn("ts", expr("timestamp_micros(ts_l * 1000000)"))
+    val got = graft.api.TimeSeriesOps
+      .changepointCusum(df, "k", "ts", "v", "id").collect().head
+    assert(got.getLong(2) == 30L, s"changepoint at ${got.getLong(2)}, want 30")
+    // D_30 = n*cum - k*S = 60*300*1e4 - 30*900*1e4 = -9e7 units;
+    // normalized = -9e7/(60*1e4) = -150.0
+    assert(got.getLong(3) == -90000000L)
+    assert(got.getDouble(4) == -150.0)
+    // constant series: D == 0 everywhere, tie breaks to the EARLIEST
+    val flat = (1 to 10).map(i => ("c", i.toLong, i.toLong, 5.0)).toDF("k", "ts_l", "id", "v")
+      .withColumn("ts", expr("timestamp_micros(ts_l * 1000000)"))
+    val gf = graft.api.TimeSeriesOps
+      .changepointCusum(flat, "k", "ts", "v", "id").collect().head
+    assert(gf.getLong(2) == 1L && gf.getLong(3) == 0L)
+  }
+
   test("temperatureSample: rates favor rare groups, kept counts track M, reruns identical") {
     val s = spark; import s.implicits._
     // 800 'big' docs vs 100 'small' docs
