@@ -344,6 +344,28 @@ object Aggregates {
           "user_id", "event_type")
         .orderBy("user_id")
     }),
+    "agg_frequent_pairs" -> ((s, d) => {
+      // market-basket mining: part pairs co-purchased in >= 2 orders.
+      // The Apriori prefilter — a pair can only be frequent if BOTH
+      // members are — prunes basket rows BEFORE the quadratic
+      // within-order pair self-join, the step that keeps basket
+      // mining feasible at catalog scale (the join cost is
+      // sum-over-orders of |frequent items in the order|^2, never the
+      // raw basket square); the oracle mines WITHOUT the prefilter,
+      // so the hash match also proves the pruning loses nothing
+      val b = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val freq = b.groupBy("pk").agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= 2).select("pk")
+      val fb = b.join(freq, "pk")
+      fb.select(col("ok"), col("pk").as("p1"))
+        .join(fb.select(col("ok").as("ok2"), col("pk").as("p2")),
+          col("ok") === col("ok2") && col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .orderBy("p1", "p2")
+    }),
     "agg_skewness_kurtosis" -> ((s, d) => {
       // distribution-shape profile per return flag: skewness + excess
       // kurtosis from exact decimal power sums (StatsOps.momentsByGroup
@@ -689,6 +711,12 @@ object Aggregates {
         |ORDER BY user_id""".stripMargin,
     // same closed form over the same exact decimal sums — matching it
     // proves the one-pass power-sum path is merge-order-independent
+    "agg_frequent_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS p1, c.pk AS p2, count(*) AS sup
+        |FROM b a JOIN b c ON a.ok = c.ok AND a.pk < c.pk
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY p1, p2""".stripMargin,
     "agg_skewness_kurtosis" ->
       s"""WITH q AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(9,2)) AS x,
         |    CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))
