@@ -74,6 +74,49 @@ object GraphOps {
     mass
   }
 
+  /** Bounded-hop BFS distances from a source node set, by min-plus
+    * label propagation: dist₀ = 0 on sources, dist_{k+1}(v) =
+    * least(dist_k(v), min over in-edges u→v of dist_k(u)+1), `maxHops`
+    * rounds. Pure integer labels — bit-identical in every engine, no
+    * convergence question: the result is DEFINED as "shortest path
+    * using ≤ maxHops edges" (equals true BFS distance whenever the
+    * graph's reachable diameter ≤ maxHops). Unreached nodes emit -1
+    * (NULL-free by design). `least` skips NULLs identically in Spark
+    * and SQL engines, which is what lets the frontier grow monotonely
+    * without a sentinel-infinity.
+    *
+    * Scale shape mirrors [[pagerankMass]]: loop-invariant edges pinned
+    * once, one dist⋈edges equi-join + one hash aggregate per round,
+    * dist re-pinned per round (O(1) loop-carried plan); `broadcastDist`
+    * false = the billion-node equi-shuffle posture. `sources` is a
+    * one-column (`node`) frame so source sets can be data-derived —
+    * no driver-side id list. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int,
+      broadcastDist: Boolean = true): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = Checkpoints.pin(edges
+      .select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
+      .filter(col("_src") =!= col("_dst")).distinct())
+    val nodes = Checkpoints.pin(
+      e.select(col("_src").as("node")).union(e.select(col("_dst").as("node"))).distinct())
+    val src = sources.select(col("node").cast("long").as("node"), lit(0L).as("_d0"))
+    def pinD(m: DataFrame): DataFrame =
+      if (broadcastDist) broadcast(m) else m.hint("shuffle_hash")
+    var dist = Checkpoints.pin(nodes.join(src, Seq("node"), "left")
+      .select(col("node"), col("_d0").as("dist")))
+    for (_ <- 1 to maxHops) {
+      val nb = e.join(pinD(dist.filter(col("dist").isNotNull)),
+          col("_src") === col("node"))
+        .groupBy(col("_dst")).agg(min(col("dist") + lit(1L)).as("_nd"))
+      dist = Checkpoints.pin(nodes
+        .join(dist, Seq("node"))
+        .join(nb, col("node") === col("_dst"), "left")
+        .select(col("node"), least(col("dist"), col("_nd")).as("dist")))
+    }
+    dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
   /** Per-node degree/strength profile of a weighted directed edge
     * table: out/in degree (distinct neighbors) and out/in strength
     * (summed `weightCol`), zero-coalesced over the full node universe.

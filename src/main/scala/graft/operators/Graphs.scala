@@ -58,6 +58,19 @@ object Graphs {
           Canon.rk(col("mass") / 1000000000000.0, 8).as("pr"))
         .orderBy("n_name")
     }),
+    "graph_bfs_distances" -> ((s, d) => {
+      // hop distances from the graph's smallest node id (data-derived
+      // source — deterministic at every sf), 4 min-plus rounds;
+      // unreached nations emit -1
+      val e = tradeEdges(s, d)
+      val src = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .agg(min(col("node")).as("node"))
+      GraphOps.bfsDistances(e, "src", "dst", src, maxHops = 4)
+        .join(nationNames(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("dist"))
+        .orderBy("n_name")
+    }),
     "graph_degree_stats" -> ((s, d) => {
       GraphOps.degreeStats(tradeEdges(s, d), "src", "dst", "w")
         .join(nationNames(s, d), col("node") === col("n_nationkey"))
@@ -121,6 +134,51 @@ object Graphs {
          |SELECT n.n_name, m.mass AS pr_mass,
          |  ${Canon.sql.rk("m.mass / 1000000000000.0", 8)} AS pr
          |FROM mass4 m JOIN nation n ON m.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin,
+    "graph_bfs_distances" ->
+      s"""WITH $edgesCte,
+         |nodes AS MATERIALIZED (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),
+         |d0 AS MATERIALIZED (SELECT node,
+         |  CASE WHEN node = (SELECT min(node) FROM nodes)
+         |       THEN CAST(0 AS BIGINT) END AS dist FROM nodes),
+         |d1 AS MATERIALIZED (SELECT nd.node,
+         |  least(p.dist, s.nd) AS dist
+         |  FROM nodes nd
+         |  JOIN d0 p ON nd.node = p.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, min(m.dist + 1) AS nd
+         |    FROM dedges e JOIN d0 m ON e.src = m.node
+         |    WHERE m.dist IS NOT NULL GROUP BY 1) s
+         |  ON nd.node = s.node),
+         |d2 AS MATERIALIZED (SELECT nd.node,
+         |  least(p.dist, s.nd) AS dist
+         |  FROM nodes nd
+         |  JOIN d1 p ON nd.node = p.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, min(m.dist + 1) AS nd
+         |    FROM dedges e JOIN d1 m ON e.src = m.node
+         |    WHERE m.dist IS NOT NULL GROUP BY 1) s
+         |  ON nd.node = s.node),
+         |d3 AS MATERIALIZED (SELECT nd.node,
+         |  least(p.dist, s.nd) AS dist
+         |  FROM nodes nd
+         |  JOIN d2 p ON nd.node = p.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, min(m.dist + 1) AS nd
+         |    FROM dedges e JOIN d2 m ON e.src = m.node
+         |    WHERE m.dist IS NOT NULL GROUP BY 1) s
+         |  ON nd.node = s.node),
+         |d4 AS MATERIALIZED (SELECT nd.node,
+         |  least(p.dist, s.nd) AS dist
+         |  FROM nodes nd
+         |  JOIN d3 p ON nd.node = p.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, min(m.dist + 1) AS nd
+         |    FROM dedges e JOIN d3 m ON e.src = m.node
+         |    WHERE m.dist IS NOT NULL GROUP BY 1) s
+         |  ON nd.node = s.node)
+         |SELECT n.n_name, CAST(COALESCE(p.dist, -1) AS BIGINT) AS dist
+         |FROM d4 p JOIN nation n ON p.node = n.n_nationkey
          |ORDER BY n_name""".stripMargin,
     "graph_degree_stats" ->
       s"""WITH $edgesCte,

@@ -91,6 +91,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bfsDistances: hop counts on a path + unreached sentinel, postures agree") {
+    val s = spark; import s.implicits._
+    // directed path 1->2->3->4 plus isolated pair 9->10 (unreached)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+    val src = Seq(1L).toDF("node")
+    val got = GraphOps.bfsDistances(edgeDf(es), "src", "dst", src, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 9L -> -1L, 10L -> -1L))
+    // maxHops truncation is part of the contract: 2 hops cannot reach 4
+    val got2 = GraphOps.bfsDistances(edgeDf(es), "src", "dst", src, maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2(4L) == -1L && got2(3L) == 2L)
+    val sh = GraphOps.bfsDistances(edgeDf(es), "src", "dst", src, maxHops = 4,
+      broadcastDist = false).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh == got)
+  }
+
   test("degreeStats hand graph") {
     val s = spark; import s.implicits._
     val e = Seq((1L, 2L, 10L), (1L, 3L, 5L), (2L, 3L, 7L)).toDF("src", "dst", "w")
