@@ -353,12 +353,14 @@ object Aggregates {
       // sum-over-orders of |frequent items in the order|^2, never the
       // raw basket square); the oracle mines WITHOUT the prefilter,
       // so the hash match also proves the pruning loses nothing
-      val b = Tables.lineitem(s, d)
+      val b = graft.api.Checkpoints.pin(Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+        .distinct())
       val freq = b.groupBy("pk").agg(count(lit(1)).as("_c"))
         .filter(col("_c") >= 2).select("pk")
-      val fb = b.join(freq, "pk")
+      // pinned: fb feeds BOTH sides of the pair self-join — unpinned,
+      // each side re-runs the basket distinct and the frequency join
+      val fb = graft.api.Checkpoints.pin(b.join(freq, "pk"))
       fb.select(col("ok"), col("pk").as("p1"))
         .join(fb.select(col("ok").as("ok2"), col("pk").as("p2")),
           col("ok") === col("ok2") && col("p1") < col("p2"))

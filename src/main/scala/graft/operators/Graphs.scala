@@ -39,9 +39,15 @@ object Graphs {
       .filter(col("s_nationkey") =!= col("c_nationkey"))
       .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
-    all.join(broadcast(all.agg(avg(col("w")).as("_avg"))))
-      .filter(col("w") > col("_avg"))
-      .select("src", "dst", "w")
+    // pinned: every key fans the edge list into several consumers
+    // (degree out/in aggregates, pagerank's node/degree/edge frames) —
+    // without the pin each branch would re-run the multiway join AND
+    // the scalar-average cross (measured BroadcastHashJoin*13 /
+    // HashAggregate*16 in graph_degree_stats' plan before the pin)
+    graft.api.Checkpoints.pin(
+      all.join(broadcast(all.agg(avg(col("w")).as("_avg"))))
+        .filter(col("w") > col("_avg"))
+        .select("src", "dst", "w"))
   }
 
   private def nationNames(s: SparkSession, d: String): DataFrame =
