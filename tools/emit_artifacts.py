@@ -54,11 +54,29 @@ def main():
     rnd = sys.argv[1]
     scales = []
     det = None
-    for arg in sys.argv[2:]:
+    args = sys.argv[2:]
+    i = 0
+    while i < len(args):
+        arg = args[i]
+        # accept BOTH --flag=value and the docstring's --flag value form
+        # (the =-only parser silently ignored space-separated flags and
+        # exited 0 with no artifact written - a false success in the
+        # evidence-gate tool)
         if arg.startswith("--determinism="):
             det = arg.split("=", 1)[1]
+        elif arg == "--determinism":
+            i += 1
+            det = args[i]
         elif arg.startswith("--scale="):
             scales.append(arg.split("=", 1)[1])
+        elif arg == "--scale":
+            i += 1
+            scales.append(args[i])
+        else:
+            sys.exit(f"unrecognized argument: {arg}")
+        i += 1
+    if not scales and det is None:
+        sys.exit("nothing to do: pass --scale and/or --determinism")
     ok = True
 
     if scales:
