@@ -64,12 +64,19 @@ object GraphOps {
     def pinMass(m: DataFrame): DataFrame =
       if (broadcastMass) broadcast(m) else m.hint("shuffle_hash")
     var mass = nodes.withColumn("mass", lit(massScale / n))
+    var pinnedRounds = 0
     for (_ <- 1 to iters) {
       val in = eDeg.join(pinMass(mass), col("_src") === col("node"))
         .select(col("_dst"), expr(s"((mass * $dampPct) div 100) div _outdeg").as("_send"))
         .groupBy("_dst").agg(sum(col("_send")).as("_in"))
-      mass = Checkpoints.pin(nodes.join(in, col("node") === col("_dst"), "left")
+      val next = Checkpoints.pin(nodes.join(in, col("node") === col("_dst"), "left")
         .select(col("node"), (lit(teleport) + coalesce(col("_in"), lit(0L))).as("mass")))
+      // the new pin is already materialized, so the superseded round's
+      // blocks can go — a long loop would otherwise pin every round's
+      // rank vector (the connectedComponents loop frees the same way)
+      if (pinnedRounds > 0) Checkpoints.free(mass)
+      mass = next
+      pinnedRounds += 1
     }
     mass
   }
@@ -109,17 +116,23 @@ object GraphOps {
       val nb = e.join(pinD(dist.filter(col("dist").isNotNull)),
           col("_src") === col("node"))
         .groupBy(col("_dst")).agg(min(col("dist") + lit(1L)).as("_nd"))
-      dist = Checkpoints.pin(nodes
+      val next = Checkpoints.pin(nodes
         .join(dist, Seq("node"))
         .join(nb, col("node") === col("_dst"), "left")
         .select(col("node"), least(col("dist"), col("_nd")).as("dist")))
+      Checkpoints.free(dist) // superseded round — see pagerankMass
+      dist = next
     }
     dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
   /** Per-node degree/strength profile of a weighted directed edge
-    * table: out/in degree (distinct neighbors) and out/in strength
+    * table: out/in degree (edge rows per endpoint) and out/in strength
     * (summed `weightCol`), zero-coalesced over the full node universe.
+    * Assumes a SIMPLE edge table — one row per (src, dst), as the edge
+    * derivations here produce; parallel edges or self-loops count at
+    * their multiplicity (normalize upstream if that is not wanted —
+    * this function must not distinct away legitimate weighted rows).
     * Two hash aggregates + one outer join on node id — no window, no
     * sort; at scale every step is the pre-aggregated tiny side of the
     * pipeline that produced the edges. */
@@ -158,11 +171,12 @@ object GraphOps {
       .filter(col("lo") =!= col("hi")).distinct())
     val deg = und.select(col("lo").as("node")).union(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("_deg"))
-    // total orientation order: (degree, id) packed into one long —
-    // node ids here are key columns (< 2^31), degree < 2^31
-    def okey(d: Column, id: Column): Column = d * lit(4294967296L) + id
-    val kLo = okey(col("_dlo"), col("lo"))
-    val kHi = okey(col("_dhi"), col("hi"))
+    // total orientation order: the (degree, id) STRUCT, compared
+    // lexicographically — not a packed d*2^32+id long, which collides
+    // (and loses the total order) once ids reach 2^32 or go negative,
+    // exactly the 64-bit-id regime a web-scale link graph lives in
+    val kLo = struct(col("_dlo").as("d"), col("lo").as("i"))
+    val kHi = struct(col("_dhi").as("d"), col("hi").as("i"))
     val oriented = Checkpoints.pin(und
       .join(deg.select(col("node").as("lo"), col("_deg").as("_dlo")), "lo")
       .join(deg.select(col("node").as("hi"), col("_deg").as("_dhi")), "hi")

@@ -117,7 +117,12 @@ object Sampling {
       budgetFrac: Double): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"budgetFrac must be in (0, 1], got $budgetFrac")
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    // NULL groups are excluded from BOTH the rate computation and the
+    // output — counting them into N (and the sqrt total) while the
+    // join below can never match a NULL key would deflate every other
+    // group's rate and silently drop the rows
+    val in = df.filter(col(groupCol).isNotNull)
+    val counts = in.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_sq", Canon.rk(sqrt(col("_n")), 6))
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val rates = counts
@@ -129,7 +134,7 @@ object Sampling {
       .select(col(groupCol), col("rate"))
     val u = conv(substring(idHex(idCol), 1, 6), 16, 10)
       .cast("long").cast("double") / 16777216.0
-    df.join(broadcast(rates), groupCol).filter(u < col("rate"))
+    in.join(broadcast(rates), groupCol).filter(u < col("rate"))
   }
 
   /** Deterministic per-group cap: keep the `n` rows with the smallest

@@ -288,6 +288,12 @@ object StatsOps {
     * exceed 38 and Spark would silently TRUNCATE the scale to 7 — one
     * lost digit, a hash mismatch against any engine that kept 8.
     *
+    * Input domain: |x| ≤ 9999.99 (so x² fits the (12,4) stage) —
+    * out-of-domain rows are FILTERED, not silently dropped from some
+    * sums but not others (an overflowing decimal cast NULLs under
+    * non-ANSI Spark, which would desync n/Σx from Σx²..Σx⁴ and emit
+    * plausible garbage; mirror the same bound in any SQL twin).
+    *
     * Population moments via the standard raw→central expansion, the
     * identical float expression applied to identical exact sums in
     * both engines (skew uses m2·√m2, not pow(m2, 1.5) — pow is not
@@ -297,7 +303,8 @@ object StatsOps {
   def momentsByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val x = col(valueCol).cast(DecimalType(9, 2))
     val x2 = (x * x).cast(DecimalType(12, 4))
-    val agged = df.filter(col(valueCol).isNotNull)
+    val agged = df
+      .filter(col(valueCol).isNotNull && abs(col(valueCol)) <= 9999.99)
       .groupBy(col(groupCol)).agg(
         count(lit(1)).as("n"),
         sum(x).cast("double").as("_s1"),

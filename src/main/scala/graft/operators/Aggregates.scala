@@ -723,7 +723,7 @@ object Aggregates {
       s"""WITH q AS (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(9,2)) AS x,
         |    CAST(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))
         |         AS DECIMAL(12,4)) AS x2
-        |  FROM lineitem WHERE l_quantity IS NOT NULL),
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND abs(l_quantity) <= 9999.99),
         |a AS (SELECT l_returnflag, count(*) AS n,
         |    CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
         |    CAST(sum(x2 * x) AS DOUBLE) AS s3, CAST(sum(x2 * x2) AS DOUBLE) AS s4

@@ -1,5 +1,6 @@
-package graft.api
+package graft.tools
 
+import graft.api.{Checkpoints, Dedup}
 import graft.Tables
 import graft.functions.Kernels
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}

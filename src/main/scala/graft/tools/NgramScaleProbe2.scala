@@ -1,5 +1,6 @@
-package graft.api
+package graft.tools
 
+import graft.api.{Checkpoints, Dedup}
 import graft.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._

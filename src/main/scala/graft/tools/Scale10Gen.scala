@@ -35,8 +35,11 @@ object Scale10Gen {
         (col("doc_id") + lit(k.toLong * 1000000000L)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(lit(s"r${k}x"), t))).as("text"),
-        col("lang"), col("source"),
-        length(col("text")).as("n_chars"))
+        col("lang"), col("source"))
+        // length of the SALTED text — a sibling length(col("text")) in
+        // the select above would resolve against the INPUT column and
+        // ship stale pre-salt lengths
+        .withColumn("n_chars", length(col("text")))
     }
     replicas.reduce(_ unionAll _)
       .repartition(32)

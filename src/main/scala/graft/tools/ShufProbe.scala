@@ -1,11 +1,12 @@
-package graft.api
+package graft.tools
 
+import graft.api.{Checkpoints, Dedup}
 import graft.Tables
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only probe: where does the shuffle-posture PPJoin spend its
   * time vs the broadcast twin — candidate stage vs full pipeline,
-  * per posture. Lives in graft.api to reach the private[graft] hook. */
+  * per posture. */
 object ShufProbe {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
