@@ -321,6 +321,60 @@ object TextOps {
           "doc_id", "lang", "n_chars", budget = 20000L)
         .orderBy("doc_id")
     }),
+    "data_quality_expectations" -> ((s, d) => {
+      // Deequ-style constraint report: named expectations evaluated
+      // over the fact table in TWO aggregates total (one rowwise-
+      // metric pass + one key-uniqueness rollup), emitted as
+      // (check, metric, passed) rows — the data-quality gate a
+      // pipeline runs before promoting a partition. Metrics are exact
+      // integer counts or 4 dp ratios; passed is BIGINT 0/1 (no
+      // engine boolean drift)
+      val li = Tables.lineitem(s, d)
+      val base = li.agg(
+        count(lit(1)).as("_n"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("_qnull"),
+        min(col("l_discount")).as("_dmin"), max(col("l_discount")).as("_dmax"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 0L)
+          .otherwise(1L)).as("_badflag"))
+      val dups = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("_c"))
+        .agg(coalesce(sum(when(col("_c") > 1, col("_c") - 1)), lit(0L)).as("_dups"))
+      def b(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+      base.crossJoin(broadcast(dups))
+        .select(explode(array(
+          struct(lit("discount_in_range").as("check_name"),
+            Canon.r4(col("_dmax")).as("metric"),
+            b(col("_dmin") >= 0.0 && col("_dmax") <= 0.1).as("passed")),
+          struct(lit("pk_unique").as("check_name"),
+            col("_dups").cast("double").as("metric"),
+            b(col("_dups") === 0).as("passed")),
+          struct(lit("quantity_complete").as("check_name"),
+            Canon.r4(lit(1.0) - col("_qnull").cast("double") / col("_n").cast("double")).as("metric"),
+            b(col("_qnull") === 0).as("passed")),
+          struct(lit("returnflag_domain").as("check_name"),
+            col("_badflag").cast("double").as("metric"),
+            b(col("_badflag") === 0).as("passed")),
+          struct(lit("row_count_min_1000").as("check_name"),
+            col("_n").cast("double").as("metric"),
+            b(col("_n") >= 1000).as("passed")))).as("_r"))
+        .select(col("_r.*"))
+        .orderBy("check_name")
+    }),
+    "data_freshness_report" -> ((s, d) => {
+      // per-stream freshness: each event type's newest timestamp and
+      // its integer-second lag behind the corpus max — the staleness
+      // dashboard of an ingest pipeline (deterministic: lag is against
+      // the data's own max, never wall clock)
+      val ev = Tables.events(s, d)
+      val perType = ev.groupBy("event_type").agg(max(col("ts")).as("_mx"))
+      perType
+        .crossJoin(broadcast(perType.agg(max(col("_mx")).as("_gmx"))))
+        .select(col("event_type"),
+          Canon.tsStrMicros(col("_mx")).as("latest_ts"),
+          expr("(unix_micros(_gmx) - unix_micros(_mx)) div 1000000L")
+            .as("lag_s"))
+        .orderBy("event_type")
+    }),
     "data_profile_columns" -> ((s, d) => {
       // data-quality profiling: per-column non-null and exact distinct
       // counts plus the row total, in ONE aggregate pass (Spark's
@@ -975,6 +1029,37 @@ object TextOps {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM o WHERE pfx < 20000
         |ORDER BY doc_id""".stripMargin,
+    "data_quality_expectations" ->
+      """WITH base AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qnull,
+        |    min(l_discount) AS dmin, max(l_discount) AS dmax,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS badflag
+        |  FROM lineitem),
+        |dups AS (SELECT CAST(COALESCE(sum(CASE WHEN c > 1 THEN c - 1 END), 0) AS BIGINT) AS dups
+        |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber))
+        |SELECT check_name, metric, passed FROM (
+        |  SELECT 'discount_in_range' AS check_name,
+        |    floor(dmax*10000 + 0.5)/10000 AS metric,
+        |    CAST(CASE WHEN dmin >= 0.0 AND dmax <= 0.1 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |  FROM base, dups
+        |  UNION ALL SELECT 'pk_unique', CAST(dups AS DOUBLE),
+        |    CAST(CASE WHEN dups = 0 THEN 1 ELSE 0 END AS BIGINT) FROM base, dups
+        |  UNION ALL SELECT 'quantity_complete',
+        |    floor((1.0 - CAST(qnull AS DOUBLE) / CAST(n AS DOUBLE))*10000 + 0.5)/10000,
+        |    CAST(CASE WHEN qnull = 0 THEN 1 ELSE 0 END AS BIGINT) FROM base, dups
+        |  UNION ALL SELECT 'returnflag_domain', CAST(badflag AS DOUBLE),
+        |    CAST(CASE WHEN badflag = 0 THEN 1 ELSE 0 END AS BIGINT) FROM base, dups
+        |  UNION ALL SELECT 'row_count_min_1000', CAST(n AS DOUBLE),
+        |    CAST(CASE WHEN n >= 1000 THEN 1 ELSE 0 END AS BIGINT) FROM base, dups)
+        |ORDER BY check_name""".stripMargin,
+    "data_freshness_report" ->
+      """WITH t AS (SELECT event_type, max(CAST(ts AS TIMESTAMP)) AS mx
+        |           FROM events GROUP BY 1),
+        |g AS (SELECT max(mx) AS gmx FROM t)
+        |SELECT event_type,
+        |  strftime(mx, '%Y-%m-%d %H:%M:%S.%f') AS latest_ts,
+        |  CAST((epoch_us(gmx) - epoch_us(mx)) // 1000000 AS BIGINT) AS lag_s
+        |FROM t, g ORDER BY event_type""".stripMargin,
     "data_profile_columns" ->
       """WITH a AS (SELECT count(*) AS n_rows,
         |    count(user_id) AS nn0, count(DISTINCT user_id) AS nd0,

@@ -230,6 +230,33 @@ object Windows {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "events_anomaly_mad" -> ((s, d) => {
+      // the ROBUST anomaly twin of events_anomaly_zscore: per type,
+      // median + MAD (median absolute deviation) via the exact binned
+      // percentile machinery (bitwise quantile_cont parity,
+      // BinnedPercentileSpec), then count |v − med| > 3σ-equivalent
+      // (1.4826·3·MAD). A handful of extreme rows cannot drag the
+      // threshold the way they drag mean/stddev — the estimator a
+      // monitoring pipeline actually wants. Values pre-rounded to the
+      // 4 dp grid so the bin state is bounded and both engines bin
+      // identically
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), Canon.r4(col("value")).as("_v"))
+        .filter(col("_v").isNotNull)
+      val med = graft.api.StatsOps.binnedPercentiles(
+        ev, "event_type", col("_v"), Seq(("med", 0.5)))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("_ad", abs(col("_v") - col("med")))
+      val mad = graft.api.StatsOps.binnedPercentiles(
+        dev, "event_type", col("_ad"), Seq(("mad", 0.5)))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(Canon.r4(max(col("med"))).as("med"),
+          Canon.r4(max(col("mad"))).as("mad"),
+          sum(when(col("_ad") > lit(4.4478) * col("mad"), 1L)
+            .otherwise(0L)).as("n_anom"))
+        .orderBy("event_type")
+    }),
     "events_anomaly_zscore" -> ((s, d) => {
       // metric anomalies: |z| >= 3 per event type — one stats
       // aggregate broadcast back, rowwise verdict, no second shuffle
@@ -481,6 +508,19 @@ object Windows {
         |  max(gap) AS pmax
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_anomaly_mad" ->
+      """WITH v AS (SELECT event_type, floor(value*10000 + 0.5)/10000 AS v
+        |           FROM events WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+        |d AS (SELECT v.event_type, v.v, m.med, abs(v.v - m.med) AS ad
+        |      FROM v JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type,
+        |  floor(max(d.med)*10000 + 0.5)/10000 AS med,
+        |  floor(max(md.mad)*10000 + 0.5)/10000 AS mad,
+        |  CAST(sum(CASE WHEN d.ad > 4.4478 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
     "events_anomaly_zscore" ->
       s"""WITH s AS (SELECT event_type, avg(value) AS mu,
         |             stddev_pop(value) AS sd FROM events GROUP BY 1),
