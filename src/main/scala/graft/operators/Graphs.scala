@@ -89,6 +89,22 @@ object Graphs {
         .join(nationNames(s, d), col("node") === col("n_nationkey"))
         .select(col("n_name"), col("n_tri"))
         .orderBy("n_name")
+    }),
+    "graph_link_predict" -> ((s, d) => {
+      // common-neighbor / Jaccard / Adamic–Adar link prediction over
+      // the undirected trade graph — which nation pairs SHOULD be
+      // trading (adjacent=0, high score) and how redundant existing
+      // edges are (adjacent=1). See GraphOps.linkPredict for why the
+      // Adamic–Adar sum runs on the 6 dp decimal grid
+      GraphOps.linkPredict(tradeEdges(s, d), "src", "dst")
+        .join(nationNames(s, d).select(col("n_nationkey").as("_ka"),
+          col("n_name").as("a_name")), col("a") === col("_ka"))
+        .join(nationNames(s, d).select(col("n_nationkey").as("_kb"),
+          col("n_name").as("b_name")), col("b") === col("_kb"))
+        .select(col("a_name"), col("b_name"), col("cn"),
+          Canon.rk(col("jaccard"), 6).as("jaccard"),
+          col("adamic_adar"), col("adjacent"))
+        .orderBy("a_name", "b_name")
     })
   )
 
@@ -201,6 +217,29 @@ object Graphs {
          |LEFT JOIN ins i ON u.node = i.node
          |JOIN nation n ON u.node = n.n_nationkey
          |ORDER BY n_name""".stripMargin,
+    "graph_link_predict" ->
+      s"""WITH $edgesCte,
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+         |        FROM dedges),
+         |nbr AS MATERIALIZED (SELECT lo AS u, hi AS v FROM und
+         |        UNION ALL SELECT hi, lo FROM und),
+         |deg AS MATERIALIZED (SELECT u, count(*) AS d FROM nbr GROUP BY 1),
+         |pairs AS (SELECT n1.u AS a, n2.u AS b, n1.v AS w
+         |          FROM nbr n1 JOIN nbr n2 ON n1.v = n2.v AND n1.u < n2.u),
+         |agg AS (SELECT a, b, count(*) AS cn,
+         |          CAST(sum(CAST(${Canon.sql.rk("1.0/ln(dw.d)", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS adamic_adar
+         |        FROM pairs p JOIN deg dw ON p.w = dw.u GROUP BY 1, 2)
+         |SELECT na.n_name AS a_name, nb.n_name AS b_name, g.cn,
+         |  ${Canon.sql.rk("CAST(g.cn AS DOUBLE) / (da.d + db.d - g.cn)", 6)} AS jaccard,
+         |  g.adamic_adar,
+         |  CAST(CASE WHEN e.lo IS NULL THEN 0 ELSE 1 END AS BIGINT) AS adjacent
+         |FROM agg g
+         |JOIN deg da ON g.a = da.u
+         |JOIN deg db ON g.b = db.u
+         |LEFT JOIN und e ON e.lo = g.a AND e.hi = g.b
+         |JOIN nation na ON g.a = na.n_nationkey
+         |JOIN nation nb ON g.b = nb.n_nationkey
+         |ORDER BY a_name, b_name""".stripMargin,
     "graph_triangle_count" ->
       s"""WITH $edgesCte,
          |und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
