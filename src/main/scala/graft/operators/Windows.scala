@@ -230,6 +230,32 @@ object Windows {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "data_skew_report" -> ((s, d) => {
+      // partition-key skew diagnostics — the report an engineer reads
+      // before deciding a join/groupBy key needs salting (SkewJoins):
+      // the 10 heaviest keys with their exact ppm share + cumulative
+      // share, and the corpus-level max/avg ratio. ALL integer
+      // arithmetic (ppm via 64-bit multiply + integer div — exact and
+      // engine-identical; bound: total·1e6 < 2^63, i.e. ≤ ~9e12 rows).
+      // Scale shape: one per-key hash aggregate, top-10 via
+      // TakeOrdered (O(k) per partition, never a global sort), the
+      // cumulative window runs over 10 rows
+      val counts = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("_total"), max(col("cnt")).as("_maxc"))
+      val w = Window.orderBy(col("cnt").desc, col("user_id"))
+      counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+        .withColumn("rk", row_number().over(w))
+        .withColumn("_cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(stats))
+        .select(col("rk"), col("user_id"), col("cnt"),
+          expr("cnt * 1000000L div _total").as("share_ppm"),
+          expr("_cum * 1000000L div _total").as("cum_ppm"),
+          col("n_keys"),
+          expr("_maxc * n_keys * 100L div _total").as("max_x100_over_avg"))
+        .orderBy("rk")
+    }),
     "events_anomaly_mad" -> ((s, d) => {
       // the ROBUST anomaly twin of events_anomaly_zscore: per type,
       // median + MAD (median absolute deviation) via the exact binned
@@ -508,6 +534,20 @@ object Windows {
         |  max(gap) AS pmax
         |FROM g WHERE gap IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "data_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |             max(cnt) AS maxc FROM c),
+        |t AS (SELECT user_id, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, user_id) AS rk,
+        |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS cum
+        |      FROM c QUALIFY rk <= 10)
+        |SELECT rk, user_id, cnt,
+        |  CAST(cnt * 1000000 // total AS BIGINT) AS share_ppm,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS cum_ppm,
+        |  n_keys,
+        |  CAST(maxc * n_keys * 100 // total AS BIGINT) AS max_x100_over_avg
+        |FROM t, s ORDER BY rk""".stripMargin,
     "events_anomaly_mad" ->
       """WITH v AS (SELECT event_type, floor(value*10000 + 0.5)/10000 AS v
         |           FROM events WHERE value IS NOT NULL),
