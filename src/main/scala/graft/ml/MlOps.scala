@@ -199,6 +199,59 @@ object MlOps {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("doc_id", "bucket")
     }),
+    "ml_naive_bayes" -> ((s, d) => {
+      // multinomial naive Bayes text classifier, trained AND applied
+      // in one declarative pipeline (the fastText-shaped quality/topic
+      // classifier of an LLM data pipeline): class = source, features
+      // = token counts, add-1 smoothing. score(doc,c) = ln P(c) +
+      // Σ_tok tf·ln P(tok|c). Engine-exact the zipf/logprob way: each
+      // per-(token,class) log-prob and each prior grid-rounds to 6 dp
+      // and is cast to DECIMAL BEFORE the per-doc sum, which then runs
+      // in exact decimal — merge order can never move a score, so the
+      // argmax (ties → min class) is bit-stable in any engine.
+      // Scale shape: the model is ONE (class × vocab) aggregate —
+      // state ∝ vocabulary, broadcast to the scoring join; scoring is
+      // the per-doc token aggregate every text op pays; the argmax is
+      // a per-doc window over |classes| rows. No driver state.
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val tok = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("_tok"))
+      val tc = tok.groupBy("doc_id", "source", "_tok")
+        .agg(count(lit(1)).as("_tf"))
+      val cc = tok.groupBy(col("source").as("_c"), col("_tok"))
+        .agg(count(lit(1)).as("_ct"))
+      val ctot = cc.groupBy("_c").agg(sum(col("_ct")).as("_tot"))
+      val vocab = tok.select("_tok").distinct()
+      val vsz = vocab.agg(count(lit(1)).as("_vs"))
+      val lp = vocab.crossJoin(ctot).crossJoin(broadcast(vsz))
+        .join(cc, Seq("_c", "_tok"), "left")
+        .select(col("_c"), col("_tok"),
+          Canon.rk(log((coalesce(col("_ct"), lit(0L)) + lit(1L)).cast("double")
+              / (col("_tot") + col("_vs")).cast("double")), 6)
+            .cast(DecimalType(28, 6)).as("_lp"))
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("_n"))
+      val prior = Tables.documents(s, d).groupBy(col("source").as("_c"))
+        .agg(count(lit(1)).as("_nd"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("_c"),
+          Canon.rk(log(col("_nd").cast("double") / col("_n").cast("double")), 6)
+            .cast(DecimalType(28, 6)).as("_prior"))
+      val scores = tc.join(broadcast(lp), "_tok")
+        .groupBy("doc_id", "source", "_c")
+        .agg(sum(col("_tf") * col("_lp")).as("_s"))
+        .join(broadcast(prior), "_c")
+        .select(col("doc_id"), col("source"), col("_c"),
+          (col("_s") + col("_prior")).as("_score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("_score").desc, col("_c").asc)
+      scores.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("doc_id"), col("source"), col("_c").as("pred_source"),
+          when(col("source") === col("_c"), 1L).otherwise(0L).as("correct"),
+          col("_score").cast("double").as("score"))
+        .orderBy("doc_id")
+    }),
     "ml_infer_linear_udf" -> ((s, d) => {
       scored(s, d).select("vec_id", "score").orderBy("vec_id")
     }),
@@ -464,6 +517,31 @@ object MlOps {
         |  count(*) AS cnt
         |FROM ft GROUP BY 1, 2
         |ORDER BY doc_id, bucket""".stripMargin,
+    "ml_naive_bayes" ->
+      s"""WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tc AS (SELECT doc_id, source, token, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        |cc AS (SELECT source AS c, token, count(*) AS ct FROM tok GROUP BY 1, 2),
+        |ctot AS (SELECT c, CAST(sum(ct) AS BIGINT) AS tot FROM cc GROUP BY 1),
+        |vocab AS (SELECT DISTINCT token FROM tok),
+        |v AS (SELECT count(*) AS vs FROM vocab),
+        |lp AS (SELECT ct2.c, vb.token,
+        |         CAST(${O.rk("ln((COALESCE(cc.ct, 0) + 1.0) / (ct2.tot + v.vs))", 6)} AS DECIMAL(28,6)) AS lp
+        |       FROM vocab vb CROSS JOIN ctot ct2 CROSS JOIN v
+        |       LEFT JOIN cc ON cc.c = ct2.c AND cc.token = vb.token),
+        |pri AS (SELECT source AS c,
+        |         CAST(${O.rk("ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents))", 6)} AS DECIMAL(28,6)) AS prior
+        |        FROM documents GROUP BY 1),
+        |sc AS (SELECT t.doc_id, t.source, l.c, sum(t.tf * l.lp) AS s
+        |       FROM tc t JOIN lp l ON t.token = l.token GROUP BY 1, 2, 3),
+        |sc2 AS (SELECT sc.doc_id, sc.source, sc.c, sc.s + p.prior AS score
+        |        FROM sc JOIN pri p ON sc.c = p.c),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                 ORDER BY score DESC, c) AS rn FROM sc2)
+        |SELECT doc_id, source, c AS pred_source,
+        |  CAST(CASE WHEN source = c THEN 1 ELSE 0 END AS BIGINT) AS correct,
+        |  CAST(score AS DOUBLE) AS score
+        |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ml_infer_linear_udf" ->
       s"""SELECT vec_id, $duckScore AS score
         |FROM embeddings ORDER BY vec_id""".stripMargin,
