@@ -182,6 +182,53 @@ object MlOps {
           when(score > 0, 1L).otherwise(0L).as("pred"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
+    "ml_gbt_split_histogram" -> ((s, d) => {
+      // histogram-based best-split finding — the ONE primitive that
+      // makes distributed GBT training (XGBoost/LightGBM-style) scale:
+      // one pass melts each row into (feature, bin) pairs and builds
+      // per-(feature, bin) gradient histograms (state ∝ features ×
+      // bins, NEVER ∝ rows); the split search is then an O(bins)
+      // cumulative scan per feature. Target y = l_quantity (exact
+      // integer sums), gain = SSE reduction SL²/nL + SR²/nR − S²/n —
+      // every term a correctly-rounded IEEE division of EXACT int64s
+      // (|S| ≤ 1.5e7 at sf0.1 ⇒ S² ≤ 2.3e14, inside both int64 and
+      // double-exact range; at larger corpora stage the squares
+      // through decimal), so the per-feature argmax (ties → lowest
+      // split) is engine-identical.
+      import org.apache.spark.sql.expressions.Window
+      def f(name: String, v: org.apache.spark.sql.Column) =
+        struct(lit(name).as("feature"), v.cast("long").as("fval"))
+      val melted = Tables.lineitem(s, d).select(explode(array(
+          f("discount_c", floor(col("l_discount") * 100 + 0.5)),
+          f("linenumber", col("l_linenumber")),
+          f("ship_month", month(col("l_shipdate"))),
+          f("tax_c", floor(col("l_tax") * 100 + 0.5)))).as("_f"),
+          col("l_quantity").cast("long").as("_y"))
+        .select(col("_f.feature").as("feature"), col("_f.fval").as("fval"),
+          col("_y"))
+      val hist = melted.groupBy("feature", "fval")
+        .agg(count(lit(1)).as("cnt"), sum(col("_y")).as("sy"))
+      val wc = Window.partitionBy("feature").orderBy("fval")
+      val wt = Window.partitionBy("feature")
+      val cum = hist.select(col("feature"), col("fval"),
+          sum(col("cnt")).over(wc).as("nl"), sum(col("sy")).over(wc).as("sl"),
+          sum(col("cnt")).over(wt).as("n"), sum(col("sy")).over(wt).as("s"))
+        .filter(col("n") - col("nl") > 0)
+      val sr = col("s") - col("sl")
+      val gain = Canon.r4(
+        (col("sl") * col("sl")).cast("double") / col("nl").cast("double")
+          + (sr * sr).cast("double") / (col("n") - col("nl")).cast("double")
+          - (col("s") * col("s")).cast("double") / col("n").cast("double"))
+      val g = cum.select(col("feature"), col("fval"), col("nl"),
+        (col("n") - col("nl")).as("nr"), gain.as("gain"))
+      val wr = Window.partitionBy("feature")
+        .orderBy(col("gain").desc, col("fval").asc)
+      g.withColumn("_rn", row_number().over(wr))
+        .filter(col("_rn") === 1)
+        .select(col("feature"), col("fval").as("split_at"),
+          col("nl").as("n_left"), col("nr").as("n_right"), col("gain"))
+        .orderBy("feature")
+    }),
     "ml_feature_hashing" -> ((s, d) => {
       // the hashing-trick vectorizer (feature hashing): token → bucket
       // = md5-hex-prefix mod 64, counted per (doc, bucket) — fixed-width
@@ -517,6 +564,32 @@ object MlOps {
         |  count(*) AS cnt
         |FROM ft GROUP BY 1, 2
         |ORDER BY doc_id, bucket""".stripMargin,
+    "ml_gbt_split_histogram" ->
+      s"""WITH f AS (
+        |  SELECT 'discount_c' AS feature,
+        |         CAST(floor(l_discount*100 + 0.5) AS BIGINT) AS fval,
+        |         CAST(l_quantity AS BIGINT) AS y FROM lineitem
+        |  UNION ALL SELECT 'linenumber', CAST(l_linenumber AS BIGINT),
+        |         CAST(l_quantity AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'ship_month', CAST(month(l_shipdate) AS BIGINT),
+        |         CAST(l_quantity AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'tax_c', CAST(floor(l_tax*100 + 0.5) AS BIGINT),
+        |         CAST(l_quantity AS BIGINT) FROM lineitem),
+        |h AS (SELECT feature, fval, count(*) AS cnt,
+        |             CAST(sum(y) AS BIGINT) AS sy FROM f GROUP BY 1, 2),
+        |c AS (SELECT feature, fval,
+        |        CAST(sum(cnt) OVER w AS BIGINT) AS nl,
+        |        CAST(sum(sy) OVER w AS BIGINT) AS sl,
+        |        CAST(sum(cnt) OVER (PARTITION BY feature) AS BIGINT) AS n,
+        |        CAST(sum(sy) OVER (PARTITION BY feature) AS BIGINT) AS s
+        |      FROM h WINDOW w AS (PARTITION BY feature ORDER BY fval)),
+        |g AS (SELECT feature, fval, nl, n - nl AS nr,
+        |        ${O.r4("CAST(sl*sl AS DOUBLE)/nl + CAST((s-sl)*(s-sl) AS DOUBLE)/(n-nl) - CAST(s*s AS DOUBLE)/n")} AS gain
+        |      FROM c WHERE n - nl > 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY feature
+        |              ORDER BY gain DESC, fval) AS rn FROM g)
+        |SELECT feature, fval AS split_at, nl AS n_left, nr AS n_right, gain
+        |FROM r WHERE rn = 1 ORDER BY feature""".stripMargin,
     "ml_naive_bayes" ->
       s"""WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
         |             FROM documents),
