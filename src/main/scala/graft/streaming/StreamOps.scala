@@ -209,6 +209,45 @@ object StreamOps {
           "ts", "event_type", "click", "purchase", binSeconds = 300)
         .orderBy("lag")
     }),
+    "ts_acf" -> ((s, d) => {
+      // autocorrelation function of each type's hourly count series at
+      // lags 1..6 over the dense zero-filled hour grid — the
+      // periodicity/persistence fingerprint read before picking
+      // seasonal windows or anomaly baselines. Engine-exact the xcorr
+      // way: every power/cross sum (Σx, Σx², Σx·x₋ₖ and the lag-k
+      // head/tail margins) is an EXACT bigint aggregate; float enters
+      // only in the closed form r_k = (m_k − x̄(sh_k+st_k) + (n−k)x̄²)
+      // / (Σx² − S²/n), spelled in the same op order in both engines.
+      // Scale shape: one gapfill + ONE lag window pass (6 lag columns
+      // share it) + one per-type aggregate; output 6·|types| rows.
+      import org.apache.spark.sql.expressions.Window
+      val maxK = 6
+      val g = graft.api.TimeSeriesOps.resampleGapfill(
+        Tables.events(s, d), "ts", "event_type", 3600)
+      val w = Window.partitionBy("event_type").orderBy("bin")
+      val lagged = g.select(col("event_type") +: col("n").as("_x") +:
+        (1 to maxK).map(k => lag(col("n"), k).over(w).as(s"_l$k")): _*)
+      val aggs = Seq(count(lit(1)).as("_n"), sum(col("_x")).as("_s"),
+        sum(col("_x") * col("_x")).as("_q")) ++
+        (1 to maxK).flatMap(k => Seq(
+          sum(col("_x") * col(s"_l$k")).as(s"_m$k"),
+          sum(col(s"_l$k")).as(s"_sh$k"),
+          sum(when(col(s"_l$k").isNotNull, col("_x"))).as(s"_st$k")))
+      val st = lagged.groupBy("event_type").agg(aggs.head, aggs.tail: _*)
+      val rows = st.select(col("event_type"), col("_n"), col("_s"), col("_q"),
+          explode(array((1 to maxK).map(k => struct(lit(k).as("lag"),
+            col(s"_m$k").as("_m"), col(s"_sh$k").as("_sh"),
+            col(s"_st$k").as("_stl"))): _*)).as("_r"))
+        .select(col("event_type"), col("_n"), col("_s"), col("_q"), col("_r.*"))
+      val xb = col("_s").cast("double") / col("_n").cast("double")
+      val den = col("_q").cast("double") -
+        (col("_s") * col("_s")).cast("double") / col("_n").cast("double")
+      val num = col("_m").cast("double") - xb * (col("_sh") + col("_stl")).cast("double") +
+        (col("_n") - col("lag")).cast("double") * xb * xb
+      rows.select(col("event_type"), col("lag").cast("long").as("lag"),
+          when(den =!= 0.0, Canon.r4(num / den)).otherwise(0.0).as("acf"))
+        .orderBy("event_type", "lag")
+    }),
     "ts_changepoint_cusum" -> ((s, d) => {
       // level-shift detection per user: the time-ordered point where
       // the cumulative deviation from the user's mean value peaks
@@ -412,6 +451,40 @@ object StreamOps {
         |    ${graft.Canon.sql.r4("(CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")}
         |  END AS xcorr
         |FROM s ORDER BY lag""".stripMargin,
+    "ts_acf" -> {
+      val lagSums = (1 to 6).map(k =>
+        s"""CAST(sum(x*l$k) AS BIGINT) AS m$k, CAST(sum(l$k) AS BIGINT) AS sh$k,
+           |        CAST(sum(CASE WHEN l$k IS NOT NULL THEN x END) AS BIGINT) AS st$k""".stripMargin)
+        .mkString(",\n        ")
+      val unpiv = (1 to 6).map(k =>
+        s"SELECT event_type, n, s, q, $k AS lag, m$k AS m, sh$k AS sh, st$k AS stl FROM st")
+        .mkString("\n  UNION ALL ")
+      val den = "CAST(q AS DOUBLE) - CAST(s*s AS DOUBLE)/n"
+      val num = "CAST(m AS DOUBLE) - (CAST(s AS DOUBLE)/n)*(sh + stl) " +
+        "+ (n - lag)*(CAST(s AS DOUBLE)/n)*(CAST(s AS DOUBLE)/n)"
+      s"""WITH e AS (SELECT event_type, time_bucket(INTERVAL '1 hour',
+        |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(bin) AS minb, max(bin) AS maxb FROM c),
+        |g AS (SELECT t.event_type, gs.bin
+        |      FROM (SELECT DISTINCT event_type FROM events) t
+        |      CROSS JOIN (SELECT unnest(generate_series(minb, maxb,
+        |                    INTERVAL '1 hour')) AS bin FROM r) gs),
+        |x AS (SELECT g.event_type, g.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS x
+        |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin),
+        |l AS (SELECT event_type, x,
+        |        ${(1 to 6).map(k => s"lag(x, $k) OVER w AS l$k").mkString(", ")}
+        |      FROM x WINDOW w AS (PARTITION BY event_type ORDER BY bin)),
+        |st AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+        |        CAST(sum(x*x) AS BIGINT) AS q,
+        |        $lagSums
+        |       FROM l GROUP BY 1),
+        |u AS ($unpiv)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+        |  CASE WHEN $den <> 0 THEN ${O.r4(s"($num) / ($den)")}
+        |       ELSE 0.0 END AS acf
+        |FROM u ORDER BY event_type, lag""".stripMargin
+    },
     "ts_resample_gapfill" ->
       """WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',
         |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),
