@@ -419,6 +419,34 @@ object MlOps {
         scored(s, d).select(col("score"), (col("label") % 2).as("y")),
         "score", "y")
     }),
+    "ml_lift_table" -> ((s, d) => {
+      // decile lift/gains table — the targeting eval next to
+      // AUC/calibration: rank by score desc (vec_id ties), cut into
+      // 10 equal buckets, report per-decile positive rate, lift vs
+      // the base rate, and cumulative capture. Deterministic because
+      // the rank order is TOTAL (unique vec_id tiebreak) and ntile's
+      // remainder rule is SQL-standard in both engines; every ratio
+      // is a correctly-rounded division of exact ints. The global
+      // ntile window is a full sort — at corpus scale cut deciles
+      // from binned-percentile score cuts instead (StatsOps), same
+      // downstream rollup.
+      import org.apache.spark.sql.expressions.Window
+      val t = scored(s, d).select(col("vec_id"), col("score"),
+        (col("label") % 2).as("_y"))
+      val w = Window.orderBy(col("score").desc, col("vec_id"))
+      val dec = t.withColumn("decile", ntile(10).over(w))
+        .groupBy("decile").agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"))
+      val tot = dec.agg(sum(col("n")).as("_tn"), sum(col("n_pos")).as("_tp"))
+      val w2 = Window.orderBy("decile")
+      dec.withColumn("_cp", sum(col("n_pos")).over(w2))
+        .crossJoin(broadcast(tot))
+        .select(col("decile").cast("long").as("decile"), col("n"), col("n_pos"),
+          Canon.r4(col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"),
+          Canon.r4((col("n_pos").cast("double") / col("n").cast("double"))
+            / (col("_tp").cast("double") / col("_tn").cast("double"))).as("lift"),
+          Canon.r4(col("_cp").cast("double") / col("_tp").cast("double")).as("cum_capture"))
+        .orderBy("decile")
+    }),
     "ml_calibration_bins" -> ((s, d) => {
       // reliability diagram: fixed-width score bins → count, mean
       // score (exact decimal sum — scores are on the 4 dp grid), and
@@ -700,6 +728,18 @@ object MlOps {
         |  CAST(sum(np) AS BIGINT) AS n_pos,
         |  CAST(sum(nn) AS BIGINT) AS n_neg
         |FROM c""".stripMargin,
+    "ml_lift_table" ->
+      s"""WITH t AS (SELECT vec_id, $duckScore AS score, label % 2 AS y FROM embeddings),
+        |d AS (SELECT ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile, y FROM t),
+        |g AS (SELECT decile, count(*) AS n, CAST(sum(y) AS BIGINT) AS np FROM d GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(np) AS BIGINT) AS tp FROM g),
+        |c AS (SELECT decile, n, np,
+        |        CAST(sum(np) OVER (ORDER BY decile) AS BIGINT) AS cp FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n, np AS n_pos,
+        |  ${O.r4("CAST(np AS DOUBLE)/n")} AS pos_rate,
+        |  ${O.r4("(CAST(np AS DOUBLE)/n) / (CAST(tp AS DOUBLE)/tn)")} AS lift,
+        |  ${O.r4("CAST(cp AS DOUBLE)/tp")} AS cum_capture
+        |FROM c CROSS JOIN tt ORDER BY decile""".stripMargin,
     "ml_calibration_bins" ->
       s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings),
         |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y FROM t)

@@ -162,6 +162,39 @@ object Aggregates {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "agg_cramers_v" -> ((s, d) => {
+      // Cramér's V effect size for the lang × source association —
+      // the single-number companion to agg_chi2_contrib's per-cell
+      // audit (is the corpus's language mix independent of its
+      // source?). The cross-cell χ² SUM is the one float sum neither
+      // engine's merge order pins, so each cell's (o−e)²/e
+      // grid-rounds to 6 dp decimal FIRST and the sum runs exact;
+      // empty grid cells contribute their full expected mass
+      // (o=0 ⇒ e), so the statistic is the true χ², not an
+      // observed-cells-only approximation. Margins and the grid are
+      // |langs| × |sources| rows — never ∝ corpus.
+      import org.apache.spark.sql.types.DecimalType
+      val ct = Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("o"))
+      val rowT = ct.groupBy("lang").agg(sum(col("o")).as("_r"))
+      val colT = ct.groupBy("source").agg(sum(col("o")).as("_c"))
+      val tot = ct.agg(sum(col("o")).as("_t"))
+      val nr = rowT.agg(count(lit(1)).as("_nr"))
+      val nc = colT.agg(count(lit(1)).as("_nc"))
+      val o = coalesce(col("o"), lit(0L)).cast("double")
+      val e = (col("_r") * col("_c")).cast("double") / col("_t").cast("double")
+      val cell = Canon.rk((o - e) * (o - e) / e, 6).cast(DecimalType(28, 6))
+      rowT.crossJoin(colT)
+        .join(ct, Seq("lang", "source"), "left")
+        .crossJoin(broadcast(tot))
+        .agg(sum(cell).cast("double").as("_chi2"), max(col("_t")).as("n"))
+        .crossJoin(broadcast(nr)).crossJoin(broadcast(nc))
+        .select(col("n"), col("_nr").as("n_lang"), col("_nc").as("n_src"),
+          Canon.r4(col("_chi2")).as("chi2"),
+          Canon.r4(sqrt(col("_chi2")
+            / (col("n") * least(col("_nr") - 1, col("_nc") - 1)).cast("double")))
+            .as("cramers_v"))
+    }),
     "agg_chi2_contrib" -> ((s, d) => {
       // chi-squared independence audit of event_type × UTC hour as a
       // per-cell CONTRIBUTION table: observed count, expected
@@ -573,6 +606,24 @@ object Aggregates {
         |FROM per, tot ORDER BY o_orderpriority""".stripMargin,
     // per-cell floats over exact integer margins — no cross-cell
     // float sum exists to drift
+    "agg_cramers_v" ->
+      s"""WITH ct AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM ct GROUP BY 1),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS cl FROM ct GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM ct),
+        |nr AS (SELECT count(*) AS nlang FROM r),
+        |nc AS (SELECT count(*) AS nsrc FROM c),
+        |j AS (SELECT CAST(COALESCE(ct.o, 0) AS DOUBLE) AS o,
+        |        CAST(r.rt * c.cl AS DOUBLE) / CAST(t.tt AS DOUBLE) AS e
+        |      FROM r CROSS JOIN c
+        |      LEFT JOIN ct ON r.lang = ct.lang AND c.source = ct.source
+        |      CROSS JOIN t),
+        |chi AS (SELECT CAST(sum(CAST(${O.rk("(o - e) * (o - e) / e", 6)} AS DECIMAL(28,6)))
+        |          AS DOUBLE) AS chi2 FROM j)
+        |SELECT t.tt AS n, nlang AS n_lang, nsrc AS n_src,
+        |  ${O.r4("chi.chi2")} AS chi2,
+        |  ${O.r4("sqrt(chi.chi2 / CAST(t.tt * least(nlang - 1, nsrc - 1) AS DOUBLE))")} AS cramers_v
+        |FROM chi CROSS JOIN t CROSS JOIN nr CROSS JOIN nc""".stripMargin,
     "agg_chi2_contrib" ->
       s"""WITH ct AS (SELECT event_type,
         |    CAST(hour(CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
