@@ -457,6 +457,57 @@ object StatsOps {
         (col("_sy") * col("_sxx") - col("_sx") * col("_sxy")) / den)).as("intercept"))
   }
 
+  /** Mann–Whitney U rank-sum test between two arms — the
+    * nonparametric companion to [[welchTTest]] for skewed metrics
+    * (revenue per user, latency) where a t-test's mean is the wrong
+    * summary. The rank machinery never ranks ROWS: values collapse to
+    * a per-distinct-value histogram (na, nb counts per arm), so
+    * aggregation state is ∝ distinct `scale`-dp values (the bounded
+    * grid the determinism rules impose), and the tie-averaged ranks
+    * come from one cumulative window over that bin table. Everything
+    * up to the final z is EXACT integer arithmetic on doubled ranks
+    * (2·avg_rank = 2·cum_before + t + 1 is always integral), summed
+    * in DECIMAL(38,0) so Σ na·rank2 (≤ 2N²) and the tie term
+    * Σ(t³−t) (≤ N³) cannot overflow at any realistic N; float enters
+    * once, in the normal-approximation z with tie correction.
+    * Output: one row (n_a, n_b, u_a as double — U can end in .5 —
+    * and the r4 z, NULL when the tie-corrected σ is 0). */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val d38 = DecimalType(38, 0)
+    val bins = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast(dt).as("_v"), col(groupCol).as("_g"))
+      .groupBy("_v").agg(
+        count(when(col("_g") === groupA, 1)).as("_na"),
+        count(when(col("_g") === groupB, 1)).as("_nb"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("_na") + col("_nb")
+    val ranked = bins
+      .withColumn("_cum", coalesce(sum(t).over(w), lit(0L)))
+      .withColumn("_rank2", lit(2L) * col("_cum") + t + lit(1L))
+    val agg = ranked.agg(
+      sum(col("_na")).as("_n1"), sum(col("_nb")).as("_n2"),
+      sum(col("_na").cast(d38) * col("_rank2").cast(d38)).as("_r1x2"),
+      sum((t.cast(d38) * t.cast(d38) * t.cast(d38) - t.cast(d38)))
+        .as("_ties"))
+    val n1 = col("_n1").cast("double")
+    val n2 = col("_n2").cast("double")
+    val nn = n1 + n2
+    // U1 = R1 − n1(n1+1)/2, carried doubled: U1·2 = R1·2 − n1(n1+1)
+    val u1x2 = col("_r1x2").cast("double") - n1 * (n1 + lit(1.0))
+    val sigma2 = n1 * n2 / lit(12.0) *
+      ((nn + lit(1.0)) - col("_ties").cast("double") / (nn * (nn - lit(1.0))))
+    agg.select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("_n1").cast("long").as("n_a"), col("_n2").cast("long").as("n_b"),
+      (u1x2 / lit(2.0)).as("u_a"),
+      when(col("_n1") > 0 && col("_n2") > 0 && sigma2 > 0.0,
+        Canon.r4((u1x2 / lit(2.0) - n1 * n2 / lit(2.0)) / sqrt(sigma2)))
+        .as("z"))
+  }
+
   /** Pass 1 of [[heavyHittersExact]]: the per-partition Misra–Gries
     * candidate union, ≤ phi counters live per partition and ≤ phi
     * candidates emitted per partition — exposed so ScaleProbeSpec can

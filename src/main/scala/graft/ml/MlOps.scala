@@ -246,6 +246,30 @@ object MlOps {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("doc_id", "bucket")
     }),
+    "ml_target_encoding" -> ((s, d) => {
+      // leave-one-out target encoding of a categorical feature — the
+      // high-cardinality-category featurizer (one-hot explodes, LOO
+      // encodes without leaking the row's own label): enc_i =
+      // (Σ_group target − target_i) / (n_group − 1). The numerator is
+      // an EXACT decimal difference (group sums in DECIMAL, row value
+      // subtracted in decimal), so the encoding is merge-order-proof;
+      // float enters once in the final division. Scale shape: one
+      // hash aggregate ∝ distinct categories broadcast back onto the
+      // rows — no window, no self-join; singleton groups emit NULL
+      // (nothing to encode from without leakage).
+      import org.apache.spark.sql.types.DecimalType
+      val ord = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("_p"))
+      val stats = ord.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("_n"), sum(col("_p")).as("_sm"))
+      ord.join(broadcast(stats), "o_orderpriority")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          when(col("_n") > 1, Canon.r4(
+            (col("_sm") - col("_p")).cast("double")
+              / (col("_n") - lit(1L)).cast("double"))).as("loo_enc"))
+        .orderBy("o_orderkey")
+    }),
     "ml_naive_bayes" -> ((s, d) => {
       // multinomial naive Bayes text classifier, trained AND applied
       // in one declarative pipeline (the fastText-shaped quality/topic
@@ -580,6 +604,19 @@ object MlOps {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    // exact decimal numerator (group sum − own value), float once in
+    // the division — LOO encoding is merge-order-proof by construction
+    "ml_target_encoding" ->
+      s"""WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |        CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |s AS (SELECT o_orderpriority, count(*) AS n, sum(p) AS sm
+        |      FROM o GROUP BY 1)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN n > 1 THEN
+        |    ${O.r4("CAST(sm - p AS DOUBLE) / CAST(n - 1 AS DOUBLE)")}
+        |  END AS loo_enc
+        |FROM o JOIN s USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
     "ml_feature_hashing" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |             FROM documents),

@@ -229,6 +229,51 @@ object Aggregates {
       graft.api.StatsOps.welchTTest(Tables.events(s, d),
         "event_type", "value", "click", "purchase")
     }),
+    "agg_mann_whitney" -> ((s, d) => {
+      // the nonparametric twin of agg_ttest_welch: Mann–Whitney U on
+      // the same click-vs-purchase arms — rank state ∝ distinct 2 dp
+      // values (histogram bins, never rows), doubled tie-averaged
+      // ranks keep every pre-z quantity exact integer, tie-corrected
+      // normal z enters float once (StatsOps.mannWhitneyU)
+      graft.api.StatsOps.mannWhitneyU(Tables.events(s, d),
+        "event_type", "value", "click", "purchase")
+    }),
+    "agg_mutual_info" -> ((s, d) => {
+      // mutual information of the lang × source grid — the
+      // information-theoretic companion to agg_cramers_v (how many
+      // nats does knowing the source tell you about the language?).
+      // Every entropy/MI term grid-rounds to 6 dp decimal BEFORE its
+      // sum (cross-cell float sums are the one thing merge order can
+      // bend), margins stay exact bigint counts, and the normalized
+      // MI divides by sqrt(H_l·H_s) at the end. All frames are
+      // |langs| × |sources| — never ∝ corpus.
+      import org.apache.spark.sql.types.DecimalType
+      val d6 = DecimalType(28, 6)
+      val ct = Tables.documents(s, d).groupBy("lang", "source")
+        .agg(count(lit(1)).as("o"))
+      val rowT = ct.groupBy("lang").agg(sum(col("o")).as("_r"))
+      val colT = ct.groupBy("source").agg(sum(col("o")).as("_c"))
+      val tot = ct.agg(sum(col("o")).as("_t"))
+      def ent(m: org.apache.spark.sql.DataFrame, cnt: String) = {
+        val p = col(cnt).cast("double") / col("_t").cast("double")
+        m.crossJoin(broadcast(tot))
+          .agg(sum(Canon.rk(-p * log(p), 6).cast(d6)).cast("double").as("h"))
+      }
+      val hl = ent(rowT, "_r").select(col("h").as("_hl"))
+      val hs = ent(colT, "_c").select(col("h").as("_hs"))
+      val pij = col("o").cast("double") / col("_t").cast("double")
+      val lift = col("o").cast("double") * col("_t").cast("double") /
+        (col("_r").cast("double") * col("_c").cast("double"))
+      val mi = ct.join(rowT, "lang").join(colT, "source")
+        .crossJoin(broadcast(tot))
+        .agg(sum(Canon.rk(pij * log(lift), 6).cast(d6)).cast("double").as("_mi"),
+          max(col("_t")).as("n"))
+      mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+        .select(col("n"), Canon.r4(col("_hl")).as("h_lang"),
+          Canon.r4(col("_hs")).as("h_source"), Canon.r4(col("_mi")).as("mi"),
+          when(col("_hl") * col("_hs") > 0.0,
+            Canon.r4(col("_mi") / sqrt(col("_hl") * col("_hs")))).as("nmi"))
+    }),
     "agg_gini" -> ((s, d) => {
       // revenue concentration per return flag: the Gini coefficient by
       // the sorted-rank identity over exact decimal sums — tie ranks
@@ -639,6 +684,56 @@ object Aggregates {
         |  ${O.r4("e")} AS e,
         |  ${O.r4("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e")} AS contrib
         |FROM j ORDER BY event_type, hod""".stripMargin,
+    // doubled tie-averaged ranks stay integral end-to-end; HUGEINT
+    // mirrors Spark's DECIMAL(38,0) exact sums, float enters at z
+    "agg_mann_whitney" ->
+      s"""WITH b AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS nb
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (SELECT na, nb,
+        |    CAST(COALESCE(sum(na + nb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum
+        |  FROM b),
+        |a AS (SELECT CAST(sum(na) AS BIGINT) AS n1, CAST(sum(nb) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(na AS HUGEINT) * (2 * cum + na + nb + 1)) AS DOUBLE) AS r1x2,
+        |    CAST(sum(CAST(na + nb AS HUGEINT) * (na + nb) * (na + nb) - (na + nb))
+        |      AS DOUBLE) AS ties
+        |  FROM r),
+        |z AS (SELECT n1, n2, r1x2, ties,
+        |    CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) AS nn
+        |  FROM a),
+        |s AS (SELECT n1, n2, n1d, n2d,
+        |    (r1x2 - n1d * (n1d + 1.0)) / 2.0 AS ua,
+        |    n1d * n2d / 12.0 * ((nn + 1.0) - ties / (nn * (nn - 1.0))) AS sigma2
+        |  FROM z)
+        |SELECT 'click' AS group_a, 'purchase' AS group_b,
+        |  n1 AS n_a, n2 AS n_b, ua AS u_a,
+        |  CASE WHEN n1 > 0 AND n2 > 0 AND sigma2 > 0 THEN
+        |    ${O.r4("(ua - n1d * n2d / 2.0) / sqrt(sigma2)")} END AS z
+        |FROM s""".stripMargin,
+    // per-term 6 dp grid rounding before every cross-cell sum — the
+    // same posture as agg_cramers_v; MI/entropy floats per cell only
+    "agg_mutual_info" ->
+      s"""WITH ct AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM ct GROUP BY 1),
+        |c AS (SELECT source, CAST(sum(o) AS BIGINT) AS cl FROM ct GROUP BY 1),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS tt FROM ct),
+        |hl AS (SELECT CAST(sum(CAST(${O.rk("(-(CAST(rt AS DOUBLE) / CAST(tt AS DOUBLE))) * ln(CAST(rt AS DOUBLE) / CAST(tt AS DOUBLE))", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS h_l
+        |  FROM r CROSS JOIN t),
+        |hs AS (SELECT CAST(sum(CAST(${O.rk("(-(CAST(cl AS DOUBLE) / CAST(tt AS DOUBLE))) * ln(CAST(cl AS DOUBLE) / CAST(tt AS DOUBLE))", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS h_s
+        |  FROM c CROSS JOIN t),
+        |mi AS (SELECT CAST(sum(CAST(${O.rk("(CAST(o AS DOUBLE) / CAST(tt AS DOUBLE)) * ln(CAST(o AS DOUBLE) * CAST(tt AS DOUBLE) / (CAST(rt AS DOUBLE) * CAST(cl AS DOUBLE)))", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS m,
+        |    max(tt) AS n
+        |  FROM ct JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t)
+        |SELECT n, ${O.r4("h_l")} AS h_lang, ${O.r4("h_s")} AS h_source,
+        |  ${O.r4("m")} AS mi,
+        |  CASE WHEN h_l * h_s > 0 THEN ${O.r4("m / sqrt(h_l * h_s)")} END AS nmi
+        |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
     // identical float expression over identical exact decimal sums —
     // means/variances/se²/df all derived inside the CTE chain
     "agg_ttest_welch" -> {
