@@ -558,4 +558,87 @@ object TimeSeriesOps {
       .withColumn("p", Canon.r4(col("n").cast("double") / sum(col("n")).over(wPrev)))
       .select("prev_type", "next_type", "n", "p")
   }
+
+  /** Peak concurrent sessions per epoch-hour — the capacity-planning
+    * sweep line: sessionize, emit a +1/−1 boundary at each session's
+    * start/end (closed intervals: a session ending the instant another
+    * starts still overlaps it — starts apply before ends at the same
+    * µs), and track the running active count. The prefix sum is
+    * BANDED, never a single global window: boundaries collapse to one
+    * row per distinct µs, the within-hour running net runs
+    * partitioned by hour (parallel), and only the per-hour carry-in
+    * offsets — |hours| rows — cross a global window before
+    * broadcasting back. All arithmetic is integer counts; the hour
+    * key is the epoch-hour integer (µs div 3.6e9), no timezone in
+    * play. Output: (hour_bucket, n_changes, peak_concurrency). */
+  def concurrencyPeak(df: DataFrame, userCol: String, idCol: String,
+      tsCol: String, gapUs: Long): DataFrame = {
+    val sess = sessionize(df, userCol, idCol, tsCol, gapUs)
+    val bounds = sess
+      .select(col("start_us").as("_us"), lit(1L).as("_p"), lit(0L).as("_m"))
+      .unionAll(sess.select((col("start_us") + col("duration_us")).as("_us"),
+        lit(0L).as("_p"), lit(-1L).as("_m")))
+    val byUs = bounds.groupBy("_us")
+      .agg(sum(col("_p")).as("_p"), sum(col("_m")).as("_m"))
+      .withColumn("_hour", expr("_us div 3600000000"))
+    val wIn = Window.partitionBy("_hour").orderBy(col("_us").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wBand = Window.orderBy(col("_hour").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byUs.groupBy("_hour")
+      .agg(sum(col("_p") + col("_m")).as("_net"))
+      .withColumn("_carry", coalesce(sum(col("_net")).over(wBand), lit(0L)))
+      .select(col("_hour"), col("_carry"))
+    byUs
+      .withColumn("_within", coalesce(sum(col("_p") + col("_m")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), "_hour")
+      .withColumn("_active", col("_carry") + col("_within") + col("_p"))
+      .groupBy("_hour").agg(count(lit(1)).as("n_changes"),
+        max(col("_active")).as("peak_concurrency"))
+      .withColumnRenamed("_hour", "hour_bucket")
+  }
+
+  /** Kaplan–Meier survival curve over a (duration, observed) table —
+    * the churn / session-length / time-to-failure estimator that
+    * handles CENSORED rows (observed = 0: the subject was still alive
+    * when observation stopped, so its duration is a lower bound).
+    * S(t) = Π_{event times ≤ t} (1 − dᵢ/nᵢ); censored rows leave the
+    * risk set after their duration (at-risk AT their own tick, the
+    * standard convention). Determinism: risk-set and death counts are
+    * exact integers from hash aggregates; each log-factor
+    * grid-rounds to 6 dp decimal before the cumulative sum (exact),
+    * float re-enters once in exp(); a tick where the whole remaining
+    * risk set dies pins S to exactly 0 from there on via an integer
+    * flag, never via exp(−∞). Scale shape: one hash aggregate ∝
+    * rows, then every window runs over the DISTINCT-durations table
+    * (∝ the bucketed horizon, tiny). Output rows are event times
+    * only (d > 0): (dur, n_risk, d_events, c_censored, survival). */
+  def kaplanMeier(durations: DataFrame, durCol: String,
+      obsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val rows = durations.select(col(durCol).as("dur"),
+      col(obsCol).cast("long").as("_obs"))
+    val tot = rows.agg(count(lit(1)).as("_n"))
+    val byDur = rows
+      .groupBy("dur").agg(count(lit(1)).as("_tot"), sum(col("_obs")).as("d"))
+      .crossJoin(broadcast(tot))
+    val wPrev = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCur = Window.orderBy(col("dur").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur
+      .withColumn("n_risk", col("_n") - coalesce(sum(col("_tot")).over(wPrev), lit(0L)))
+      .withColumn("_zf", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+      .withColumn("_lg", when(col("_zf") === 0, Canon.rk(
+          log(lit(1.0) - col("d").cast("double") / col("n_risk").cast("double")), 6))
+        .otherwise(lit(0.0)).cast(DecimalType(28, 6)))
+      .withColumn("_cz", sum(col("_zf")).over(wCur))
+      .withColumn("_cl", sum(col("_lg")).over(wCur))
+      .filter(col("d") > 0)
+      .select(col("dur"), col("n_risk"),
+        col("d").as("d_events"), (col("_tot") - col("d")).as("c_censored"),
+        when(col("_cz") > 0, lit(0.0))
+          .otherwise(Canon.r4(exp(col("_cl").cast("double")))).as("survival"))
+      .orderBy("dur")
+  }
 }

@@ -283,6 +283,39 @@ object TextOps {
       // ∝ distinct grams → global top-k (TakeOrderedAndProject)
       TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
     }),
+    "text_novelty_ngrams" -> ((s, d) => {
+      // corpus novelty audit per source: what fraction of a doc's
+      // distinct token-trigrams appear HERE FIRST (min doc_id over the
+      // corpus)? The memorization/boilerplate dial a pretraining
+      // pipeline watches — a source whose novelty_ppm collapses is
+      // re-serving what the corpus already has. Scale shape: gram
+      // explode ∝ corpus tokens, per-doc distinct + first-occurrence
+      // min are hash aggregates ∝ distinct (doc, gram) / grams, the
+      // gram → first_doc lookup is a plain big-big equi-join, then two
+      // bounded rollups; the share is exact integer ppm (n·1e6 div
+      // total — engine-identical, no float).
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("_t"))
+        .filter(size(col("_t")) >= 3)
+      val grams = toks.select(col("doc_id"), col("source"),
+          explode(transform(sequence(lit(0), size(col("_t")) - 3),
+            i => concat_ws(" ", element_at(col("_t"), i + 1),
+              element_at(col("_t"), i + 2), element_at(col("_t"), i + 3))))
+            .as("gram"))
+        .distinct()
+      val first = grams.groupBy("gram").agg(min(col("doc_id")).as("_fd"))
+      val perDoc = grams.join(first, "gram")
+        .groupBy("doc_id", "source").agg(
+          count(lit(1)).as("_ng"),
+          count(when(col("_fd") === col("doc_id"), 1)).as("_nv"))
+      perDoc.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_ng")).as("n_grams"),
+          sum(col("_nv")).as("n_novel"))
+        .select(col("source"), col("n_docs"), col("n_grams"), col("n_novel"),
+          expr("n_novel * 1000000L div n_grams").as("novelty_ppm"))
+        .orderBy("source")
+    }),
     "text_zipf_slope" -> ((s, d) => {
       // corpus health check: OLS slope of ln(freq) on ln(rank) over the
       // top-100 terms — natural text tracks Zipf (slope ≈ −1); template
@@ -974,6 +1007,24 @@ object TextOps {
         |  CAST(len(w[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[(i*48 + 1):(i*48 + 64)], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // all-integer pipeline (counts + ppm integer division) — nothing
+    // for merge order or float rounding to bend
+    "text_novelty_ngrams" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source,
+        |        tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS gram
+        |      FROM t, UNNEST(generate_series(1, len(tk) - 2)) AS u(i)
+        |      WHERE len(tk) >= 3),
+        |f AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY 1),
+        |p AS (SELECT g.doc_id, g.source, count(*) AS ng,
+        |        count(CASE WHEN f.fd = g.doc_id THEN 1 END) AS nv
+        |      FROM g JOIN f USING (gram) GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(ng) AS BIGINT) AS n_grams,
+        |  CAST(sum(nv) AS BIGINT) AS n_novel,
+        |  CAST(sum(nv) * 1000000 // sum(ng) AS BIGINT) AS novelty_ppm
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     // ln of exact integers → shared 6-dp floor grid → the identical
     // exact-decimal regression sums and closed form as the Spark side
     "text_zipf_slope" -> {

@@ -230,6 +230,38 @@ object Windows {
           col("pmax"))
         .orderBy("event_type")
     }),
+    "events_concurrency_peak" -> ((s, d) => {
+      // capacity planning: peak simultaneous 6 h-gap sessions per
+      // epoch-hour via the classic +1/−1 sweep line — but the prefix
+      // sum is BANDED (within-hour windows run parallel per hour;
+      // only |hours| carry-in offsets cross a global window before a
+      // broadcast back), never one global sort (TimeSeriesOps
+      // .concurrencyPeak). Closed intervals: starts apply before ends
+      // at the same µs. All-integer counts.
+      graft.api.TimeSeriesOps.concurrencyPeak(Tables.events(s, d),
+          "user_id", "event_id", "ts", gapUs = 21600000000L)
+        .orderBy("hour_bucket")
+    }),
+    "events_survival_km" -> ((s, d) => {
+      // session-length survival: Kaplan–Meier over 6 h-gap session
+      // durations in whole hours, sessions still open within one gap
+      // of corpus end CENSORED (their length is only a lower bound —
+      // dropping them would bias the curve short; KM is the estimator
+      // that keeps them honest). Risk sets and death counts stay
+      // exact integers, each log-factor grid-rounds to 6 dp decimal
+      // before the exact cumulative sum, exp() re-enters float once
+      // (TimeSeriesOps.kaplanMeier); windows run over DISTINCT
+      // durations (∝ horizon hours), never sessions
+      val gap = 21600000000L
+      val sess = graft.api.TimeSeriesOps.sessionize(Tables.events(s, d),
+        "user_id", "event_id", "ts", gapUs = gap)
+      val mx = sess.agg(max(col("start_us") + col("duration_us")).as("_mx"))
+      val durs = sess.crossJoin(broadcast(mx)).select(
+        expr("duration_us div 3600000000").as("dur_h"),
+        when(col("start_us") + col("duration_us") >= col("_mx") - gap,
+          lit(0L)).otherwise(lit(1L)).as("obs"))
+      graft.api.TimeSeriesOps.kaplanMeier(durs, "dur_h", "obs")
+    }),
     "data_skew_report" -> ((s, d) => {
       // partition-key skew diagnostics — the report an engineer reads
       // before deciding a join/groupBy key needs salting (SkewJoins):
@@ -548,6 +580,76 @@ object Windows {
         |  n_keys,
         |  CAST(maxc * n_keys * 100 // total AS BIGINT) AS max_x100_over_avg
         |FROM t, s ORDER BY rk""".stripMargin,
+    // all-integer sweep line (the oracle may run the prefix sum
+    // globally — the banded Spark plan is algebraically identical)
+    "events_concurrency_peak" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |        CASE WHEN us - lag(us) OVER w <= 21600000000
+        |             THEN 0 ELSE 1 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m),
+        |sess AS (SELECT min(us) AS start_us, max(us) AS end_us
+        |         FROM s GROUP BY user_id, sid),
+        |b AS (SELECT start_us AS us, 1 AS p, 0 AS neg FROM sess
+        |      UNION ALL SELECT end_us, 0, -1 FROM sess),
+        |u AS (SELECT us, CAST(sum(p) AS BIGINT) AS p,
+        |        CAST(sum(neg) AS BIGINT) AS neg FROM b GROUP BY 1),
+        |c AS (SELECT us, p,
+        |        CAST(COALESCE(sum(p + neg) OVER (ORDER BY us
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS BIGINT) AS cumb
+        |      FROM u)
+        |SELECT us // 3600000000 AS hour_bucket, count(*) AS n_changes,
+        |  max(cumb + p) AS peak_concurrency
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer risk sets; 6-dp-gridded log factors summed exact, exp
+    // once; all-churned tail pinned to 0 by the integer flag
+    "events_survival_km" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+        |            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |m AS (SELECT user_id, event_id, us,
+        |        CASE WHEN us - lag(us) OVER w <= 21600000000
+        |             THEN 0 ELSE 1 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |        sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m),
+        |sess AS (SELECT min(us) AS st, max(us) AS en
+        |         FROM s GROUP BY user_id, sid),
+        |mx AS (SELECT max(en) AS mxe, count(*) AS n FROM sess),
+        |dur AS (SELECT (en - st) // 3600000000 AS dur,
+        |    CASE WHEN en >= mxe - 21600000000 THEN 0 ELSE 1 END AS obs, n
+        |  FROM sess CROSS JOIN mx),
+        |bd AS (SELECT dur, count(*) AS tot, CAST(sum(obs) AS BIGINT) AS d,
+        |    max(n) AS n FROM dur GROUP BY 1),
+        |r AS (SELECT dur, tot, d,
+        |    n - CAST(COALESCE(sum(tot) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM bd),
+        |f AS (SELECT dur, tot, d, n_risk,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zf,
+        |    CAST(CASE WHEN d = n_risk THEN 0.0 ELSE
+        |      ${O.rk("ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))", 6)}
+        |    END AS DECIMAL(28,6)) AS lg
+        |  FROM r),
+        |c AS (SELECT dur, tot, d, n_risk,
+        |    sum(zf) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cz,
+        |    sum(lg) OVER (ORDER BY dur
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl
+        |  FROM f)
+        |SELECT dur, n_risk, d AS d_events,
+        |  tot - d AS c_censored,
+        |  CASE WHEN cz > 0 THEN 0.0 ELSE
+        |    ${O.r4("exp(CAST(cl AS DOUBLE))")} END AS survival
+        |FROM c WHERE d > 0 ORDER BY dur""".stripMargin,
     "events_anomaly_mad" ->
       """WITH v AS (SELECT event_type, floor(value*10000 + 0.5)/10000 AS v
         |           FROM events WHERE value IS NOT NULL),
