@@ -508,6 +508,74 @@ object StatsOps {
         .as("z"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov test between two arms — the
+    * distribution-shift detector (did this batch's value distribution
+    * drift from the reference?): D = max |ECDF_a − ECDF_b| over the
+    * pooled support. Same bounded posture as [[mannWhitneyU]]: values
+    * collapse to a per-distinct-value histogram, cumulative counts
+    * come from one window over that bin table, and D's numerator is
+    * the EXACT integer max |cum_a·n_b − cum_b·n_a| (cross-multiplied
+    * in DECIMAL(38,0) so no division touches the argmax); floats
+    * enter only in the final D = num/(n_a·n_b) and the asymptotic
+    * p ≈ 2·exp(−2·D²·n_a·n_b/(n_a+n_b)), identical expressions in
+    * any engine. */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String, scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val d38 = DecimalType(38, 0)
+    val bins = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast(dt).as("_v"), col(groupCol).as("_g"))
+      .groupBy("_v").agg(
+        count(when(col("_g") === groupA, 1)).as("_na"),
+        count(when(col("_g") === groupB, 1)).as("_nb"))
+    val w = Window.orderBy(col("_v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cums = bins
+      .withColumn("_ca", sum(col("_na")).over(w))
+      .withColumn("_cb", sum(col("_nb")).over(w))
+    val tot = bins.agg(sum(col("_na")).as("_n1"), sum(col("_nb")).as("_n2"))
+    val num = cums.crossJoin(broadcast(tot))
+      .agg(max(abs(col("_ca").cast(d38) * col("_n2").cast(d38)
+        - col("_cb").cast(d38) * col("_n1").cast(d38))).as("_num"),
+        max(col("_n1")).as("_n1"), max(col("_n2")).as("_n2"))
+    val n1 = col("_n1").cast("double")
+    val n2 = col("_n2").cast("double")
+    val dstat = col("_num").cast("double") / (n1 * n2)
+    num.select(lit(groupA).as("group_a"), lit(groupB).as("group_b"),
+      col("_n1").as("n_a"), col("_n2").as("n_b"),
+      when(col("_n1") > 0 && col("_n2") > 0, Canon.r4(dstat)).as("d"),
+      when(col("_n1") > 0 && col("_n2") > 0, Canon.r4(
+        lit(2.0) * exp(lit(-2.0) * dstat * dstat * n1 * n2 / (n1 + n2))))
+        .as("p_approx"))
+  }
+
+  /** Winsorized mean per group — the robust location estimate that
+    * CLIPS (not drops) the tails at exact interpolated percentiles
+    * before averaging, so a handful of extreme rows move the summary
+    * by at most the cut distance. Cuts come from [[binnedPercentiles]]
+    * (state ∝ distinct grid values, bitwise quantile_cont parity) and
+    * broadcast back onto the rows; clipped values re-round to the
+    * 4 dp grid and sum in EXACT decimal, so the mean is
+    * merge-order-proof. Output: (group, n, mean, winsor_mean) with
+    * the plain mean alongside for the shift diagnostic. */
+  def winsorizedMean(df: DataFrame, groupCol: String, value: Column,
+      pLo: Double, pHi: Double): DataFrame = {
+    val dt = DecimalType(28, 4)
+    val rows = df.select(col(groupCol).as("_g"), Canon.r4(value).as("_v"))
+      .filter(col("_v").isNotNull)
+    val cuts = binnedPercentiles(rows, "_g", col("_v"),
+      Seq("_lo" -> pLo, "_hi" -> pHi))
+    rows.join(broadcast(cuts), "_g")
+      .withColumn("_w", Canon.r4(least(greatest(col("_v"), col("_lo")), col("_hi"))))
+      .groupBy("_g").agg(count(lit(1)).as("n"),
+        Canon.r4(sum(col("_v").cast(dt)).cast("double")
+          / count(lit(1)).cast("double")).as("mean"),
+        Canon.r4(sum(col("_w").cast(dt)).cast("double")
+          / count(lit(1)).cast("double")).as("winsor_mean"))
+      .withColumnRenamed("_g", groupCol)
+  }
+
   /** Pass 1 of [[heavyHittersExact]]: the per-partition Misra–Gries
     * candidate union, ≤ phi counters live per partition and ≤ phi
     * candidates emitted per partition — exposed so ScaleProbeSpec can

@@ -229,6 +229,25 @@ object Aggregates {
       graft.api.StatsOps.welchTTest(Tables.events(s, d),
         "event_type", "value", "click", "purchase")
     }),
+    "agg_ks_test" -> ((s, d) => {
+      // distribution-shift detector: two-sample Kolmogorov–Smirnov D
+      // between the click and purchase value distributions — ECDFs
+      // from the same bounded histogram posture as agg_mann_whitney,
+      // D's argmax decided on EXACT cross-multiplied integers, float
+      // only in the final D and asymptotic p (StatsOps.ksTest)
+      graft.api.StatsOps.ksTest(Tables.events(s, d),
+        "event_type", "value", "click", "purchase")
+    }),
+    "agg_winsorized_mean" -> ((s, d) => {
+      // robust location per event type: clip values at the exact
+      // interpolated p05/p95 (binnedPercentiles — state ∝ the 4 dp
+      // value grid) broadcast back onto the rows, re-round the
+      // clipped value to the grid, exact-decimal mean alongside the
+      // plain mean (StatsOps.winsorizedMean)
+      graft.api.StatsOps.winsorizedMean(Tables.events(s, d),
+          "event_type", col("value"), 0.05, 0.95)
+        .orderBy("event_type")
+    }),
     "agg_mann_whitney" -> ((s, d) => {
       // the nonparametric twin of agg_ttest_welch: Mann–Whitney U on
       // the same click-vs-purchase arms — rank state ∝ distinct 2 dp
@@ -684,6 +703,50 @@ object Aggregates {
         |  ${O.r4("e")} AS e,
         |  ${O.r4("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e")} AS contrib
         |FROM j ORDER BY event_type, hod""".stripMargin,
+    // D's argmax on exact cross-multiplied integers (HUGEINT ↔
+    // DECIMAL(38,0)); float only in the final D and p
+    "agg_ks_test" ->
+      s"""WITH b AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS nb
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |c AS (SELECT
+        |    CAST(sum(na) OVER wc AS BIGINT) AS ca,
+        |    CAST(sum(nb) OVER wc AS BIGINT) AS cb
+        |  FROM b WINDOW wc AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+        |             CAST(sum(nb) AS BIGINT) AS n2 FROM b),
+        |m AS (SELECT
+        |    CAST(max(abs(CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1))
+        |      AS DOUBLE) AS num,
+        |    max(n1) AS n1, max(n2) AS n2 FROM c CROSS JOIN t),
+        |f AS (SELECT n1, n2, CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |    num / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS dd FROM m)
+        |SELECT 'click' AS group_a, 'purchase' AS group_b,
+        |  n1 AS n_a, n2 AS n_b,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN ${O.r4("dd")} END AS d,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    ${O.r4("2.0 * exp(-2.0 * dd * dd * n1d * n2d / (n1d + n2d))")}
+        |  END AS p_approx
+        |FROM f""".stripMargin,
+    // quantile_cont cuts (bitwise-parity with binnedPercentiles),
+    // clipped values re-gridded then summed in exact decimal
+    "agg_winsorized_mean" ->
+      s"""WITH v AS (SELECT event_type AS g,
+        |        floor(value*10000 + 0.5)/10000 AS v
+        |      FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT g, quantile_cont(v, 0.05) AS lo,
+        |             quantile_cont(v, 0.95) AS hi FROM v GROUP BY 1),
+        |w AS (SELECT v.g, v.v,
+        |        floor(least(greatest(v.v, lo), hi)*10000 + 0.5)/10000 AS wv
+        |      FROM v JOIN c USING (g))
+        |SELECT g AS event_type, count(*) AS n,
+        |  ${O.r4("CAST(sum(CAST(v AS DECIMAL(28,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean,
+        |  ${O.r4("CAST(sum(CAST(wv AS DECIMAL(28,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS winsor_mean
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // doubled tie-averaged ranks stay integral end-to-end; HUGEINT
     // mirrors Spark's DECIMAL(38,0) exact sums, float enters at z
     "agg_mann_whitney" ->

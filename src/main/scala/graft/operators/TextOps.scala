@@ -283,6 +283,38 @@ object TextOps {
       // ∝ distinct grams → global top-k (TakeOrderedAndProject)
       TextAnalysis.topNgrams(Tables.documents(s, d), "text", n = 2, k = 20)
     }),
+    "text_jaccard_sources" -> ((s, d) => {
+      // corpus-mixing diversity matrix: vocabulary Jaccard between
+      // every source pair — the redundancy map read before weighting
+      // sources into a pretraining mix (two sources sharing 95% of
+      // their vocab add less diversity than their row counts
+      // suggest). Scale shape: the distinct (source, token) vocab
+      // table is PINNED once (it feeds sizes + both self-join sides —
+      // the §7.2 fan-out trap), the token equi-join fans out at most
+      // |sources|² per token, and the output is the |sources|² pair
+      // grid. Pairs with zero overlap are omitted (inner join) — at
+      // mix-planning time an absent edge reads as jaccard 0.
+      val vocab = graft.api.Checkpoints.pin(
+        Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .distinct())
+      val sizes = vocab.groupBy("source").agg(count(lit(1)).as("nv"))
+      val inter = vocab.select(col("source").as("source_a"), col("tok"))
+        .join(vocab.select(col("source").as("source_b"), col("tok")), "tok")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("nv").as("n_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("nv").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_inter"),
+          col("n_a"), col("n_b"),
+          Canon.r4(col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+    }),
     "text_novelty_ngrams" -> ((s, d) => {
       // corpus novelty audit per source: what fraction of a doc's
       // distinct token-trigrams appear HERE FIRST (min doc_id over the
@@ -1007,6 +1039,21 @@ object TextOps {
         |  CAST(len(w[(i*48 + 1):(i*48 + 64)]) AS BIGINT) AS n_tokens,
         |  array_to_string(w[(i*48 + 1):(i*48 + 64)], ' ') AS chunk
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // exact integer set sizes; float once in the jaccard division
+    "text_jaccard_sources" ->
+      s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |v AS (SELECT DISTINCT source, tok FROM tk),
+        |s AS (SELECT source, count(*) AS nv FROM v GROUP BY 1),
+        |i AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        count(*) AS n_inter
+        |      FROM v a JOIN v b USING (tok)
+        |      WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_inter, sa.nv AS n_a, sb.nv AS n_b,
+        |  ${O.r4("CAST(n_inter AS DOUBLE) / CAST(sa.nv + sb.nv - n_inter AS DOUBLE)")} AS jaccard
+        |FROM i JOIN s sa ON sa.source = i.source_a
+        |       JOIN s sb ON sb.source = i.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     // all-integer pipeline (counts + ppm integer division) — nothing
     // for merge order or float rounding to bend
     "text_novelty_ngrams" ->

@@ -248,6 +248,35 @@ object StreamOps {
           when(den =!= 0.0, Canon.r4(num / den)).otherwise(0.0).as("acf"))
         .orderBy("event_type", "lag")
     }),
+    "ts_backtest_snaive" -> ((s, d) => {
+      // forecast-baseline backtest: seasonal-naive ŷ(t) = y(t−168h)
+      // (same hour last week) vs the daily-naive y(t−24h) over the
+      // dense zero-filled hourly grid — the accuracy floor any real
+      // forecaster must beat, and the drift alarm when last week
+      // stops predicting this one. MAE/bias are exact integer sums
+      // over counts (float only in the final division); ONE gapfill +
+      // ONE lag window serves both horizons; output ∝ |types|.
+      import org.apache.spark.sql.expressions.Window
+      val g = graft.api.TimeSeriesOps.resampleGapfill(
+        Tables.events(s, d), "ts", "event_type", 3600)
+      val w = Window.partitionBy("event_type").orderBy("bin")
+      val f = g.select(col("event_type"), col("n"),
+          lag(col("n"), 168).over(w).as("_f168"),
+          lag(col("n"), 24).over(w).as("_f24"))
+        .filter(col("_f168").isNotNull)
+      f.groupBy("event_type").agg(
+          count(lit(1)).as("n_hours"),
+          sum(abs(col("n") - col("_f168"))).as("_ae168"),
+          sum(abs(col("n") - col("_f24"))).as("_ae24"),
+          sum(col("n") - col("_f168")).as("bias_weekly"))
+        .select(col("event_type"), col("n_hours"),
+          Canon.r4(col("_ae168").cast("double") / col("n_hours").cast("double"))
+            .as("mae_weekly"),
+          Canon.r4(col("_ae24").cast("double") / col("n_hours").cast("double"))
+            .as("mae_daily"),
+          col("bias_weekly"))
+        .orderBy("event_type")
+    }),
     "ts_changepoint_cusum" -> ((s, d) => {
       // level-shift detection per user: the time-ordered point where
       // the cumulative deviation from the user's mean value peaks
@@ -451,6 +480,28 @@ object StreamOps {
         |    ${graft.Canon.sql.r4("(CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")}
         |  END AS xcorr
         |FROM s ORDER BY lag""".stripMargin,
+    // integer MAE/bias sums over the same dense grid; float in the
+    // final division only
+    "ts_backtest_snaive" ->
+      s"""WITH e AS (SELECT event_type, time_bucket(INTERVAL '1 hour',
+        |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(bin) AS minb, max(bin) AS maxb FROM c),
+        |g AS (SELECT t.event_type, gs.bin
+        |      FROM (SELECT DISTINCT event_type FROM events) t
+        |      CROSS JOIN (SELECT unnest(generate_series(minb, maxb,
+        |                    INTERVAL '1 hour')) AS bin FROM r) gs),
+        |x AS (SELECT g.event_type, g.bin, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin),
+        |l AS (SELECT event_type, n,
+        |        lag(n, 168) OVER w AS f168, lag(n, 24) OVER w AS f24
+        |      FROM x WINDOW w AS (PARTITION BY event_type ORDER BY bin))
+        |SELECT event_type, count(*) AS n_hours,
+        |  ${O.r4("CAST(sum(abs(n - f168)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mae_weekly,
+        |  ${O.r4("CAST(sum(abs(n - f24)) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mae_daily,
+        |  CAST(sum(n - f168) AS BIGINT) AS bias_weekly
+        |FROM l WHERE f168 IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_acf" -> {
       val lagSums = (1 to 6).map(k =>
         s"""CAST(sum(x*l$k) AS BIGINT) AS m$k, CAST(sum(l$k) AS BIGINT) AS sh$k,
