@@ -246,6 +246,44 @@ object MlOps {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("doc_id", "bucket")
     }),
+    "ml_psi_drift" -> ((s, d) => {
+      // the production drift monitor: Population Stability Index of
+      // each event type's value distribution, first half of the
+      // corpus (by day) vs the second — PSI = Σ_bins (p_A−p_B)·
+      // ln(p_A/p_B) over fixed width-50 bins with Laplace add-1
+      // smoothing (empty-side bins must not blow up the log). The
+      // standard triage thresholds label the verdict (<0.1 stable,
+      // <0.25 moderate, else shifted). Counts/margins are exact
+      // integers from ONE hash aggregate ∝ types×bins; each PSI term
+      // grid-rounds to 6 dp decimal before the cross-bin sum.
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("_day"),
+          expr("CAST(floor(value) AS BIGINT) div 50").as("_bin"))
+      val m0 = ev.agg(min(col("_day")).as("_m0"))
+      val binned = ev.crossJoin(broadcast(m0))
+        .groupBy("event_type", "_bin").agg(
+          count(when(col("_day") < col("_m0") + 15, 1)).as("_ca"),
+          count(when(col("_day") >= col("_m0") + 15, 1)).as("_cb"))
+      val tot = binned.groupBy("event_type").agg(sum(col("_ca")).as("_na"),
+        sum(col("_cb")).as("_nb"), count(lit(1)).as("_k"))
+      val j = binned.join(broadcast(tot), "event_type")
+      val pa = (col("_ca") + lit(1L)).cast("double") /
+        (col("_na") + col("_k")).cast("double")
+      val pb = (col("_cb") + lit(1L)).cast("double") /
+        (col("_nb") + col("_k")).cast("double")
+      val term = Canon.rk((pa - pb) * log(pa / pb), 6).cast(DecimalType(28, 6))
+      val psi = Canon.r4(col("_psi"))
+      j.groupBy("event_type").agg(max(col("_na")).as("n_a"),
+          max(col("_nb")).as("n_b"), max(col("_k")).as("n_bins"),
+          sum(term).cast("double").as("_psi"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("n_bins"),
+          psi.as("psi"),
+          when(psi < 0.1, "stable").when(psi < 0.25, "moderate")
+            .otherwise("shifted").as("drift"))
+        .orderBy("event_type")
+    }),
     "ml_target_encoding" -> ((s, d) => {
       // leave-one-out target encoding of a categorical feature — the
       // high-cardinality-category featurizer (one-hot explodes, LOO
@@ -604,6 +642,36 @@ object MlOps {
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber""".stripMargin
     },
+    // integer bin counts from one pass; 6 dp-gridded PSI terms summed
+    // exact; thresholds compare the same rounded psi in both engines
+    "ml_psi_drift" ->
+      s"""WITH ev AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(floor(value) AS BIGINT) // 50 AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |m0 AS (SELECT min(day) AS m0 FROM ev),
+        |b AS (SELECT event_type, bin,
+        |    count(CASE WHEN day < m0 + 15 THEN 1 END) AS ca,
+        |    count(CASE WHEN day >= m0 + 15 THEN 1 END) AS cb
+        |  FROM ev CROSS JOIN m0 GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb, count(*) AS k
+        |  FROM b GROUP BY 1),
+        |j AS (SELECT b.event_type, na, nb, k,
+        |    CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE) AS pb
+        |  FROM b JOIN t USING (event_type)),
+        |p AS (SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |    max(k) AS n_bins,
+        |    CAST(sum(CAST(${O.rk("(pa - pb) * ln(pa / pb)", 6)}
+        |      AS DECIMAL(28,6))) AS DOUBLE) AS psi0
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n_a, n_b, n_bins,
+        |  ${O.r4("psi0")} AS psi,
+        |  CASE WHEN ${O.r4("psi0")} < 0.1 THEN 'stable'
+        |       WHEN ${O.r4("psi0")} < 0.25 THEN 'moderate'
+        |       ELSE 'shifted' END AS drift
+        |FROM p ORDER BY event_type""".stripMargin,
     // exact decimal numerator (group sum − own value), float once in
     // the division — LOO encoding is merge-order-proof by construction
     "ml_target_encoding" ->

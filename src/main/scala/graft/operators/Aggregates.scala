@@ -229,6 +229,44 @@ object Aggregates {
       graft.api.StatsOps.welchTTest(Tables.events(s, d),
         "event_type", "value", "click", "purchase")
     }),
+    "agg_bootstrap_ci" -> ((s, d) => {
+      // distributed bootstrap: 95% CI for mean(l_extendedprice) from
+      // B=50 POISSON bootstrap replicas — the resample-free bootstrap
+      // (Poisson(1) weights ≈ multinomial at large n) that needs no
+      // per-replica shuffle: each row draws its 50 weights from a
+      // deterministic md5 stream (engine-portable like the sampling
+      // keys), every replica sum runs in exact decimal in ONE
+      // aggregate pass over the ×B exploded rows, and the CI cuts
+      // come from the exact percentile over the 50 grid-rounded
+      // replica means. Wholly reproducible: same data → same CI, on
+      // any engine, any partitioning. Scale: linear ×B fan-out, two
+      // hash aggregates, no sort wider than 50 rows.
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, d).select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("_id"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("_x"))
+      val rep = li.select(col("_id"), col("_x"),
+        explode(sequence(lit(0), lit(49))).as("b"))
+      // inverse-CDF Poisson(1) on a 16-bit md5 slice: thresholds are
+      // round(F(k)·65536) for k = 0..5, tail mass (~6e-4) draws 6
+      val h = conv(substring(md5(concat(col("_id"), lit(":"), col("b"))),
+        1, 4), 16, 10).cast("long")
+      val w = when(h < 24109, 0L).when(h < 48219, 1L).when(h < 60273, 2L)
+        .when(h < 64292, 3L).when(h < 65296, 4L).when(h < 65497, 5L)
+        .otherwise(6L)
+      val means = rep.withColumn("_w", w)
+        .groupBy("b").agg(sum(col("_w")).as("_n"),
+          sum(col("_w").cast(DecimalType(2, 0)) * col("_x")).as("_s"))
+        .select(lit("ci").as("_g"),
+          Canon.r4(col("_s").cast("double") / col("_n").cast("double")).as("_m"))
+      val ci = graft.api.StatsOps.binnedPercentiles(means, "_g", col("_m"),
+          Seq("_lo" -> 0.025, "_hi" -> 0.975))
+        .select(Canon.r4(col("_lo")).as("ci_lo"), Canon.r4(col("_hi")).as("ci_hi"))
+      li.agg(count(lit(1)).as("n"),
+          Canon.r4(sum(col("_x")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean"))
+        .crossJoin(broadcast(ci))
+    }),
     "agg_ks_test" -> ((s, d) => {
       // distribution-shift detector: two-sample Kolmogorov–Smirnov D
       // between the click and purchase value distributions — ECDFs
@@ -703,6 +741,39 @@ object Aggregates {
         |  ${O.r4("e")} AS e,
         |  ${O.r4("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e")} AS contrib
         |FROM j ORDER BY event_type, hod""".stripMargin,
+    // identical md5 weight stream, exact decimal replica sums, and
+    // quantile_cont over the same 4 dp-gridded replica means
+    "agg_bootstrap_ci" -> {
+      val hex4 = "((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096" +
+        " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256" +
+        " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16" +
+        " + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))"
+      s"""WITH li AS (SELECT CAST(l_orderkey AS VARCHAR) || '-' ||
+        |      CAST(l_linenumber AS VARCHAR) AS id,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS x FROM lineitem),
+        |rep AS (SELECT id, x, b FROM li,
+        |        UNNEST(generate_series(0, 49)) AS t(b)),
+        |hh AS (SELECT x, b, $hex4 AS hv
+        |       FROM (SELECT x, b, md5(id || ':' || CAST(b AS VARCHAR)) AS h
+        |             FROM rep)),
+        |ww AS (SELECT x, b,
+        |         CASE WHEN hv < 24109 THEN 0 WHEN hv < 48219 THEN 1
+        |         WHEN hv < 60273 THEN 2 WHEN hv < 64292 THEN 3
+        |         WHEN hv < 65296 THEN 4 WHEN hv < 65497 THEN 5
+        |         ELSE 6 END AS w
+        |       FROM hh),
+        |m AS (SELECT b, CAST(sum(w) AS BIGINT) AS n,
+        |        sum(CAST(w AS DECIMAL(2,0)) * x) AS s
+        |      FROM ww GROUP BY 1),
+        |mm AS (SELECT ${O.r4("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")} AS m FROM m),
+        |ci AS (SELECT quantile_cont(m, 0.025) AS lo,
+        |              quantile_cont(m, 0.975) AS hi FROM mm),
+        |base AS (SELECT count(*) AS n,
+        |    ${O.r4("CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean
+        |  FROM li)
+        |SELECT n, mean, ${O.r4("lo")} AS ci_lo, ${O.r4("hi")} AS ci_hi
+        |FROM base CROSS JOIN ci""".stripMargin
+    },
     // D's argmax on exact cross-multiplied integers (HUGEINT ↔
     // DECIMAL(38,0)); float only in the final D and p
     "agg_ks_test" ->

@@ -248,6 +248,42 @@ object StreamOps {
           when(den =!= 0.0, Canon.r4(num / den)).otherwise(0.0).as("acf"))
         .orderBy("event_type", "lag")
     }),
+    "ts_theil_sen" -> ((s, d) => {
+      // robust trend: Theil–Sen slope/intercept of the global hourly
+      // event-count series — the median of all pairwise slopes, which
+      // a 29%-contaminated series cannot drag (OLS moves with one bad
+      // day). Pair volume is ∝ HORIZON² (hours², ~550 k pairs for a
+      // month), NOT corpus rows — the series is already the bounded
+      // gapfilled grid, so the self-pair enumeration is a small
+      // bounded cross, never data-sized. Slopes/residuals grid-round
+      // to 6 dp, medians come from the exact binned percentile
+      // (quantile_cont parity), outputs r4.
+      val g = graft.api.TimeSeriesOps.resampleGapfill(
+        Tables.events(s, d).withColumn("_k", lit("all")), "ts", "_k", 3600)
+      val b0 = g.agg(min(col("bin")).as("_b0"))
+      // idx feeds 4 consumers and sl 2 — pin both (§7.2 fan-out trap)
+      val idx = graft.api.Checkpoints.pin(g.crossJoin(broadcast(b0))
+        .select(expr("(unix_micros(bin) - unix_micros(_b0)) div 3600000000")
+          .as("i"), col("n").as("y")))
+      val a = idx.select(col("i").as("i1"), col("y").as("y1"))
+      val bb = idx.select(col("i").as("i2"), col("y").as("y2"))
+      val sl = graft.api.Checkpoints.pin(
+        a.crossJoin(bb).filter(col("i1") < col("i2"))
+          .select(lit("g").as("_g"), Canon.rk((col("y2") - col("y1")).cast("double")
+            / (col("i2") - col("i1")).cast("double"), 6).as("_s")))
+      val med = graft.api.StatsOps.binnedPercentiles(sl, "_g", col("_s"),
+        Seq("_p50" -> 0.5)).select(col("_p50"))
+      val res = idx.crossJoin(broadcast(med))
+        .select(lit("g").as("_g"), Canon.rk(col("y").cast("double")
+          - col("_p50") * col("i").cast("double"), 6).as("_r"))
+      val icpt = graft.api.StatsOps.binnedPercentiles(res, "_g", col("_r"),
+        Seq("_ic" -> 0.5)).select(col("_ic"))
+      val counts = idx.agg(count(lit(1)).as("n_hours"))
+        .crossJoin(broadcast(sl.agg(count(lit(1)).as("n_pairs"))))
+      counts.crossJoin(broadcast(med)).crossJoin(broadcast(icpt))
+        .select(col("n_hours"), col("n_pairs"),
+          Canon.r4(col("_p50")).as("slope"), Canon.r4(col("_ic")).as("intercept"))
+    }),
     "ts_backtest_snaive" -> ((s, d) => {
       // forecast-baseline backtest: seasonal-naive ŷ(t) = y(t−168h)
       // (same hour last week) vs the daily-naive y(t−24h) over the
@@ -480,6 +516,29 @@ object StreamOps {
         |    ${graft.Canon.sql.r4("(CAST(n AS DOUBLE) * sxy - sx * sy) / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) * sqrt(CAST(n AS DOUBLE) * syy - sy * sy))")}
         |  END AS xcorr
         |FROM s ORDER BY lag""".stripMargin,
+    // 6 dp-gridded slopes/residuals; quantile_cont medians (binned
+    // percentile parity); the pair cross is horizon-bounded
+    "ts_theil_sen" ->
+      s"""WITH e AS (SELECT time_bucket(INTERVAL '1 hour',
+        |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),
+        |c AS (SELECT bin, count(*) AS n FROM e GROUP BY 1),
+        |r AS (SELECT min(bin) AS minb, max(bin) AS maxb FROM c),
+        |g AS (SELECT gs.bin FROM (SELECT unnest(generate_series(minb, maxb,
+        |                    INTERVAL '1 hour')) AS bin FROM r) gs),
+        |x AS (SELECT (epoch_us(g.bin) - epoch_us(r.minb)) // 3600000000 AS i,
+        |        CAST(COALESCE(c.n, 0) AS BIGINT) AS y
+        |      FROM g CROSS JOIN r LEFT JOIN c ON g.bin = c.bin),
+        |sl AS (SELECT ${O.rk("CAST(b.y - a.y AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)", 6)} AS s
+        |       FROM x a JOIN x b ON a.i < b.i),
+        |med AS (SELECT quantile_cont(s, 0.5) AS p50 FROM sl),
+        |res AS (SELECT ${O.rk("CAST(y AS DOUBLE) - p50 * CAST(i AS DOUBLE)", 6)} AS rres
+        |        FROM x CROSS JOIN med),
+        |icpt AS (SELECT quantile_cont(rres, 0.5) AS ic FROM res),
+        |cnt AS (SELECT count(*) AS n_hours FROM x),
+        |pc AS (SELECT count(*) AS n_pairs FROM sl)
+        |SELECT n_hours, n_pairs, ${O.r4("p50")} AS slope,
+        |  ${O.r4("ic")} AS intercept
+        |FROM cnt CROSS JOIN pc CROSS JOIN med CROSS JOIN icpt""".stripMargin,
     // integer MAE/bias sums over the same dense grid; float in the
     // final division only
     "ts_backtest_snaive" ->
