@@ -414,6 +414,34 @@ object TextOps {
           "doc_id", "lang", "n_chars", budget = 20000L)
         .orderBy("doc_id")
     }),
+    "data_table_checksum" -> ((s, d) => {
+      // replica/migration verification: an ORDER-INDEPENDENT content
+      // checksum of lineitem — per-row 60-bit md5 slice over a
+      // canonical row string (ints as-is, money as fixed-2dp DECIMAL
+      // strings, dates as yyyy-MM-dd: every column rendering an
+      // engine-pinned text), folded two ways: bit_xor (cheap, but two
+      // identical rows cancel) AND an exact decimal SUM mod 2⁶⁰
+      // (duplicate-sensitive). Both folds are commutative — identical
+      // on any partitioning, any engine, any row order — so two
+      // clusters can verify a 100 TB copy without ever co-locating
+      // the data. One map pass + one aggregate; no sort, no shuffle
+      // beyond the final 1-row reduce.
+      import org.apache.spark.sql.types.DecimalType
+      val rowStr = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(DecimalType(12, 2)),
+        col("l_extendedprice").cast(DecimalType(18, 2)),
+        col("l_returnflag"), date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+      Tables.lineitem(s, d).select(h.as("_h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(_h)").as("xor_checksum"),
+          pmod(sum(col("_h").cast(DecimalType(38, 0))),
+            lit(1152921504606846976L).cast(DecimalType(38, 0)))
+            .cast("long").as("sum_checksum"))
+        .select(lit("lineitem").as("table_name"), col("n_rows"),
+          col("xor_checksum"), col("sum_checksum"))
+    }),
     "data_quality_expectations" -> ((s, d) => {
       // Deequ-style constraint report: named expectations evaluated
       // over the fact table in TWO aggregates total (one rowwise-
@@ -932,6 +960,29 @@ object TextOps {
         |cuts AS (SELECT source, quantile_cont(ttr, 0.75) AS cut FROM scored GROUP BY source)
         |SELECT s.doc_id, s.source, s.ttr FROM scored s JOIN cuts c USING (source)
         |WHERE s.ttr >= c.cut ORDER BY s.doc_id""".stripMargin,
+    // identical canonical row text (fixed-2dp decimals, pinned date
+    // format), identical 60-bit md5 slice; both folds commutative
+    "data_table_checksum" -> {
+      val hex15 = (1 to 15).map { i =>
+        val p = math.pow(16.0, (15 - i).toDouble).toLong
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * $p"
+      }.mkString("(", "\n        + ", ")")
+      s"""WITH r AS (SELECT md5(
+        |      CAST(l_orderkey AS VARCHAR) || '|' ||
+        |      CAST(l_linenumber AS VARCHAR) || '|' ||
+        |      CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+        |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        |      l_returnflag || '|' ||
+        |      strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d')) AS h
+        |    FROM lineitem),
+        |v AS (SELECT CAST(substr(h, 1, 15) AS VARCHAR) AS h FROM r),
+        |x AS (SELECT $hex15 AS hv FROM v)
+        |SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+        |  bit_xor(hv) AS xor_checksum,
+        |  CAST(sum(CAST(hv AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        |    AS sum_checksum
+        |FROM x""".stripMargin
+    },
     "data_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'

@@ -1,0 +1,87 @@
+package graft
+
+import graft.api.{StatsOps, TimeSeriesOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed oracle values for the r16 stats/survival/sweep-line
+  * operators. The DuckDB twins execute the SAME closed forms, so a
+  * shared misreading of a formula would slip the hash gate — these
+  * pin the textbook numbers independently of both engines. */
+class StatsHandSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  import scala.jdk.CollectionConverters._
+
+  private def df2(rows: Seq[(String, Double)]) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("g", StringType),
+      StructField("v", DoubleType)))
+    spark.createDataFrame(
+      rows.map { case (g, v) => org.apache.spark.sql.Row(g, v) }.asJava, schema)
+  }
+
+  test("mannWhitneyU matches the hand-ranked example") {
+    // A = {1,2,3}, B = {2,3,4}: tie-averaged R1 = 1 + 2.5 + 4.5 = 8,
+    // U1 = 8 − 6 = 2; ties Σ(t³−t) = 12, σ² = 0.75·(7 − 12/30) = 4.95
+    val df = df2(Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 2.0, "b" -> 3.0, "b" -> 4.0))
+    val r = StatsOps.mannWhitneyU(df, "g", "v", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Double]("u_a") == 2.0)
+    val z = (2.0 - 4.5) / math.sqrt(4.95)
+    assert(math.abs(r.getAs[Double]("z") - z) < 1e-4)
+  }
+
+  test("ksTest matches the hand ECDF example") {
+    // A = {1,2,3}, B = {3,4}: max |F_a − F_b| at v=2: |2/3 − 0| = 2/3
+    val df = df2(Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 3.0, "b" -> 4.0))
+    val r = StatsOps.ksTest(df, "g", "v", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 2)
+    assert(math.abs(r.getAs[Double]("d") - 2.0 / 3.0) < 1e-4)
+  }
+
+  test("kaplanMeier matches the textbook curve incl. censoring and the zero tail") {
+    // durations (obs): 1(1) 1(1) 2(1) 3(0) 4(1)
+    // S(1) = 1 − 2/5 = 0.6; S(2) = 0.6·(1 − 1/3) = 0.4; the censored 3
+    // leaves silently; at 4 the whole remaining risk set (1) dies → 0
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val durs = Seq((1L, 1L), (1L, 1L), (2L, 1L), (3L, 0L), (4L, 1L))
+      .toDF("dur", "obs")
+    val rows = TimeSeriesOps.kaplanMeier(durs, "dur", "obs")
+      .collect().map(r => (r.getAs[Long]("dur"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_events"), r.getAs[Double]("survival")))
+    assert(rows.length == 3)
+    assert(rows(0) == ((1L, 5L, 2L, 0.6)))
+    assert(rows(1) == ((2L, 3L, 1L, 0.4)))
+    assert(rows(2)._1 == 4L && rows(2)._2 == 1L && rows(2)._4 == 0.0)
+  }
+
+  test("winsorizedMean clips at the interpolated cuts") {
+    // {1,2,3,4,100}: p05 = 1.2, p95 = 80.8 → clipped mean 91/5 = 18.2
+    val df = df2(Seq("g" -> 1.0, "g" -> 2.0, "g" -> 3.0,
+      "g" -> 4.0, "g" -> 100.0))
+    val r = StatsOps.winsorizedMean(df, "g", col("v"), 0.05, 0.95).collect()(0)
+    assert(r.getAs[Double]("mean") == 22.0)
+    assert(math.abs(r.getAs[Double]("winsor_mean") - 18.2) < 1e-4)
+  }
+
+  test("concurrencyPeak counts closed-interval overlap at a shared boundary") {
+    // sessions [0,10], [5,20], [20,30] µs (gap 15 µs keeps each user's
+    // two events one session): the end at 20 still overlaps the start
+    // at 20 → active = 2 there; peak 2, five distinct boundary instants
+    val ss = TestSpark.spark
+    import ss.implicits._
+    val ev = Seq((1L, 1L, 0L), (1L, 2L, 10L), (2L, 3L, 5L), (2L, 4L, 20L),
+        (3L, 5L, 20L), (3L, 6L, 30L))
+      .toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val r = TimeSeriesOps.concurrencyPeak(ev, "user_id", "event_id", "ts",
+      gapUs = 15L).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("hour_bucket") == 0L)
+    assert(r(0).getAs[Long]("n_changes") == 5L)
+    assert(r(0).getAs[Long]("peak_concurrency") == 2L)
+  }
+}
