@@ -573,14 +573,17 @@ object TimeSeriesOps {
     * play. Output: (hour_bucket, n_changes, peak_concurrency). */
   def concurrencyPeak(df: DataFrame, userCol: String, idCol: String,
       tsCol: String, gapUs: Long): DataFrame = {
-    val sess = sessionize(df, userCol, idCol, tsCol, gapUs)
+    // sess feeds both union legs and byUs feeds the offsets AND the
+    // within-hour window — pin both (§7.2 fan-out trap: unpinned,
+    // sessionize's two window passes ran 2×, the boundary aggregate 2×)
+    val sess = Checkpoints.pin(sessionize(df, userCol, idCol, tsCol, gapUs))
     val bounds = sess
       .select(col("start_us").as("_us"), lit(1L).as("_p"), lit(0L).as("_m"))
       .unionAll(sess.select((col("start_us") + col("duration_us")).as("_us"),
         lit(0L).as("_p"), lit(-1L).as("_m")))
-    val byUs = bounds.groupBy("_us")
+    val byUs = Checkpoints.pin(bounds.groupBy("_us")
       .agg(sum(col("_p")).as("_p"), sum(col("_m")).as("_m"))
-      .withColumn("_hour", expr("_us div 3600000000"))
+      .withColumn("_hour", expr("_us div 3600000000")))
     val wIn = Window.partitionBy("_hour").orderBy(col("_us").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wBand = Window.orderBy(col("_hour").asc)

@@ -262,10 +262,12 @@ object MlOps {
           expr("unix_micros(ts) div 86400000000").as("_day"),
           expr("CAST(floor(value) AS BIGINT) div 50").as("_bin"))
       val m0 = ev.agg(min(col("_day")).as("_m0"))
-      val binned = ev.crossJoin(broadcast(m0))
+      // binned feeds the margins AND the PSI join — pin the tiny
+      // types×bins grid once (§7.2 fan-out trap)
+      val binned = graft.api.Checkpoints.pin(ev.crossJoin(broadcast(m0))
         .groupBy("event_type", "_bin").agg(
           count(when(col("_day") < col("_m0") + 15, 1)).as("_ca"),
-          count(when(col("_day") >= col("_m0") + 15, 1)).as("_cb"))
+          count(when(col("_day") >= col("_m0") + 15, 1)).as("_cb")))
       val tot = binned.groupBy("event_type").agg(sum(col("_ca")).as("_na"),
         sum(col("_cb")).as("_nb"), count(lit(1)).as("_k"))
       val j = binned.join(broadcast(tot), "event_type")

@@ -306,8 +306,13 @@ object Aggregates {
       // |langs| × |sources| — never ∝ corpus.
       import org.apache.spark.sql.types.DecimalType
       val d6 = DecimalType(28, 6)
-      val ct = Tables.documents(s, d).groupBy("lang", "source")
-        .agg(count(lit(1)).as("o"))
+      // ct fans out into margins + MI join — pin the tiny grid once
+      // (§7.2 fan-out trap: unpinned, the CORPUS aggregate re-ran per
+      // consumer — Exchange*18/HashAggregate*36 → *10/*20; the
+      // remaining fan-out re-derives only grid-sized frames)
+      val ct = graft.api.Checkpoints.pin(
+        Tables.documents(s, d).groupBy("lang", "source")
+          .agg(count(lit(1)).as("o")))
       val rowT = ct.groupBy("lang").agg(sum(col("o")).as("_r"))
       val colT = ct.groupBy("source").agg(sum(col("o")).as("_c"))
       val tot = ct.agg(sum(col("o")).as("_t"))

@@ -329,12 +329,15 @@ object TextOps {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("_t"))
         .filter(size(col("_t")) >= 3)
-      val grams = toks.select(col("doc_id"), col("source"),
-          explode(transform(sequence(lit(0), size(col("_t")) - 3),
-            i => concat_ws(" ", element_at(col("_t"), i + 1),
-              element_at(col("_t"), i + 2), element_at(col("_t"), i + 3))))
-            .as("gram"))
-        .distinct()
+      // grams feeds the first-occurrence aggregate AND the join back —
+      // pin so the explode+distinct runs once (§7.2 fan-out trap)
+      val grams = graft.api.Checkpoints.pin(
+        toks.select(col("doc_id"), col("source"),
+            explode(transform(sequence(lit(0), size(col("_t")) - 3),
+              i => concat_ws(" ", element_at(col("_t"), i + 1),
+                element_at(col("_t"), i + 2), element_at(col("_t"), i + 3))))
+              .as("gram"))
+          .distinct())
       val first = grams.groupBy("gram").agg(min(col("doc_id")).as("_fd"))
       val perDoc = grams.join(first, "gram")
         .groupBy("doc_id", "source").agg(

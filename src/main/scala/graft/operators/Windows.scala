@@ -253,8 +253,11 @@ object Windows {
       // (TimeSeriesOps.kaplanMeier); windows run over DISTINCT
       // durations (∝ horizon hours), never sessions
       val gap = 21600000000L
-      val sess = graft.api.TimeSeriesOps.sessionize(Tables.events(s, d),
-        "user_id", "event_id", "ts", gapUs = gap)
+      // sess feeds the max-end scalar AND the duration frame — pin it
+      // so sessionize's windows run once (§7.2 fan-out trap)
+      val sess = graft.api.Checkpoints.pin(
+        graft.api.TimeSeriesOps.sessionize(Tables.events(s, d),
+          "user_id", "event_id", "ts", gapUs = gap))
       val mx = sess.agg(max(col("start_us") + col("duration_us")).as("_mx"))
       val durs = sess.crossJoin(broadcast(mx)).select(
         expr("duration_us div 3600000000").as("dur_h"),
