@@ -626,6 +626,64 @@ object Aggregates {
         .agg(count(lit(1)).as("n_days"),
           hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
         .orderBy("event_type")
+    }),
+    "agg_hhi_concentration" -> ((s, d) => {
+      // market-concentration report: Herfindahl–Hirschman index of
+      // supplier revenue share per return flag. Per-supplier revenue
+      // is ONE map-side-combined corpus aggregate (exact 2 dp decimal
+      // sums); everything after runs on the |flags|×|suppliers| frame.
+      // Each share² term grid-rounds to 9 dp decimal BEFORE the
+      // cross-supplier sum (float merge order is the only
+      // nondeterminism risk), HHI lands in conventional 0..10000
+      // points. rev fans out into the flag total AND the share join —
+      // pinned so the corpus aggregate runs once (§7.2 fan-out trap).
+      import org.apache.spark.sql.types.DecimalType
+      val rev = graft.api.Checkpoints.pin(
+        Tables.lineitem(s, d).groupBy("l_returnflag", "l_suppkey")
+          .agg(sum(col("l_extendedprice").cast(DecimalType(28, 2)))
+            .as("_rev")))
+      val tot = rev.groupBy("l_returnflag")
+        .agg(sum(col("_rev")).as("_tot"), count(lit(1)).as("n_suppliers"))
+      val share = col("_rev").cast("double") / col("_tot").cast("double")
+      rev.join(tot, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(max(col("n_suppliers")).as("n_suppliers"),
+          (sum(Canon.rk(share * share * 10000.0, 9)
+            .cast(DecimalType(28, 9))).cast("double")).as("_hhi"),
+          max(Canon.rk(share * 10000.0, 4)).as("top_share_bp"))
+        .select(col("l_returnflag"), col("n_suppliers"),
+          Canon.r4(col("_hhi")).as("hhi"), col("top_share_bp"))
+        .orderBy("l_returnflag")
+    }),
+    "agg_benford_test" -> ((s, d) => {
+      // data-forensics screen: first-significant-digit distribution of
+      // extended prices per return flag vs Benford's law. The digit
+      // comes from the INTEGER cents string (cast bigint → varchar is
+      // byte-identical in any engine), never from float log10 of the
+      // value — so the bucketing cannot drift cross-engine. Counts are
+      // exact bigints; observed shares are integer ppm (truncating
+      // div); expected ppm grid-rounds the nine log10(1+1/d) constants
+      // at 6 dp (≥1e-7 from every rounding boundary — safe for a
+      // 1-ulp libm). chi² terms stay per-cell (no cross-cell float
+      // sum). State ∝ |flags|×9 however many rows stream through.
+      val cents = expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")
+      val ev = Tables.lineitem(s, d)
+        .filter(col("l_extendedprice") > 0)
+        .select(col("l_returnflag"),
+          substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      val obs = graft.api.Checkpoints.pin(
+        ev.groupBy("l_returnflag", "digit").agg(count(lit(1)).as("n_obs")))
+      val tot = obs.groupBy("l_returnflag").agg(sum(col("n_obs")).as("_n"))
+      val expPpm = floor(log10(lit(1.0) + lit(1.0) / col("digit")) *
+        1000000.0 + 0.5).cast("long")
+      obs.join(tot, "l_returnflag")
+        .select(col("l_returnflag"), col("digit"), col("n_obs"),
+          expr("n_obs * 1000000 div _n").as("obs_ppm"),
+          expPpm.as("exp_ppm"))
+        .withColumn("chi2_term", Canon.rk(
+          (col("obs_ppm") - col("exp_ppm")) * (col("obs_ppm") - col("exp_ppm"))
+            / col("exp_ppm").cast("double"), 6))
+        .orderBy("l_returnflag", "digit")
     })
   )
 
@@ -1069,6 +1127,36 @@ object Aggregates {
         |  ${O.r4(O.sumDec("value", 2) + " / count(*)")} AS avg_val,
         |  CAST(min(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS min_val,
         |  CAST(max(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS max_val
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_hhi_concentration" ->
+      s"""WITH rev AS (SELECT l_returnflag, l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, sum(rev) AS tot,
+        |    count(*) AS n_suppliers FROM rev GROUP BY 1),
+        |s AS (SELECT rev.l_returnflag, n_suppliers,
+        |    CAST(rev AS DOUBLE) / CAST(tot AS DOUBLE) AS sh
+        |  FROM rev JOIN t USING (l_returnflag))
+        |SELECT l_returnflag, n_suppliers,
+        |  ${O.r4(s"CAST(sum(CAST(${O.rk("sh*sh*10000.0", 9)} AS DECIMAL(28,9))) AS DOUBLE)")} AS hhi,
+        |  max(${O.r4("sh*10000.0")}) AS top_share_bp
+        |FROM s GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "agg_benford_test" ->
+      s"""WITH ev AS (SELECT l_returnflag,
+        |    CAST(substr(CAST(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |obs AS (SELECT l_returnflag, digit, count(*) AS n_obs
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, CAST(sum(n_obs) AS BIGINT) AS n
+        |  FROM obs GROUP BY 1),
+        |j AS (SELECT obs.l_returnflag, digit, n_obs,
+        |    n_obs * 1000000 // n AS obs_ppm,
+        |    CAST(floor(log10(1 + 1.0/digit)*1000000 + 0.5) AS BIGINT)
+        |      AS exp_ppm
+        |  FROM obs JOIN t USING (l_returnflag))
+        |SELECT l_returnflag, digit, n_obs, obs_ppm, exp_ppm,
+        |  ${O.rk("((obs_ppm - exp_ppm)*(obs_ppm - exp_ppm)) / CAST(exp_ppm AS DOUBLE)", 6)} AS chi2_term
+        |FROM j ORDER BY l_returnflag, digit""".stripMargin
   )
 }

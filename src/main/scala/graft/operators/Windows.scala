@@ -395,6 +395,28 @@ object Windows {
       graft.api.TimeSeriesOps.markovTransitions(Tables.events(s, d),
           "user_id", "event_type", "ts", "event_id")
         .orderBy("prev_type", "next_type")
+    }),
+    "window_pattern_match" -> ((s, d) => {
+      // MATCH_RECOGNIZE-lite: detect strictly-increasing value runs of
+      // length 3 inside a 24-hour span per user — ONE user-keyed
+      // window (two lags ride the same sort), match state is 2 rows of
+      // lookback however long the user's history is, and the rollup is
+      // a tiny |event_type| aggregate. Strict double compares on raw
+      // parquet values are engine-exact; ts ties break on event_id
+      // (unique), so the lag alignment is deterministic.
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("_v1", lag(col("value"), 1).over(w))
+        .withColumn("_v2", lag(col("value"), 2).over(w))
+        .withColumn("_t2", lag(unix_micros(col("ts")), 2).over(w))
+        .filter(col("_v2") < col("_v1") && col("_v1") < col("value") &&
+          unix_micros(col("ts")) - col("_t2") <= 86400000000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_matches"),
+          countDistinct(col("user_id")).as("n_users"),
+          Canon.r4(max(col("value") - col("_v2"))).as("max_rise"))
+        .orderBy("event_type")
     })
   )
 
@@ -726,6 +748,20 @@ object Windows {
         |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
         |SELECT prev_type, next_type, n,
         |  ${O.r4("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
-        |FROM c ORDER BY prev_type, next_type""".stripMargin
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "window_pattern_match" ->
+      s"""WITH seq AS (SELECT event_type, user_id, value,
+        |    lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t0,
+        |    lag(epoch_us(CAST(ts AS TIMESTAMP)), 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id))
+        |SELECT event_type, count(*) AS n_matches,
+        |  count(DISTINCT user_id) AS n_users,
+        |  ${O.r4("max(value - v2)")} AS max_rise
+        |FROM seq
+        |WHERE v2 < v1 AND v1 < value AND t0 - t2 <= 86400000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
