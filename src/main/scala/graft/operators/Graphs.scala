@@ -105,6 +105,33 @@ object Graphs {
           Canon.rk(col("jaccard"), 6).as("jaccard"),
           col("adamic_adar"), col("adjacent"))
         .orderBy("a_name", "b_name")
+    }),
+    "graph_connected_components" -> ((s, d) => {
+      // trading blocs: connected components of the HIGH-traffic
+      // subgraph (edges ≥ 1.2× the thresholded graph's mean weight)
+      // over all 25 nations. Reuses the dedup CC engine — driver
+      // union-find below the edge budget, pointer-halving label
+      // propagation with per-round convergence proof above it — on a
+      // declared graph key; isolated nations label themselves
+      // (singleton blocs), so the output always covers every nation.
+      // The 25-row labeled frame fans into the size rollup AND the
+      // output join — pinned (§7.2 fan-out trap: unpinned, each
+      // consumer re-runs the whole CC + multiway edge join).
+      val e = tradeEdges(s, d)
+      val strong = e.join(broadcast(e.agg(avg(col("w")).as("_a"))))
+        .filter(col("w") >= col("_a") * 1.2)
+        .select(col("src").as("id1"), col("dst").as("id2"))
+      val labels = graft.api.Dedup.connectedComponents(strong)
+      val full = graft.api.Checkpoints.pin(
+        Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+          .join(labels.select(col("id"), col("label")),
+            col("n_nationkey") === col("id"), "left")
+          .select(col("n_name"),
+            coalesce(col("label"), col("n_nationkey")).as("component")))
+      val sizes = full.groupBy("component").agg(count(lit(1)).as("comp_size"))
+      full.join(broadcast(sizes), "component")
+        .select(col("n_name"), col("component"), col("comp_size"))
+        .orderBy("n_name")
     })
   )
 
@@ -257,6 +284,24 @@ object Graphs {
          |FROM nodes u
          |LEFT JOIN pern p ON u.node = p.node
          |JOIN nation n ON u.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin,
+    // the oracle computes TRUE converged components via a recursive
+    // transitive closure (min reachable node over the symmetrized
+    // strong-edge graph) — 25 nodes, so recursion is trivially bounded
+    "graph_connected_components" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |strong AS MATERIALIZED (SELECT src, dst FROM dedges
+         |  WHERE w >= (SELECT avg(w) FROM dedges) * 1.2),
+         |sym AS MATERIALIZED (SELECT src, dst FROM strong
+         |  UNION SELECT dst, src FROM strong),
+         |reach(node, r) AS (SELECT n_nationkey, n_nationkey FROM nation
+         |  UNION SELECT re.node, e.dst FROM reach re JOIN sym e ON e.src = re.r),
+         |comp AS MATERIALIZED (SELECT node, min(r) AS component
+         |  FROM reach GROUP BY 1),
+         |sz AS (SELECT component, count(*) AS comp_size FROM comp GROUP BY 1)
+         |SELECT n.n_name, c.component, s.comp_size
+         |FROM nation n JOIN comp c ON n.n_nationkey = c.node
+         |JOIN sz s USING (component)
          |ORDER BY n_name""".stripMargin
   )
 }

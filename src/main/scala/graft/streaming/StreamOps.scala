@@ -376,6 +376,48 @@ object StreamOps {
         .agg(count(lit(1)).as("n"))
         .select(Canon.tsStr(col("window.start")).as("win_start"), col("n"))
         .orderBy("win_start")
+    }),
+    "ts_periodogram" -> ((s, d) => {
+      // seasonality scan WITHOUT transcendentals: for each candidate
+      // period P, the fraction of hourly-count variance explained by
+      // the phase (hour mod P) grouping — the ANOVA / phase-dispersion
+      // periodogram. A Fourier periodogram needs cos/sin, whose 1-ulp
+      // libm spread across engines can flip grid-rounded terms; phase
+      // binning gets the same "is there energy at period P" answer
+      // from EXACT integer power sums (counts are ints): per-phase
+      // S_p, n_p and global S, Σx², n are bigint-exact, float enters
+      // only in S_p²/n_p (ints ≤2^53 — exact-rounded identically
+      // everywhere), each term grid-rounds to 6 dp decimal before the
+      // ≤168-term cross-phase sum. Scale shape: ONE gapfill, one
+      // explode×|periods| aggregate (map-side combined, state ∝
+      // Σ_P P ≈ 265 phase cells), one 1-row global aggregate.
+      import org.apache.spark.sql.types.DecimalType
+      val g = graft.api.TimeSeriesOps.resampleGapfill(
+        Tables.events(s, d).withColumn("_k", lit("all")), "ts", "_k", 3600)
+      val b0 = g.agg(min(col("bin")).as("_b0"))
+      // idx feeds the global moments AND the phase aggregate — pin
+      // (§7.2 fan-out trap)
+      val idx = graft.api.Checkpoints.pin(g.crossJoin(broadcast(b0))
+        .select(expr("(unix_micros(bin) - unix_micros(_b0)) div 3600000000")
+          .as("i"), col("n").as("y")))
+      val periods = Seq(2, 3, 4, 6, 8, 12, 24, 48, 168)
+      val glob = idx.agg(count(lit(1)).as("_n"), sum(col("y")).as("_s"),
+        sum(col("y") * col("y")).as("_q"))
+      val ph = idx
+        .select(explode(array(periods.map(lit(_)): _*)).as("period_h"),
+          col("i"), col("y"))
+        .groupBy(col("period_h"), (col("i") % col("period_h")).as("_phase"))
+        .agg(count(lit(1)).as("_np"), sum(col("y")).as("_sp"))
+      val sb = ph.groupBy("period_h").agg(count(lit(1)).as("n_phases"),
+        sum(Canon.rk((col("_sp") * col("_sp")).cast("double") / col("_np"), 6)
+          .cast(DecimalType(28, 6))).cast("double").as("_sb"))
+      val corr = (col("_s") * col("_s")).cast("double") / col("_n")
+      val sst = col("_q").cast("double") - corr
+      sb.crossJoin(broadcast(glob))
+        .select(col("period_h"), col("n_phases"),
+          when(sst =!= 0.0, Canon.rk((col("_sb") - corr) / sst, 6))
+            .otherwise(0.0).as("r2_seasonal"))
+        .orderBy("period_h")
     })
   )
 
@@ -622,6 +664,32 @@ object StreamOps {
         |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
         |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
         |  count(DISTINCT event_type) AS n_types
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ts_periodogram" ->
+      s"""WITH e AS (SELECT time_bucket(INTERVAL '1 hour',
+        |             CAST(ts AS TIMESTAMP)) AS bin FROM events),
+        |c AS (SELECT bin, count(*) AS n FROM e GROUP BY 1),
+        |r AS (SELECT min(bin) AS minb, max(bin) AS maxb FROM c),
+        |g AS (SELECT unnest(generate_series(minb, maxb,
+        |        INTERVAL '1 hour')) AS bin FROM r),
+        |x AS (SELECT (epoch_us(g.bin) - (SELECT epoch_us(minb) FROM r))
+        |        // 3600000000 AS i,
+        |        CAST(COALESCE(c.n, 0) AS BIGINT) AS y
+        |      FROM g LEFT JOIN c USING (bin)),
+        |p AS (SELECT unnest([2,3,4,6,8,12,24,48,168]) AS period_h),
+        |ph AS (SELECT period_h, i % period_h AS phase,
+        |        count(*) AS np, CAST(sum(y) AS BIGINT) AS sp
+        |       FROM x CROSS JOIN p GROUP BY 1, 2),
+        |gm AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS s,
+        |        CAST(sum(y*y) AS BIGINT) AS q FROM x),
+        |sb AS (SELECT period_h, count(*) AS n_phases,
+        |        CAST(sum(CAST(${O.rk("CAST(sp*sp AS DOUBLE) / np", 6)}
+        |          AS DECIMAL(28,6))) AS DOUBLE) AS sb
+        |       FROM ph GROUP BY 1)
+        |SELECT period_h, n_phases,
+        |  CASE WHEN (CAST(q AS DOUBLE) - CAST(s*s AS DOUBLE)/n) <> 0
+        |    THEN ${O.rk("(sb - CAST(s*s AS DOUBLE)/n) / (CAST(q AS DOUBLE) - CAST(s*s AS DOUBLE)/n)", 6)}
+        |    ELSE 0.0 END AS r2_seasonal
+        |FROM sb CROSS JOIN gm ORDER BY period_h""".stripMargin
   )
 }
