@@ -623,6 +623,41 @@ object MlOps {
         .select(col("vec_id"), a.getField("_1").as("cell"),
           a.getField("_2").as("dist2"))
         .orderBy("vec_id")
+    }),
+    "ml_knn_classify" -> ((s, d) => {
+      // k-NN classifier leave-one-out evaluation: every 20th vector is
+      // a query, its label predicted by majority vote over the 5
+      // nearest OTHER vectors (exact cosine, 4 dp grid + cid tie-break
+      // — the sim_knn_per_query determinism recipe); vote ties break
+      // to the smallest label (both engines spell the identical
+      // rank-1-of (votes DESC, label ASC) window). Output is the
+      // per-class accuracy table. Scale shape: the vote/accuracy
+      // rollups run on the bounded 5·|queries| neighbor stream; the
+      // sim scan itself is the cosineKnn kernel (broadcast queries ×
+      // corpus — swap in the IVF index for the 100 TB path, as
+      // sim_knn_ivf does for the same kernel).
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val knn = graft.api.Similarity.cosineKnn(e, "vec_id", "embedding",
+        queryPred = expr("vec_id % 20 = 0"), k = 5, simRound = Some(4))
+      val lab = e.select(col("vec_id").as("cid"), col("label").as("_nl"))
+      val votes = knn.join(lab, "cid")
+        .groupBy("qid", "_nl").agg(count(lit(1)).as("_v"))
+      val w = Window.partitionBy("qid")
+        .orderBy(col("_v").desc, col("_nl").asc)
+      val pred = votes.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("qid"), col("_nl").as("pred_label"))
+      val truth = e.filter(expr("vec_id % 20 = 0"))
+        .select(col("vec_id").as("qid"), col("label").as("true_label"))
+      truth.join(pred, "qid")
+        .groupBy("true_label")
+        .agg(count(lit(1)).as("n_queries"),
+          sum((col("pred_label") === col("true_label")).cast("long"))
+            .as("n_correct"))
+        .withColumn("accuracy", Canon.r4(
+          col("n_correct").cast("double") / col("n_queries")))
+        .orderBy("true_label")
     })
   )
 
@@ -863,6 +898,28 @@ object MlOps {
         |  ${O.r4("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")} AS norm,
         |  ${O.r4("sqrt(list_dot_product(CAST(embedding[1:8] AS DOUBLE[]), CAST(embedding[1:8] AS DOUBLE[])))")} AS norm8,
         |  ${O.r4("CAST(embedding[1] AS DOUBLE)")} AS f0
-        |FROM embeddings ORDER BY vec_id""".stripMargin
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "ml_knn_classify" -> {
+      val cosine = "list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))" +
+        " / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))" +
+        " * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))"
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS true_label
+        |      FROM embeddings WHERE vec_id % 20 = 0),
+        |j AS (SELECT q.qid, c.vec_id AS cid, c.label AS nl,
+        |        ${O.r4(cosine)} AS sim
+        |      FROM q JOIN embeddings c ON q.qid <> c.vec_id),
+        |r AS (SELECT qid, nl, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |      FROM j),
+        |v AS (SELECT qid, nl, count(*) AS v FROM r WHERE rn <= 5 GROUP BY 1, 2),
+        |p AS (SELECT qid, nl AS pred_label FROM (
+        |        SELECT qid, nl, row_number() OVER (PARTITION BY qid
+        |          ORDER BY v DESC, nl) AS vr FROM v) WHERE vr = 1)
+        |SELECT true_label, count(*) AS n_queries,
+        |  CAST(sum(CAST(pred_label = true_label AS INT)) AS BIGINT) AS n_correct,
+        |  ${O.r4("CAST(sum(CAST(pred_label = true_label AS INT)) AS DOUBLE) / count(*)")} AS accuracy
+        |FROM q JOIN p USING (qid)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -362,6 +362,36 @@ object Scans {
                  else s.read.parquet(s"$d/$n.parquet")
         df.agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n"))
       }.reduce(_ unionByName _).orderBy("tbl")
+    }),
+    "data_kanonymity_report" -> ((s, d) => {
+      // privacy audit the release gate reads before publishing a
+      // derived table: k-anonymity of the (nation, segment,
+      // acctbal-1000-band) quasi-identifier — for each candidate k,
+      // how many identifier groups are smaller than k and what
+      // fraction of ROWS sits in them (re-identification exposure).
+      // One map-side-combined group-size aggregate over the corpus;
+      // the k-sweep explodes the tiny |groups| frame (never rows),
+      // shares stay integer ppm (truncating div). Group sizes fan
+      // into the total AND the sweep — pinned (§7.2 fan-out trap).
+      val g = graft.api.Checkpoints.pin(
+        Tables.customer(s, d).groupBy(col("c_nationkey"),
+            col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 1000) AS INT)").as("_band"))
+          .agg(count(lit(1)).as("_sz")))
+      val tot = g.agg(sum(col("_sz")).as("_n"), count(lit(1)).as("_g"))
+      g.crossJoin(broadcast(tot))
+        .select(explode(array(Seq(2, 5, 20).map(lit(_)): _*)).as("k"),
+          col("_sz"), col("_n"), col("_g"))
+        .groupBy("k")
+        .agg(max(col("_g")).as("n_groups"),
+          sum(when(col("_sz") < col("k"), 1L).otherwise(0L))
+            .as("n_small_groups"),
+          sum(when(col("_sz") < col("k"), col("_sz")).otherwise(0L))
+            .as("rows_at_risk"),
+          max(col("_n")).as("_nn"))
+        .withColumn("risk_ppm", expr("rows_at_risk * 1000000 div _nn"))
+        .drop("_nn")
+        .orderBy("k")
     })
   )
 
@@ -546,6 +576,23 @@ object Scans {
         |UNION ALL SELECT 'events', count(*) FROM events
         |UNION ALL SELECT 'documents', count(*) FROM documents
         |UNION ALL SELECT 'embeddings', count(*) FROM embeddings
-        |ORDER BY tbl""".stripMargin
+        |ORDER BY tbl""".stripMargin,
+    "data_kanonymity_report" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS INT) AS band, count(*) AS sz
+        |  FROM customer GROUP BY 1, 2, 3),
+        |t AS (SELECT CAST(sum(sz) AS BIGINT) AS n, count(*) AS gn FROM g),
+        |x AS (SELECT k, sz, n, gn
+        |  FROM g CROSS JOIN t CROSS JOIN (SELECT unnest([2,5,20]) AS k)),
+        |a AS (SELECT k, max(gn) AS n_groups,
+        |    CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_small_groups,
+        |    CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+        |      AS rows_at_risk,
+        |    max(n) AS nn
+        |  FROM x GROUP BY 1)
+        |SELECT k, n_groups, n_small_groups, rows_at_risk,
+        |  rows_at_risk * 1000000 // nn AS risk_ppm
+        |FROM a ORDER BY k""".stripMargin
   )
 }
