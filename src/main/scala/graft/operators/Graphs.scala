@@ -132,6 +132,37 @@ object Graphs {
       full.join(broadcast(sizes), "component")
         .select(col("n_name"), col("component"), col("comp_size"))
         .orderBy("n_name")
+    }),
+    "graph_assortativity" -> ((s, d) => {
+      // degree assortativity: Pearson correlation between endpoint
+      // degrees over the symmetrized trade edges — do high-traffic
+      // hubs trade with hubs (assortative, r>0) or with the periphery
+      // (disassortative, r<0)? Every moment (Σx, Σx², Σxy, n) is an
+      // EXACT bigint sum over the edge list; float enters once in the
+      // closed form (degrees ≤ 25 nodes' worth — products nowhere
+      // near 2^53). sym fans into the degree aggregate AND the edge
+      // join — pinned (§7.2 fan-out trap).
+      val e = tradeEdges(s, d)
+      val sym = graft.api.Checkpoints.pin(
+        e.select(col("src").as("a"), col("dst").as("b"))
+          .union(e.select(col("dst").as("a"), col("src").as("b"))))
+      val deg = sym.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val xy = sym
+        .join(broadcast(deg.select(col("node").as("a"), col("deg").as("_x"))), "a")
+        .join(broadcast(deg.select(col("node").as("b"), col("deg").as("_y"))), "b")
+      val m = xy.agg(count(lit(1)).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_x") * col("_x")).as("_qx"),
+        sum(col("_x") * col("_y")).as("_sxy"))
+      // symmetrized edges make the x and y marginals identical, so
+      // Σy/Σy² reuse Σx/Σx² — one aggregate, half the sums
+      val num = col("_n").cast("double") * col("_sxy") -
+        (col("_sx") * col("_sx")).cast("double")
+      val den = col("_n").cast("double") * col("_qx") -
+        (col("_sx") * col("_sx")).cast("double")
+      m.select(expr("_n div 2").as("n_edges"),
+          when(den =!= 0.0, Canon.rk(num / den, 6))
+            .otherwise(0.0).as("assortativity"))
     })
   )
 
@@ -302,6 +333,23 @@ object Graphs {
          |SELECT n.n_name, c.component, s.comp_size
          |FROM nation n JOIN comp c ON n.n_nationkey = c.node
          |JOIN sz s USING (component)
-         |ORDER BY n_name""".stripMargin
+         |ORDER BY n_name""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH $edgesCte,
+         |sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM dedges
+         |  UNION ALL SELECT dst, src FROM dedges),
+         |deg AS MATERIALIZED (SELECT a AS node, count(*) AS deg
+         |  FROM sym GROUP BY 1),
+         |xy AS (SELECT dx.deg AS x, dy.deg AS y FROM sym
+         |  JOIN deg dx ON sym.a = dx.node
+         |  JOIN deg dy ON sym.b = dy.node),
+         |m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x*x) AS BIGINT) AS qx,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy FROM xy)
+         |SELECT n // 2 AS n_edges,
+         |  CASE WHEN (CAST(n AS DOUBLE) * qx - CAST(sx*sx AS DOUBLE)) <> 0
+         |    THEN ${Canon.sql.rk("(CAST(n AS DOUBLE) * sxy - CAST(sx*sx AS DOUBLE)) / (CAST(n AS DOUBLE) * qx - CAST(sx*sx AS DOUBLE))", 6)}
+         |    ELSE 0.0 END AS assortativity
+         |FROM m""".stripMargin
   )
 }

@@ -392,6 +392,45 @@ object Scans {
         .withColumn("risk_ppm", expr("rows_at_risk * 1000000 div _nn"))
         .drop("_nn")
         .orderBy("k")
+    }),
+    "data_referential_integrity" -> ((s, d) => {
+      // cross-table FK audit: orphaned fact rows per declared foreign
+      // key, against the CURATED dimension snapshot (acctbal ≥ 0 —
+      // the partial-dimension-load failure every warehouse eventually
+      // ships) plus one full-parent control edge. ONE pass per FK: a
+      // left join against the distinct parent keys feeding a single
+      // conditional aggregate — dimension-sized parents broadcast
+      // (events/orders audits), the fact-to-fact edge (lineitem →
+      // orders) shuffles and is AQE's call; at 100 TB swap the giant
+      // parents behind SkewJoins.bloomSemiJoin (same counts, no full
+      // parent shuffle). Orphan shares are integer ppm.
+      def audit(nm: String, child: org.apache.spark.sql.DataFrame,
+          key: String, parent: org.apache.spark.sql.DataFrame,
+          pkey: String, bcast: Boolean) = {
+        val pk0 = parent.select(col(pkey).cast("long").as("_pk")).distinct()
+        val pk = if (bcast) broadcast(pk0) else pk0
+        child.select(col(key).cast("long").as("_k"))
+          .join(pk, col("_k") === col("_pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("_pk").isNull, 1L).otherwise(0L)).as("n_orphans"),
+            countDistinct(when(col("_pk").isNull, col("_k")))
+              .as("n_orphan_keys"))
+          .select(lit(nm).as("fk"), col("n_child"), col("n_orphans"),
+            col("n_orphan_keys"),
+            expr("n_orphans * 1000000 div n_child").as("orphan_ppm"))
+      }
+      val custSnap = Tables.customer(s, d).filter(col("c_acctbal") >= 0)
+      val suppSnap = Tables.supplier(s, d).filter(col("s_acctbal") >= 0)
+      Seq(
+        audit("orders.custkey->customer_snap", Tables.orders(s, d),
+          "o_custkey", custSnap, "c_custkey", bcast = true),
+        audit("events.user->customer_snap", Tables.events(s, d),
+          "user_id", custSnap, "c_custkey", bcast = true),
+        audit("lineitem.suppkey->supplier_snap", Tables.lineitem(s, d),
+          "l_suppkey", suppSnap, "s_suppkey", bcast = true),
+        audit("lineitem.orderkey->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey", bcast = false)
+      ).reduce(_ unionByName _).orderBy("fk")
     })
   )
 
@@ -593,6 +632,30 @@ object Scans {
         |  FROM x GROUP BY 1)
         |SELECT k, n_groups, n_small_groups, rows_at_risk,
         |  rows_at_risk * 1000000 // nn AS risk_ppm
-        |FROM a ORDER BY k""".stripMargin
+        |FROM a ORDER BY k""".stripMargin,
+    "data_referential_integrity" -> {
+      def one(nm: String, childTbl: String, key: String,
+          parentSql: String) =
+        s"""SELECT '$nm' AS fk, count(*) AS n_child,
+           |  CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphans,
+           |  count(DISTINCT CASE WHEN p._pk IS NULL THEN c._k END)
+           |    AS n_orphan_keys,
+           |  CAST(sum(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // count(*) AS orphan_ppm
+           |FROM (SELECT CAST($key AS BIGINT) AS _k FROM $childTbl) c
+           |LEFT JOIN (SELECT DISTINCT $parentSql) p
+           |  ON c._k = p._pk""".stripMargin
+      Seq(
+        one("orders.custkey->customer_snap", "orders", "o_custkey",
+          "CAST(c_custkey AS BIGINT) AS _pk FROM customer WHERE c_acctbal >= 0"),
+        one("events.user->customer_snap", "events", "user_id",
+          "CAST(c_custkey AS BIGINT) AS _pk FROM customer WHERE c_acctbal >= 0"),
+        one("lineitem.suppkey->supplier_snap", "lineitem", "l_suppkey",
+          "CAST(s_suppkey AS BIGINT) AS _pk FROM supplier WHERE s_acctbal >= 0"),
+        one("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "CAST(o_orderkey AS BIGINT) AS _pk FROM orders")
+      ).mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+    }
   )
 }
