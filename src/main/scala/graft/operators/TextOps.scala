@@ -800,6 +800,42 @@ object TextOps {
       Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", 0.8)
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
+    }),
+    "text_char_entropy" -> ((s, d) => {
+      // gibberish / compression screen: per-document CHARACTER Shannon
+      // entropy (nats), rolled up per source — near-zero entropy flags
+      // repeated-char spam, abnormally high flags base64/binary blobs;
+      // the quality-filter axis length/punct ratios can't see. Chars
+      // come from an index explode (substr(text,i,1) — byte-identical
+      // in both engines, no regex-split edge cases); per-(doc, char)
+      // cells are exact bigint counts, each −p·ln(p) term grid-rounds
+      // to 6 dp decimal before the per-doc sum (≤ alphabet-size
+      // terms), and the source rollup sums the 6 dp per-doc entropies
+      // exactly. State ∝ docs × alphabet, never total chars.
+      import org.apache.spark.sql.types.DecimalType
+      val d6 = DecimalType(28, 6)
+      val cells = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
+            .as("_ch"))
+        .groupBy("doc_id", "source", "_ch").agg(count(lit(1)).as("_c"))
+      // per-doc length rides a window over the SAME tiny cell frame —
+      // no second corpus pass, no fan-out
+      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val perDoc = cells.withColumn("_len", sum(col("_c")).over(wDoc))
+      val p = col("_c").cast("double") / col("_len").cast("double")
+      val h = perDoc.groupBy("doc_id", "source")
+        .agg(sum(Canon.rk(-p * log(p), 6).cast(d6)).as("_h"))
+      h.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          Canon.r4(sum(col("_h")).cast("double") / count(lit(1)))
+            .as("avg_entropy"),
+          Canon.r4(min(col("_h")).cast("double")).as("min_entropy"),
+          Canon.r4(max(col("_h")).cast("double")).as("max_entropy"),
+          sum(when(col("_h") < 2.0, 1L).otherwise(0L)).as("n_low_entropy"))
+        .orderBy("source")
     })
   )
 
@@ -1429,6 +1465,27 @@ object TextOps {
         |                           ORDER BY quality DESC, doc_id) AS rn
         |      FROM j)
         |SELECT cluster, doc_id AS keep_id, quality FROM r
-        |WHERE rn <= 1 ORDER BY cluster""".stripMargin
+        |WHERE rn <= 1 ORDER BY cluster""".stripMargin,
+    "text_char_entropy" -> {
+      val p = "CAST(c AS DOUBLE) / CAST(len AS DOUBLE)"
+      s"""WITH pos AS (SELECT doc_id, source, text,
+        |    unnest(generate_series(1, length(text))) AS i
+        |  FROM documents WHERE length(text) > 0),
+        |cells AS (SELECT doc_id, source, substr(text, i, 1) AS ch,
+        |    count(*) AS c FROM pos GROUP BY 1, 2, 3),
+        |lens AS (SELECT doc_id, source, c,
+        |    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS len
+        |  FROM cells),
+        |h AS (SELECT doc_id, source,
+        |    sum(CAST(${O.rk(s"(-($p)) * ln($p)", 6)} AS DECIMAL(28,6))) AS h
+        |  FROM lens GROUP BY 1, 2)
+        |SELECT source, count(*) AS n_docs,
+        |  ${O.r4("CAST(sum(h) AS DOUBLE) / count(*)")} AS avg_entropy,
+        |  ${O.r4("CAST(min(h) AS DOUBLE)")} AS min_entropy,
+        |  ${O.r4("CAST(max(h) AS DOUBLE)")} AS max_entropy,
+        |  CAST(sum(CASE WHEN h < 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_low_entropy
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

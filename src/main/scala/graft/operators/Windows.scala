@@ -396,6 +396,33 @@ object Windows {
           "user_id", "event_type", "ts", "event_id")
         .orderBy("prev_type", "next_type")
     }),
+    "events_disorder_audit" -> ((s, d) => {
+      // out-of-order-arrival audit — the measurement that picks a
+      // streaming watermark: with event_id as the arrival sequence,
+      // how far behind the running event-time high-water mark do rows
+      // arrive? Per type: late count beyond 1 h, integer-ppm late
+      // share, max and mean disorder. ONE arrival-ordered window pass
+      // (running max over rows 1-preceding), then a tiny per-type
+      // aggregate; disorder sums are exact bigint µs.
+      val w = Window.partitionBy("event_type").orderBy(col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val us = unix_micros(col("ts"))
+      Tables.events(s, d)
+        .withColumn("_hwm", max(us).over(w))
+        .withColumn("_dis", greatest(col("_hwm") - us, lit(0L)))
+        .withColumn("_dis", coalesce(col("_dis"), lit(0L)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_dis") > 3600000000L, 1L).otherwise(0L))
+            .as("n_late_1h"),
+          max(col("_dis")).as("max_disorder_us"),
+          sum(col("_dis")).as("_sd"))
+        .select(col("event_type"), col("n"), col("n_late_1h"),
+          expr("n_late_1h * 1000000 div n").as("late_ppm"),
+          col("max_disorder_us"),
+          Canon.r4(col("_sd").cast("double") / col("n")).as("avg_disorder_us"))
+        .orderBy("event_type")
+    }),
     "window_pattern_match" -> ((s, d) => {
       // MATCH_RECOGNIZE-lite: detect strictly-increasing value runs of
       // length 3 inside a 24-hour span per user — ONE user-keyed
@@ -749,6 +776,26 @@ object Windows {
         |SELECT prev_type, next_type, n,
         |  ${O.r4("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "events_disorder_audit" ->
+      s"""WITH seq AS (SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |x AS (SELECT event_type,
+        |    COALESCE(greatest(hwm - us, 0), 0) AS dis FROM seq),
+        |a AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN dis > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_late_1h,
+        |    max(dis) AS max_disorder_us,
+        |    CAST(sum(dis) AS BIGINT) AS sd
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n, n_late_1h,
+        |  n_late_1h * 1000000 // n AS late_ppm,
+        |  max_disorder_us,
+        |  ${O.r4("CAST(sd AS DOUBLE) / n")} AS avg_disorder_us
+        |FROM a ORDER BY event_type""".stripMargin,
     "window_pattern_match" ->
       s"""WITH seq AS (SELECT event_type, user_id, value,
         |    lag(value, 1) OVER w AS v1, lag(value, 2) OVER w AS v2,

@@ -377,6 +377,31 @@ object StreamOps {
         .select(Canon.tsStr(col("window.start")).as("win_start"), col("n"))
         .orderBy("win_start")
     }),
+    "ts_holt_trend" -> ((s, d) => {
+      // Brown's double exponential smoothing — trend-aware forecasting
+      // one composition up from ts_ewma_smooth: s₁ = EWMA(y),
+      // s₂ = EWMA(s₁), level = 2s₁−s₂, trend = (α/(1−α))(s₁−s₂),
+      // one-step forecast = level + trend (α = 0.3 from the 7/10
+      // decay). BOTH passes are the truncated integer-weight EWMA
+      // (exact decimal sums, float only at each pass's division); s₁
+      // grid-rounds to 6 dp between passes so the second pass's
+      // decimal cast is exact in both engines. Two window passes over
+      // the dense grid — state ∝ window, shuffles ∝ |types|.
+      val g = graft.api.TimeSeriesOps.resampleGapfill(
+        Tables.events(s, d), "ts", "event_type", 300)
+      val s1 = graft.api.TimeSeriesOps.ewmaSmooth(g, "event_type", "bin", "n", 300)
+        .select(col("event_type"), col("bin"),
+          Canon.rk(col("ewma"), 6).as("_s1"))
+      val s2 = graft.api.TimeSeriesOps.ewmaSmooth(
+        s1, "event_type", "bin", "_s1", 300, valueScale = 6)
+      val level = lit(2.0) * col("_s1") - col("ewma")
+      val trend = ((col("_s1") - col("ewma")) * 3.0) / 7.0
+      s2.select(col("event_type"), Canon.tsStr(col("bin")).as("win_start"),
+          Canon.r4(col("_s1")).as("s1"), Canon.r4(col("ewma")).as("s2"),
+          Canon.r4(level).as("level"), Canon.rk(trend, 6).as("trend"),
+          Canon.r4(level + trend).as("forecast_next"))
+        .orderBy("event_type", "win_start")
+    }),
     "ts_periodogram" -> ((s, d) => {
       // seasonality scan WITHOUT transcendentals: for each candidate
       // period P, the fraction of hourly-count variance explained by
@@ -665,6 +690,51 @@ object StreamOps {
         |  strftime(max(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
         |  count(DISTINCT event_type) AS n_types
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ts_holt_trend" -> {
+      val wCase = """CASE a.i - b.i
+        |          WHEN 0 THEN 100000000000 WHEN 1 THEN 70000000000
+        |          WHEN 2 THEN 49000000000 WHEN 3 THEN 34300000000
+        |          WHEN 4 THEN 24010000000 WHEN 5 THEN 16807000000
+        |          WHEN 6 THEN 11764900000 WHEN 7 THEN 8235430000
+        |          WHEN 8 THEN 5764801000 WHEN 9 THEN 4035360700
+        |          WHEN 10 THEN 2824752490 WHEN 11 THEN 1977326743
+        |        END""".stripMargin
+      val s1div = "CAST(sum(CAST(w AS DECIMAL(20,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE)" +
+        " / CAST(sum(CAST(w AS DECIMAL(20,0))) AS DOUBLE)"
+      val s2div = "CAST(sum(CAST(w AS DECIMAL(12,0)) * CAST(x AS DECIMAL(12,6))) AS DOUBLE)" +
+        " / CAST(sum(CAST(w AS DECIMAL(12,0))) AS DOUBLE)"
+      s"""WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',
+        |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(bin) AS minb, max(bin) AS maxb FROM c),
+        |g AS (SELECT t.event_type, gs.bin
+        |      FROM (SELECT DISTINCT event_type FROM events) t
+        |      CROSS JOIN (SELECT unnest(generate_series(minb, maxb,
+        |                    INTERVAL '5 minutes')) AS bin FROM r) gs),
+        |f AS (SELECT g.event_type, g.bin,
+        |        CAST(epoch(g.bin) // 300 AS BIGINT) AS i,
+        |        COALESCE(c.n, 0) AS x
+        |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin),
+        |j1 AS (SELECT a.event_type, a.bin, a.i, b.x, $wCase AS w
+        |      FROM f a JOIN f b ON a.event_type = b.event_type
+        |        AND b.i <= a.i AND b.i > a.i - 12),
+        |s1t AS (SELECT event_type, bin, i,
+        |        ${O.rk(s1div, 6)} AS x
+        |      FROM j1 GROUP BY event_type, bin, i),
+        |j2 AS (SELECT a.event_type, a.bin, a.i - b.i AS k, b.x, $wCase AS w
+        |      FROM s1t a JOIN s1t b ON a.event_type = b.event_type
+        |        AND b.i <= a.i AND b.i > a.i - 12),
+        |s2t AS (SELECT event_type, bin,
+        |        max(CASE WHEN k = 0 THEN x END) AS s1,
+        |        $s2div AS s2
+        |      FROM j2 GROUP BY event_type, bin)
+        |SELECT event_type, strftime(bin, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  ${O.r4("s1")} AS s1, ${O.r4("s2")} AS s2,
+        |  ${O.r4("2.0*s1 - s2")} AS level,
+        |  ${O.rk("((s1 - s2) * 3.0) / 7.0", 6)} AS trend,
+        |  ${O.r4("(2.0*s1 - s2) + ((s1 - s2) * 3.0) / 7.0")} AS forecast_next
+        |FROM s2t ORDER BY event_type, win_start""".stripMargin
+    },
     "ts_periodogram" ->
       s"""WITH e AS (SELECT time_bucket(INTERVAL '1 hour',
         |             CAST(ts AS TIMESTAMP)) AS bin FROM events),
