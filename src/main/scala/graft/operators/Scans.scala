@@ -431,6 +431,49 @@ object Scans {
         audit("lineitem.orderkey->orders", Tables.lineitem(s, d),
           "l_orderkey", Tables.orders(s, d), "o_orderkey", bcast = false)
       ).reduce(_ unionByName _).orderBy("fk")
+    }),
+    "scan_csv_malformed_audit" -> ((s, d) => {
+      // dirty-ingest robustness: orders serialized to CSV with every
+      // (orderkey % 97 == 0)th row DELIBERATELY malformed (non-numeric
+      // price), read back under PERMISSIVE mode with a corrupt-record
+      // column — the badRecordsPath workflow every production CSV
+      // ingest needs. The oracle aggregates the clean PARQUET under
+      // the same modulus, so the hash match proves the permissive
+      // parser isolated EXACTLY the malformed rows (no good row
+      // dropped, no bad row leaked into the aggregate). Prices ride a
+      // DECIMAL(18,2) string form — no float-to-text ambiguity.
+      import org.apache.spark.sql.types._
+      val dir = graft.sources.Writers.roundTripDir("graft_badcsv_orders", d)
+      val key = col("o_orderkey")
+      val priceStr = col("o_totalprice").cast(DecimalType(18, 2)).cast("string")
+      Tables.orders(s, d)
+        .select(when(key % 97 === 0,
+            concat_ws(",", key, col("o_orderstatus"), lit("XX")))
+          .otherwise(concat_ws(",", key, col("o_orderstatus"), priceStr))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("_corrupt", StringType)))
+      // pin the PARSED frame: it fans into the good and corrupt
+      // branches (§7.2), and Spark disallows corrupt-column-only
+      // queries on a raw CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+      // — materializing the parse is the documented remedy
+      val back = graft.api.Checkpoints.pin(s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir))
+      val good = back.filter(col("_corrupt").isNull)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          Canon.sumDec(col("o_totalprice"), 2).as("sum_total"))
+      val bad = back.filter(col("_corrupt").isNotNull)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("_corrupt").as("o_orderstatus"), col("n"),
+          lit(0.0).as("sum_total"))
+      good.unionByName(bad).orderBy("o_orderstatus")
     })
   )
 
@@ -656,6 +699,15 @@ object Scans {
         one("lineitem.orderkey->orders", "lineitem", "l_orderkey",
           "CAST(o_orderkey AS BIGINT) AS _pk FROM orders")
       ).mkString("", "\nUNION ALL\n", "\nORDER BY fk")
-    }
+    },
+    "scan_csv_malformed_audit" ->
+      s"""WITH src AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS tp FROM orders)
+        |SELECT st AS o_orderstatus, count(*) AS n,
+        |  CAST(sum(tp) AS DOUBLE) AS sum_total
+        |FROM src WHERE k % 97 <> 0 GROUP BY 1
+        |UNION ALL
+        |SELECT '_corrupt', count(*), 0.0 FROM src WHERE k % 97 = 0
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }
