@@ -624,6 +624,30 @@ object MlOps {
           a.getField("_2").as("dist2"))
         .orderBy("vec_id")
     }),
+    "ml_ab_test_srm" -> ((s, d) => {
+      // sample-ratio-mismatch guard — the FIRST check any A/B readout
+      // runs: users deterministically split 50/50 by id-hash (md5
+      // first hex < '8', the repo's engine-portable assignment), then
+      // per surface (event_type) the exposed-user counts per arm and
+      // the 1-df chi² = (n_a−n_b)²/n against the even split. A
+      // triggered flag (chi² > 3.84, p<.05) means the experiment's
+      // exposure logging is broken and every downstream metric is
+      // suspect. Counts are exact distinct-user bigints; float enters
+      // once in chi². One distinct + one tiny aggregate.
+      val arm = substring(md5(col("user_id").cast("string").cast("binary")),
+        1, 1) < "8"
+      val u = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"), arm.as("_a")).distinct()
+      val counts = u.groupBy("event_type")
+        .agg(sum(when(col("_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("_a"), 1L).otherwise(0L)).as("n_b"))
+      val diff = (col("n_a") - col("n_b")).cast("double")
+      val chi2 = diff * diff / (col("n_a") + col("n_b")).cast("double")
+      counts.select(col("event_type"), col("n_a"), col("n_b"),
+          Canon.rk(chi2, 6).as("chi2"),
+          when(chi2 > 3.841, 1L).otherwise(0L).as("srm_flag"))
+        .orderBy("event_type")
+    }),
     "ml_knn_classify" -> ((s, d) => {
       // k-NN classifier leave-one-out evaluation: every 20th vector is
       // a query, its label predicted by majority vote over the 5
@@ -899,6 +923,20 @@ object MlOps {
         |  ${O.r4("sqrt(list_dot_product(CAST(embedding[1:8] AS DOUBLE[]), CAST(embedding[1:8] AS DOUBLE[])))")} AS norm8,
         |  ${O.r4("CAST(embedding[1] AS DOUBLE)")} AS f0
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "ml_ab_test_srm" ->
+      s"""WITH u AS (SELECT DISTINCT event_type, user_id,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS a
+        |  FROM events),
+        |c AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  ${O.rk("CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)", 6)} AS chi2,
+        |  CASE WHEN CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE)
+        |         / CAST(n_a + n_b AS DOUBLE) > 3.841
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS srm_flag
+        |FROM c ORDER BY event_type""".stripMargin,
     "ml_knn_classify" -> {
       val cosine = "list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))" +
         " / (sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[])))" +

@@ -801,6 +801,51 @@ object TextOps {
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     }),
+    "data_pii_scan_report" -> ((s, d) => {
+      // PII inventory — the governance scan that tells a curation team
+      // WHERE exposure lives before any redaction runs (the redact
+      // twin text_pii_redact then scrubs it). The fixture carries no
+      // PII, so deterministic spans are planted in doc_id-derived
+      // SUBSETS (every 7th doc an email, 3rd a phone, 5th an IPv4,
+      // 11th a 12-digit account — mirrored exactly in the oracle) so
+      // hit RATES are non-trivial per source. One regexp_count pass
+      // per pattern (the same proven-parity regexes as the redact
+      // key), one per-source aggregate; integer ppm exposure shares.
+      import graft.api.TextAnalysis.{PiiEmail, PiiPhone, PiiIpv4, PiiIdRun}
+      val id = col("doc_id")
+      val planted = Tables.documents(s, d).select(id, col("source"), concat(
+        col("text"),
+        when(id % 7 === 0, concat(lit(" reach u"), id.cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+        when(id % 3 === 0, concat(lit(" ph 415-555-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" ip 10.0."),
+          (id % 256).cast("string"), lit("."),
+          (id % 100).cast("string"))).otherwise(lit("")),
+        when(id % 11 === 0, concat(lit(" acct "),
+          lpad(id.cast("string"), 12, "0"))).otherwise(lit(""))
+      ).as("text"))
+      val hits = planted.select(col("source"),
+        regexp_count(col("text"), lit(PiiEmail)).cast("long").as("_e"),
+        regexp_count(col("text"), lit(PiiPhone)).cast("long").as("_p"),
+        regexp_count(col("text"), lit(PiiIpv4)).cast("long").as("_i"),
+        regexp_count(col("text"), lit(PiiIdRun)).cast("long").as("_a"))
+      hits.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_e") > 0, 1L).otherwise(0L)).as("n_email_docs"),
+          sum(when(col("_p") > 0, 1L).otherwise(0L)).as("n_phone_docs"),
+          sum(when(col("_i") > 0, 1L).otherwise(0L)).as("n_ip_docs"),
+          sum(when(col("_a") > 0, 1L).otherwise(0L)).as("n_id_docs"),
+          sum(col("_e") + col("_p") + col("_i") + col("_a"))
+            .as("n_hits_total"),
+          sum(when(col("_e") + col("_p") + col("_i") + col("_a") > 0, 1L)
+            .otherwise(0L)).as("_any"))
+        .select(col("source"), col("n_docs"), col("n_email_docs"),
+          col("n_phone_docs"), col("n_ip_docs"), col("n_id_docs"),
+          col("n_hits_total"),
+          expr("_any * 1000000 div n_docs").as("any_pii_ppm"))
+        .orderBy("source")
+    }),
     "text_char_entropy" -> ((s, d) => {
       // gibberish / compression screen: per-document CHARACTER Shannon
       // entropy (nats), rolled up per source — near-zero entropy flags
@@ -1466,6 +1511,36 @@ object TextOps {
         |      FROM j)
         |SELECT cluster, doc_id AS keep_id, quality FROM r
         |WHERE rn <= 1 ORDER BY cluster""".stripMargin,
+    "data_pii_scan_report" ->
+      """WITH planted AS (SELECT doc_id, source, text
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' reach u'
+        |       || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' ph 415-555-'
+        |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.0.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |       || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' acct '
+        |       || lpad(CAST(doc_id AS VARCHAR), 12, '0') ELSE '' END AS text
+        |FROM documents),
+        |h AS (SELECT source,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS e,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS p,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS i,
+        |  CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS a
+        |FROM planted)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+        |  CAST(sum(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+        |  CAST(sum(CASE WHEN i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ip_docs,
+        |  CAST(sum(CASE WHEN a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_id_docs,
+        |  CAST(sum(e + p + i + a) AS BIGINT) AS n_hits_total,
+        |  CAST(sum(CASE WHEN e + p + i + a > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS any_pii_ppm
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_char_entropy" -> {
       val p = "CAST(c AS DOUBLE) / CAST(len AS DOUBLE)"
       s"""WITH pos AS (SELECT doc_id, source, text,
