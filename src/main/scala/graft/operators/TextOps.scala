@@ -801,6 +801,37 @@ object TextOps {
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")
     }),
+    "text_vocab_coverage" -> ((s, d) => {
+      // tokenizer-budget curve: what fraction of corpus token MASS do
+      // the top-N vocabulary entries cover (N ∈ {1,3,10,30})? The
+      // measurement behind vocab-size choices — on a Zipfian corpus
+      // the curve saturates fast, and the N where it flattens IS the
+      // budget. One corpus token aggregate (map-side combined, state ∝
+      // vocab), one rank window over the TINY vocab frame
+      // (deterministic ties: count DESC, token ASC), one explode×N
+      // rollup; shares integer ppm. vocab fans into total + sweep —
+      // pinned (§7.2).
+      val vocab = graft.api.Checkpoints.pin(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("token").agg(count(lit(1)).as("_c")))
+      val tot = vocab.agg(sum(col("_c")).as("_t"),
+        count(lit(1)).as("n_vocab"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("_c").desc, col("token").asc)
+      vocab.withColumn("_r", row_number().over(w))
+        .crossJoin(broadcast(tot))
+        .select(explode(array(Seq(1, 3, 10, 30).map(lit(_)): _*)).as("top_n"),
+          col("_r"), col("_c"), col("_t"), col("n_vocab"))
+        .filter(col("_r") <= col("top_n"))
+        .groupBy("top_n")
+        .agg(max(col("n_vocab")).as("n_vocab"),
+          sum(col("_c")).as("_cov"), max(col("_t")).as("_tt"))
+        .select(col("top_n"), col("n_vocab"),
+          expr("_cov * 1000000 div _tt").as("covered_ppm"))
+        .orderBy("top_n")
+    }),
     "data_pii_scan_report" -> ((s, d) => {
       // PII inventory — the governance scan that tells a curation team
       // WHERE exposure lives before any redaction runs (the redact
@@ -1511,6 +1542,21 @@ object TextOps {
         |      FROM j)
         |SELECT cluster, doc_id AS keep_id, quality FROM r
         |WHERE rn <= 1 ORDER BY cluster""".stripMargin,
+    "text_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS c FROM tok
+        |  WHERE length(token) > 0 GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS n_vocab FROM v),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+        |  FROM v),
+        |x AS (SELECT top_n, c, tt, n_vocab
+        |  FROM r CROSS JOIN t
+        |  CROSS JOIN (SELECT unnest([1,3,10,30]) AS top_n)
+        |  WHERE r <= top_n)
+        |SELECT top_n, max(n_vocab) AS n_vocab,
+        |  CAST(sum(c) AS BIGINT) * 1000000 // max(tt) AS covered_ppm
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "data_pii_scan_report" ->
       """WITH planted AS (SELECT doc_id, source, text
         |  || CASE WHEN doc_id % 7 = 0 THEN ' reach u'

@@ -396,6 +396,39 @@ object Windows {
           "user_id", "event_type", "ts", "event_id")
         .orderBy("prev_type", "next_type")
     }),
+    "events_time_to_convert" -> ((s, d) => {
+      // conversion-delay funnel metric: per user, first purchase AT OR
+      // AFTER the first click; delay distribution in integer minutes
+      // (p50/p90 via the exact binned-percentile kernel — grid values,
+      // quantile_cont parity) plus the conversion rate in integer ppm.
+      // Two filtered per-user aggregates + one user-keyed join; the
+      // delay frame is ∝ converted users, the percentile state ∝ the
+      // minute grid. Delay frame fans into the count AND the
+      // percentiles — pinned (§7.2).
+      val ev = Tables.events(s, d)
+      val us = unix_micros(col("ts"))
+      val fc = graft.api.Checkpoints.pin(
+        ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min(us).as("_c")))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), us.as("_p"))
+      val delays = graft.api.Checkpoints.pin(
+        fc.join(pu, Seq("user_id")).filter(col("_p") >= col("_c"))
+          .groupBy("user_id")
+          .agg(expr("min(_p - _c) div 60000000").as("delay_min")))
+      val clicked = fc.agg(count(lit(1)).as("n_clicked"))
+      val conv = delays.agg(count(lit(1)).as("n_converted"))
+      val pct = graft.api.StatsOps.binnedPercentiles(
+        delays.select(lit("g").as("_g"),
+          col("delay_min").cast("double").as("_v")),
+        "_g", col("_v"), Seq("_p50" -> 0.5, "_p90" -> 0.9))
+        .select(col("_p50"), col("_p90"))
+      clicked.crossJoin(broadcast(conv)).crossJoin(broadcast(pct))
+        .select(col("n_clicked"), col("n_converted"),
+          expr("n_converted * 1000000 div n_clicked").as("convert_ppm"),
+          Canon.r4(col("_p50")).as("p50_delay_min"),
+          Canon.r4(col("_p90")).as("p90_delay_min"))
+    }),
     "events_disorder_audit" -> ((s, d) => {
       // out-of-order-arrival audit — the measurement that picks a
       // streaming watermark: with event_id as the arrival sequence,
@@ -776,6 +809,20 @@ object Windows {
         |SELECT prev_type, next_type, n,
         |  ${O.r4("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
         |FROM c ORDER BY prev_type, next_type""".stripMargin,
+    "events_time_to_convert" ->
+      s"""WITH fc AS (SELECT user_id,
+        |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS c
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |pu AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p
+        |  FROM events WHERE event_type = 'purchase'),
+        |dl AS (SELECT fc.user_id, min(p - c) // 60000000 AS delay_min
+        |  FROM fc JOIN pu USING (user_id) WHERE p >= c GROUP BY 1)
+        |SELECT (SELECT count(*) FROM fc) AS n_clicked,
+        |  count(*) AS n_converted,
+        |  count(*) * 1000000 // (SELECT count(*) FROM fc) AS convert_ppm,
+        |  ${O.r4("quantile_cont(CAST(delay_min AS DOUBLE), 0.5)")} AS p50_delay_min,
+        |  ${O.r4("quantile_cont(CAST(delay_min AS DOUBLE), 0.9)")} AS p90_delay_min
+        |FROM dl""".stripMargin,
     "events_disorder_audit" ->
       s"""WITH seq AS (SELECT event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
