@@ -249,4 +249,35 @@ object GraphOps {
     nodes.join(counts, Seq("node"), "left")
       .select(col("node"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Local clustering coefficient per node of the undirected simple
+    * graph: cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), where T(v) counts
+    * triangles through v ([[trianglesPerNode]]) and deg(v) counts
+    * DISTINCT neighbors; nodes with deg < 2 score 0 (no wedge to
+    * close). The community-density report read next to raw triangle
+    * counts: a hub with low cc is a broker bridging otherwise-separate
+    * groups, a clique member scores 1.
+    *
+    * Determinism: T and deg are exact integers whose double casts are
+    * exact, so the one division is a single correctly-rounded IEEE op,
+    * pre-rounded to 6 dp identically on both engines. Scale shape:
+    * rides trianglesPerNode's degree-oriented wedge join (work ∝
+    * oriented wedges, never the deg² of a celebrity node) plus one
+    * degree aggregate ∝ edges and a node-keyed equi-join. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = Checkpoints.pin(edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val deg = und.select(col("lo").as("node"))
+      .union(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.join(trianglesPerNode(und, "lo", "hi"), "node")
+      .select(col("node"), col("deg"), col("n_tri"),
+        when(col("deg") >= 2,
+          Canon.rk(col("n_tri").cast("double") * 2.0
+            / (col("deg").cast("double") * (col("deg") - 1).cast("double")), 6))
+          .otherwise(0.0).as("local_cc"))
+  }
 }

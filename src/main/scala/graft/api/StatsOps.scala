@@ -576,6 +576,103 @@ object StatsOps {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** One-way ANOVA F across ALL groups of `groupCol` — does the group
+    * mean vary more than chance (the k-arm generalization of
+    * [[welchTTest]]'s two arms, equal-variance form)? From per-group
+    * exact power sums: SSB = Σ_g S_g²/n_g − S²/N, SSW = Q − Σ_g S_g²/n_g,
+    * F = (SSB/(k−1)) / (SSW/(N−k)).
+    *
+    * Determinism: counts and power sums are exact decimal; the one
+    * CROSS-GROUP float sum (Σ_g S_g²/n_g) grid-rounds each group's
+    * term to 6 dp BEFORE an exact-decimal sum (float sums over groups
+    * are merge-order-dependent, the [[graft.Canon]] rule), so both
+    * engines fold identical decimals in any order. Exactness caveat:
+    * each S_g's double cast is exact while its unscaled value stays
+    * ≤ 2⁵³ (≈ 9e13 value-units at 2 dp) — beyond that the cast rounds
+    * identically in both engines anyway (correctly-rounded IEEE), so
+    * parity still holds. Guards: NULL F when k < 2, N ≤ k, or SSW ≤ 0,
+    * decided on the same floats both sides. One hash aggregate ∝
+    * groups, then one k-row fold — O(1) state per group. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val d6 = DecimalType(38, 6)
+    val x = col(valueCol).cast(dt)
+    val per = df.filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
+        count(lit(1)).as("_ng"),
+        sum(x).as("_sg"),
+        sum(x * x).as("_qg"))
+    val term = Canon.rk(col("_sg").cast("double") * col("_sg").cast("double")
+      / col("_ng").cast("double"), 6).cast(d6)
+    val agg = per.agg(
+      count(lit(1)).as("_k"), sum(col("_ng")).as("_n"),
+      sum(col("_sg")).cast("double").as("_s"),
+      sum(col("_qg")).cast("double").as("_q"),
+      sum(term).cast("double").as("_b"))
+    val k = col("_k").cast("double")
+    val n = col("_n").cast("double")
+    val ssb = col("_b") - col("_s") * col("_s") / n
+    val ssw = col("_q") - col("_b")
+    val ok = col("_k") >= 2 && col("_n") > col("_k") && ssw > 0.0
+    agg.select(col("_k").as("n_groups"), col("_n").as("n"),
+      (col("_k") - 1).as("df1"), (col("_n") - col("_k")).as("df2"),
+      when(ok, Canon.r4((ssb / (k - lit(1.0))) / (ssw / (n - k)))).as("f"))
+  }
+
+  /** Per-group Spearman rank correlation between two numeric columns —
+    * the monotone-association readout that survives outliers and
+    * nonlinearity where Pearson ([[corrMatrixExact]]) does not.
+    * Computed as Pearson on DOUBLED tie-averaged ranks (the
+    * [[mannWhitneyU]] trick: 2·avg_rank = 2·cum_before + t + 1 is
+    * always integral), so every pre-ρ quantity is an exact integer
+    * summed in DECIMAL(38,0); float enters once in the closed form.
+    *
+    * Scale shape: ranks never touch ROWS — values collapse to a
+    * per-(group, distinct-value) histogram (state ∝ the `scale`-dp
+    * value grid per group), one cumulative window over that bin table
+    * per axis, then the rank maps equi-join back onto the rows and one
+    * hash aggregate folds the five power sums. Groups with zero
+    * variance on either axis emit NULL ρ (guarded on the exact-sum
+    * denominators). */
+  def spearmanCorr(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val d38 = DecimalType(38, 0)
+    // base fans into both rank histograms AND the final join — pin it
+    // (§7.2 fan-out trap) so the source scan runs once
+    val base = Checkpoints.pin(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(xCol).cast(dt).as("_x"),
+        col(yCol).cast(dt).as("_y")))
+    def rank2(vc: String, out: String): DataFrame = {
+      val bins = base.groupBy(col("_g"), col(vc)).agg(count(lit(1)).as("_c"))
+      val w = Window.partitionBy(col("_g")).orderBy(col(vc).asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bins.withColumn("_cum", coalesce(sum(col("_c")).over(w), lit(0L)))
+        .select(col("_g"), col(vc),
+          (lit(2L) * col("_cum") + col("_c") + lit(1L)).as(out))
+    }
+    val ranked = base
+      .join(rank2("_x", "_rx"), Seq("_g", "_x"))
+      .join(rank2("_y", "_ry"), Seq("_g", "_y"))
+    val rx = col("_rx").cast(d38)
+    val ry = col("_ry").cast(d38)
+    val agged = ranked.groupBy("_g").agg(
+      count(lit(1)).as("_n"),
+      sum(rx).cast("double").as("_sx"), sum(ry).cast("double").as("_sy"),
+      sum(rx * rx).cast("double").as("_qx"),
+      sum(ry * ry).cast("double").as("_qy"),
+      sum(rx * ry).cast("double").as("_sxy"))
+    val n = col("_n").cast("double")
+    val num = n * col("_sxy") - col("_sx") * col("_sy")
+    val denx = n * col("_qx") - col("_sx") * col("_sx")
+    val deny = n * col("_qy") - col("_sy") * col("_sy")
+    agged.select(col("_g").as(groupCol), col("_n").as("n"),
+      when(denx > 0.0 && deny > 0.0,
+        Canon.r4(num / (sqrt(denx) * sqrt(deny)))).as("rho"))
+  }
+
   /** Pass 1 of [[heavyHittersExact]]: the per-partition Misra–Gries
     * candidate union, ≤ phi counters live per partition and ≤ phi
     * candidates emitted per partition — exposed so ScaleProbeSpec can

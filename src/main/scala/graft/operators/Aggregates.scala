@@ -295,6 +295,25 @@ object Aggregates {
       graft.api.StatsOps.mannWhitneyU(Tables.events(s, d),
         "event_type", "value", "click", "purchase")
     }),
+    "agg_anova_f" -> ((s, d) => {
+      // the k-arm generalization of agg_ttest_welch: one-way ANOVA F
+      // for value across ALL event types — per-group exact power sums,
+      // the one cross-group float term grid-rounded to 6 dp before an
+      // exact-decimal fold (StatsOps.anovaF)
+      graft.api.StatsOps.anovaF(Tables.events(s, d), "event_type", "value")
+    }),
+    "agg_spearman_corr" -> ((s, d) => {
+      // monotone association per language: does doc length track
+      // vocabulary size? Spearman ρ on doubled tie-averaged ranks —
+      // rank state ∝ distinct counts (histogram bins, never rows),
+      // every pre-ρ sum exact DECIMAL(38,0) (StatsOps.spearmanCorr)
+      val docs = Tables.documents(s, d)
+        .select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_dis"))
+      graft.api.StatsOps.spearmanCorr(docs, "lang", "n_tok", "n_dis", scale = 0)
+        .orderBy("lang")
+    }),
     "agg_mutual_info" -> ((s, d) => {
       // mutual information of the lang × source grid — the
       // information-theoretic companion to agg_cramers_v (how many
@@ -881,8 +900,61 @@ object Aggregates {
         |  ${O.r4("CAST(sum(CAST(v AS DECIMAL(28,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS mean,
         |  ${O.r4("CAST(sum(CAST(wv AS DECIMAL(28,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS winsor_mean
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
-    // doubled tie-averaged ranks stay integral end-to-end; HUGEINT
-    // mirrors Spark's DECIMAL(38,0) exact sums, float enters at z
+    // per-group S²/n terms 6 dp-gridded before the cross-group sum
+    // (mirrors StatsOps.anovaF's decimal fold); power sums exact
+    "agg_anova_f" ->
+      s"""WITH per AS (SELECT event_type AS g, count(*) AS ng,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS sg,
+        |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS qg
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT count(*) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS DOUBLE) AS s, CAST(sum(qg) AS DOUBLE) AS q,
+        |    CAST(sum(CAST(${O.rk("CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)", 6)} AS DECIMAL(38,6))) AS DOUBLE) AS b
+        |  FROM per),
+        |f AS (SELECT k, n, b - s * s / CAST(n AS DOUBLE) AS ssb,
+        |    q - b AS ssw FROM a)
+        |SELECT k AS n_groups, n, CAST(k - 1 AS BIGINT) AS df1,
+        |  CAST(n - k AS BIGINT) AS df2,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0
+        |    THEN ${O.r4("(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))")}
+        |  END AS f
+        |FROM f""".stripMargin,
+    // doubled tie-averaged ranks (the mann_whitney trick) per axis,
+    // HUGEINT power sums mirror DECIMAL(38,0), float enters at rho
+    "agg_spearman_corr" ->
+      s"""WITH base AS (SELECT lang AS g,
+        |    CAST(len(string_split(text, ' ')) AS DECIMAL(18,0)) AS x,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DECIMAL(18,0)) AS y
+        |  FROM documents),
+        |bx AS (SELECT g, x, count(*) AS c FROM base GROUP BY 1, 2),
+        |rx AS (SELECT g, x, 2 * COALESCE(sum(c) OVER (PARTITION BY g ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r
+        |  FROM bx),
+        |by2 AS (SELECT g, y, count(*) AS c FROM base GROUP BY 1, 2),
+        |ry AS (SELECT g, y, 2 * COALESCE(sum(c) OVER (PARTITION BY g ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r
+        |  FROM by2),
+        |j AS (SELECT b.g, rx.r AS rx, ry.r AS ry
+        |  FROM base b JOIN rx ON b.g = rx.g AND b.x = rx.x
+        |  JOIN ry ON b.g = ry.g AND b.y = ry.y),
+        |a AS (SELECT g, count(*) AS n,
+        |    CAST(sum(CAST(rx AS HUGEINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(ry AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(rx AS HUGEINT) * CAST(rx AS HUGEINT)) AS DOUBLE) AS qx,
+        |    CAST(sum(CAST(ry AS HUGEINT) * CAST(ry AS HUGEINT)) AS DOUBLE) AS qy,
+        |    CAST(sum(CAST(rx AS HUGEINT) * CAST(ry AS HUGEINT)) AS DOUBLE) AS sxy
+        |  FROM j GROUP BY 1),
+        |f AS (SELECT g, n,
+        |    CAST(n AS DOUBLE) * sxy - sx * sy AS num,
+        |    CAST(n AS DOUBLE) * qx - sx * sx AS denx,
+        |    CAST(n AS DOUBLE) * qy - sy * sy AS deny
+        |  FROM a)
+        |SELECT g AS lang, n,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |    THEN ${O.r4("num / (sqrt(denx) * sqrt(deny))")}
+        |  END AS rho
+        |FROM f ORDER BY lang""".stripMargin,
     "agg_mann_whitney" ->
       s"""WITH b AS (SELECT CAST(value AS DECIMAL(18,2)) AS v,
         |    count(CASE WHEN event_type = 'click' THEN 1 END) AS na,

@@ -133,6 +133,16 @@ object Graphs {
         .select(col("n_name"), col("component"), col("comp_size"))
         .orderBy("n_name")
     }),
+    "graph_clustering_coefficient" -> ((s, d) => {
+      // per-nation local clustering coefficient over the undirected
+      // trade graph — the density report next to graph_triangle_count:
+      // 2·T(v)/(deg·(deg−1)), exact-integer numerator/denominator,
+      // one rounded division (GraphOps.clusteringCoefficient)
+      GraphOps.clusteringCoefficient(tradeEdges(s, d), "src", "dst")
+        .join(nationNames(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("deg"), col("n_tri"), col("local_cc"))
+        .orderBy("n_name")
+    }),
     "graph_assortativity" -> ((s, d) => {
       // degree assortativity: Pearson correlation between endpoint
       // degrees over the symmetrized trade edges — do high-traffic
@@ -333,6 +343,31 @@ object Graphs {
          |SELECT n.n_name, c.component, s.comp_size
          |FROM nation n JOIN comp c ON n.n_nationkey = c.node
          |JOIN sz s USING (component)
+         |ORDER BY n_name""".stripMargin,
+    // tri enumeration identical to graph_triangle_count's (each
+    // triangle once via a<b<c); deg = distinct undirected neighbors
+    "graph_clustering_coefficient" ->
+      s"""WITH $edgesCte,
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+         |        FROM dedges),
+         |deg AS (SELECT node, count(*) AS deg FROM (
+         |    SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+         |  GROUP BY 1),
+         |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+         |        FROM und e1
+         |        JOIN und e2 ON e1.hi = e2.lo
+         |        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+         |pern AS (SELECT node, count(*) AS n_tri FROM (
+         |    SELECT a AS node FROM tri
+         |    UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT n.n_name, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+         |  CASE WHEN d.deg >= 2
+         |    THEN ${Canon.sql.rk("CAST(COALESCE(p.n_tri, 0) AS DOUBLE) * 2.0 / (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))", 6)}
+         |    ELSE 0.0 END AS local_cc
+         |FROM deg d
+         |LEFT JOIN pern p ON d.node = p.node
+         |JOIN nation n ON d.node = n.n_nationkey
          |ORDER BY n_name""".stripMargin,
     "graph_assortativity" ->
       s"""WITH $edgesCte,

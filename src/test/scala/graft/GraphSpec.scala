@@ -119,4 +119,20 @@ class GraphSpec extends AnyFunSuite {
       2L -> (1L, 1L, 7L, 10L),
       3L -> (0L, 2L, 0L, 12L)))
   }
+
+  test("clusteringCoefficient: triangle with a pendant, hand values") {
+    // triangle 1-2-3 plus pendant edge 3-4: cc(1)=cc(2)=1 (their whole
+    // neighborhood is the closed triangle), cc(3)=2·1/(3·2)=1/3,
+    // cc(4)=0 (deg<2 — no wedge to close)
+    val e = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (2L, 1L)))
+    val got = GraphOps.clusteringCoefficient(e, "src", "dst")
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          r.getAs[Double]("local_cc")))).toMap
+    assert(got(1L) == ((2L, 1L, 1.0)))
+    assert(got(2L) == ((2L, 1L, 1.0)))
+    assert(got(3L)._1 == 3L && got(3L)._2 == 1L &&
+      math.abs(got(3L)._3 - 1.0 / 3.0) < 1e-4)
+    assert(got(4L) == ((1L, 0L, 0.0)))
+  }
 }

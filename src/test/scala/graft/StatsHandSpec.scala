@@ -84,4 +84,46 @@ class StatsHandSpec extends AnyFunSuite {
     assert(r(0).getAs[Long]("n_changes") == 5L)
     assert(r(0).getAs[Long]("peak_concurrency") == 2L)
   }
+
+  test("anovaF matches the hand-computed two-arm example") {
+    // a = {1,2,3} (mean 2), b = {4,5,6} (mean 5), grand mean 3.5:
+    // SSB = 3·1.5² + 3·1.5² = 13.5, SSW = 2 + 2 = 4,
+    // F = (13.5/1)/(4/4) = 13.5 with df (1, 4)
+    val df = df2(Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 4.0, "b" -> 5.0, "b" -> 6.0))
+    val r = StatsOps.anovaF(df, "g", "v").collect()(0)
+    assert(r.getAs[Long]("n_groups") == 2 && r.getAs[Long]("n") == 6)
+    assert(r.getAs[Long]("df1") == 1 && r.getAs[Long]("df2") == 4)
+    assert(math.abs(r.getAs[Double]("f") - 13.5) < 1e-4)
+  }
+
+  test("anovaF guards: single group and zero within-variance emit NULL F") {
+    val one = StatsOps.anovaF(df2(Seq("a" -> 1.0, "a" -> 2.0)), "g", "v")
+      .collect()(0)
+    assert(one.isNullAt(one.fieldIndex("f")))
+    val const = StatsOps.anovaF(df2(Seq("a" -> 2.0, "a" -> 2.0,
+      "b" -> 5.0, "b" -> 5.0)), "g", "v").collect()(0)
+    assert(const.isNullAt(const.fieldIndex("f")))
+  }
+
+  test("spearmanCorr matches 1 − 6Σd²/(n(n²−1)) on a tie-free example") {
+    // x = 1..4, y = (2,3,1,4): d = (−1,−1,2,0), Σd² = 6,
+    // ρ = 1 − 36/60 = 0.4
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(("g", 1.0, 2.0), ("g", 2.0, 3.0), ("g", 3.0, 1.0),
+      ("g", 4.0, 4.0)).toDF("g", "x", "y")
+    val r = StatsOps.spearmanCorr(df, "g", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 4)
+    assert(math.abs(r.getAs[Double]("rho") - 0.4) < 1e-4)
+  }
+
+  test("spearmanCorr ties: identical rank vectors give exactly 1") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(("g", 1.0, 10.0), ("g", 1.0, 10.0), ("g", 2.0, 20.0))
+      .toDF("g", "x", "y")
+    val r = StatsOps.spearmanCorr(df, "g", "x", "y").collect()(0)
+    assert(r.getAs[Double]("rho") == 1.0)
+  }
 }
