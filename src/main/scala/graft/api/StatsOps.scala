@@ -695,4 +695,77 @@ object StatsOps {
       ctr.keysIterator
     }(Encoders.STRING).toDF(itemCol).distinct()
   }
+
+  /** In-sample regression diagnostics per group for the closed-form
+    * OLS fit y ~ x ([[linRegByGroup]]'s model): n, RMSE, MAE, MAPE and
+    * R² — the eval table a model-monitoring job reads next to the
+    * coefficients (is the fit actually usable, and where does it
+    * degrade?).
+    *
+    * Determinism: the fitted slope/intercept are computed once from
+    * exact decimal power sums (one correctly-rounded float expression
+    * each), grid-rounded to 6 dp and CAST to DECIMAL(18,6) — from
+    * there every residual is EXACT decimal arithmetic (coef(18,6) ×
+    * x(18,scale) → scale-8 product, y − pred exact, |e| and e² summed
+    * in decimal), so Σ|e| and Σe² are associative and arrival-order
+    * free. MAPE's per-row ratio is the one float per row; it
+    * grid-rounds to 6 dp and folds in DECIMAL(28,6) (the adamic_adar
+    * pattern). R² = 1 − SSE/SST with SST from the same exact power
+    * sums. Residuals are re-derived (the ONLY way to get |e| — no
+    * closed form exists), squared after a CAST to DECIMAL(18,8) so
+    * the square stays inside precision 38 with its full 16-digit
+    * scale (squaring the wide product directly truncates scale — the
+    * agg_skewness_kurtosis trap).
+    *
+    * Scale shape: two passes over the fact frame (one fit aggregate,
+    * one residual aggregate) with the k-row coefficient table
+    * broadcast between them — the frame is deliberately NOT pinned:
+    * re-scanning a columnar source twice beats materializing a
+    * fact-sized checkpoint, and both passes are map-side-combined
+    * hash aggregates with O(1) state per group. Zero-variance groups
+    * (den = 0) emit NULL metrics in both engines. */
+  def regressionEvalByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val d6 = DecimalType(18, 6)
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(xCol).cast(dt).as("_x"),
+        col(yCol).cast(dt).as("_y"))
+    val s = base.groupBy("_g").agg(
+      count(lit(1)).as("_n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+      sum(col("_x") * col("_y")).cast("double").as("_sxy"),
+      sum(col("_y") * col("_y")).cast("double").as("_syy"))
+    val n = col("_n").cast("double")
+    val den = n * col("_sxx") - col("_sx") * col("_sx")
+    val coef = s.select(col("_g"), col("_n"), col("_sy"), col("_syy"),
+      when(den =!= 0.0, Canon.rk(
+        (n * col("_sxy") - col("_sx") * col("_sy")) / den, 6).cast(d6)).as("_sl"),
+      when(den =!= 0.0, Canon.rk(
+        (col("_sy") * col("_sxx") - col("_sx") * col("_sxy")) / den, 6).cast(d6)).as("_ic"))
+    val e = (col("_y") - (col("_ic") + col("_sl") * col("_x")))
+      .cast(DecimalType(18, 8))
+    val r = base.join(broadcast(coef.select("_g", "_sl", "_ic")), "_g")
+      .select(col("_g"), e.as("_e"), col("_y"))
+    val a = r.groupBy("_g").agg(
+      sum(col("_e") * col("_e")).cast("double").as("_sse"),
+      sum(abs(col("_e"))).cast("double").as("_sae"),
+      // y = 0 rows are excluded from the MAPE numerator (their ratio is
+      // undefined; an unguarded Inf would NULL in Spark's non-ANSI cast
+      // but ERROR in DuckDB's) while still counting in n — the standard
+      // "MAPE undefined at zero actuals" convention, decided on the
+      // exact decimal so the verdict cannot differ between engines
+      sum(when(col("_y") =!= lit(0).cast(dt),
+        Canon.rk(abs(col("_e").cast("double")) / col("_y").cast("double"), 6)
+          .cast(DecimalType(28, 6)))).cast("double").as("_sape"))
+    val sst = col("_syy") - col("_sy") * col("_sy") / n
+    coef.join(a, "_g")
+      .select(col("_g").as(groupCol), col("_n").as("n"),
+        Canon.r4(sqrt(col("_sse") / n)).as("rmse"),
+        Canon.r4(col("_sae") / n).as("mae"),
+        Canon.r4(col("_sape") / n).as("mape"),
+        when(sst =!= 0.0, Canon.r4(lit(1.0) - col("_sse") / sst)).as("r2"))
+  }
 }

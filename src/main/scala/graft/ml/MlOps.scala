@@ -511,6 +511,17 @@ object MlOps {
           Canon.r4(col("_cp").cast("double") / col("_tp").cast("double")).as("cum_capture"))
         .orderBy("decile")
     }),
+    "ml_eval_regression" -> ((s, d) => {
+      // regression eval table for the closed-form OLS fit
+      // (ml_linreg_closed_form's model): per return flag, in-sample
+      // n / RMSE / MAE / MAPE / R² — residuals in exact decimal off
+      // 6 dp-grid coefficients, two map-side-combined passes over the
+      // fact with the k-row coefficient table broadcast between them
+      // (StatsOps.regressionEvalByGroup)
+      graft.api.StatsOps.regressionEvalByGroup(Tables.lineitem(s, d),
+          "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
     "ml_calibration_bins" -> ((s, d) => {
       // reliability diagram: fixed-width score bins → count, mean
       // score (exact decimal sum — scores are on the 4 dp grid), and
@@ -906,6 +917,47 @@ object MlOps {
         |  ${O.r4("(CAST(np AS DOUBLE)/n) / (CAST(tp AS DOUBLE)/tn)")} AS lift,
         |  ${O.r4("CAST(cp AS DOUBLE)/tp")} AS cum_capture
         |FROM c CROSS JOIN tt ORDER BY decile""".stripMargin,
+    // mirrors StatsOps.regressionEvalByGroup op-for-op: exact decimal
+    // power sums → 6 dp-grid coefficients → exact decimal residuals;
+    // MAPE's per-row ratio rounds to the same 6 dp grid before its
+    // decimal fold, and y = 0 rows are excluded from its numerator.
+    // The residual is DECIMAL(19,8) HERE but (18,8) Spark-side — same
+    // values, different width rules: DuckDB keeps a ≤18×≤18 multiply
+    // at width 18 (e² would cap at 100), one side ≥19 promotes the
+    // square to an exact HUGEINT-backed (38,16); Spark's (18,8)²
+    // already yields (37,16) exact, and widening THERE would push the
+    // square past precision 38 and truncate its scale
+    "ml_eval_regression" ->
+      s"""WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s AS (SELECT g, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy,
+        |    CAST(sum(y*y) AS DOUBLE) AS syy
+        |  FROM b GROUP BY 1),
+        |c AS (SELECT g, n, sy, syy,
+        |    CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx <> 0 THEN
+        |      CAST(${O.rk("(CAST(n AS DOUBLE)*sxy - sx*sy) / (CAST(n AS DOUBLE)*sxx - sx*sx)", 6)} AS DECIMAL(18,6)) END AS sl,
+        |    CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx <> 0 THEN
+        |      CAST(${O.rk("(sy*sxx - sx*sxy) / (CAST(n AS DOUBLE)*sxx - sx*sx)", 6)} AS DECIMAL(18,6)) END AS ic
+        |  FROM s),
+        |r AS (SELECT c.g, CAST(b.y - (c.ic + c.sl * b.x) AS DECIMAL(19,8)) AS e, b.y
+        |  FROM b JOIN c ON b.g = c.g),
+        |a AS (SELECT g, CAST(sum(e*e) AS DOUBLE) AS sse,
+        |    CAST(sum(abs(e)) AS DOUBLE) AS sae,
+        |    CAST(sum(CASE WHEN y <> 0 THEN
+        |      CAST(${O.rk("abs(CAST(e AS DOUBLE)) / CAST(y AS DOUBLE)", 6)} AS DECIMAL(28,6)) END) AS DOUBLE) AS sape
+        |  FROM r GROUP BY 1)
+        |SELECT c.g AS l_returnflag, c.n,
+        |  ${O.r4("sqrt(a.sse / CAST(c.n AS DOUBLE))")} AS rmse,
+        |  ${O.r4("a.sae / CAST(c.n AS DOUBLE)")} AS mae,
+        |  ${O.r4("a.sape / CAST(c.n AS DOUBLE)")} AS mape,
+        |  CASE WHEN c.syy - c.sy*c.sy/CAST(c.n AS DOUBLE) <> 0 THEN
+        |    ${O.r4("1.0 - a.sse / (c.syy - c.sy*c.sy/CAST(c.n AS DOUBLE))")} END AS r2
+        |FROM c JOIN a ON c.g = a.g ORDER BY l_returnflag""".stripMargin,
     "ml_calibration_bins" ->
       s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings),
         |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y FROM t)

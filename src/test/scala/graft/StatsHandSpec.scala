@@ -126,4 +126,37 @@ class StatsHandSpec extends AnyFunSuite {
     val r = StatsOps.spearmanCorr(df, "g", "x", "y").collect()(0)
     assert(r.getAs[Double]("rho") == 1.0)
   }
+
+  test("regressionEvalByGroup matches the hand-fit example") {
+    // y ~ x on (1,1),(2,2),(3,4): slope 1.5, intercept −2/3 → rounded
+    // −0.666667; residuals (0.166667, −0.333333, 0.166667);
+    // RMSE = √(0.1666…/3) = 0.2357, MAE = 0.2222,
+    // MAPE = (0.166667 + 0.166667 + 0.041667)/3 = 0.125,
+    // R² = 1 − SSE/SST = 1 − 0.1666…/4.6667 = 0.9643
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 4.0))
+      .toDF("g", "x", "y")
+    val r = StatsOps.regressionEvalByGroup(df, "g", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 3)
+    assert(math.abs(r.getAs[Double]("rmse") - 0.2357) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mae") - 0.2222) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mape") - 0.125) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 0.9643) < 1e-9)
+  }
+
+  test("regressionEvalByGroup: perfect fit and zero-variance guard") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val perfect = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0))
+      .toDF("g", "x", "y")
+    val p = StatsOps.regressionEvalByGroup(perfect, "g", "x", "y").collect()(0)
+    assert(p.getAs[Double]("rmse") == 0.0 && p.getAs[Double]("mae") == 0.0)
+    assert(p.getAs[Double]("r2") == 1.0)
+    // constant x: den = 0 → NULL metrics, the group still appears
+    val flat = Seq(("g", 2.0, 1.0), ("g", 2.0, 3.0)).toDF("g", "x", "y")
+    val f = StatsOps.regressionEvalByGroup(flat, "g", "x", "y").collect()(0)
+    assert(f.getAs[Long]("n") == 2)
+    assert(f.isNullAt(f.fieldIndex("rmse")) && f.isNullAt(f.fieldIndex("r2")))
+  }
 }
