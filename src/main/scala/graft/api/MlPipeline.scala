@@ -594,4 +594,49 @@ object MlPipeline {
       }
       (best, math.floor(bestD * 1e6 + 0.5) / 1e6)
     })
+
+  /** Weight-of-Evidence / Information-Value table — the classic
+    * credit-scoring feature screen: for each categorical feature bin,
+    * WoE = ln(good-share / bad-share) with 0.5 Laplace smoothing per
+    * cell (so empty cells stay finite), plus the feature-level
+    * IV = Σ_bins (good-share − bad-share)·WoE that ranks features by
+    * predictive power before any model is trained.
+    *
+    * Input is the MELTED frame (feature, bin, is_bad per observation)
+    * so one pass scores ANY number of features: callers explode a
+    * per-row array of (feature, bin) structs — ONE scan of the fact
+    * table no matter how many features are screened.
+    *
+    * Determinism: bin counts are exact integers from one hash
+    * aggregate (state ∝ bins, never rows); shares and ln are
+    * correctly-rounded float ops on those exact ints (the adamic_adar
+    * ln-parity precedent), each bin's IV term grid-rounds to 6 dp
+    * before the per-feature window fold in exact DECIMAL, and WoE
+    * itself rounds to 4 dp on output. Smoothed shares use RAW totals
+    * in the denominator (cells get +0.5, G/B do not) — the common
+    * convention, pinned by the oracle. */
+  def woeIv(labeled: DataFrame, featureCol: String, binCol: String,
+      badCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bins = labeled.groupBy(col(featureCol).as("feature"),
+        col(binCol).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(badCol).cast("long")).as("n_bad"))
+      .withColumn("n_good", col("n") - col("n_bad"))
+    val w = Window.partitionBy("feature")
+    val g = sum(col("n_good")).over(w).cast("double")
+    val b = sum(col("n_bad")).over(w).cast("double")
+    val gd = (col("n_good").cast("double") + 0.5) / g
+    val bd = (col("n_bad").cast("double") + 0.5) / b
+    val woeRaw = log(gd / bd)
+    val contrib = Canon.rk((gd - bd) * woeRaw, 6).cast(DecimalType(28, 6))
+    // two projections: the IV fold is a window over a window-derived
+    // column (shares need the per-feature totals), which must be
+    // staged — Spark rejects directly nested window expressions
+    bins.select(col("feature"), col("bin"), col("n"), col("n_bad"),
+        col("n_good"), Canon.r4(woeRaw).as("woe"), contrib.as("_c"))
+      .select(col("feature"), col("bin"), col("n"), col("n_bad"),
+        col("n_good"), col("woe"), col("_c").cast("double").as("iv_contrib"),
+        Canon.r4(sum(col("_c")).over(w).cast("double")).as("iv"))
+  }
 }

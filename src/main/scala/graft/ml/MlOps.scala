@@ -511,6 +511,28 @@ object MlOps {
           Canon.r4(col("_cp").cast("double") / col("_tp").cast("double")).as("cum_capture"))
         .orderBy("decile")
     }),
+    "ml_woe_iv" -> ((s, d) => {
+      // WoE / Information-Value feature screen: which categorical
+      // (order priority vs customer segment) says more about order
+      // failure (o_orderstatus = 'F')? Features MELT via one explode
+      // so the fact is scanned once regardless of feature count; the
+      // customer dim broadcasts; everything after the bin aggregate
+      // is window math over ~10 rows (MlPipeline.woeIv)
+      val j = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_custkey"),
+          (col("o_orderstatus") === "F").cast("int").as("_bad"))
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      val melted = j.select(explode(array(
+          struct(lit("priority").as("feature"),
+            col("o_orderpriority").as("bin")),
+          struct(lit("mktsegment").as("feature"),
+            col("c_mktsegment").as("bin")))).as("_f"), col("_bad"))
+        .select(col("_f.feature"), col("_f.bin"), col("_bad"))
+      MlPipeline.woeIv(melted, "feature", "bin", "_bad")
+        .orderBy("feature", "bin")
+    }),
     "ml_eval_regression" -> ((s, d) => {
       // regression eval table for the closed-form OLS fit
       // (ml_linreg_closed_form's model): per return flag, in-sample
@@ -917,6 +939,34 @@ object MlOps {
         |  ${O.r4("(CAST(np AS DOUBLE)/n) / (CAST(tp AS DOUBLE)/tn)")} AS lift,
         |  ${O.r4("CAST(cp AS DOUBLE)/tp")} AS cum_capture
         |FROM c CROSS JOIN tt ORDER BY decile""".stripMargin,
+    // mirrors MlPipeline.woeIv: exact integer bin counts, smoothed
+    // shares (+0.5 per cell over RAW totals), ln on identical doubles,
+    // per-bin IV term grid-rounded to 6 dp before the exact decimal
+    // per-feature window fold
+    "ml_woe_iv" ->
+      s"""WITH j AS (SELECT o_orderpriority AS pri, c_mktsegment AS seg,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (SELECT 'priority' AS feature, pri AS bin, bad FROM j
+        |  UNION ALL SELECT 'mktsegment', seg, bad FROM j),
+        |bins AS (SELECT feature, bin, count(*) AS n,
+        |    CAST(sum(bad) AS BIGINT) AS n_bad,
+        |    CAST(count(*) - sum(bad) AS BIGINT) AS n_good
+        |  FROM m GROUP BY 1, 2),
+        |t AS (SELECT feature, bin, n, n_bad, n_good,
+        |    (CAST(n_good AS DOUBLE) + 0.5)
+        |      / CAST(sum(n_good) OVER (PARTITION BY feature) AS DOUBLE) AS gd,
+        |    (CAST(n_bad AS DOUBLE) + 0.5)
+        |      / CAST(sum(n_bad) OVER (PARTITION BY feature) AS DOUBLE) AS bd
+        |  FROM bins),
+        |c AS (SELECT feature, bin, n, n_bad, n_good,
+        |    ${O.r4("ln(gd/bd)")} AS woe,
+        |    CAST(${O.rk("(gd - bd) * ln(gd/bd)", 6)} AS DECIMAL(28,6)) AS cc
+        |  FROM t)
+        |SELECT feature, bin, n, n_bad, n_good, woe,
+        |  CAST(cc AS DOUBLE) AS iv_contrib,
+        |  ${O.r4("CAST(sum(cc) OVER (PARTITION BY feature) AS DOUBLE)")} AS iv
+        |FROM c ORDER BY feature, bin""".stripMargin,
     // mirrors StatsOps.regressionEvalByGroup op-for-op: exact decimal
     // power sums → 6 dp-grid coefficients → exact decimal residuals;
     // MAPE's per-row ratio rounds to the same 6 dp grid before its

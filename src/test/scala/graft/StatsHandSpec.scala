@@ -127,6 +127,38 @@ class StatsHandSpec extends AnyFunSuite {
     assert(r.getAs[Double]("rho") == 1.0)
   }
 
+  test("woeIv matches the hand-smoothed two-bin example") {
+    // bin A: 2 good / 1 bad, bin B: 1 good / 2 bad (G = B = 3):
+    // gd_A = 2.5/3, bd_A = 1.5/3 → WoE_A = ln(5/3) = 0.5108 and by
+    // symmetry WoE_B = −0.5108; IV = 2·(1/3)·ln(5/3) = 0.3406
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(("f", "A", 0), ("f", "A", 0), ("f", "A", 1),
+      ("f", "B", 0), ("f", "B", 1), ("f", "B", 1))
+      .toDF("feature", "bin", "bad")
+    val r = graft.api.MlPipeline.woeIv(df, "feature", "bin", "bad")
+      .orderBy("bin").collect()
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(3L, 3L))
+    assert(math.abs(r(0).getAs[Double]("woe") - 0.5108) < 1e-9)
+    assert(math.abs(r(1).getAs[Double]("woe") + 0.5108) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("iv_contrib") - 0.170275) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("iv") - 0.3406) < 1e-9)
+  }
+
+  test("woeIv smoothing keeps pure bins finite") {
+    // bin C all-good, bin D all-bad: the +0.5 cell smoothing keeps
+    // WoE = ±ln(2.5/0.5) = ±1.6094 instead of ±∞
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(("f", "C", 0), ("f", "C", 0),
+      ("f", "D", 1), ("f", "D", 1)).toDF("feature", "bin", "bad")
+    val r = graft.api.MlPipeline.woeIv(df, "feature", "bin", "bad")
+      .orderBy("bin").collect()
+    assert(math.abs(r(0).getAs[Double]("woe") - 1.6094) < 1e-9)
+    assert(math.abs(r(1).getAs[Double]("woe") + 1.6094) < 1e-9)
+    assert(math.abs(r(0).getAs[Double]("iv") - 3.2189) < 1e-9)
+  }
+
   test("regressionEvalByGroup matches the hand-fit example") {
     // y ~ x on (1,1),(2,2),(3,4): slope 1.5, intercept −2/3 → rounded
     // −0.666667; residuals (0.166667, −0.333333, 0.166667);
