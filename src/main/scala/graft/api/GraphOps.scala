@@ -280,4 +280,61 @@ object GraphOps {
             / (col("deg").cast("double") * (col("deg") - 1).cast("double")), 6))
           .otherwise(0.0).as("local_cc"))
   }
+
+  /** k-core membership by `rounds` rounds of parallel peeling over the
+    * undirected simple graph: each round drops every node whose
+    * surviving degree is < k, then restricts the edge set to surviving
+    * endpoints. The k-core (maximal subgraph with min degree ≥ k) is
+    * the peel's fixpoint; like [[bfsDistances]]' hop bound, the result
+    * is DEFINED as the round-`rounds` peel state — it equals the true
+    * k-core whenever peeling goes stationary within the budget, which
+    * a spec proves on the fixture family (parallel peeling removes
+    * every sub-k node of a round AT ONCE, so rounds needed = the
+    * graph's peel DEPTH — ≤ a handful on real topologies — not its
+    * node count).
+    *
+    * No convergence drift is possible between engines: labels are pure
+    * integer degree counts, each round a deterministic function of the
+    * edge set. Scale shape mirrors [[pagerankMass]]: per round one
+    * degree hash aggregate + two semi-joins of the edge list against
+    * the survivor set (broadcast by default; `broadcastKeep=false` =
+    * the billion-node equi-shuffle posture), survivors re-pinned per
+    * round with superseded pins freed (O(1) loop-carried plan).
+    * Output: every node of the input graph with its final in-core
+    * flag and surviving degree (0 when peeled). */
+  def kcoreMembers(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int, broadcastKeep: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = Checkpoints.pin(edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val nodes = und.select(col("lo").as("node"))
+      .union(und.select(col("hi").as("node"))).distinct()
+    def pinKeep(m: DataFrame): DataFrame =
+      if (broadcastKeep) broadcast(m) else m.hint("shuffle_hash")
+    var sym = Checkpoints.pin(
+      und.select(col("lo").as("u"), col("hi").as("v"))
+        .union(und.select(col("hi").as("u"), col("lo").as("v"))))
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("u").agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select("u")
+      val next = Checkpoints.pin(sym
+        .join(pinKeep(keep), "u")
+        .join(pinKeep(keep.select(col("u").as("v"))), "v")
+        .select("u", "v"))
+      // every round of sym (the initial one included) is its own pin
+      // whose lineage collapsed at checkpoint time — freeing it cannot
+      // touch `und`, which `nodes` still reads (see pagerankMass)
+      Checkpoints.free(sym)
+      sym = next
+    }
+    val core = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("kcore_deg"))
+    nodes.join(core, Seq("node"), "left")
+      .select(col("node"),
+        when(col("kcore_deg").isNotNull, 1L).otherwise(0L).as("in_kcore"),
+        coalesce(col("kcore_deg"), lit(0L)).as("kcore_deg"))
+  }
 }

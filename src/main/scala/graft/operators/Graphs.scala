@@ -53,6 +53,17 @@ object Graphs {
   private def nationNames(s: SparkSession, d: String): DataFrame =
     broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")))
 
+  /** The graph_kcore pipeline at an arbitrary round budget —
+    * package-visible so GraphSpec can prove the declared budget (6)
+    * is past the fixture graph's peel depth (6 ≡ 9 rounds). */
+  private[graft] def kcoreAtRounds(s: SparkSession, d: String,
+      rounds: Int): DataFrame =
+    GraphOps.kcoreMembers(tradeEdges(s, d), "src", "dst",
+        k = 3, rounds = rounds)
+      .join(nationNames(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("in_kcore"), col("kcore_deg"))
+      .orderBy("n_name")
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> ((s, d) => {
       // 4 damped iterations of fixed-point integer-mass PageRank — see
@@ -143,6 +154,16 @@ object Graphs {
         .select(col("n_name"), col("deg"), col("n_tri"), col("local_cc"))
         .orderBy("n_name")
     }),
+    "graph_kcore" -> ((s, d) => {
+      // the cohesive trading core: 3-core membership + surviving
+      // degree after 6 rounds of parallel peeling over the undirected
+      // trade graph — the subgraph report (who is structurally
+      // embedded vs hanging off the periphery) next to
+      // graph_clustering_coefficient. 6 rounds ≫ the graph's peel
+      // depth (GraphSpec proves rounds 6 ≡ 9 on the fixture family);
+      // oracle = the same 6 peels as unrolled MATERIALIZED CTEs
+      kcoreAtRounds(s, d, rounds = 6)
+    }),
     "graph_assortativity" -> ((s, d) => {
       // degree assortativity: Pearson correlation between endpoint
       // degrees over the symmetrized trade edges — do high-traffic
@@ -207,7 +228,41 @@ object Graphs {
        |    FROM edeg e JOIN $prev m ON e.src = m.node GROUP BY 1) s
        |  ON nd.node = s.node)""".stripMargin
 
+  /** One unrolled parallel-peel round for the k=3 core: survivors of
+    * `prev` are nodes with ≥3 surviving neighbors; `cur` is `prev`
+    * restricted to surviving endpoints. Mirrors GraphOps.kcoreMembers
+    * round-for-round (pure integer degree counts — no drift). */
+  private def kcoreRound(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (
+       |  SELECT s.u, s.v FROM $prev s
+       |  JOIN (SELECT u FROM $prev GROUP BY u HAVING count(*) >= 3) ka
+       |    ON s.u = ka.u
+       |  JOIN (SELECT u FROM $prev GROUP BY u HAVING count(*) >= 3) kb
+       |    ON s.v = kb.u)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" ->
+      s"""WITH $edgesCte,
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,
+         |    greatest(src, dst) AS hi FROM dedges WHERE src <> dst),
+         |nodes AS MATERIALIZED (SELECT lo AS node FROM und UNION SELECT hi FROM und),
+         |sym0 AS MATERIALIZED (SELECT lo AS u, hi AS v FROM und
+         |  UNION ALL SELECT hi, lo FROM und),
+         |${kcoreRound("sym0", "sym1")},
+         |${kcoreRound("sym1", "sym2")},
+         |${kcoreRound("sym2", "sym3")},
+         |${kcoreRound("sym3", "sym4")},
+         |${kcoreRound("sym4", "sym5")},
+         |${kcoreRound("sym5", "sym6")},
+         |core AS (SELECT u AS node, count(*) AS kcore_deg
+         |  FROM sym6 GROUP BY 1)
+         |SELECT n.n_name,
+         |  CAST(CASE WHEN c.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_kcore,
+         |  CAST(COALESCE(c.kcore_deg, 0) AS BIGINT) AS kcore_deg
+         |FROM nodes u
+         |LEFT JOIN core c ON u.node = c.node
+         |JOIN nation n ON u.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin,
     "graph_pagerank" ->
       s"""WITH $edgesCte,
          |nodes AS MATERIALIZED (SELECT src AS node FROM dedges UNION SELECT dst FROM dedges),

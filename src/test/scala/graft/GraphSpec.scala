@@ -135,4 +135,54 @@ class GraphSpec extends AnyFunSuite {
       math.abs(got(3L)._3 - 1.0 / 3.0) < 1e-4)
     assert(got(4L) == ((1L, 0L, 0.0)))
   }
+
+  test("kcoreMembers peels a tail off a K4, cascading") {
+    // K4 on 1-4 plus a tail 4-5-6: round 1 drops 6 (deg 1) AND 5
+    // (deg 2 < 3) — parallel peeling — leaving the K4 as the 3-core
+    // with every surviving degree 3
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val got = GraphOps.kcoreMembers(edgeDf(es), "src", "dst",
+        k = 3, rounds = 4)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("in_kcore"), r.getAs[Long]("kcore_deg")))).toMap
+    assert(got.size == 6)
+    Seq(1L, 2L, 3L, 4L).foreach(n => assert(got(n) == ((1L, 3L))))
+    Seq(5L, 6L).foreach(n => assert(got(n) == ((0L, 0L))))
+  }
+
+  test("kcoreMembers: cascade needs its rounds, and postures agree") {
+    // path 1-2-3-4-5 with k=2: round 1 peels the endpoints (1, 5),
+    // leaving edges 2-3, 3-4; round 2 peels 2 and 4, and with them
+    // every remaining edge — the empty (correct) 2-core. An undersized
+    // 1-round budget leaves {2,3,4} standing: exactly the bounded-peel
+    // semantics the scaladoc defines
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    def survivors(rounds: Int) = GraphOps.kcoreMembers(edgeDf(path),
+        "src", "dst", k = 2, rounds = rounds)
+      .collect().map(_.getAs[Long]("in_kcore")).sum
+    assert(survivors(1) == 3L)
+    assert(survivors(2) == 0L)
+    assert(survivors(3) == 0L) // stationary from round 2 on
+    // shuffle posture is bit-identical to the broadcast default
+    val a = GraphOps.kcoreMembers(edgeDf(path), "src", "dst",
+        k = 2, rounds = 3, broadcastKeep = false)
+      .orderBy("node").collect().toSeq
+    val b = GraphOps.kcoreMembers(edgeDf(path), "src", "dst",
+        k = 2, rounds = 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
+  test("graph_kcore fixture peel is stationary inside the 6-round budget") {
+    // the declared key (rounds = 6) must match a 9-round peel of the
+    // same trade graph — proves the budget covers the fixture's depth
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val six = graft.operators.Graphs.queries("graph_kcore")(s, d)
+      .collect().toSeq
+    val nine = graft.operators.Graphs.kcoreAtRounds(s, d, 9)
+      .collect().toSeq
+    assert(six == nine && six.nonEmpty)
+  }
 }
