@@ -696,6 +696,65 @@ object StatsOps {
     }(Encoders.STRING).toDF(itemCol).distinct()
   }
 
+  /** Delta-method standard error for a RATIO metric in an A/B test —
+    * the experimentation-platform staple that a per-event t-test gets
+    * WRONG: for metrics like revenue-per-event the randomization unit
+    * (user) differs from the analysis unit (event), so R̂ = ΣX_u/ΣY_u
+    * is a ratio of correlated user-level sums and its variance needs
+    * the delta expansion Var(R̂) ≈ (varX − 2R·covXY + R²·varY)/(n·ȳ²)
+    * over user aggregates, not an event-level variance.
+    *
+    * Output: ONE row — per-arm user counts, ratios (6 dp) and delta
+    * SEs (6 dp), plus the two-sample z computed FROM the rounded
+    * ratio/SE columns (documented, so the oracle spells the identical
+    * inputs). Guards: an arm with n < 2 users or ΣY = 0 emits NULL
+    * ratio/SE, and z NULLs if either side is NULL or the pooled SE
+    * is 0.
+    *
+    * Determinism: per-user sums are exact DECIMAL(18,scale); per-arm
+    * power sums (ΣX, ΣX², ΣY, ΣY², ΣXY) are exact decimal/bigint
+    * aggregates (X² stays inside precision 38 from the (18,scale)
+    * staging), so every float is a correctly-rounded closed form over
+    * exact sums. Scale shape: one user-keyed hash aggregate (the only
+    * corpus shuffle) → one O(1)-state per-arm aggregate → a 1-row
+    * conditional-max pivot. */
+  def ratioMetricDelta(df: DataFrame, unitCol: String, armCol: String,
+      valueCol: String, armA: String, armB: String,
+      scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val users = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(armCol).as("_arm"), col(unitCol).as("_u"))
+      .agg(sum(col(valueCol).cast(dt)).cast(dt).as("_x"),
+        count(lit(1)).as("_y"))
+    val arms = users.groupBy("_arm").agg(
+      count(lit(1)).as("_n"),
+      sum(col("_x")).cast("double").as("_sx"),
+      sum(col("_y")).cast("double").as("_sy"),
+      sum(col("_x") * col("_x")).cast("double").as("_sxx"),
+      sum(col("_y") * col("_y")).cast("double").as("_syy"),
+      sum(col("_x") * col("_y").cast(DecimalType(18, 0))).cast("double").as("_sxy"))
+    val n = col("_n").cast("double")
+    val r = col("_sx") / col("_sy")
+    val ybar = col("_sy") / n
+    val varX = (col("_sxx") - col("_sx") * col("_sx") / n) / (n - 1.0)
+    val varY = (col("_syy") - col("_sy") * col("_sy") / n) / (n - 1.0)
+    val covXY = (col("_sxy") - col("_sx") * col("_sy") / n) / (n - 1.0)
+    val ok = col("_n") >= 2 && col("_sy") =!= 0.0
+    val per = arms.select(col("_arm"), col("_n"),
+      when(ok, Canon.rk(r, 6)).as("_r"),
+      when(ok, Canon.rk(
+        sqrt((varX - lit(2.0) * r * covXY + r * r * varY) / n) / ybar, 6)).as("_se"))
+    val a = (c: Column) => max(when(col("_arm") === armA, c))
+    val b = (c: Column) => max(when(col("_arm") === armB, c))
+    val pooled = sqrt(a(col("_se")) * a(col("_se")) + b(col("_se")) * b(col("_se")))
+    per.agg(
+      a(col("_n")).as("n_a"), b(col("_n")).as("n_b"),
+      a(col("_r")).as("ratio_a"), b(col("_r")).as("ratio_b"),
+      a(col("_se")).as("se_a"), b(col("_se")).as("se_b"),
+      when(pooled =!= 0.0,
+        Canon.r4((a(col("_r")) - b(col("_r"))) / pooled)).as("z"))
+  }
+
   /** In-sample regression diagnostics per group for the closed-form
     * OLS fit y ~ x ([[linRegByGroup]]'s model): n, RMSE, MAE, MAPE and
     * R² — the eval table a model-monitoring job reads next to the

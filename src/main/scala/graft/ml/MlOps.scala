@@ -511,6 +511,19 @@ object MlOps {
           Canon.r4(col("_cp").cast("double") / col("_tp").cast("double")).as("cum_capture"))
         .orderBy("decile")
     }),
+    "ml_ab_ratio_metric" -> ((s, d) => {
+      // delta-method readout for the RATIO metric value-per-event
+      // between the md5 A/B arms (ml_ab_test_srm's assignment) — the
+      // analysis a per-event t-test gets wrong: users are the
+      // randomization unit, events the analysis unit, so Var(R̂) needs
+      // the delta expansion over user-level (Σvalue, n_events) sums
+      // (StatsOps.ratioMetricDelta); one user-keyed shuffle total
+      val arm = when(substring(md5(col("user_id").cast("string")
+        .cast("binary")), 1, 1) < "8", "A").otherwise("B")
+      graft.api.StatsOps.ratioMetricDelta(
+        Tables.events(s, d).withColumn("_arm", arm),
+        "user_id", "_arm", "value", "A", "B")
+    }),
     "ml_woe_iv" -> ((s, d) => {
       // WoE / Information-Value feature screen: which categorical
       // (order priority vs customer segment) says more about order
@@ -939,6 +952,43 @@ object MlOps {
         |  ${O.r4("(CAST(np AS DOUBLE)/n) / (CAST(tp AS DOUBLE)/tn)")} AS lift,
         |  ${O.r4("CAST(cp AS DOUBLE)/tp")} AS cum_capture
         |FROM c CROSS JOIN tt ORDER BY decile""".stripMargin,
+    // mirrors StatsOps.ratioMetricDelta: per-user exact decimal sums,
+    // per-arm exact power sums (x staged at width 19 — DuckDB's ≤18
+    // multiply rule again), delta SE spelled in the identical op
+    // order, z computed from the ROUNDED ratio/SE columns
+    "ml_ab_ratio_metric" ->
+      s"""WITH e AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'A' ELSE 'B' END AS arm, value
+        |  FROM events WHERE value IS NOT NULL),
+        |u AS (SELECT arm, user_id,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS x,
+        |    count(*) AS y
+        |  FROM e GROUP BY 1, 2),
+        |a AS (SELECT arm, count(*) AS n, CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x*x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y*y) AS DOUBLE) AS syy,
+        |    CAST(sum(x*CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sxy
+        |  FROM u GROUP BY 1),
+        |p AS (SELECT arm, n,
+        |    CASE WHEN n >= 2 AND sy <> 0 THEN ${O.rk("sx/sy", 6)} END AS r,
+        |    CASE WHEN n >= 2 AND sy <> 0 THEN ${O.rk(
+          "sqrt(((sxx - sx*sx/nd)/(nd-1.0) - 2.0*(sx/sy)*((sxy - sx*sy/nd)/(nd-1.0))" +
+          " + (sx/sy)*(sx/sy)*((syy - sy*sy/nd)/(nd-1.0)))/nd)/(sy/nd)", 6)} END AS se
+        |  FROM a),
+        |f AS (SELECT
+        |    max(CASE WHEN arm = 'A' THEN n END) AS n_a,
+        |    max(CASE WHEN arm = 'B' THEN n END) AS n_b,
+        |    max(CASE WHEN arm = 'A' THEN r END) AS ratio_a,
+        |    max(CASE WHEN arm = 'B' THEN r END) AS ratio_b,
+        |    max(CASE WHEN arm = 'A' THEN se END) AS se_a,
+        |    max(CASE WHEN arm = 'B' THEN se END) AS se_b
+        |  FROM p)
+        |SELECT n_a, n_b, ratio_a, ratio_b, se_a, se_b,
+        |  CASE WHEN sqrt(se_a*se_a + se_b*se_b) <> 0 THEN
+        |    ${O.r4("(ratio_a - ratio_b) / sqrt(se_a*se_a + se_b*se_b)")} END AS z
+        |FROM f""".stripMargin,
     // mirrors MlPipeline.woeIv: exact integer bin counts, smoothed
     // shares (+0.5 per cell over RAW totals), ln on identical doubles,
     // per-bin IV term grid-rounded to 6 dp before the exact decimal

@@ -159,6 +159,40 @@ class StatsHandSpec extends AnyFunSuite {
     assert(math.abs(r(0).getAs[Double]("iv") - 3.2189) < 1e-9)
   }
 
+  test("ratioMetricDelta matches the hand delta-method example") {
+    // arm A users (x=Σvalue, y=events): (2,1), (4,3) → R = 6/4 = 1.5,
+    // varX = 2, varY = 2, cov = 2, ȳ = 2 →
+    // Var(R) = (2 − 2·1.5·2 + 2.25·2)/(2·4) = 0.0625 → SE = 0.25.
+    // arm B: (1,1), (3,1) → R = 2, varX = 2, varY = 0, cov = 0,
+    // ȳ = 1 → Var = 2/(2·1) = 1 → SE = 1.
+    // z = (1.5 − 2)/√1.0625 = −0.4851
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = Seq(
+      ("A", "u1", 2.0), ("A", "u2", 1.0), ("A", "u2", 1.0), ("A", "u2", 2.0),
+      ("B", "u3", 1.0), ("B", "u4", 3.0)).toDF("arm", "uid", "v")
+    val r = StatsOps.ratioMetricDelta(ev, "uid", "arm", "v", "A", "B")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(math.abs(r.getAs[Double]("ratio_a") - 1.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("ratio_b") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_a") - 0.25) < 1e-9)
+    assert(math.abs(r.getAs[Double]("se_b") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z") + 0.4851) < 1e-9)
+  }
+
+  test("ratioMetricDelta guards: a single-user arm NULLs its SE and z") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = Seq(("A", "u1", 2.0), ("A", "u2", 4.0), ("B", "u3", 1.0))
+      .toDF("arm", "uid", "v")
+    val r = StatsOps.ratioMetricDelta(ev, "uid", "arm", "v", "A", "B")
+      .collect()(0)
+    assert(r.getAs[Long]("n_b") == 1)
+    assert(r.isNullAt(r.fieldIndex("se_b")))
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("regressionEvalByGroup matches the hand-fit example") {
     // y ~ x on (1,1),(2,2),(3,4): slope 1.5, intercept −2/3 → rounded
     // −0.666667; residuals (0.166667, −0.333333, 0.166667);
