@@ -207,6 +207,50 @@ object TimeSeriesOps {
       .select(col(keyCol), col("bin"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Seasonality-adjusted anomaly detection over the dense
+    * [[resampleGapfill]] grid: each bin's count is z-scored against
+    * the mean/std of ITS OWN hour-of-day slot for its key, and the
+    * `topK` largest |z| bins per key are reported — the detector that
+    * a raw global z-score ([[anomalyZscore]]-style) cannot be: a
+    * quiet 3 a.m. spike that is invisible next to the daily peak is
+    * exactly what the diurnal baseline (`ts_seasonal_hourly`'s
+    * profile) exposes.
+    *
+    * Determinism: per-(key, hod) Σx and Σx² are exact bigint sums
+    * over the grid, so μ, σ, and every z are identical correctly-
+    * rounded floats in both engines; ranking is |z| DESC with the bin
+    * timestamp as a total tie-break. Slots with n < 2 grid points or
+    * zero variance are excluded (no z exists).
+    *
+    * Scale shape: the gapfilled grid is ∝ keys × horizon bins (never
+    * corpus rows) and is pinned — it fans into the slot aggregate AND
+    * the z join (§7.2); the slot table (keys × 24) broadcasts back;
+    * one rank window per key over the grid. */
+  def seasonalAnomalies(df: DataFrame, tsCol: String, keyCol: String,
+      binSeconds: Int, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val g = Checkpoints.pin(
+      resampleGapfill(df, tsCol, keyCol, binSeconds)
+        .select(col(keyCol), col("bin"), col("n"), hour(col("bin")).as("hod")))
+    val slots = g.groupBy(col(keyCol), col("hod"))
+      .agg(count(lit(1)).as("_c"), sum(col("n")).as("_s"),
+        sum(col("n") * col("n")).as("_q"))
+    val c = col("_c").cast("double")
+    val mu = col("_s").cast("double") / c
+    val variance = (col("_q").cast("double")
+      - col("_s").cast("double") * col("_s").cast("double") / c) / (c - 1.0)
+    val z = (col("n").cast("double") - mu) / sqrt(variance)
+    val scored = g.join(broadcast(slots), Seq(keyCol, "hod"))
+      .filter(col("_c") >= 2 && variance > 0.0)
+      .select(col(keyCol), col("bin"), col("hod"), col("n"), z.as("_z"))
+    val w = Window.partitionBy(keyCol).orderBy(abs(col("_z")).desc, col("bin"))
+    scored.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= topK)
+      .select(col(keyCol), Canon.tsStr(col("bin")).as("win_start"),
+        col("hod").cast("long").as("hod"), col("n"),
+        Canon.r4(col("_z")).as("z"))
+  }
+
   /** Cross-correlation between two series over the dense
     * [[resampleGapfill]] grid: Pearson corr of (x_t, y_{t+k}) for each
     * lag k in [−maxLag, maxLag] — "does series Y follow series X, and

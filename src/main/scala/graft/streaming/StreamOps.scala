@@ -199,6 +199,17 @@ object StreamOps {
           Canon.r4(Canon.sumDec(col("value"), 2) / count(lit(1))).as("avg_val"))
         .orderBy("event_type", "hod")
     }),
+    "ts_seasonal_adjust" -> ((s, d) => {
+      // seasonality-ADJUSTED anomalies: each hourly bin z-scored
+      // against its own hour-of-day slot's mean/std per type, top-3
+      // |z| bins per type — the detector ts_seasonal_hourly's profile
+      // exists to feed (a 3 a.m. spike invisible next to the daily
+      // peak); exact bigint slot sums, one rank window per type
+      // (TimeSeriesOps.seasonalAnomalies)
+      graft.api.TimeSeriesOps.seasonalAnomalies(Tables.events(s, d),
+          "ts", "event_type", binSeconds = 3600, topK = 3)
+        .orderBy("event_type", "win_start")
+    }),
     "ts_xcorr_lagged" -> ((s, d) => {
       // lead/lag detector: Pearson cross-correlation of the click and
       // purchase series at lags −3..+3 over the dense 5-min grid —
@@ -661,6 +672,39 @@ object StreamOps {
         |  CASE WHEN $den <> 0 THEN ${O.r4(s"($num) / ($den)")}
         |       ELSE 0.0 END AS acf
         |FROM u ORDER BY event_type, lag""".stripMargin
+    },
+    // mirrors TimeSeriesOps.seasonalAnomalies: same hourly gapfill as
+    // ts_acf, exact bigint per-(type, hod) sums, z spelled in the
+    // identical op order, rank = |z| DESC with the bin as a total
+    // tie-break; n<2 / zero-variance slots excluded before ranking
+    "ts_seasonal_adjust" -> {
+      val varE = "(CAST(q AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)/CAST(c AS DOUBLE))/(CAST(c AS DOUBLE)-1.0)"
+      s"""WITH e AS (SELECT event_type, time_bucket(INTERVAL '1 hour',
+        |                    CAST(ts AS TIMESTAMP)) AS bin FROM events),
+        |cnt AS (SELECT event_type, bin, count(*) AS n FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(bin) AS minb, max(bin) AS maxb FROM cnt),
+        |g AS (SELECT t.event_type, gs.bin
+        |      FROM (SELECT DISTINCT event_type FROM events) t
+        |      CROSS JOIN (SELECT unnest(generate_series(minb, maxb,
+        |                    INTERVAL '1 hour')) AS bin FROM r) gs),
+        |x AS (SELECT g.event_type, g.bin, hour(g.bin) AS hod,
+        |        CAST(COALESCE(cnt.n, 0) AS BIGINT) AS x
+        |      FROM g LEFT JOIN cnt
+        |        ON g.event_type = cnt.event_type AND g.bin = cnt.bin),
+        |st AS (SELECT event_type, hod, count(*) AS c,
+        |        CAST(sum(x) AS BIGINT) AS s2, CAST(sum(x*x) AS BIGINT) AS q
+        |       FROM x GROUP BY 1, 2),
+        |sc AS (SELECT x.event_type, x.bin, x.hod, x.x,
+        |        (CAST(x.x AS DOUBLE) - CAST(s2 AS DOUBLE)/CAST(c AS DOUBLE))
+        |          / sqrt($varE) AS z
+        |       FROM x JOIN st
+        |         ON x.event_type = st.event_type AND x.hod = st.hod
+        |       WHERE c >= 2 AND $varE > 0),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |         ORDER BY abs(z) DESC, bin) AS rn FROM sc)
+        |SELECT event_type, strftime(bin, '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  CAST(hod AS BIGINT) AS hod, x AS n, ${O.r4("z")} AS z
+        |FROM rk WHERE rn <= 3 ORDER BY event_type, win_start""".stripMargin
     },
     "ts_resample_gapfill" ->
       """WITH e AS (SELECT event_type, time_bucket(INTERVAL '5 minutes',

@@ -159,6 +159,27 @@ class StatsHandSpec extends AnyFunSuite {
     assert(math.abs(r(0).getAs[Double]("iv") - 3.2189) < 1e-9)
   }
 
+  test("seasonalAnomalies z-scores bins against their own hod slot") {
+    // key k, hour-of-day 0 across 3 days with counts 2, 1, 3:
+    // slot μ = 2, σ = 1 → z = 0, −1, +1; every other hod slot on the
+    // gapfilled grid is all-zero (variance 0) and must be excluded
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev = Seq(
+      "2026-01-01 00:10:00", "2026-01-01 00:20:00",
+      "2026-01-02 00:15:00",
+      "2026-01-03 00:05:00", "2026-01-03 00:25:00", "2026-01-03 00:45:00")
+      .map(t => ("k", t)).toDF("key", "tss")
+      .select(col("key"), to_timestamp(col("tss")).as("ts"))
+    val r = TimeSeriesOps.seasonalAnomalies(ev, "ts", "key",
+        binSeconds = 3600, topK = 3)
+      .orderBy("win_start").collect()
+    assert(r.length == 3)
+    assert(r.map(_.getAs[Long]("hod")).forall(_ == 0L))
+    assert(r.map(_.getAs[Long]("n")).toSeq == Seq(2L, 1L, 3L))
+    assert(r.map(_.getAs[Double]("z")).toSeq == Seq(0.0, -1.0, 1.0))
+  }
+
   test("ratioMetricDelta matches the hand delta-method example") {
     // arm A users (x=Σvalue, y=events): (2,1), (4,3) → R = 6/4 = 1.5,
     // varX = 2, varY = 2, cov = 2, ȳ = 2 →
