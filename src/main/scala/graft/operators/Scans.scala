@@ -393,6 +393,36 @@ object Scans {
         .drop("_nn")
         .orderBy("k")
     }),
+    "data_ldiversity_report" -> ((s, d) => {
+      // the l-diversity companion to data_kanonymity_report:
+      // k-anonymity bounds group SIZE, but a big quasi-identifier
+      // group whose sensitive attribute is uniform still leaks (you
+      // know every member's value) — l-diversity requires ≥ l DISTINCT
+      // sensitive values (source) per (lang, length-band) group. Same
+      // scale shape as the k report: one map-side-combined aggregate
+      // (exact distinct over the tiny per-group source set), l-sweep
+      // explodes the |groups| frame (never rows), integer ppm; group
+      // frame fans into total AND sweep — pinned (§7.2).
+      val g = graft.api.Checkpoints.pin(
+        Tables.documents(s, d).groupBy(col("lang"),
+            expr("CAST(floor(n_chars / 100) AS INT)").as("_band"))
+          .agg(count(lit(1)).as("_sz"),
+            countDistinct(col("source")).as("_l")))
+      val tot = g.agg(sum(col("_sz")).as("_n"), count(lit(1)).as("_g"))
+      g.crossJoin(broadcast(tot))
+        .select(explode(array(Seq(2, 3, 5).map(lit(_)): _*)).as("l"),
+          col("_sz"), col("_l"), col("_n"), col("_g"))
+        .groupBy("l")
+        .agg(max(col("_g")).as("n_groups"),
+          sum(when(col("_l") < col("l"), 1L).otherwise(0L))
+            .as("n_low_groups"),
+          sum(when(col("_l") < col("l"), col("_sz")).otherwise(0L))
+            .as("rows_exposed"),
+          max(col("_n")).as("_nn"))
+        .withColumn("exposure_ppm", expr("rows_exposed * 1000000 div _nn"))
+        .drop("_nn")
+        .orderBy("l")
+    }),
     "data_referential_integrity" -> ((s, d) => {
       // cross-table FK audit: orphaned fact rows per declared foreign
       // key, against the CURATED dimension snapshot (acctbal ≥ 0 —
@@ -676,6 +706,23 @@ object Scans {
         |SELECT k, n_groups, n_small_groups, rows_at_risk,
         |  rows_at_risk * 1000000 // nn AS risk_ppm
         |FROM a ORDER BY k""".stripMargin,
+    "data_ldiversity_report" ->
+      """WITH g AS (SELECT lang, CAST(floor(n_chars / 100) AS INT) AS band,
+        |    count(*) AS sz, count(DISTINCT source) AS dl
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(sz) AS BIGINT) AS n, count(*) AS gn FROM g),
+        |x AS (SELECT l, sz, dl, n, gn
+        |  FROM g CROSS JOIN t CROSS JOIN (SELECT unnest([2,3,5]) AS l)),
+        |a AS (SELECT l, max(gn) AS n_groups,
+        |    CAST(sum(CASE WHEN dl < l THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_low_groups,
+        |    CAST(sum(CASE WHEN dl < l THEN sz ELSE 0 END) AS BIGINT)
+        |      AS rows_exposed,
+        |    max(n) AS nn
+        |  FROM x GROUP BY 1)
+        |SELECT l, n_groups, n_low_groups, rows_exposed,
+        |  rows_exposed * 1000000 // nn AS exposure_ppm
+        |FROM a ORDER BY l""".stripMargin,
     "data_referential_integrity" -> {
       def one(nm: String, childTbl: String, key: String,
           parentSql: String) =

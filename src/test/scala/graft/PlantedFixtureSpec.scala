@@ -142,6 +142,30 @@ class PlantedFixtureSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("data_ldiversity_report: planted QI groups hit the hand sweep") {
+    val ss = spark
+    import ss.implicits._
+    val dir = freshDir("ldiv")
+    // (en, band 0): sources a,b,c (dl=3); (en, band 1): a,a (dl=1);
+    // (fr, band 0): a,b (dl=2) — 7 rows, 3 groups.
+    // l=2: 1 low group / 2 rows -> 285714 ppm; l=3: 2 / 4 -> 571428;
+    // l=5: 3 / 7 -> 1000000
+    Seq((1L, "t", "en", "a", 10L), (2L, "t", "en", "b", 20L),
+      (3L, "t", "en", "c", 30L), (4L, "t", "en", "a", 110L),
+      (5L, "t", "en", "a", 120L), (6L, "t", "fr", "a", 10L),
+      (7L, "t", "fr", "b", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("data_ldiversity_report")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("l"), r.getAs[Long]("n_groups"),
+        r.getAs[Long]("n_low_groups"), r.getAs[Long]("rows_exposed"),
+        r.getAs[Long]("exposure_ppm")))
+    assert(out.toSeq == Seq(
+      (2, 3L, 1L, 2L, 285714L),
+      (3, 3L, 2L, 4L, 571428L),
+      (5, 3L, 3L, 7L, 1000000L)))
+  }
+
   test("ml_knn_classify: planted separable clusters classify perfectly") {
     val ss = spark
     import ss.implicits._
