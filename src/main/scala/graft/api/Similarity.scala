@@ -94,6 +94,34 @@ object Similarity {
     pairs.orderBy(col("sim").desc, col("id1"), col("id2")).limit(k)
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim top-k: each stored vector
+    * is VIEWED as `m` equal sub-vectors and score(q, c) =
+    * Σ_i max_j dot(q_i, c_j) — the multi-vector retrieval scorer where
+    * a query matches when each of its facets finds its best
+    * counterpart ANYWHERE in the candidate, which single-vector cosine
+    * cannot express (one dominant facet drowns the rest). Runs on the
+    * native `graft_maxsim` codegen expression (same tier as
+    * graft_cosine — no UDF boundary); `simRound` rounds scores BEFORE
+    * ranking so the top-k cutoff cannot straddle a float epsilon.
+    * Scale shape = [[cosineKnn]]'s: queries broadcast over the
+    * fanned-out corpus scan, one rank window per query; at corpus
+    * scale the same kernel drops into the IVF-bucketed layouts as the
+    * in-cell scorer. */
+  def maxSimKnn(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, m: Int, k: Int,
+      simRound: Option[Int] = None): DataFrame = {
+    graft.functions.MaxSimScore.register(df.sparkSession)
+    val q = df.filter(queryPred).select(col(idCol).as("qid"), col(vecCol).as("_qe"))
+    val c = fanout(df).select(col(idCol).as("cid"), col(vecCol).as("_ce"))
+    val raw = call_function("graft_maxsim", col("_qe"), col("_ce"), lit(m))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("cid").asc)
+    c.join(broadcast(q), col("qid") =!= col("cid"))
+      .withColumn("score", simRound.map(Canon.rk(raw, _)).getOrElse(raw))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("qid", "cid", "score", "rank")
+  }
+
   /** Top-k neighbors for each row matching `queryPred`. */
   def cosineKnn(df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, simRound: Option[Int] = None): DataFrame = {

@@ -50,6 +50,34 @@ object Kernels {
     if (d == 0.0) 0.0 else dot / d
   }
 
+  /** ColBERT-style late-interaction MaxSim over two float vectors
+    * viewed as `m` equal sub-vectors: Σ_i max_j dot(a_i, b_j). Sub-dim
+    * = min(len)/m; dots accumulate in double index order, maxes fold
+    * in j order, the outer sum in i order — one fixed op sequence, so
+    * the value is engine-portable the same way [[cosineArr]] is. */
+  def maxSimArr(a: Array[Float], b: Array[Float], m: Int): Double = {
+    val sub = math.min(a.length, b.length) / m
+    var score = 0.0
+    var i = 0
+    while (i < m) {
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < m) {
+        var dot = 0.0
+        var t = 0
+        while (t < sub) {
+          dot += a(i * sub + t).toDouble * b(j * sub + t).toDouble
+          t += 1
+        }
+        if (dot > best) best = dot
+        j += 1
+      }
+      score += best
+      i += 1
+    }
+    score
+  }
+
   /** Token-set Jaccard |A∩B| / |A∪B| over pre-distinct token arrays. */
   def jaccardSets(a: Seq[String], b: Seq[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0

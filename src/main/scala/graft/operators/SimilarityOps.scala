@@ -72,6 +72,18 @@ object SimilarityOps {
           k = 100, centroids = cents, simRound = Some(4))
         .orderBy(col("sim").desc, col("id1").asc, col("id2").asc)
     }),
+    "sim_maxsim_multivector" -> ((s, d) => {
+      // ColBERT-style late interaction: each 64-dim embedding viewed
+      // as 4×16 sub-vectors, score = Σ_i max_j dot(q_i, c_j), top-5
+      // per query — the multi-vector retrieval scorer single-vector
+      // cosine can't express. Native graft_maxsim codegen expression
+      // (dots/maxes/sum in one fixed op sequence → the oracle's
+      // greatest(...)+... chain computes the identical double)
+      Similarity.maxSimKnn(Tables.embeddings(s, d), "vec_id", "embedding",
+          queryPred = col("vec_id") < 5, m = 4, k = 5, simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
     "sim_knn_per_query" -> ((s, d) => {
       Similarity.cosineKnn(Tables.embeddings(s, d), "vec_id", "embedding",
           queryPred = col("vec_id") < 10, k = 5, simRound = Some(4))
@@ -298,6 +310,27 @@ object SimilarityOps {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id1, id2, sim FROM p
         |ORDER BY sim DESC, id1, id2 LIMIT 100""".stripMargin,
+    // mirrors Kernels.maxSimArr: per-chunk dots via list_dot_product
+    // on double-cast 16-element slices (the graft_cosine parity
+    // precedent), greatest() per query chunk, left-assoc + chain —
+    // the identical fixed op sequence the codegen kernel runs
+    "sim_maxsim_multivector" -> {
+      def dp(i: Int, j: Int) = {
+        def sl(c: String, x: Int) = s"CAST($c[${x * 16 + 1}:${x * 16 + 16}] AS DOUBLE[])"
+        s"list_dot_product(${sl("q.qe", i)}, ${sl("c.embedding", j)})"
+      }
+      val score = (0 to 3).map(i =>
+        s"greatest(${(0 to 3).map(j => dp(i, j)).mkString(", ")})")
+        .mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |j AS (SELECT q.qid, c.vec_id AS cid,
+        |        ${O.r4(s"($score)")} AS score
+        |      FROM q JOIN embeddings c ON q.qid <> c.vec_id),
+        |r AS (SELECT qid, cid, score,
+        |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rn
+        |      FROM j)
+        |SELECT qid, cid, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
     "sim_knn_per_query" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT q.qid, c.vec_id AS cid,

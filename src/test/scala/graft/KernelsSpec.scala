@@ -140,6 +140,48 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("MaxSimScore codegen expression matches a reference late-interaction loop") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.MaxSimScore.register(spark)
+    // independent reference: functional Σ_i max_j dot over chunk views
+    def ref(a: Seq[Float], b: Seq[Float], m: Int): Double = {
+      val sub = math.min(a.length, b.length) / m
+      (0 until m).map { i =>
+        (0 until m).map { j =>
+          (0 until sub).foldLeft(0.0)((acc, t) =>
+            acc + a(i * sub + t).toDouble * b(j * sub + t).toDouble)
+        }.max
+      }.sum
+    }
+    val rnd = new Random(41)
+    def vec(n: Int) = Seq.fill(n)(rnd.nextFloat() * 2f - 1f)
+    val rows = Seq.fill(200)((vec(64), vec(64))) :+
+      ((vec(10), vec(10))) // truncating sub-dim: 10/4 = 2, tail ignored
+    val got = rows.toDF("a", "b")
+      .select(call_function("graft_maxsim", col("a"), col("b"), lit(4)))
+      .as[Double].collect()
+    rows.zip(got).foreach { case ((a, b), r) =>
+      assert(r == ref(a, b, 4), "codegen mismatch")
+    }
+    // interpreted (non-codegen) path must agree too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    rows.take(20).foreach { case (a, b) =>
+      val e = graft.functions.MaxSimScore(
+        Literal.create(a, ArrayType(FloatType)),
+        Literal.create(b, ArrayType(FloatType)), 4)
+      assert(e.eval(null) == ref(a, b, 4), "interpreted mismatch")
+    }
+    // and MaxSim with one facet per vector degenerates to a plain dot
+    val (x, y) = (vec(8), vec(8))
+    val one = graft.functions.MaxSimScore(
+      Literal.create(x, ArrayType(FloatType)),
+      Literal.create(y, ArrayType(FloatType)), 1).eval(null)
+    assert(one == ref(x, y, 1))
+  }
+
   test("ContainmentSim codegen expression matches a reference set containment") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._
