@@ -3,6 +3,7 @@ package graft.api
 import graft.Canon
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed graph analytics over relational edge tables — the
   * link-graph side of a corpus pipeline (domain authority for crawl
@@ -279,6 +280,61 @@ object GraphOps {
           Canon.rk(col("n_tri").cast("double") * 2.0
             / (col("deg").cast("double") * (col("deg") - 1).cast("double")), 6))
           .otherwise(0.0).as("local_cc"))
+  }
+
+  /** Harmonic (closeness-family) centrality by bounded multi-source
+    * min-plus propagation over the UNDIRECTED simple graph:
+    * H(v) = Σ_{u≠v, d(u,v)≤maxHops} 1/d(u,v). Harmonic rather than
+    * classic closeness because it is defined on disconnected graphs
+    * (unreached pairs contribute 0, no 1/∞ special case) — the
+    * standard recommendation (Boldi–Vigna) for exactly that reason.
+    * Like [[bfsDistances]], the result is DEFINED at the hop budget:
+    * it equals true harmonic centrality whenever the reachable
+    * diameter ≤ maxHops (a spec proves budget-stationarity on the
+    * fixture family).
+    *
+    * The label frame is SPARSE (origin, node, dist) — each round
+    * unions the frontier's +1 candidates and re-minimizes, so labels
+    * only ever cover reached pairs (∝ nodes × reachable ball, not
+    * nodes²  on sparse graphs). Integer distances = no engine drift;
+    * each 1/d grid-rounds to 6 dp before the exact decimal fold.
+    * Scale shape: per round one labels⋈edges equi-join + one min
+    * aggregate, labels re-pinned per round, superseded pins freed
+    * (O(1) loop-carried plan, the [[pagerankMass]] posture). */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val und = Checkpoints.pin(edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct())
+    val sym = Checkpoints.pin(
+      und.select(col("lo").as("u"), col("hi").as("v"))
+        .union(und.select(col("hi").as("u"), col("lo").as("v"))))
+    val nodes = und.select(col("lo").as("node"))
+      .union(und.select(col("hi").as("node"))).distinct()
+    var lab = Checkpoints.pin(nodes
+      .select(col("node").as("origin"), col("node"), lit(0L).as("dist")))
+    for (_ <- 1 to maxHops) {
+      val cand = sym.join(lab, col("u") === col("node"))
+        .select(col("origin"), col("v").as("node"),
+          (col("dist") + lit(1L)).as("dist"))
+      val next = Checkpoints.pin(
+        lab.select("origin", "node", "dist").union(cand)
+          .groupBy("origin", "node").agg(min(col("dist")).as("dist")))
+      Checkpoints.free(lab)
+      lab = next
+    }
+    val contrib = Canon.rk(lit(1.0) / col("dist").cast("double"), 6)
+      .cast(DecimalType(28, 6))
+    val agg = lab.filter(col("origin") =!= col("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_reached"),
+        Canon.r4(sum(contrib).cast("double")).as("harmonic"))
+    // a node that reaches nobody inside the budget has only its self
+    // label and would drop from the aggregate — keep it at zero
+    nodes.join(agg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
   }
 
   /** k-core membership by `rounds` rounds of parallel peeling over the

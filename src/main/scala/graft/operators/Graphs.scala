@@ -53,6 +53,16 @@ object Graphs {
   private def nationNames(s: SparkSession, d: String): DataFrame =
     broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name")))
 
+  /** The graph_closeness_centrality pipeline at an arbitrary hop
+    * budget — package-visible so GraphSpec can prove the declared
+    * budget (4) is past the fixture graph's reachable diameter. */
+  private[graft] def closenessAtHops(s: SparkSession, d: String,
+      maxHops: Int): DataFrame =
+    GraphOps.harmonicCentrality(tradeEdges(s, d), "src", "dst", maxHops)
+      .join(nationNames(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("n_reached"), col("harmonic"))
+      .orderBy("n_name")
+
   /** The graph_kcore pipeline at an arbitrary round budget —
     * package-visible so GraphSpec can prove the declared budget (6)
     * is past the fixture graph's peel depth (6 ≡ 9 rounds). */
@@ -154,6 +164,16 @@ object Graphs {
         .select(col("n_name"), col("deg"), col("n_tri"), col("local_cc"))
         .orderBy("n_name")
     }),
+    "graph_closeness_centrality" -> ((s, d) => {
+      // harmonic centrality H(v) = Σ 1/d(u,v) within 4 hops over the
+      // undirected trade graph — the "how central is this nation to
+      // the whole trading system" rank next to graph_pagerank's
+      // link-mass view; harmonic (not classic closeness) because it
+      // is defined on disconnected graphs. Budget-stationary on the
+      // fixture (GraphSpec: 4 ≡ 6 hops); multi-source min-plus labels,
+      // oracle = 4 unrolled MATERIALIZED label CTEs
+      closenessAtHops(s, d, maxHops = 4)
+    }),
     "graph_kcore" -> ((s, d) => {
       // the cohesive trading core: 3-core membership + surviving
       // degree after 6 rounds of parallel peeling over the undirected
@@ -240,7 +260,42 @@ object Graphs {
        |  JOIN (SELECT u FROM $prev GROUP BY u HAVING count(*) >= 3) kb
        |    ON s.v = kb.u)""".stripMargin
 
+  /** One unrolled multi-source min-plus round: previous labels union
+    * their edge-pushed +1 candidates, re-minimized. Mirrors
+    * GraphOps.harmonicCentrality round-for-round (integer labels). */
+  private def closeRound(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (SELECT origin, node,
+       |  CAST(min(dist) AS BIGINT) AS dist FROM (
+       |    SELECT origin, node, dist FROM $prev
+       |    UNION ALL
+       |    SELECT l.origin, e.v AS node, l.dist + 1 AS dist
+       |    FROM $prev l JOIN symE e ON l.node = e.u)
+       |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_closeness_centrality" ->
+      s"""WITH $edgesCte,
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,
+         |    greatest(src, dst) AS hi FROM dedges WHERE src <> dst),
+         |nodes AS MATERIALIZED (SELECT lo AS node FROM und UNION SELECT hi FROM und),
+         |symE AS MATERIALIZED (SELECT lo AS u, hi AS v FROM und
+         |  UNION ALL SELECT hi, lo FROM und),
+         |l0 AS MATERIALIZED (SELECT node AS origin, node,
+         |  CAST(0 AS BIGINT) AS dist FROM nodes),
+         |${closeRound("l0", "l1")},
+         |${closeRound("l1", "l2")},
+         |${closeRound("l2", "l3")},
+         |${closeRound("l3", "l4")},
+         |h AS (SELECT node, count(*) AS n_reached,
+         |    ${Canon.sql.r4(s"CAST(sum(CAST(${Canon.sql.rk("1.0 / CAST(dist AS DOUBLE)", 6)} AS DECIMAL(28,6))) AS DOUBLE)")} AS harmonic
+         |  FROM l4 WHERE origin <> node GROUP BY 1)
+         |SELECT n.n_name,
+         |  CAST(COALESCE(h.n_reached, 0) AS BIGINT) AS n_reached,
+         |  COALESCE(h.harmonic, 0.0) AS harmonic
+         |FROM nodes u
+         |LEFT JOIN h ON u.node = h.node
+         |JOIN nation n ON u.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin,
     "graph_kcore" ->
       s"""WITH $edgesCte,
          |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,

@@ -174,6 +174,32 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("harmonicCentrality matches hand values on a path graph") {
+    // path 1-2-3: H(2) = 1/1 + 1/1 = 2; H(1) = H(3) = 1 + 1/2 = 1.5
+    val got = GraphOps.harmonicCentrality(
+        edgeDf(Seq((1L, 2L), (2L, 3L))), "src", "dst", maxHops = 4)
+      .collect().map(r => r.getAs[Long]("node") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Double]("harmonic")))).toMap
+    assert(got(2L) == ((2L, 2.0)))
+    assert(got(1L) == ((2L, 1.5)) && got(3L) == ((2L, 1.5)))
+    // an undersized 1-hop budget only sees direct neighbors
+    val one = GraphOps.harmonicCentrality(
+        edgeDf(Seq((1L, 2L), (2L, 3L))), "src", "dst", maxHops = 1)
+      .collect().map(r => r.getAs[Long]("node") ->
+        r.getAs[Long]("n_reached")).toMap
+    assert(one(1L) == 1L && one(2L) == 2L && one(3L) == 1L)
+  }
+
+  test("graph_closeness_centrality is hop-stationary inside the 4-hop budget") {
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val four = graft.operators.Graphs.queries("graph_closeness_centrality")(s, d)
+      .collect().toSeq
+    val six = graft.operators.Graphs.closenessAtHops(s, d, 6)
+      .collect().toSeq
+    assert(four == six && four.nonEmpty)
+  }
+
   test("graph_kcore fixture peel is stationary inside the 6-round budget") {
     // the declared key (rounds = 6) must match a 9-round peel of the
     // same trade graph — proves the budget covers the fixture's depth
