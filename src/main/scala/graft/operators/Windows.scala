@@ -208,6 +208,48 @@ object Windows {
           windowUs = 604800000000L)
         .orderBy("channel")
     }),
+    "events_bot_score" -> ((s, d) => {
+      // per-USER traffic-regularity audit — the bot heuristic every
+      // ingestion pipeline runs before trusting engagement counts:
+      // humans arrive Poisson-ish (gap cv ≈ 1, the fixture's measured
+      // baseline), schedulers and replay bots arrive on a clock
+      // (cv → 0). Per user with ≥ 10 events: event count, events/hour
+      // over the active span, inter-arrival cv, and a regularity flag
+      // (cv < 0.85 ∧ n ≥ 20 — the threshold compares the ROUNDED cv,
+      // so the verdict cannot straddle a float epsilon). Gaps are
+      // exact integer µs from one user-keyed lag window; Σgap
+      // telescopes to the span (bigint), Σgap² folds in DECIMAL(38,0)
+      // from (19,0) staging; floats enter once per closed form.
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val us = unix_micros(col("ts"))
+      val g = Tables.events(s, d)
+        .select(col("user_id"), us.as("_t"),
+          (us - lag(us, 1).over(w)).as("_g"))
+      val agg = g.groupBy("user_id").agg(
+        count(lit(1)).as("n_events"),
+        count(col("_g")).as("_m"),
+        sum(col("_g")).as("_s"),
+        sum(col("_g").cast(DecimalType(19, 0))
+          * col("_g").cast(DecimalType(19, 0))).cast("double").as("_q"),
+        min(col("_t")).as("_t0"), max(col("_t")).as("_t1"))
+        .filter(col("_m") >= 9)
+      val m = col("_m").cast("double")
+      val mean = col("_s").cast("double") / m
+      val varE = (col("_q") - col("_s").cast("double")
+        * col("_s").cast("double") / m) / (m - 1.0)
+      val cv = when(col("_s") > 0L,
+        Canon.r4(when(varE > 0.0, sqrt(varE) / mean).otherwise(0.0)))
+      val rate = when(col("_t1") > col("_t0"), Canon.r4(
+        col("n_events").cast("double") * 3.6e9
+          / (col("_t1") - col("_t0")).cast("double")))
+      agg.select(col("user_id"), col("n_events"), cv.as("gap_cv"),
+          rate.as("events_per_hour"),
+          when(cv < 0.85 && col("n_events") >= 20L, 1L).otherwise(0L)
+            .as("regular_flag"))
+        .orderBy("user_id")
+    }),
     "events_interarrival" -> ((s, d) => {
       // inter-arrival-time profile per event type: integer-μs gaps
       // from ONE type-keyed lag window ((ts, event_id)-pinned order),
@@ -637,6 +679,33 @@ object Windows {
         |       count(*) AS n_conversions,
         |       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS revenue
         |FROM a GROUP BY 1 ORDER BY channel""".stripMargin,
+    // mirrors the Spark pipeline: integer-µs gaps from the identical
+    // (ts, event_id)-ordered lag, Σgap telescopes in bigint, Σgap²
+    // promotes via (19,0) staging, cv/rate closed forms spelled in the
+    // same op order, flag decided on the ROUNDED cv
+    "events_bot_score" -> {
+      val cv = "CASE WHEN (q - s*s/m)/(m-1.0) > 0 THEN sqrt((q - s*s/m)/(m-1.0))/(s/m) ELSE 0.0 END"
+      s"""WITH g AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |a AS (SELECT user_id, count(*) AS n_events, count(gap) AS mm,
+        |    CAST(sum(gap) AS BIGINT) AS sb,
+        |    CAST(sum(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0))) AS DOUBLE) AS q,
+        |    min(t) AS t0, max(t) AS t1
+        |  FROM g GROUP BY 1),
+        |c AS (SELECT user_id, n_events, CAST(mm AS DOUBLE) AS m,
+        |    CAST(sb AS DOUBLE) AS s, q, t0, t1
+        |  FROM a WHERE mm >= 9),
+        |r AS (SELECT user_id, n_events,
+        |    CASE WHEN s > 0 THEN ${O.r4(cv)} END AS gap_cv,
+        |    CASE WHEN t1 > t0 THEN
+        |      ${O.r4("CAST(n_events AS DOUBLE) * 3.6e9 / CAST(t1 - t0 AS DOUBLE)")} END AS events_per_hour
+        |  FROM c)
+        |SELECT user_id, n_events, gap_cv, events_per_hour,
+        |  CAST(CASE WHEN gap_cv < 0.85 AND n_events >= 20 THEN 1 ELSE 0 END AS BIGINT) AS regular_flag
+        |FROM r ORDER BY user_id""".stripMargin
+    },
     "events_interarrival" ->
       s"""WITH g AS (SELECT event_type,
         |    CAST(epoch_us(CAST(ts AS TIMESTAMP))

@@ -142,6 +142,31 @@ class PlantedFixtureSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("events_bot_score: clockwork user flags, jittery user does not") {
+    val dir = freshDir("bot")
+    var id = 0L
+    def ev(uid: Long, us: Long) = { id += 1; (id, us, uid, "click", 1.0) }
+    // user 1: 25 events exactly 1 s apart — cv = 0, flagged;
+    // user 2: 25 events with gaps alternating 0.1 s / 3.9 s —
+    // cv4 = 0.9704 (human-ish), not flagged;
+    // user 3: 5 events — under the m >= 9 cut, excluded entirely
+    val clock = (0 until 25).map(i => ev(1L, i * 1000000L))
+    var t = 0L
+    val jitter = ev(2L, 0L) +: (0 until 24).map { i =>
+      t += (if (i % 2 == 0) 100000L else 3900000L); ev(2L, t)
+    }
+    val tiny = (0 until 5).map(i => ev(3L, i * 777L))
+    writeEvents(dir, clock ++ jitter ++ tiny)
+    val out = SparkEntry.queries("events_bot_score")(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("gap_cv"),
+          r.getAs[Double]("events_per_hour"), r.getAs[Long]("regular_flag"))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((25L, 0.0, 3750.0, 1L)))
+    assert(out(2L) == ((25L, 0.9704, 1875.0, 0L)))
+  }
+
   test("data_ldiversity_report: planted QI groups hit the hand sweep") {
     val ss = spark
     import ss.implicits._
