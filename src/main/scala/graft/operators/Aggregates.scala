@@ -295,6 +295,32 @@ object Aggregates {
       graft.api.StatsOps.mannWhitneyU(Tables.events(s, d),
         "event_type", "value", "click", "purchase")
     }),
+    "agg_wilson_ci" -> ((s, d) => {
+      // Wilson 95% score interval for a rare-event proportion (share
+      // of events with value ≥ 150, ~5% here) per type — the interval
+      // that stays sane where the naive Wald ±z√(p(1−p)/n) collapses
+      // (p near 0, small k: Wald goes negative and under-covers).
+      // n, k exact ints from ONE hash aggregate; the closed form is
+      // float over those ints, spelled identically in the oracle
+      // (z = 1.96 written as 1.96*1.96 BOTH sides — a 3.8416 literal
+      // is a different double than the computed square)
+      val nn = col("n").cast("double"); val kk = col("k").cast("double")
+      val z = lit(1.96); val zz = z * z
+      val p = kk / nn
+      val denom = lit(1.0) + zz / nn
+      val center = (p + zz / (lit(2.0) * nn)) / denom
+      val half = z * sqrt(p * (lit(1.0) - p) / nn
+        + zz / (lit(4.0) * nn * nn)) / denom
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") >= 150.0, 1L).otherwise(0L)).as("k"))
+        .select(col("event_type"), col("n"), col("k"),
+          Canon.rk(p, 6).as("p_hat"),
+          Canon.rk(center - half, 6).as("ci_lo"),
+          Canon.rk(center + half, 6).as("ci_hi"))
+        .orderBy("event_type")
+    }),
     "agg_anova_f" -> ((s, d) => {
       // the k-arm generalization of agg_ttest_welch: one-way ANOVA F
       // for value across ALL event types — per-group exact power sums,
@@ -902,6 +928,24 @@ object Aggregates {
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-group S²/n terms 6 dp-gridded before the cross-group sum
     // (mirrors StatsOps.anovaF's decimal fold); power sums exact
+    // mirrors the Spark Wilson spelling op-for-op (z² as 1.96*1.96)
+    "agg_wilson_ci" -> {
+      val nn = "CAST(n AS DOUBLE)"; val kk = "CAST(k AS DOUBLE)"
+      val zz = "1.96*1.96"
+      val p = s"$kk / $nn"
+      val denom = s"1.0 + $zz / $nn"
+      val center = s"(($p) + $zz / (2.0 * $nn)) / ($denom)"
+      val half = s"1.96 * sqrt(($p) * (1.0 - ($p)) / $nn" +
+        s" + $zz / (4.0 * $nn * $nn)) / ($denom)"
+      s"""WITH a AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(CASE WHEN value >= 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, k,
+        |  ${O.rk(p, 6)} AS p_hat,
+        |  ${O.rk(s"($center) - ($half)", 6)} AS ci_lo,
+        |  ${O.rk(s"($center) + ($half)", 6)} AS ci_hi
+        |FROM a ORDER BY event_type""".stripMargin
+    },
     "agg_anova_f" ->
       s"""WITH per AS (SELECT event_type AS g, count(*) AS ng,
         |    sum(CAST(value AS DECIMAL(18,2))) AS sg,

@@ -142,6 +142,20 @@ class PlantedFixtureSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("agg_wilson_ci: k=1 of n=10 hits the textbook Wilson bounds") {
+    val dir = freshDir("wilson")
+    // one rare event in ten: Wilson 95% = [0.017876, 0.404156] — note
+    // the naive Wald interval would dip below zero here
+    val rows = (1 to 10).map(i =>
+      (i.toLong, i * 1000000L, 1L, "click", if (i == 1) 200.0 else 10.0))
+    writeEvents(dir, rows)
+    val r = SparkEntry.queries("agg_wilson_ci")(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("k") == 1L)
+    assert(r.getAs[Double]("p_hat") == 0.1)
+    assert(r.getAs[Double]("ci_lo") == 0.017876)
+    assert(r.getAs[Double]("ci_hi") == 0.404156)
+  }
+
   test("events_bot_score: clockwork user flags, jittery user does not") {
     val dir = freshDir("bot")
     var id = 0L
