@@ -812,6 +812,63 @@ object Similarity {
         .as("q"))
   }
 
+  /** Embedding-distribution drift monitor: per label, the cosine
+    * between the REFERENCE and CANDIDATE split's centroid vectors,
+    * plus both centroid norms — the check an embedding pipeline runs
+    * when the encoder (or the upstream corpus) changes: centroids that
+    * rotate (cos < 1) or shrink/grow (norm shift) flag a distribution
+    * move long before downstream metrics do. `splitPred` rows are the
+    * reference; the rest are the candidate batch.
+    *
+    * Determinism, unlike [[centroids]]' avg(double): each component
+    * grid-rounds to 6 dp with the Canon floor trick IN FLOAT SPACE
+    * and only then casts to DECIMAL(18,6) for the associative sum. A
+    * direct float→decimal cast is NOT portable — engines disagree at
+    * representation boundaries (one rounds the exact binary
+    * expansion, another the shortest decimal rendering; measured: one
+    * component in the sf0.001 fixture flipped a 6 dp ulp and moved a
+    * cosine by 3e-5). The floor-rounded double sits within 1e-22 of
+    * its grid point, so the decimal cast agrees everywhere. Means are
+    * one float division each; the 64 per-dim products grid-round to
+    * 6 dp before the exact decimal dot/norm folds (the adamic_adar
+    * posture), so no cross-dim float sum exists anywhere.
+    *
+    * Scale shape: ONE posexplode pass (rows × dims, map-side combined
+    * to labels × 2 × dims state), a conditional-max pivot per (label,
+    * dim), and a labels-sized rollup — the corpus is scanned once and
+    * never shuffled wider than the dim table. */
+  def embeddingDrift(df: DataFrame, labelCol: String, vecCol: String,
+      splitPred: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d6 = DecimalType(18, 6)
+    val dims = df.select(col(labelCol).as("label"),
+        when(splitPred, "ref").otherwise("cand").as("_h"),
+        posexplode(col(vecCol)).as(Seq("_dim", "_v")))
+    val sums = dims.groupBy("label", "_h", "_dim")
+      .agg(sum(Canon.rk(col("_v").cast("double"), 6).cast(d6)).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col("label"), col("_h"), col("_dim"),
+        (col("_s").cast("double") / col("_n").cast("double")).as("_m"),
+        col("_n"))
+    val piv = sums.groupBy("label", "_dim").agg(
+      max(when(col("_h") === "ref", col("_m"))).as("_a"),
+      max(when(col("_h") === "cand", col("_m"))).as("_b"),
+      max(when(col("_h") === "ref", col("_n"))).as("_na"),
+      max(when(col("_h") === "cand", col("_n"))).as("_nb"))
+    def t6(c: Column) = Canon.rk(c, 6).cast(DecimalType(28, 6))
+    val agg = piv.groupBy("label").agg(
+      max(col("_na")).as("n_ref"), max(col("_nb")).as("n_cand"),
+      sum(t6(col("_a") * col("_b"))).cast("double").as("_ab"),
+      sum(t6(col("_a") * col("_a"))).cast("double").as("_aa"),
+      sum(t6(col("_b") * col("_b"))).cast("double").as("_bb"))
+    agg.select(col("label"), col("n_ref"), col("n_cand"),
+      when(col("_aa") > 0.0 && col("_bb") > 0.0,
+        Canon.rk(col("_ab") / (sqrt(col("_aa")) * sqrt(col("_bb"))), 6))
+        .as("centroid_cos"),
+      Canon.rk(sqrt(col("_aa")), 6).as("norm_ref"),
+      Canon.rk(sqrt(col("_bb")), 6).as("norm_cand"))
+  }
+
   /** Mean vector per label as (label, dim, value) rows. */
   def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "_v")))

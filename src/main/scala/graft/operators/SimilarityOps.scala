@@ -278,6 +278,20 @@ object SimilarityOps {
             .as(Seq("comp", "value")))
         .orderBy("vec_id", "comp")
     }),
+    "ml_embedding_drift" -> ((s, d) => {
+      // embedding-distribution drift: per label, cosine between the
+      // md5-split reference/candidate centroid vectors + both norms —
+      // the encoder-change monitor run before re-embedding a corpus
+      // (rotation → cos < 1, scale change → norm shift). One
+      // posexplode pass, exact decimal component sums, per-dim terms
+      // grid-rounded before the decimal dot/norm folds
+      // (Similarity.embeddingDrift)
+      Similarity.embeddingDrift(Tables.embeddings(s, d), "label",
+          "embedding",
+          substring(md5(col("vec_id").cast("string").cast("binary")),
+            1, 1) < "8")
+        .orderBy("label")
+    }),
     "embed_centroid_by_label" -> ((s, d) => {
       // Row output avoids array-encoding equivalence issues and the
       // groupBy(label, dim) partial-aggregates before the shuffle.
@@ -392,6 +406,39 @@ object SimilarityOps {
         |  unnest(proj) AS value
         |FROM t ORDER BY vec_id, comp""".stripMargin
     },
+    // mirrors Similarity.embeddingDrift: components floor-grid-round
+    // to 6 dp in IEEE space BEFORE the decimal cast (a direct
+    // float→decimal cast disagrees between engines at representation
+    // boundaries — measured a 6 dp ulp flip at sf0.001), float means,
+    // per-dim products grid-rounded to 6 dp before the exact decimal
+    // dot/norm folds — no cross-dim float sum anywhere
+    "ml_embedding_drift" ->
+      s"""WITH dd AS (SELECT label,
+        |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'
+        |      THEN 'ref' ELSE 'cand' END AS h,
+        |    i - 1 AS dim,
+        |    CAST(${O.rk("CAST(embedding[i] AS DOUBLE)", 6)} AS DECIMAL(18,6)) AS v
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
+        |s AS (SELECT label, h, dim, CAST(sum(v) AS DOUBLE) AS sv,
+        |    count(*) AS n FROM dd GROUP BY 1, 2, 3),
+        |m AS (SELECT label, h, dim, sv / CAST(n AS DOUBLE) AS mean, n FROM s),
+        |p AS (SELECT label, dim,
+        |    max(CASE WHEN h = 'ref' THEN mean END) AS a,
+        |    max(CASE WHEN h = 'cand' THEN mean END) AS b,
+        |    max(CASE WHEN h = 'ref' THEN n END) AS na,
+        |    max(CASE WHEN h = 'cand' THEN n END) AS nb
+        |  FROM m GROUP BY 1, 2),
+        |g AS (SELECT label, max(na) AS n_ref, max(nb) AS n_cand,
+        |    CAST(sum(CAST(${O.rk("a*b", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS ab,
+        |    CAST(sum(CAST(${O.rk("a*a", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS aa,
+        |    CAST(sum(CAST(${O.rk("b*b", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS bb
+        |  FROM p GROUP BY 1)
+        |SELECT label, n_ref, n_cand,
+        |  CASE WHEN aa > 0 AND bb > 0 THEN
+        |    ${O.rk("ab / (sqrt(aa) * sqrt(bb))", 6)} END AS centroid_cos,
+        |  ${O.rk("sqrt(aa)", 6)} AS norm_ref,
+        |  ${O.rk("sqrt(bb)", 6)} AS norm_cand
+        |FROM g ORDER BY label""".stripMargin,
     "embed_centroid_by_label" ->
       s"""SELECT label, CAST(i - 1 AS BIGINT) AS dim,
         |  ${O.r4("avg(CAST(embedding[i] AS DOUBLE))")} AS centroid

@@ -159,6 +159,26 @@ class StatsHandSpec extends AnyFunSuite {
     assert(math.abs(r(0).getAs[Double]("iv") - 3.2189) < 1e-9)
   }
 
+  test("embeddingDrift: orthogonal halves score 0, identical halves 1") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // label 0: ref centroid e_x, cand centroid e_y → cos 0, norms 1;
+    // label 1: both halves centered on (3,4) → cos 1, norms 5
+    val df = Seq(
+      (1L, 0, Seq(1f, 0f)), (2L, 0, Seq(1f, 0f)),
+      (3L, 0, Seq(0f, 1f)), (4L, 0, Seq(0f, 1f)),
+      (5L, 1, Seq(3f, 4f)), (6L, 1, Seq(3f, 4f)))
+      .toDF("id", "label", "vec")
+    val r = graft.api.Similarity.embeddingDrift(df, "label", "vec",
+        col("id").isin(1L, 2L, 5L)).orderBy("label").collect()
+    assert(r(0).getAs[Double]("centroid_cos") == 0.0)
+    assert(r(0).getAs[Double]("norm_ref") == 1.0)
+    assert(r(0).getAs[Double]("norm_cand") == 1.0)
+    assert(r(1).getAs[Double]("centroid_cos") == 1.0)
+    assert(r(1).getAs[Double]("norm_ref") == 5.0)
+    assert(r(1).getAs[Long]("n_ref") == 1L && r(1).getAs[Long]("n_cand") == 1L)
+  }
+
   test("seasonalAnomalies z-scores bins against their own hod slot") {
     // key k, hour-of-day 0 across 3 days with counts 2, 1, 3:
     // slot μ = 2, σ = 1 → z = 0, −1, +1; every other hod slot on the
