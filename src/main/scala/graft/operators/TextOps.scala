@@ -126,6 +126,26 @@ object TextOps {
       TextAnalysis.languageId(Tables.documents(s, d), "doc_id", "text", "lang")
         .orderBy("doc_id")
     }),
+    "text_lang_id_eval" -> ((s, d) => {
+      // confusion matrix + per-language recall for the lang-ID
+      // heuristic against the corpus's own labels — the eval that
+      // decides whether text_lang_id is good enough to route
+      // filtering decisions (and WHERE it confuses, e.g. related
+      // languages bleeding into each other). The tiny confusion
+      // frame fans into the per-lang total AND the output join —
+      // pinned (§7.2: unpinned, each consumer re-runs the whole
+      // language-ID pipeline)
+      val pred = TextAnalysis.languageId(Tables.documents(s, d),
+        "doc_id", "text", "lang")
+      val m = graft.api.Checkpoints.pin(
+        pred.groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n")))
+      val tot = m.groupBy("lang").agg(sum(col("n")).as("_t"))
+      m.join(broadcast(tot), "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("n * 1000000 div _t").as("recall_ppm"))
+        .orderBy("lang", "pred_lang")
+    }),
     "text_tfidf" -> ((s, d) => {
       // TF-IDF term weighting (api.TextAnalysis.tfidf): df from one
       // vocabulary aggregate, N broadcast — the first statistic a
@@ -1021,6 +1041,21 @@ object TextOps {
         |SELECT doc_id, lang, plang AS pred_lang,
         |  CAST(lang = plang AS INT) AS correct, score
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // the text_lang_id pipeline + a confusion rollup; integer ppm
+    "text_lang_id_eval" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |prof AS (SELECT lang AS plang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |scores AS (SELECT t.doc_id, t.lang, p.plang, CAST(sum(p.cnt) AS BIGINT) AS score
+        |           FROM tok t JOIN prof p ON t.token = p.token GROUP BY 1, 2, 3),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                     ORDER BY score DESC, plang) AS rn FROM scores),
+        |m AS (SELECT lang, plang AS pred_lang, count(*) AS n
+        |      FROM ranked WHERE rn = 1 GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tt FROM m GROUP BY 1)
+        |SELECT m.lang, m.pred_lang, m.n, m.n * 1000000 // t.tt AS recall_ppm
+        |FROM m JOIN t ON m.lang = t.lang
+        |ORDER BY m.lang, m.pred_lang""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS set_fp,

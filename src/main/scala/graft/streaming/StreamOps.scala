@@ -199,6 +199,24 @@ object StreamOps {
           Canon.r4(Canon.sumDec(col("value"), 2) / count(lit(1))).as("avg_val"))
         .orderBy("event_type", "hod")
     }),
+    "events_traffic_heatmap" -> ((s, d) => {
+      // the day-of-week × hour-of-day traffic heatmap (the capacity-
+      // planning / on-call-staffing matrix): count, corpus share in
+      // integer ppm, exact-decimal mean value per cell — ONE hash
+      // aggregate to ≤ 168 cells, one window total over that tiny
+      // frame; weekday() here (Mon=0) = DuckDB isodow−1
+      val g = Tables.events(s, d)
+        .groupBy(weekday(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hod"))
+        .agg(count(lit(1)).as("n"),
+          Canon.r4(Canon.sumDec(col("value"), 2) / count(lit(1)))
+            .as("avg_val"))
+      import org.apache.spark.sql.expressions.Window
+      g.withColumn("_t", sum(col("n")).over(Window.partitionBy()))
+        .select(col("dow"), col("hod"), col("n"),
+          expr("n * 1000000 div _t").as("share_ppm"), col("avg_val"))
+        .orderBy("dow", "hod")
+    }),
     "ts_seasonal_adjust" -> ((s, d) => {
       // seasonality-ADJUSTED anomalies: each hourly bin z-scored
       // against its own hour-of-day slot's mean/std per type, top-3
@@ -673,6 +691,15 @@ object StreamOps {
         |       ELSE 0.0 END AS acf
         |FROM u ORDER BY event_type, lag""".stripMargin
     },
+    "events_traffic_heatmap" ->
+      s"""WITH g AS (SELECT isodow(CAST(ts AS TIMESTAMP)) - 1 AS dow,
+        |    hour(CAST(ts AS TIMESTAMP)) AS hod, count(*) AS n,
+        |    ${O.r4(O.sumDec("value", 2) + " / count(*)")} AS avg_val
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM g)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod, n,
+        |  n * 1000000 // tt AS share_ppm, avg_val
+        |FROM g CROSS JOIN t ORDER BY dow, hod""".stripMargin,
     // mirrors TimeSeriesOps.seasonalAnomalies: same hourly gapfill as
     // ts_acf, exact bigint per-(type, hod) sums, z spelled in the
     // identical op order, rank = |z| DESC with the bin as a total
