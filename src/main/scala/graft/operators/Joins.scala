@@ -149,6 +149,38 @@ object Joins {
           Canon.tsStrMicros(col("asof_ts")).as("view_ts"))
         .orderBy("event_id")
     }),
+    "join_scd2_pit" -> ((s, d) => {
+      // point-in-time (PIT) join — the feature-store / warehouse
+      // correctness staple: each purchase event fetches the SCD-2
+      // state version valid AT its timestamp (valid_from ≤ ts <
+      // valid_to, half-open), never a later version (no label
+      // leakage). Spark-first shape: the version lookup is the as-of
+      // union+window (ONE user-key shuffle, no per-row subquery),
+      // then one equi-join back on (user, valid_from) with the
+      // half-open validity filter (which also drops zero-length
+      // versions from same-µs change bursts — the oracle's range
+      // predicate excludes them identically). versions fans into the
+      // as-of union AND the fetch join — pinned (§7.2).
+      val ev = Tables.events(s, d)
+      val versions = graft.api.Checkpoints.pin(
+        graft.api.Maintenance.scd2History(
+          ev.select("user_id", "event_type", "ts", "event_id"),
+          "user_id", "event_type", "ts", "event_id"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val asof = graft.api.TimeSeriesOps.asofPrior(facts,
+        versions.select(col("user_id"), col("valid_from").as("ts")),
+        "user_id", "ts", "event_id")
+      val vsel = versions.select(col("user_id").as("_vu"),
+        col("state"), col("valid_from"), col("valid_to"))
+      asof.join(vsel, col("user_id") === col("_vu")
+          && col("asof_ts") === col("valid_from"))
+        .filter(col("valid_to").isNull || col("ts") < col("valid_to"))
+        .select(col("event_id"), col("user_id"),
+          Canon.tsStrMicros(col("ts")).as("ts"), col("state"),
+          Canon.tsStrMicros(col("valid_from")).as("valid_from"))
+        .orderBy("event_id")
+    }),
     "join_asof_tolerance" -> ((s, d) => {
       // tolerance-bounded as-of (the pandas merge_asof(tolerance=...)
       // shape): nearest click either way, but a match farther than 12
@@ -291,6 +323,29 @@ object Joins {
         |FROM errors e ASOF LEFT JOIN views v
         |  ON e.user_id = v.user_id AND v.ts >= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    // the data_scd2_history version build + the textbook PIT range
+    // predicate (valid_from <= ts < valid_to) — DuckDB evaluates the
+    // range join directly; the Spark side reaches the same rows via
+    // as-of union+window + equi-join (same half-open semantics)
+    "join_scd2_pit" ->
+      """WITH o AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |v AS (SELECT user_id, event_type AS state, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM ch),
+        |f AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS fts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id,
+        |  strftime(f.fts, '%Y-%m-%d %H:%M:%S.%f') AS ts, v.state,
+        |  strftime(v.vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from
+        |FROM f JOIN v ON f.user_id = v.user_id
+        |  AND v.vf <= f.fts AND (v.vt IS NULL OR f.fts < v.vt)
+        |ORDER BY f.event_id""".stripMargin,
     "join_asof_tolerance" ->
       """WITH errors AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
         |                FROM events WHERE event_type = 'error'),

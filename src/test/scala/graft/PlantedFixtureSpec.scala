@@ -142,6 +142,25 @@ class PlantedFixtureSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("join_scd2_pit: purchases fetch the version valid at their ts") {
+    val dir = freshDir("pit")
+    // user 1: click@1s, purchase@2s, purchase@3s → versions
+    // click[1,2), purchase[2,∞). The purchase@3s must fetch the
+    // EARLIER purchase version (valid_from 2s), not start a new one —
+    // the PIT property that forbids label leakage
+    writeEvents(dir, Seq(
+      (1L, 1000000L, 1L, "click", 1.0),
+      (2L, 2000000L, 1L, "purchase", 5.0),
+      (3L, 3000000L, 1L, "purchase", 7.0)))
+    val out = SparkEntry.queries("join_scd2_pit")(spark, dir).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[String]("state"), r.getAs[String]("valid_from"))))
+      .toMap
+    assert(out.keySet == Set(2L, 3L))
+    assert(out(2L) == (("purchase", "1970-01-01 00:00:02.000000")))
+    assert(out(3L) == (("purchase", "1970-01-01 00:00:02.000000")))
+  }
+
   test("agg_wilson_ci: k=1 of n=10 hits the textbook Wilson bounds") {
     val dir = freshDir("wilson")
     // one rare event in ten: Wilson 95% = [0.017876, 0.404156] — note
