@@ -271,6 +271,39 @@ object MlPipeline {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Average precision (step-wise area under the P-R curve — the
+    * sklearn average_precision_score convention): AP = Σ over distinct
+    * scores DESC of ΔR·P = (np_i/n_pos)·(tp_i/rank_i). The
+    * single-number P-R summary next to [[aucBinned]] — and the right
+    * one for rare-positive retrieval, where ROC-AUC is inflated by
+    * the true-negative mass it rewards.
+    *
+    * Same scale shape as [[aucBinned]]: one hash aggregate to the
+    * distinct-score bin table, cumulative windows over those tiny
+    * bins. Unlike AUC's half-integer numerator, the AP terms are
+    * arbitrary ratios — each grid-rounds to 6 dp before an exact
+    * decimal fold, so no cross-bin float sum exists. */
+  def averagePrecisionBinned(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bins = df.select(col(scoreCol).as("_s"), col(labelCol).cast("long").as("_y"))
+      .groupBy("_s").agg(sum(col("_y")).as("_np"), count(lit(1)).as("_nn"))
+    val w = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val c = bins.select(col("_np"),
+      sum(col("_np")).over(w).as("_tp"),
+      sum(col("_nn")).over(w).as("_rank"),
+      sum(col("_np")).over(wAll).as("_pos"),
+      sum(col("_nn") - col("_np")).over(wAll).as("_neg"))
+    val term = Canon.rk(
+      (col("_np").cast("double") / col("_pos").cast("double"))
+        * (col("_tp").cast("double") / col("_rank").cast("double")), 6)
+      .cast(DecimalType(28, 6))
+    c.groupBy(col("_pos").as("n_pos"), col("_neg").as("n_neg"))
+      .agg(Canon.r4(sum(term).cast("double")).as("avg_precision"))
+  }
+
   /** Full-batch logistic-regression GD via treeAggregate: shuffle-free
     * tree reduction per step, O(dims) driver state — the reference's
     * broadcast+reduce training loop, which scales to 1000 executors. */

@@ -511,6 +511,19 @@ object MlOps {
           Canon.r4(col("_cp").cast("double") / col("_tp").cast("double")).as("cum_capture"))
         .orderBy("decile")
     }),
+    "ml_eval_avg_precision" -> ((s, d) => {
+      // average precision (area under the P-R curve, step-wise — the
+      // sklearn average_precision_score convention): AP = Σ over
+      // distinct scores DESC of ΔR·P = (np_i/n_pos)·(tp_i/rank_i) —
+      // the single-number summary of ml_eval_pr_curve's 19 operating
+      // points, and the AUC twin that does not reward true negatives
+      // (the right metric for rare-positive retrieval). Same bin-table
+      // shape as ml_eval_auc; per-bin terms grid-round to 6 dp before
+      // the exact decimal fold (MlPipeline.averagePrecisionBinned)
+      MlPipeline.averagePrecisionBinned(
+        scored(s, d).select(col("score"), (col("label") % 2).as("y")),
+        "score", "y")
+    }),
     "ml_ab_ratio_metric" -> ((s, d) => {
       // delta-method readout for the RATIO metric value-per-event
       // between the md5 A/B arms (ml_ab_test_srm's assignment) — the
@@ -952,6 +965,23 @@ object MlOps {
         |  ${O.r4("(CAST(np AS DOUBLE)/n) / (CAST(tp AS DOUBLE)/tn)")} AS lift,
         |  ${O.r4("CAST(cp AS DOUBLE)/tp")} AS cum_capture
         |FROM c CROSS JOIN tt ORDER BY decile""".stripMargin,
+    // mirrors the Spark AP fold: same bin table, same cumulative
+    // windows, per-bin terms rk6'd into an exact decimal sum
+    "ml_eval_avg_precision" ->
+      s"""WITH t AS (SELECT $duckScore AS s, label % 2 AS y FROM embeddings),
+        |b AS (SELECT s, CAST(sum(y) AS BIGINT) AS np, count(*) AS nn
+        |  FROM t GROUP BY 1),
+        |c AS (SELECT s, np,
+        |    CAST(sum(np) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+        |    CAST(sum(nn) OVER (ORDER BY s DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rnk,
+        |    CAST(sum(np) OVER () AS BIGINT) AS pos,
+        |    CAST(sum(nn - np) OVER () AS BIGINT) AS neg
+        |  FROM b)
+        |SELECT pos AS n_pos, neg AS n_neg,
+        |  ${O.r4(s"CAST(sum(CAST(${O.rk("(CAST(np AS DOUBLE) / CAST(pos AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(rnk AS DOUBLE))", 6)} AS DECIMAL(28,6))) AS DOUBLE)")} AS avg_precision
+        |FROM c GROUP BY 1, 2""".stripMargin,
     // mirrors StatsOps.ratioMetricDelta: per-user exact decimal sums,
     // per-arm exact power sums (x staged at width 19 — DuckDB's ≤18
     // multiply rule again), delta SE spelled in the identical op

@@ -393,6 +393,25 @@ object Scans {
         .drop("_nn")
         .orderBy("k")
     }),
+    "scan_text_lines" -> ((s, d) => {
+      // raw line-text ingest — the LAST source format the matrix was
+      // missing (parquet/orc/csv/jsonl/partitioned/bucketed + text):
+      // documents.text → one line per doc → read-back → per-first-
+      // token aggregate. The oracle aggregates the PARQUET column
+      // directly, so a hash match proves the text hop is lossless
+      // (encoding, no line mangling). Single-line contract: the text
+      // format carries no escaping (Writers.writeTextLines), which
+      // the fixture's space-separated docs satisfy by construction.
+      val docs = Tables.documents(s, d).select(col("text"))
+      val tmp = graft.sources.Writers.roundTripDir("graft_text_docs", d)
+      graft.sources.Writers.writeTextLines(docs, tmp)
+      graft.sources.Readers.textLines(s, tmp)
+        .groupBy(split(col("value"), " ").getItem(0).as("first_token"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("value"))).as("total_chars"),
+          countDistinct(col("value")).as("n_distinct"))
+        .orderBy("first_token")
+    }),
     "data_ldiversity_report" -> ((s, d) => {
       // the l-diversity companion to data_kanonymity_report:
       // k-anonymity bounds group SIZE, but a big quasi-identifier
@@ -706,6 +725,13 @@ object Scans {
         |SELECT k, n_groups, n_small_groups, rows_at_risk,
         |  rows_at_risk * 1000000 // nn AS risk_ppm
         |FROM a ORDER BY k""".stripMargin,
+    // aggregates the parquet column directly — a hash match proves the
+    // Spark side's text round-trip was lossless
+    "scan_text_lines" ->
+      """SELECT string_split(text, ' ')[1] AS first_token, count(*) AS n,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  count(DISTINCT text) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY first_token""".stripMargin,
     "data_ldiversity_report" ->
       """WITH g AS (SELECT lang, CAST(floor(n_chars / 100) AS INT) AS band,
         |    count(*) AS sz, count(DISTINCT source) AS dl

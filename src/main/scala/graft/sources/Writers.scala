@@ -187,6 +187,13 @@ object Writers {
       options: Map[String, String] = Map.empty): Unit =
     df.write.mode("overwrite").options(options).json(path)
 
+  /** Raw line-text sink: one line per row of a SINGLE string column.
+    * The contract is single-line strings — an embedded newline would
+    * split a row into two lines on read-back (the text format carries
+    * no escaping), so callers own that invariant. */
+  def writeTextLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").text(path)
+
   /** Header'd CSV sink for flat (scalar-typed) frames. Same µs
     * `timestampFormat` caveat as [[writeJsonLines]]. */
   def writeCsv(df: DataFrame, path: String,
@@ -316,4 +323,9 @@ object Readers {
     * instead of resolving columns positionally or nulling them. */
   def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** Raw line-text read: one row per line, single `value` column —
+    * the format has no schema to pass. */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 }

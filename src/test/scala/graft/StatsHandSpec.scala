@@ -159,6 +159,23 @@ class StatsHandSpec extends AnyFunSuite {
     assert(math.abs(r(0).getAs[Double]("iv") - 3.2189) < 1e-9)
   }
 
+  test("averagePrecisionBinned matches the hand P-R fold") {
+    // scores desc: (0.9, y=1) P=1, ΔR=1/2 → 0.5; (0.8, 0) → 0;
+    // (0.7, 1) P=2/3, ΔR=1/2 → rk6(1/3) = 0.333333; AP = 0.8333
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq((0.9, 1), (0.8, 0), (0.7, 1)).toDF("score", "y")
+    val r = graft.api.MlPipeline.averagePrecisionBinned(df, "score", "y")
+      .collect()(0)
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 1)
+    assert(r.getAs[Double]("avg_precision") == 0.8333)
+    // perfect ranking: all positives above all negatives → AP = 1
+    val perfect = Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("score", "y")
+    val p = graft.api.MlPipeline.averagePrecisionBinned(perfect, "score", "y")
+      .collect()(0)
+    assert(p.getAs[Double]("avg_precision") == 1.0)
+  }
+
   test("embeddingDrift: orthogonal halves score 0, identical halves 1") {
     val s = TestSpark.spark
     import s.implicits._
