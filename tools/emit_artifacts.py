@@ -7,7 +7,14 @@ git, not prose (VERDICT r15 "Next round" #3).
 Usage:
   python3 tools/emit_artifacts.py <round> \
       --scale <label>=<sfDir>:<verifyOutDir> [...] \
-      [--determinism <outDirA>:<outDirB>]
+      [--scale-from-log <label>=<sfDir>:<verify_local logfile> [...]] \
+      [--determinism <outDirA>:<outDirB>] \
+      [--determinism-from-log <dirA>:<dirB>:<probe logfile>]
+
+--scale re-runs the DuckDB compare; --scale-from-log parses a
+verify_local log captured earlier in the SAME session (the sf0.1
+compare takes ~45 min — re-running it to transcribe verdicts it
+already printed is pure waste). Same verdict parser either way.
 
 The caller runs `sbt "runMain graft.Verify <sfDir> <outDir>"` for each
 scale first (twice at one scale for the determinism pair). This script
@@ -54,6 +61,7 @@ def main():
     rnd = sys.argv[1]
     scales = []
     det = None
+    det_log = None
     args = sys.argv[2:]
     i = 0
     while i < len(args):
@@ -67,15 +75,25 @@ def main():
         elif arg == "--determinism":
             i += 1
             det = args[i]
+        elif arg.startswith("--determinism-from-log="):
+            det_log = arg.split("=", 1)[1]
+        elif arg == "--determinism-from-log":
+            i += 1
+            det_log = args[i]
         elif arg.startswith("--scale="):
-            scales.append(arg.split("=", 1)[1])
+            scales.append(("run", arg.split("=", 1)[1]))
         elif arg == "--scale":
             i += 1
-            scales.append(args[i])
+            scales.append(("run", args[i]))
+        elif arg.startswith("--scale-from-log="):
+            scales.append(("log", arg.split("=", 1)[1]))
+        elif arg == "--scale-from-log":
+            i += 1
+            scales.append(("log", args[i]))
         else:
             sys.exit(f"unrecognized argument: {arg}")
         i += 1
-    if not scales and det is None:
+    if not scales and det is None and det_log is None:
         sys.exit("nothing to do: pass --scale and/or --determinism")
     ok = True
 
@@ -83,11 +101,15 @@ def main():
         artifact = {"round": rnd, "generated_utc":
                     datetime.datetime.now(datetime.timezone.utc).isoformat(),
                     "scales": {}}
-        for spec in scales:
+        for mode, spec in scales:
             label, rest = spec.split("=", 1)
             sf_dir, out_dir = rest.split(":", 1)
-            lines = run_lines([sys.executable, str(ROOT / "tools/verify_local.py"),
-                               sf_dir, out_dir])
+            if mode == "log":
+                lines = Path(out_dir).read_text().splitlines()
+            else:
+                lines = run_lines([sys.executable,
+                                   str(ROOT / "tools/verify_local.py"),
+                                   sf_dir, out_dir])
             verdicts = parse_verdicts(lines)
             n_pass = sum(1 for v in verdicts.values() if v["verdict"] == "pass")
             n_fail = len(verdicts) - n_pass
@@ -101,10 +123,15 @@ def main():
             f"{l}={s['n_pass']}/{s['n_pass'] + s['n_fail']}"
             for l, s in artifact["scales"].items()))
 
-    if det:
-        da, db = det.split(":", 1)
-        lines = run_lines([sys.executable, str(ROOT / "tools/determinism_probe.py"),
-                           da, db])
+    if det or det_log:
+        if det_log:
+            da, db, logf = det_log.split(":", 2)
+            lines = Path(logf).read_text().splitlines()
+        else:
+            da, db = det.split(":", 1)
+            lines = run_lines([sys.executable,
+                               str(ROOT / "tools/determinism_probe.py"),
+                               da, db])
         verdicts = parse_verdicts(lines)
         n_pass = sum(1 for v in verdicts.values() if v["verdict"] == "pass")
         n_fail = len(verdicts) - n_pass
