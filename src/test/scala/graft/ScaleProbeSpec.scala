@@ -384,6 +384,45 @@ class ScaleProbeSpec extends AnyFunSuite {
         "dropping true neighbors before the re-rank")
   }
 
+  test("maxSimKnn at 100k vectors matches the driver-side late-interaction reference") {
+    // the graft_maxsim codegen kernel at probe volume: 5 queries ×
+    // 102,400 candidates, 16-dim vectors viewed as 4×4 sub-vectors.
+    // The reference recomputes Σ_i max_j dot with the identical fixed
+    // op order and the identical round-then-rank rule, so the
+    // distributed top-10 must be EXACTLY equal — ids, scores, ranks.
+    val (df, _, vecsLocal) = clusteredCorpus100k()
+    val got = graft.api.Similarity.maxSimKnn(df, "id", "vec",
+        queryPred = org.apache.spark.sql.functions.col("id") < 5,
+        m = 4, k = 10, simRound = Some(4))
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
+        r.getAs[Double]("score"), r.getAs[Long]("rank")))
+    def maxSim(a: Array[Float], b: Array[Float]): Double = {
+      val m = 4; val sub = a.length / m
+      var score = 0.0; var i = 0
+      while (i < m) {
+        var best = Double.NegativeInfinity; var j = 0
+        while (j < m) {
+          var dot = 0.0; var t = 0
+          while (t < sub) { dot += a(i * sub + t).toDouble * b(j * sub + t).toDouble; t += 1 }
+          if (dot > best) best = dot; j += 1
+        }
+        score += best; i += 1
+      }
+      score
+    }
+    val want = (0L until 5L).flatMap { q =>
+      val qv = vecsLocal(q.toInt)._2
+      vecsLocal.iterator.filter(_._1 != q)
+        .map { case (cid, cv) =>
+          (cid, math.floor(maxSim(qv, cv) * 1e4 + 0.5) / 1e4) }
+        .toArray.sortBy { case (cid, s) => (-s, cid) }
+        .take(10).zipWithIndex
+        .map { case ((cid, s), i) => (q, cid, s, i + 1L) }
+    }
+    assert(got.toSeq == want)
+  }
+
   test("packShards assignment is invariant to bandChars (banded cumsum == one window)") {
     // sizes ~U[1, 600] against a 2048 budget: straddling docs occur at
     // almost every shard boundary, in every group
