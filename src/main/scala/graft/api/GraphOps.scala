@@ -374,8 +374,14 @@ object GraphOps {
       und.select(col("lo").as("u"), col("hi").as("v"))
         .union(und.select(col("hi").as("u"), col("lo").as("v"))))
     for (_ <- 1 to rounds) {
-      val keep = sym.groupBy("u").agg(count(lit(1)).as("_d"))
-        .filter(col("_d") >= k).select("u")
+      // keep is PINNED before its two join references: the rename
+      // projection on the second side defeats ReuseExchange, so an
+      // unpinned keep would run the degree aggregate over the edge
+      // list twice per round — at the billion-node shuffle posture
+      // that doubles every round's dominant cost
+      val keep = Checkpoints.pin(sym.groupBy("u")
+        .agg(count(lit(1)).as("_d"))
+        .filter(col("_d") >= k).select("u"))
       val next = Checkpoints.pin(sym
         .join(pinKeep(keep), "u")
         .join(pinKeep(keep.select(col("u").as("v"))), "v")
@@ -384,6 +390,7 @@ object GraphOps {
       // whose lineage collapsed at checkpoint time — freeing it cannot
       // touch `und`, which `nodes` still reads (see pagerankMass)
       Checkpoints.free(sym)
+      Checkpoints.free(keep)
       sym = next
     }
     val core = sym.groupBy(col("u").as("node"))

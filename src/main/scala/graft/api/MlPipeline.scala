@@ -296,10 +296,12 @@ object MlPipeline {
       sum(col("_nn")).over(w).as("_rank"),
       sum(col("_np")).over(wAll).as("_pos"),
       sum(col("_nn") - col("_np")).over(wAll).as("_neg"))
-    val term = Canon.rk(
+    // zero positives → no P-R curve exists; NULL AP instead of an
+    // ANSI 0/0 error (the ratioMetricDelta guard discipline)
+    val term = when(col("_pos") > 0L, Canon.rk(
       (col("_np").cast("double") / col("_pos").cast("double"))
         * (col("_tp").cast("double") / col("_rank").cast("double")), 6)
-      .cast(DecimalType(28, 6))
+      .cast(DecimalType(28, 6)))
     c.groupBy(col("_pos").as("n_pos"), col("_neg").as("n_neg"))
       .agg(Canon.r4(sum(term).cast("double")).as("avg_precision"))
   }
@@ -647,7 +649,11 @@ object MlPipeline {
     * before the per-feature window fold in exact DECIMAL, and WoE
     * itself rounds to 4 dp on output. Smoothed shares use RAW totals
     * in the denominator (cells get +0.5, G/B do not) — the common
-    * convention, pinned by the oracle. */
+    * convention, pinned by the oracle. A feature with zero goods or
+    * zero bads OVERALL has no defined WoE (the margin itself is 0,
+    * which cell smoothing does not touch): its bins emit NULL
+    * woe/contrib and a NULL feature IV instead of an ANSI division
+    * error. */
   def woeIv(labeled: DataFrame, featureCol: String, binCol: String,
       badCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -662,12 +668,21 @@ object MlPipeline {
     val gd = (col("n_good").cast("double") + 0.5) / g
     val bd = (col("n_bad").cast("double") + 0.5) / b
     val woeRaw = log(gd / bd)
-    val contrib = Canon.rk((gd - bd) * woeRaw, 6).cast(DecimalType(28, 6))
+    // the 0.5 smoothing keeps CELLS finite, but the shares divide by
+    // the RAW feature margins — a feature with zero goods (or zero
+    // bads) overall has no defined WoE for ANY bin, and under Spark
+    // 4's ANSI default the unguarded 0-division would kill the job
+    // rather than NULL. Guard the whole per-bin computation; the IV
+    // fold then sums NULLs to a NULL feature IV (both engines alike).
+    val defined = sum(col("n_good")).over(w) > 0L && sum(col("n_bad")).over(w) > 0L
+    val contrib = when(defined,
+      Canon.rk((gd - bd) * woeRaw, 6).cast(DecimalType(28, 6)))
     // two projections: the IV fold is a window over a window-derived
     // column (shares need the per-feature totals), which must be
     // staged — Spark rejects directly nested window expressions
     bins.select(col("feature"), col("bin"), col("n"), col("n_bad"),
-        col("n_good"), Canon.r4(woeRaw).as("woe"), contrib.as("_c"))
+        col("n_good"), when(defined, Canon.r4(woeRaw)).as("woe"),
+        contrib.as("_c"))
       .select(col("feature"), col("bin"), col("n"), col("n_bad"),
         col("n_good"), col("woe"), col("_c").cast("double").as("iv_contrib"),
         Canon.r4(sum(col("_c")).over(w).cast("double")).as("iv"))

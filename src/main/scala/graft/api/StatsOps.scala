@@ -764,10 +764,12 @@ object StatsOps {
     * Determinism: the fitted slope/intercept are computed once from
     * exact decimal power sums (one correctly-rounded float expression
     * each), grid-rounded to 6 dp and CAST to DECIMAL(18,6) — from
-    * there every residual is EXACT decimal arithmetic (coef(18,6) ×
-    * x(18,scale) → scale-8 product, y − pred exact, |e| and e² summed
-    * in decimal), so Σ|e| and Σe² are associative and arrival-order
-    * free. MAPE's per-row ratio is the one float per row; it
+    * there every residual is EXACT decimal arithmetic (the slope×x
+    * product re-stages at (28,8) before the intercept add — without
+    * that, Spark's precision-38 cap rounds the add to scale 7 and the
+    * residual's 8th decimal silently disappears; see the inline note —
+    * then |e| and e² sum in decimal), so Σ|e| and Σe² are associative
+    * and arrival-order free. MAPE's per-row ratio is the one float per row; it
     * grid-rounds to 6 dp and folds in DECIMAL(28,6) (the adamic_adar
     * pattern). R² = 1 − SSE/SST with SST from the same exact power
     * sums. Residuals are re-derived (the ONLY way to get |e| — no
@@ -804,7 +806,18 @@ object StatsOps {
         (n * col("_sxy") - col("_sx") * col("_sy")) / den, 6).cast(d6)).as("_sl"),
       when(den =!= 0.0, Canon.rk(
         (col("_sy") * col("_sxx") - col("_sx") * col("_sxy")) / den, 6).cast(d6)).as("_ic"))
-    val e = (col("_y") - (col("_ic") + col("_sl") * col("_x")))
+    // the product must be re-staged at (28,8) before the add: Spark's
+    // (18,6)×(18,2) multiply yields precision 37, and adding the
+    // (18,6) intercept to THAT pushes past 38 — the add comes back as
+    // DECIMAL(38,7), silently HALF_UP-rounding the residual's 8th
+    // decimal (measured on 4.1.2; lossless on integral x only, which
+    // is why the shipped key never caught it). The (28,8) cast is
+    // value-exact (user-scale coefficients × money-scale x), keeps
+    // the add at (29,8) and the subtract at (30,8) — fully exact.
+    // The oracle carries the same cast for a parallel spelling even
+    // though DuckDB's widths never overflow here.
+    val e = (col("_y")
+      - (col("_ic") + (col("_sl") * col("_x")).cast(DecimalType(28, 8))))
       .cast(DecimalType(18, 8))
     val r = base.join(broadcast(coef.select("_g", "_sl", "_ic")), "_g")
       .select(col("_g"), e.as("_e"), col("_y"))

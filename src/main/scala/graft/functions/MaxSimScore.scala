@@ -84,6 +84,8 @@ object MaxSimScore {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_maxsim", exprs => {
+        require(exprs.length == 3,
+          s"graft_maxsim expects (array<float>, array<float>, m: int literal), got ${exprs.length} argument(s)")
         val m = exprs(2) match {
           case Literal(v: Int, IntegerType) => v
           case other => throw new IllegalArgumentException(

@@ -980,7 +980,7 @@ object MlOps {
         |    CAST(sum(nn - np) OVER () AS BIGINT) AS neg
         |  FROM b)
         |SELECT pos AS n_pos, neg AS n_neg,
-        |  ${O.r4(s"CAST(sum(CAST(${O.rk("(CAST(np AS DOUBLE) / CAST(pos AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(rnk AS DOUBLE))", 6)} AS DECIMAL(28,6))) AS DOUBLE)")} AS avg_precision
+        |  ${O.r4(s"CAST(sum(CASE WHEN pos > 0 THEN CAST(${O.rk("(CAST(np AS DOUBLE) / CAST(pos AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(rnk AS DOUBLE))", 6)} AS DECIMAL(28,6)) END) AS DOUBLE)")} AS avg_precision
         |FROM c GROUP BY 1, 2""".stripMargin,
     // mirrors StatsOps.ratioMetricDelta: per-user exact decimal sums,
     // per-arm exact power sums (x staged at width 19 — DuckDB's ≤18
@@ -1034,14 +1034,17 @@ object MlOps {
         |    CAST(count(*) - sum(bad) AS BIGINT) AS n_good
         |  FROM m GROUP BY 1, 2),
         |t AS (SELECT feature, bin, n, n_bad, n_good,
+        |    sum(n_good) OVER (PARTITION BY feature) > 0
+        |      AND sum(n_bad) OVER (PARTITION BY feature) > 0 AS defined,
         |    (CAST(n_good AS DOUBLE) + 0.5)
         |      / CAST(sum(n_good) OVER (PARTITION BY feature) AS DOUBLE) AS gd,
         |    (CAST(n_bad AS DOUBLE) + 0.5)
         |      / CAST(sum(n_bad) OVER (PARTITION BY feature) AS DOUBLE) AS bd
         |  FROM bins),
         |c AS (SELECT feature, bin, n, n_bad, n_good,
-        |    ${O.r4("ln(gd/bd)")} AS woe,
-        |    CAST(${O.rk("(gd - bd) * ln(gd/bd)", 6)} AS DECIMAL(28,6)) AS cc
+        |    CASE WHEN defined THEN ${O.r4("ln(gd/bd)")} END AS woe,
+        |    CASE WHEN defined THEN
+        |      CAST(${O.rk("(gd - bd) * ln(gd/bd)", 6)} AS DECIMAL(28,6)) END AS cc
         |  FROM t)
         |SELECT feature, bin, n, n_bad, n_good, woe,
         |  CAST(cc AS DOUBLE) AS iv_contrib,
@@ -1074,7 +1077,9 @@ object MlOps {
         |    CASE WHEN CAST(n AS DOUBLE)*sxx - sx*sx <> 0 THEN
         |      CAST(${O.rk("(sy*sxx - sx*sxy) / (CAST(n AS DOUBLE)*sxx - sx*sx)", 6)} AS DECIMAL(18,6)) END AS ic
         |  FROM s),
-        |r AS (SELECT c.g, CAST(b.y - (c.ic + c.sl * b.x) AS DECIMAL(19,8)) AS e, b.y
+        |r AS (SELECT c.g,
+        |    CAST(b.y - (c.ic + CAST(c.sl * b.x AS DECIMAL(28,8))) AS DECIMAL(19,8)) AS e,
+        |    b.y
         |  FROM b JOIN c ON b.g = c.g),
         |a AS (SELECT g, CAST(sum(e*e) AS DOUBLE) AS sse,
         |    CAST(sum(abs(e)) AS DOUBLE) AS sae,

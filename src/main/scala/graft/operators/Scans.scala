@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   * reading everything.
   */
 object Scans {
+  /** Shared exposure sweep behind the privacy reports
+    * (data_kanonymity_report / data_ldiversity_report): a group frame
+    * carrying `_sz` (group row count) plus a per-group metric is
+    * crossed with the sweep thresholds (explodes the tiny |groups|
+    * frame, never rows) and rolled up to groups-below / rows-exposed /
+    * integer-ppm per threshold. The group frame is pinned here — it
+    * fans into the total AND the sweep (§7.2). */
+  private def exposureSweep(g: org.apache.spark.sql.DataFrame,
+      metric: org.apache.spark.sql.Column, sweep: Seq[Int],
+      sweepName: String, lowName: String, rowsName: String,
+      ppmName: String): org.apache.spark.sql.DataFrame = {
+    val pinned = graft.api.Checkpoints.pin(g)
+    val tot = pinned.agg(sum(col("_sz")).as("_n"), count(lit(1)).as("_g"))
+    pinned.crossJoin(broadcast(tot))
+      .select(explode(array(sweep.map(lit(_)): _*)).as(sweepName),
+        col("_sz"), metric.as("_m"), col("_n"), col("_g"))
+      .groupBy(sweepName)
+      .agg(max(col("_g")).as("n_groups"),
+        sum(when(col("_m") < col(sweepName), 1L).otherwise(0L)).as(lowName),
+        sum(when(col("_m") < col(sweepName), col("_sz")).otherwise(0L))
+          .as(rowsName),
+        max(col("_n")).as("_nn"))
+      .withColumn(ppmName, expr(s"$rowsName * 1000000 div _nn"))
+      .drop("_nn")
+      .orderBy(sweepName)
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_parquet_project_filter" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -369,29 +396,17 @@ object Scans {
       // acctbal-1000-band) quasi-identifier — for each candidate k,
       // how many identifier groups are smaller than k and what
       // fraction of ROWS sits in them (re-identification exposure).
-      // One map-side-combined group-size aggregate over the corpus;
-      // the k-sweep explodes the tiny |groups| frame (never rows),
-      // shares stay integer ppm (truncating div). Group sizes fan
-      // into the total AND the sweep — pinned (§7.2 fan-out trap).
-      val g = graft.api.Checkpoints.pin(
+      // One map-side-combined group-size aggregate over the corpus,
+      // then the shared exposureSweep (k-sweep over the tiny |groups|
+      // frame, integer ppm, pinned fan-out).
+      exposureSweep(
         Tables.customer(s, d).groupBy(col("c_nationkey"),
             col("c_mktsegment"),
             expr("CAST(floor(c_acctbal / 1000) AS INT)").as("_band"))
-          .agg(count(lit(1)).as("_sz")))
-      val tot = g.agg(sum(col("_sz")).as("_n"), count(lit(1)).as("_g"))
-      g.crossJoin(broadcast(tot))
-        .select(explode(array(Seq(2, 5, 20).map(lit(_)): _*)).as("k"),
-          col("_sz"), col("_n"), col("_g"))
-        .groupBy("k")
-        .agg(max(col("_g")).as("n_groups"),
-          sum(when(col("_sz") < col("k"), 1L).otherwise(0L))
-            .as("n_small_groups"),
-          sum(when(col("_sz") < col("k"), col("_sz")).otherwise(0L))
-            .as("rows_at_risk"),
-          max(col("_n")).as("_nn"))
-        .withColumn("risk_ppm", expr("rows_at_risk * 1000000 div _nn"))
-        .drop("_nn")
-        .orderBy("k")
+          .agg(count(lit(1)).as("_sz")),
+        metric = col("_sz"), sweep = Seq(2, 5, 20), sweepName = "k",
+        lowName = "n_small_groups", rowsName = "rows_at_risk",
+        ppmName = "risk_ppm")
     }),
     "scan_text_lines" -> ((s, d) => {
       // raw line-text ingest — the LAST source format the matrix was
@@ -418,29 +433,17 @@ object Scans {
       // group whose sensitive attribute is uniform still leaks (you
       // know every member's value) — l-diversity requires ≥ l DISTINCT
       // sensitive values (source) per (lang, length-band) group. Same
-      // scale shape as the k report: one map-side-combined aggregate
-      // (exact distinct over the tiny per-group source set), l-sweep
-      // explodes the |groups| frame (never rows), integer ppm; group
-      // frame fans into total AND sweep — pinned (§7.2).
-      val g = graft.api.Checkpoints.pin(
+      // scale shape as the k report via the shared exposureSweep
+      // (exact distinct over the tiny per-group source set; l-sweep
+      // over |groups|, integer ppm, pinned fan-out).
+      exposureSweep(
         Tables.documents(s, d).groupBy(col("lang"),
             expr("CAST(floor(n_chars / 100) AS INT)").as("_band"))
           .agg(count(lit(1)).as("_sz"),
-            countDistinct(col("source")).as("_l")))
-      val tot = g.agg(sum(col("_sz")).as("_n"), count(lit(1)).as("_g"))
-      g.crossJoin(broadcast(tot))
-        .select(explode(array(Seq(2, 3, 5).map(lit(_)): _*)).as("l"),
-          col("_sz"), col("_l"), col("_n"), col("_g"))
-        .groupBy("l")
-        .agg(max(col("_g")).as("n_groups"),
-          sum(when(col("_l") < col("l"), 1L).otherwise(0L))
-            .as("n_low_groups"),
-          sum(when(col("_l") < col("l"), col("_sz")).otherwise(0L))
-            .as("rows_exposed"),
-          max(col("_n")).as("_nn"))
-        .withColumn("exposure_ppm", expr("rows_exposed * 1000000 div _nn"))
-        .drop("_nn")
-        .orderBy("l")
+            countDistinct(col("source")).as("_l")),
+        metric = col("_l"), sweep = Seq(2, 3, 5), sweepName = "l",
+        lowName = "n_low_groups", rowsName = "rows_exposed",
+        ppmName = "exposure_ppm")
     }),
     "data_referential_integrity" -> ((s, d) => {
       // cross-table FK audit: orphaned fact rows per declared foreign

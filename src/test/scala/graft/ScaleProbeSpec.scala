@@ -397,25 +397,16 @@ class ScaleProbeSpec extends AnyFunSuite {
       .orderBy("qid", "rank").collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"),
         r.getAs[Double]("score"), r.getAs[Long]("rank")))
-    def maxSim(a: Array[Float], b: Array[Float]): Double = {
-      val m = 4; val sub = a.length / m
-      var score = 0.0; var i = 0
-      while (i < m) {
-        var best = Double.NegativeInfinity; var j = 0
-        while (j < m) {
-          var dot = 0.0; var t = 0
-          while (t < sub) { dot += a(i * sub + t).toDouble * b(j * sub + t).toDouble; t += 1 }
-          if (dot > best) best = dot; j += 1
-        }
-        score += best; i += 1
-      }
-      score
-    }
+    // the reference goes through Kernels.maxSimArr itself — this probe
+    // validates the DISTRIBUTED plumbing (broadcast, rounding, ranking)
+    // at volume; the kernel's arithmetic has its own independent
+    // functional reference in KernelsSpec
     val want = (0L until 5L).flatMap { q =>
       val qv = vecsLocal(q.toInt)._2
       vecsLocal.iterator.filter(_._1 != q)
         .map { case (cid, cv) =>
-          (cid, math.floor(maxSim(qv, cv) * 1e4 + 0.5) / 1e4) }
+          (cid, math.floor(
+            graft.functions.Kernels.maxSimArr(qv, cv, 4) * 1e4 + 0.5) / 1e4) }
         .toArray.sortBy { case (cid, s) => (-s, cid) }
         .take(10).zipWithIndex
         .map { case ((cid, s), i) => (q, cid, s, i + 1L) }

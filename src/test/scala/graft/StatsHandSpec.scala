@@ -145,6 +145,54 @@ class StatsHandSpec extends AnyFunSuite {
     assert(math.abs(r(0).getAs[Double]("iv") - 0.3406) < 1e-9)
   }
 
+  test("woeIv: a zero-margin feature emits NULL WoE/IV, not a crash") {
+    // feature f2 is ALL-bad: its good margin is 0, which cell
+    // smoothing does not touch — WoE is undefined for every f2 bin
+    // and must surface as NULL (under ANSI Spark the unguarded
+    // division killed the job). f1 stays fully defined.
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(("f1", "A", 0), ("f1", "A", 1), ("f1", "B", 1),
+      ("f2", "X", 1), ("f2", "Y", 1)).toDF("feature", "bin", "bad")
+    val r = graft.api.MlPipeline.woeIv(df, "feature", "bin", "bad")
+      .orderBy("feature", "bin").collect()
+    val f2 = r.filter(_.getAs[String]("feature") == "f2")
+    assert(f2.length == 2)
+    f2.foreach { row =>
+      assert(row.isNullAt(row.fieldIndex("woe")))
+      assert(row.isNullAt(row.fieldIndex("iv")))
+    }
+    assert(r.filter(_.getAs[String]("feature") == "f1")
+      .forall(!_.isNullAt(r(0).fieldIndex("woe"))))
+  }
+
+  test("averagePrecisionBinned: zero positives give NULL AP, not a crash") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq((0.9, 0), (0.3, 0)).toDF("score", "y")
+    val r = graft.api.MlPipeline.averagePrecisionBinned(df, "score", "y")
+      .collect()(0)
+    assert(r.getAs[Long]("n_pos") == 0 && r.getAs[Long]("n_neg") == 2)
+    assert(r.isNullAt(r.fieldIndex("avg_precision")))
+  }
+
+  test("regressionEvalByGroup stays exact on FRACTIONAL x (the (28,8) staging)") {
+    // x at 2 dp non-integral: slope(6dp)·x(2dp) has genuine 8 dp —
+    // without the (28,8) product staging Spark's precision-38 cap
+    // returned the residual at scale 7 (measured on 4.1.2). Values
+    // pinned from an exact-decimal reference computation.
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(("g", 1.25, 1.0), ("g", 2.75, 2.3), ("g", 4.25, 4.1))
+      .toDF("g", "x", "y")
+    val r = StatsOps.regressionEvalByGroup(df, "g", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 3)
+    assert(math.abs(r.getAs[Double]("rmse") - 0.1179) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mae") - 0.1111) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mape") - 0.0587) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 0.9914) < 1e-9)
+  }
+
   test("woeIv smoothing keeps pure bins finite") {
     // bin C all-good, bin D all-bad: the +0.5 cell smoothing keeps
     // WoE = ±ln(2.5/0.5) = ±1.6094 instead of ±∞
