@@ -427,6 +427,26 @@ object Scans {
           countDistinct(col("value")).as("n_distinct"))
         .orderBy("first_token")
     }),
+    "data_pseudonymize" -> ((s, d) => {
+      // pseudonymization with a built-in audit — the GDPR-friendly
+      // sibling of data_gdpr_delete: user ids become md5 tokens
+      // (engine-portable keyed hashing; the repo's assignment idiom)
+      // and the per-token activity rollup PROVES the two properties
+      // that make pseudonymized analytics valid: joinability is
+      // preserved (same token ⇔ same user: n_users = 1 per token —
+      // a collision would surface as n_users > 1) and the activity
+      // distribution is untouched (per-token counts = per-user
+      // counts, pinned by the oracle hash). ONE hash aggregate.
+      Tables.events(s, d)
+        .select(md5(col("user_id").cast("string").cast("binary"))
+            .as("token"),
+          col("user_id"), col("event_type"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("token")
+    }),
     "data_ldiversity_report" -> ((s, d) => {
       // the l-diversity companion to data_kanonymity_report:
       // k-anonymity bounds group SIZE, but a big quasi-identifier
@@ -728,6 +748,12 @@ object Scans {
         |SELECT k, n_groups, n_small_groups, rows_at_risk,
         |  rows_at_risk * 1000000 // nn AS risk_ppm
         |FROM a ORDER BY k""".stripMargin,
+    "data_pseudonymize" ->
+      """SELECT md5(CAST(user_id AS VARCHAR)) AS token,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1 ORDER BY token""".stripMargin,
     // aggregates the parquet column directly — a hash match proves the
     // Spark side's text round-trip was lossless
     "scan_text_lines" ->

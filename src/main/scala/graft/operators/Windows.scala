@@ -208,6 +208,22 @@ object Windows {
           windowUs = 604800000000L)
         .orderBy("channel")
     }),
+    "events_stickiness" -> ((s, d) => {
+      // the engagement KPI: DAU / trailing-28-day MAU per day — what
+      // share of the monthly audience shows up on a given day. Rides
+      // the SAME bounded-explode rolling-distinct engine as
+      // events_active_users (TimeSeriesOps.activeUsers at 28 days):
+      // each user-DAY explodes to ≤28 report days — a constant-factor
+      // fanout of the deduped user-day table, never a
+      // distinct-over-sliding-window; the ratio is one float over
+      // exact bigint counts, rounded
+      graft.api.TimeSeriesOps.activeUsers(Tables.events(s, d),
+          "user_id", "ts", windowDays = 28)
+        .select(col("day"), col("dau"), col("wau").as("mau"),
+          Canon.r4(col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    }),
     "events_bot_score" -> ((s, d) => {
       // per-USER traffic-regularity audit — the bot heuristic every
       // ingestion pipeline runs before trusting engagement counts:
@@ -643,6 +659,19 @@ object Windows {
         |      FROM s WHERE len(ets) >= 3)
         |SELECT path, count(*) AS n FROM g
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // events_active_users' rolling-distinct shape at a 28-day window
+    // plus the DAU/MAU ratio
+    "events_stickiness" ->
+      s"""WITH days AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM days GROUP BY 1),
+        |span AS (SELECT DISTINCT u, day + gs.i AS rday
+        |         FROM days, generate_series(0, 27) gs(i)),
+        |mau AS (SELECT rday, count(*) AS mau FROM span GROUP BY 1)
+        |SELECT day, dau, mau,
+        |  ${O.r4("CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE)")} AS stickiness
+        |FROM dau JOIN mau ON day = rday
+        |ORDER BY day""".stripMargin,
     "events_active_users" ->
       """WITH days AS (SELECT DISTINCT user_id AS u,
         |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
