@@ -772,7 +772,11 @@ object StatsOps {
     * and arrival-order free. MAPE's per-row ratio is the one float per row; it
     * grid-rounds to 6 dp and folds in DECIMAL(28,6) (the adamic_adar
     * pattern). R² = 1 − SSE/SST with SST from the same exact power
-    * sums. Residuals are re-derived (the ONLY way to get |e| — no
+    * sums. MAPE's per-row term is |e| / |y| over the y ≠ 0 rows only,
+    * and its mean divides by THAT row count (not n) — zero-actual
+    * rows neither blow up the ratio nor dilute the mean, and an
+    * all-zero-y group reports NULL mape. Residuals are re-derived
+    * (the ONLY way to get |e| — no
     * closed form exists), squared after a CAST to DECIMAL(18,8) so
     * the square stays inside precision 38 with its full 16-digit
     * scale (squaring the wide product directly truncates scale — the
@@ -824,20 +828,25 @@ object StatsOps {
     val a = r.groupBy("_g").agg(
       sum(col("_e") * col("_e")).cast("double").as("_sse"),
       sum(abs(col("_e"))).cast("double").as("_sae"),
-      // y = 0 rows are excluded from the MAPE numerator (their ratio is
-      // undefined; an unguarded Inf would NULL in Spark's non-ANSI cast
-      // but ERROR in DuckDB's) while still counting in n — the standard
-      // "MAPE undefined at zero actuals" convention, decided on the
-      // exact decimal so the verdict cannot differ between engines
+      // MAPE: per-row term is |e| / |y| (abs in the DENOMINATOR too —
+      // a signed y would let negative-actual terms cancel positive
+      // ones), y = 0 rows are excluded from BOTH the numerator and the
+      // divisor count (their ratio is undefined; an unguarded Inf
+      // would NULL in Spark's non-ANSI cast but ERROR in DuckDB's) —
+      // the standard "MAPE undefined at zero actuals" convention,
+      // decided on the exact decimal so the verdict cannot differ
+      // between engines
       sum(when(col("_y") =!= lit(0).cast(dt),
-        Canon.rk(abs(col("_e").cast("double")) / col("_y").cast("double"), 6)
-          .cast(DecimalType(28, 6)))).cast("double").as("_sape"))
+        Canon.rk(abs(col("_e").cast("double")) / abs(col("_y").cast("double")), 6)
+          .cast(DecimalType(28, 6)))).cast("double").as("_sape"),
+      count(when(col("_y") =!= lit(0).cast(dt), lit(1))).as("_nape"))
     val sst = col("_syy") - col("_sy") * col("_sy") / n
     coef.join(a, "_g")
       .select(col("_g").as(groupCol), col("_n").as("n"),
         Canon.r4(sqrt(col("_sse") / n)).as("rmse"),
         Canon.r4(col("_sae") / n).as("mae"),
-        Canon.r4(col("_sape") / n).as("mape"),
+        when(col("_nape") =!= 0L,
+          Canon.r4(col("_sape") / col("_nape").cast("double"))).as("mape"),
         when(sst =!= 0.0, Canon.r4(lit(1.0) - col("_sse") / sst)).as("r2"))
   }
 }

@@ -54,8 +54,20 @@ object Kernels {
     * viewed as `m` equal sub-vectors: Σ_i max_j dot(a_i, b_j). Sub-dim
     * = min(len)/m; dots accumulate in double index order, maxes fold
     * in j order, the outer sum in i order — one fixed op sequence, so
-    * the value is engine-portable the same way [[cosineArr]] is. */
+    * the value is engine-portable the same way [[cosineArr]] is.
+    *
+    * Contract: requires 1 <= m <= min(a.length, b.length) — an m
+    * larger than the vectors would truncate sub-dim to 0 and silently
+    * score every pair 0.0, so it throws instead (mirrored in
+    * [[MaxSimScore]]'s generated code). When min(len) is not a
+    * multiple of m the trailing min(len) % m elements are IGNORED by
+    * design (each side is viewed as its first m·sub components); pad
+    * or pick an m dividing the dimension if the tail matters. */
   def maxSimArr(a: Array[Float], b: Array[Float], m: Int): Double = {
+    require(m >= 1 && m <= math.min(a.length, b.length),
+      s"graft_maxsim: sub-vector count m=$m must be in [1, min(len)=" +
+        s"${math.min(a.length, b.length)}] — m > len truncates sub-dim " +
+        "to 0 and would silently score every pair 0.0")
     val sub = math.min(a.length, b.length) / m
     var score = 0.0
     var i = 0

@@ -56,6 +56,11 @@ case class MaxSimScore(left: Expression, right: Expression, m: Int)
       s"""
          |float[] $xa = $a.toFloatArray();
          |float[] $ya = $b.toFloatArray();
+         |if ($m > Math.min($xa.length, $ya.length)) {
+         |  throw new IllegalArgumentException(
+         |    "graft_maxsim: sub-vector count m=" + $m + " exceeds min vector length "
+         |      + Math.min($xa.length, $ya.length) + " (sub-dim would truncate to 0)");
+         |}
          |int $sub = Math.min($xa.length, $ya.length) / $m;
          |double $score = 0.0;
          |for (int $i = 0; $i < $m; $i++) {

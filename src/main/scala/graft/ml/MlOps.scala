@@ -1052,8 +1052,9 @@ object MlOps {
         |FROM c ORDER BY feature, bin""".stripMargin,
     // mirrors StatsOps.regressionEvalByGroup op-for-op: exact decimal
     // power sums → 6 dp-grid coefficients → exact decimal residuals;
-    // MAPE's per-row ratio rounds to the same 6 dp grid before its
-    // decimal fold, and y = 0 rows are excluded from its numerator.
+    // MAPE's per-row ratio is |e|/|y| rounded to the same 6 dp grid
+    // before its decimal fold, y = 0 rows are excluded from both the
+    // numerator and the divisor count (NULL mape when no y ≠ 0 rows).
     // The residual is DECIMAL(19,8) HERE but (18,8) Spark-side — same
     // values, different width rules: DuckDB keeps a ≤18×≤18 multiply
     // at width 18 (e² would cap at 100), one side ≥19 promotes the
@@ -1084,12 +1085,14 @@ object MlOps {
         |a AS (SELECT g, CAST(sum(e*e) AS DOUBLE) AS sse,
         |    CAST(sum(abs(e)) AS DOUBLE) AS sae,
         |    CAST(sum(CASE WHEN y <> 0 THEN
-        |      CAST(${O.rk("abs(CAST(e AS DOUBLE)) / CAST(y AS DOUBLE)", 6)} AS DECIMAL(28,6)) END) AS DOUBLE) AS sape
+        |      CAST(${O.rk("abs(CAST(e AS DOUBLE)) / abs(CAST(y AS DOUBLE))", 6)} AS DECIMAL(28,6)) END) AS DOUBLE) AS sape,
+        |    count(CASE WHEN y <> 0 THEN 1 END) AS nape
         |  FROM r GROUP BY 1)
         |SELECT c.g AS l_returnflag, c.n,
         |  ${O.r4("sqrt(a.sse / CAST(c.n AS DOUBLE))")} AS rmse,
         |  ${O.r4("a.sae / CAST(c.n AS DOUBLE)")} AS mae,
-        |  ${O.r4("a.sape / CAST(c.n AS DOUBLE)")} AS mape,
+        |  CASE WHEN a.nape <> 0 THEN
+        |    ${O.r4("a.sape / CAST(a.nape AS DOUBLE)")} END AS mape,
         |  CASE WHEN c.syy - c.sy*c.sy/CAST(c.n AS DOUBLE) <> 0 THEN
         |    ${O.r4("1.0 - a.sse / (c.syy - c.sy*c.sy/CAST(c.n AS DOUBLE))")} END AS r2
         |FROM c JOIN a ON c.g = a.g ORDER BY l_returnflag""".stripMargin,

@@ -182,6 +182,39 @@ class KernelsSpec extends AnyFunSuite {
     assert(one == ref(x, y, 1))
   }
 
+  test("maxSimArr rejects m > min vector length in kernel, codegen and interpreted paths") {
+    // m larger than the vectors truncates sub-dim to 0 and previously
+    // scored EVERY pair 0.0 silently (r16 ADVICE) — all three
+    // execution paths must throw instead
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.MaxSimScore.register(spark)
+    intercept[IllegalArgumentException] {
+      Kernels.maxSimArr(Array(1f, 2f), Array(3f, 4f), 3)
+    }
+    val err = intercept[Exception] {
+      Seq((Seq(1f, 2f), Seq(3f, 4f))).toDF("a", "b")
+        .select(call_function("graft_maxsim", col("a"), col("b"), lit(3)))
+        .collect()
+    }
+    // the root cause surfaces either directly or wrapped by Spark
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("graft_maxsim"))))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    intercept[IllegalArgumentException] {
+      graft.functions.MaxSimScore(
+        Literal.create(Seq(1f, 2f), ArrayType(FloatType)),
+        Literal.create(Seq(3f, 4f), ArrayType(FloatType)), 3).eval(null)
+    }
+    // m == min length is the boundary: one scalar per facet, still legal
+    assert(Kernels.maxSimArr(Array(1f, 2f), Array(3f, 4f), 2) ==
+      1.0 * 4.0 + 2.0 * 4.0)
+  }
+
   test("ContainmentSim codegen expression matches a reference set containment") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions._

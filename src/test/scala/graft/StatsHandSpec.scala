@@ -193,6 +193,32 @@ class StatsHandSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("r2") - 0.9914) < 1e-9)
   }
 
+  test("regressionEvalByGroup MAPE: |y| denominator, zero-y rows out of both sides") {
+    // y spans negative / zero / positive: the per-row term must be
+    // |e|/|y| (a signed denominator lets negative-actual terms CANCEL
+    // positive ones) and the mean must divide by the y ≠ 0 row count,
+    // not n (r16 ADVICE). Hand fit: slope 3.4, intercept -6.2 exact
+    // on the 6 dp grid; residuals (0.3, -0.6, 0.3); MAPE terms
+    // 0.3/2.5 = 0.12 and 0.3/4.3 → 0.069767 on the 6 dp grid, mean
+    // over the TWO nonzero-y rows = 0.0949 at 4 dp. The pre-fix code
+    // returned -0.0167 here (signed cancel + ÷3).
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(("g", 1.0, -2.5), ("g", 2.0, 0.0), ("g", 3.0, 4.3))
+      .toDF("g", "x", "y")
+    val r = StatsOps.regressionEvalByGroup(df, "g", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 3)
+    assert(math.abs(r.getAs[Double]("rmse") - 0.4243) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mae") - 0.4) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mape") - 0.0949) < 1e-9)
+    assert(math.abs(r.getAs[Double]("r2") - 0.9772) < 1e-9)
+    // an all-zero-y group has no defined MAPE term at all → NULL
+    val z = Seq(("z", 1.0, 0.0), ("z", 2.0, 0.0), ("z", 3.0, 0.0))
+      .toDF("g", "x", "y")
+    val rz = StatsOps.regressionEvalByGroup(z, "g", "x", "y").collect()(0)
+    assert(rz.isNullAt(rz.fieldIndex("mape")))
+  }
+
   test("woeIv smoothing keeps pure bins finite") {
     // bin C all-good, bin D all-bad: the +0.5 cell smoothing keeps
     // WoE = ±ln(2.5/0.5) = ±1.6094 instead of ±∞

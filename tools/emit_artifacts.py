@@ -104,9 +104,17 @@ def main():
         for mode, spec in scales:
             label, rest = spec.split("=", 1)
             sf_dir, out_dir = rest.split(":", 1)
+            # provenance: record whether the verdicts come from a fresh
+            # DuckDB compare ("run") or a transcription of a logfile
+            # captured earlier ("log") — without this the two are
+            # byte-indistinguishable, which weakens the evidence chain
+            # the artifact exists to provide (r16 ADVICE)
+            entry = {"sf_dir": sf_dir, "source": mode}
             if mode == "log":
+                entry["log_path"] = out_dir
                 lines = Path(out_dir).read_text().splitlines()
             else:
+                entry["verify_out_dir"] = out_dir
                 lines = run_lines([sys.executable,
                                    str(ROOT / "tools/verify_local.py"),
                                    sf_dir, out_dir])
@@ -114,9 +122,9 @@ def main():
             n_pass = sum(1 for v in verdicts.values() if v["verdict"] == "pass")
             n_fail = len(verdicts) - n_pass
             ok &= n_fail == 0 and n_pass > 0
-            artifact["scales"][label] = {
-                "sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                "keys": verdicts}
+            entry.update({"n_pass": n_pass, "n_fail": n_fail,
+                          "keys": verdicts})
+            artifact["scales"][label] = entry
         path = ROOT / f"VERIFY_SCALES_{rnd}.json"
         path.write_text(json.dumps(artifact, indent=1, sort_keys=True))
         print(f"wrote {path}: " + ", ".join(
@@ -128,6 +136,7 @@ def main():
             da, db, logf = det_log.split(":", 2)
             lines = Path(logf).read_text().splitlines()
         else:
+            logf = None
             da, db = det.split(":", 1)
             lines = run_lines([sys.executable,
                                str(ROOT / "tools/determinism_probe.py"),
@@ -138,8 +147,12 @@ def main():
         ok &= n_fail == 0 and n_pass > 0
         artifact = {"round": rnd, "generated_utc":
                     datetime.datetime.now(datetime.timezone.utc).isoformat(),
-                    "dirs": [da, db], "n_deterministic": n_pass,
+                    "dirs": [da, db],
+                    "source": "log" if det_log else "run",
+                    "n_deterministic": n_pass,
                     "n_nondeterministic": n_fail, "keys": verdicts}
+        if logf:
+            artifact["log_path"] = logf
         path = ROOT / f"DETERMINISM_{rnd}.json"
         path.write_text(json.dumps(artifact, indent=1, sort_keys=True))
         print(f"wrote {path}: {n_pass}/{n_pass + n_fail} deterministic")
