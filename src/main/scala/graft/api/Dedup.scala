@@ -1046,23 +1046,96 @@ object Dedup {
     * `nearJaccardPairs`. Sub-n-char docs have no shingles and are
     * excluded (J(∅,·) = 0), mirrored by the oracle's `len(gs) > 0`.
     *
-    * CHOOSE n SO THE GRAM UNIVERSE OUTGROWS THE CORPUS. The prefix
-    * filter is sub-quadratic only while most grams are rare; a small n
-    * on a large corpus SATURATES the universe (every gram hot, every
-    * doc ~half-similar to every other) and candidate mass goes ∝ n² —
-    * no exact algorithm avoids examining it once ambient similarity
-    * crowds the threshold. Measured (BENCH_SCALE10_r16.json): at 10×
-    * sf0.1's corpus, n=3 (universe pinned at ~1.8k grams) grows 38–46×
-    * in wall time while n=5 (universe ≫ corpus) grows 2.1× with 10×
-    * the output pairs. At 100 TB use n ≥ 7, or the probabilistic
-    * [[minhashPairs]]. */
+    * THE GRAM UNIVERSE MUST OUTGROW THE CORPUS, AND THE ENGINE NOW
+    * ENFORCES IT. The prefix filter is sub-quadratic only while most
+    * grams are rare; a small n on a large corpus SATURATES the
+    * universe (every gram hot, every doc ~half-similar to every
+    * other) and candidate mass goes ∝ corpus² — no exact algorithm
+    * avoids examining it once ambient similarity crowds the
+    * threshold. Measured (BENCH_SCALE10_r16.json): at 10× sf0.1's
+    * corpus, n=3 (universe pinned at ~1.8k grams) grows 38–46× in
+    * wall time while n=5 (universe ≫ corpus) grows 2.1× with 10× the
+    * output pairs.
+    *
+    * ADAPTIVE ESCAPE HATCH (default on): before enumerating
+    * candidates, ONE bounded aggregate measures the exact
+    * prefix-bucket pair mass Σ_b |b|(|b|−1)/2 — the precise number of
+    * raw candidate pairs the join would emit. While it exceeds
+    * `maxCandPerDoc` per surviving doc, the shingle size escalates by
+    * 2 (n → n+2 → … ≤ `maxN`), re-measuring each step; every
+    * escalation logs the measured evidence. The decision is a pure
+    * function of corpus statistics — deterministic, no timing
+    * involved. Fixture calibration (tools/NgramScaleProbe, n=3,
+    * t=0.7): sf0.001/0.01/0.1 measure 535/593/5 743 candidates per
+    * doc and the 10×-growth baseline 17 745 — all under the 32 768
+    * default, so results at test scale are bit-identical to the fixed
+    * n; the 10× corpus measures 103 375/doc and escalates to n=5,
+    * restoring ~linear growth. NOTE the similarity definition moves
+    * with n: escalation trades gram granularity for tractability on
+    * corpora where the requested n is degenerate (ambient Jaccard
+    * near the threshold — the n=3 answer set there is itself ∝
+    * corpus² and arguably meaningless as a near-DUP set). Pass
+    * `autoEscalate = false` for strict fixed-n semantics, or use the
+    * probabilistic [[minhashPairs]]. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, partitionCol: Option[String] = None,
-      broadcastJoins: Boolean = true): DataFrame = {
-    val hashed = fanout(df).select(col(idCol).as("_id"),
+      broadcastJoins: Boolean = true, autoEscalate: Boolean = true,
+      maxCandPerDoc: Long = 32768L, maxN: Int = 11): DataFrame = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    require(maxN >= n, s"maxN ($maxN) must be >= n ($n)")
+    def hashedAt(g: Int): DataFrame = fanout(df).select(col(idCol).as("_id"),
       partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
-      Kernels.charNgramHashesUdf(n)(col(textCol)).as("_h"))
-    jaccardPairsFromHashes(hashed, threshold, broadcastJoins)
+      Kernels.charNgramHashesUdf(g)(col(textCol)).as("_h"))
+    val log = org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
+    var g = n
+    if (autoEscalate) {
+      var decided = false
+      while (!decided) {
+        val (docs, mass) = prefixPairMass(hashedAt(g), threshold)
+        val budget = maxCandPerDoc.toDouble * docs
+        if (docs == 0L || mass <= budget) decided = true
+        else if (g + 2 > maxN) {
+          log.warn(s"ngramJaccardPairs: prefix pair mass ${mass.toLong} " +
+            s"exceeds budget ${budget.toLong} ($maxCandPerDoc/doc x $docs docs) " +
+            s"at n=$g but maxN=$maxN allows no further escalation - " +
+            "proceeding in the quadratic regime; consider minhashPairs")
+          decided = true
+        } else {
+          log.warn(s"ngramJaccardPairs: char-$g-gram universe is saturated " +
+            s"(prefix pair mass ${mass.toLong} > budget ${budget.toLong} = " +
+            s"$maxCandPerDoc/doc x $docs docs) - escalating to n=${g + 2}")
+          g += 2
+        }
+      }
+    }
+    jaccardPairsFromHashes(hashedAt(g), threshold, broadcastJoins)
+  }
+
+  /** The exact raw-candidate count the PPJoin prefix filter would
+    * enumerate for this corpus: Σ over prefix buckets of
+    * |b|(|b|−1)/2, plus the surviving doc count — the saturation
+    * evidence [[ngramJaccardPairs]]'s adaptive gate decides on. Cost
+    * is one pass over the corpus (shingle hash → df-ordered prefix →
+    * one scalar aggregate); never enumerates pairs. */
+  private def prefixPairMass(hashed: DataFrame, threshold: Double): (Long, Double) = {
+    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
+    try {
+      val docs = sized.count()
+      val mass = if (docs == 0L) 0.0 else {
+        val posts = sized.select(col("_id"), col("_grp"), col("_sz"),
+          explode(col("_h")).as("_s"))
+        val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
+        val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+        posts.join(dfreq, Seq("_grp", "_s"))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
+          .groupBy("_grp", "_s").agg(count(lit(1)).as("_n"))
+          .agg(coalesce(sum(col("_n") * (col("_n") - 1) / 2), lit(0.0)))
+          .collect()(0).getDouble(0)
+      }
+      (docs, mass)
+    } finally Checkpoints.free(sized)
   }
 
   /** SimHash near-dup pairs: 64-bit per-doc fingerprint, candidate

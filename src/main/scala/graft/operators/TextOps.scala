@@ -661,7 +661,12 @@ object TextOps {
     }),
     "dedup_ngram_jaccard" -> ((s, d) => {
       // character-3-gram (shingle) Jaccard — catches boundary edits
-      // word-level jaccard misses; same lang-blocked exact baseline
+      // word-level jaccard misses; same lang-blocked exact baseline.
+      // The adaptive saturation gate (on by default) measures the
+      // prefix-bucket pair mass and escalates the gram size when the
+      // 3-gram universe is degenerate for the corpus — inert at every
+      // fixture scale (calibration in ngramJaccardPairs scaladoc), so
+      // the oracle sees plain n=3
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.7, Some("lang"))
         .select(col("id1"), col("id2"), Canon.r4(col("jaccard")).as("jac"))
         .orderBy("id1", "id2")

@@ -333,6 +333,35 @@ class ApiParitySpec extends AnyFunSuite {
       "asymmetric-jaccard regimes diverged (probe-side df-0 order?)")
   }
 
+  test("ngram adaptive gate: escalates n on a saturated universe, inert under the default budget") {
+    val s = spark
+    import s.implicits._
+    // near-dup pair whose Jaccard VALUE differs between n=3 and n=5,
+    // plus background docs — so "which n actually ran" is observable
+    // from the output, not from logs
+    val docs = (Seq(
+      (0L, "the cat sat on the mat today"),
+      (1L, "the cat sat on the hat today")) ++
+      (2L until 20L).map(i => (i, s"unique_${i}_filler doc body number ${i * 7}"))
+    ).toDF("doc_id", "text")
+    def pairs(adaptive: Boolean, n: Int, budget: Long = 32768L, maxN: Int = 11) =
+      graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text", n, 0.5,
+          autoEscalate = adaptive, maxCandPerDoc = budget, maxN = maxN)
+        .collect().map(_.toString).sorted.toSeq
+    val fixed3 = pairs(adaptive = false, n = 3)
+    val fixed5 = pairs(adaptive = false, n = 5)
+    assert(fixed3.nonEmpty && fixed3 != fixed5,
+      "test corpus must discriminate n=3 from n=5 output")
+    // default budget: 20 docs can never exceed 32768 candidates/doc —
+    // the gate must be a NO-OP and the answers bit-identical to fixed n
+    assert(pairs(adaptive = true, n = 3) == fixed3)
+    // budget 0 forces escalation; maxN=5 caps it at exactly one step,
+    // so the adaptive output must equal the fixed n=5 run
+    assert(pairs(adaptive = true, n = 3, budget = 0L, maxN = 5) == fixed5)
+    // budget 0 with maxN=n: nowhere to go - proceeds (warns) at n=3
+    assert(pairs(adaptive = true, n = 3, budget = 0L, maxN = 3) == fixed3)
+  }
+
   test("minhash scale mode (shuffle-hash joins) returns the same pairs as broadcast mode") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     def rows(df: org.apache.spark.sql.DataFrame) =
