@@ -39,25 +39,6 @@ object Joins {
         .agg(Canon.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
         .orderBy("n_name")
     }),
-    "join_skew_salted" -> ((s, d) => {
-      // pre-salting for a pathological probe key: orders' custkey
-      // salted by the unique o_orderkey hash, customer replicated,
-      // join on (key, salt) — result identical to the plain equi-join
-      // (oracle is the unsalted SQL). The salt factor is STATS-DERIVED
-      // (ceil(hottest key / average task share), one narrow aggregate)
-      // with a demo floor of 8: this fixture is uniform TPC-H, so the
-      // derived component is 1 and the floor drives the plan shape
-      // here, while genuinely skewed probes raise the factor on their
-      // own (asserted on a 30%-hot-key corpus in ApiParitySpec).
-      graft.api.SkewJoins.saltedJoinAuto(
-        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
-        Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
-        "o_custkey", "o_orderkey", minSalts = 8)
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_orders"),
-          Canon.sumDec(col("o_totalprice"), 2).as("sum_total"))
-        .orderBy("c_mktsegment")
-    }),
     "join_left_outer" -> ((s, d) => {
       Tables.customer(s, d)
         .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
@@ -241,6 +222,28 @@ object Joins {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), Canon.sumDec(col("l_extendedprice"), 2).as("rev"))
         .orderBy("l_returnflag")
+    }),
+    "join_skew_salted" -> ((s, d) => {
+      // skew-stress enrichment join (SkewJoins.saltedJoinAuto): the
+      // routing key funnels ~70% of events onto ONE hot key (a
+      // pathological heavy hitter the uniform fixture never produces),
+      // so the stats-derived salt factor comes out ~23 (>1) at every
+      // sf and the salted path actually RUNS: build replicated
+      // salts-fold via explode, join on (key, salt), one hot key
+      // spread across ~23 tasks instead of pinning one reducer.
+      // Oracle is the PLAIN equi-join - salting must change cost
+      // only, never answers. PlanShapeSpec pins the replication
+      // (Generate/explode + _salt join key) and the derived factor.
+      val probe = Tables.events(s, d).select(
+        when(pmod(col("user_id"), lit(10)) < 7, lit(0L))
+          .otherwise(pmod(col("user_id"), lit(100))).as("route_id"),
+        col("event_id"), col("value"))
+      val build = Tables.customer(s, d).filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("route_id"), col("c_mktsegment"))
+      graft.api.SkewJoins.saltedJoinAuto(probe, build, "route_id", "event_id")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Canon.sumDec(col("value"), 2).as("sum_val"))
+        .orderBy("c_mktsegment")
     })
   )
 
@@ -260,11 +263,6 @@ object Joins {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
-    "join_skew_salted" ->
-      s"""SELECT c_mktsegment, count(*) AS n_orders,
-        |  ${O.sumDec("o_totalprice", 2)} AS sum_total
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_left_outer" ->
 """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
@@ -421,6 +419,16 @@ object Joins {
         |FROM lineitem WHERE EXISTS (
         |  SELECT 1 FROM orders
         |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the plain equi-join: the salted rewrite must be answer-invisible
+    "join_skew_salted" ->
+      s"""WITH p AS (SELECT CASE WHEN user_id % 10 < 7 THEN 0
+        |      ELSE user_id % 100 END AS route_id, "value" AS v
+        |    FROM events),
+        |b AS (SELECT c_custkey AS route_id, c_mktsegment
+        |    FROM customer WHERE c_custkey < 100)
+        |SELECT c_mktsegment, count(*) AS n, ${O.sumDec("v", 2)} AS sum_val
+        |FROM p JOIN b USING (route_id)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 }

@@ -273,6 +273,46 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join_skew_salted: derived salt factor >1 and plan-visible build replication") {
+    TestSpark.withExtSession { s =>
+      val probe = Tables.events(s, TestSpark.sf0001).select(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.pmod(col("user_id"),
+            org.apache.spark.sql.functions.lit(10)) < 7,
+          org.apache.spark.sql.functions.lit(0L))
+          .otherwise(org.apache.spark.sql.functions.pmod(col("user_id"),
+            org.apache.spark.sql.functions.lit(100))).as("route_id"),
+        col("event_id"), col("value"))
+      // the synthetic heavy hitter (~70% of rows on route 0) must
+      // derive a salt factor well above 1 from probe stats alone -
+      // ceil(maxKeyRows / (total/parts)) = ceil(0.7*total/(total/32))
+      val k = graft.api.SkewJoins.derivedSaltFactor(probe, "route_id")
+      assert(k > 1, s"uniform-looking stats? derived salt factor = $k")
+      // ~70% of rows on one key -> factor ~= ceil(0.7 * shuffle.partitions)
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val expected = math.ceil(0.7 * parts).toInt
+      assert(math.abs(k - expected) <= 2,
+        s"expected ~$expected for a 70% hot key at $parts partitions, got $k")
+      // and the salted join's physical plan must SHOW the replication:
+      // an explode Generate on the build side and _salt in the join key
+      val build = Tables.customer(s, TestSpark.sf0001)
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey").as("route_id"), col("c_mktsegment"))
+      val joined = graft.api.SkewJoins.saltedJoinAuto(probe, build,
+        "route_id", "event_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("Generate explode"), s"no build-side replication in plan:\n$p")
+      assert(p.contains("_salt"), s"join does not include the salt key:\n$p")
+      // salting must be answer-invisible: identical (event_id, segment)
+      // multiset as the plain equi-join
+      val plain = probe.join(build, Seq("route_id"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id", "c_mktsegment").collect()
+          .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(rows(joined) == rows(plain))
+    }
+  }
+
   test("minhashPairs(broadcastJoins=false) plans every join as an equi-shuffle") {
     TestSpark.withExtSession { s =>
       val docs = Tables.documents(s, TestSpark.sf0001)
