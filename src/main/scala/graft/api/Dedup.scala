@@ -1088,54 +1088,64 @@ object Dedup {
       Kernels.charNgramHashesUdf(g)(col(textCol)).as("_h"))
     val log = org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
     var g = n
+    // the winning probe's PINNED shingle table is handed to the pair
+    // pipeline (its pin then just copies checkpoint blocks) — the
+    // corpus is hashed ONCE per examined n, never re-hashed for the
+    // real run. Freed with the result's lineage via Checkpoints.free.
+    var winner: DataFrame = null
     if (autoEscalate) {
       var decided = false
       while (!decided) {
-        val (docs, mass) = prefixPairMass(hashedAt(g), threshold)
+        val sized = pinnedSized(hashedAt(g))
+        val (docs, mass) = prefixPairMass(sized, threshold)
         val budget = maxCandPerDoc.toDouble * docs
-        if (docs == 0L || mass <= budget) decided = true
+        if (docs == 0L || mass <= budget) { winner = sized; decided = true }
         else if (g + 2 > maxN) {
           log.warn(s"ngramJaccardPairs: prefix pair mass ${mass.toLong} " +
             s"exceeds budget ${budget.toLong} ($maxCandPerDoc/doc x $docs docs) " +
             s"at n=$g but maxN=$maxN allows no further escalation - " +
             "proceeding in the quadratic regime; consider minhashPairs")
+          winner = sized
           decided = true
         } else {
           log.warn(s"ngramJaccardPairs: char-$g-gram universe is saturated " +
             s"(prefix pair mass ${mass.toLong} > budget ${budget.toLong} = " +
             s"$maxCandPerDoc/doc x $docs docs) - escalating to n=${g + 2}")
+          Checkpoints.free(sized)
           g += 2
         }
       }
     }
-    jaccardPairsFromHashes(hashedAt(g), threshold, broadcastJoins)
+    val hashed =
+      if (winner != null) winner.select("_id", "_grp", "_h") else hashedAt(g)
+    jaccardPairsFromHashes(hashed, threshold, broadcastJoins)
   }
+
+  private def pinnedSized(hashed: DataFrame): DataFrame =
+    Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
 
   /** The exact raw-candidate count the PPJoin prefix filter would
     * enumerate for this corpus: Σ over prefix buckets of
     * |b|(|b|−1)/2, plus the surviving doc count — the saturation
     * evidence [[ngramJaccardPairs]]'s adaptive gate decides on. Cost
-    * is one pass over the corpus (shingle hash → df-ordered prefix →
-    * one scalar aggregate); never enumerates pairs. */
-  private def prefixPairMass(hashed: DataFrame, threshold: Double): (Long, Double) = {
-    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
-      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
-    try {
-      val docs = sized.count()
-      val mass = if (docs == 0L) 0.0 else {
-        val posts = sized.select(col("_id"), col("_grp"), col("_sz"),
-          explode(col("_h")).as("_s"))
-        val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
-        val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
-        posts.join(dfreq, Seq("_grp", "_s"))
-          .withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
-          .groupBy("_grp", "_s").agg(count(lit(1)).as("_n"))
-          .agg(coalesce(sum(col("_n") * (col("_n") - 1) / 2), lit(0.0)))
-          .collect()(0).getDouble(0)
-      }
-      (docs, mass)
-    } finally Checkpoints.free(sized)
+    * is one pass over the (already-pinned) shingle table (df-ordered
+    * prefix → one scalar aggregate); never enumerates pairs. */
+  private def prefixPairMass(sized: DataFrame, threshold: Double): (Long, Double) = {
+    val docs = sized.count()
+    val mass = if (docs == 0L) 0.0 else {
+      val posts = sized.select(col("_id"), col("_grp"), col("_sz"),
+        explode(col("_h")).as("_s"))
+      val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
+      val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+      posts.join(dfreq, Seq("_grp", "_s"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
+        .groupBy("_grp", "_s").agg(count(lit(1)).as("_n"))
+        .agg(coalesce(sum(col("_n") * (col("_n") - 1) / 2), lit(0.0)))
+        .collect()(0).getDouble(0)
+    }
+    (docs, mass)
   }
 
   /** SimHash near-dup pairs: 64-bit per-doc fingerprint, candidate
