@@ -109,18 +109,25 @@ object Dedup {
     * carry a SHUFFLE_HASH hint: equi-shuffles on (grp, shingle) / id,
     * never a sort, never a broadcast of corpus-sized sides. */
   private[api] def jaccardPairsFromHashes(hashed: DataFrame, threshold: Double,
-      broadcastJoins: Boolean = true): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"jaccard threshold must be in (0, 1], got $threshold")
-    def pin(side: DataFrame): DataFrame =
-      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
+      broadcastJoins: Boolean = true): DataFrame =
     // the hashed-doc table feeds FOUR plan branches (df aggregate,
     // prefix window, and both verify sides); an EAGER local checkpoint
     // materializes the shingle hashing exactly once — lazy would leave
     // the branches racing to compute the shared blocks in parallel
     // stages, each potentially running the full hashing
-    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
-      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
+    jaccardPairsFromSized(pinnedSized(hashed), threshold, broadcastJoins)
+
+  /** The pair pipeline BELOW the pin: `sized` must already be the
+    * pinned (_id, _grp, _h, _sz) shingle table. Split out so the
+    * adaptive ngram gate can hand its winning probe's pin straight in —
+    * re-pinning here would truncate lineage and strand the caller's
+    * checkpoint blocks out of Checkpoints.free(result)'s reach. */
+  private def jaccardPairsFromSized(sized: DataFrame, threshold: Double,
+      broadcastJoins: Boolean): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
+    def pin(side: DataFrame): DataFrame =
+      if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
     val cand = jaccardCandStage(sized, threshold, pin,
       groupedCand = !broadcastJoins)
     val docs = sized.select(col("_id"), col("_h"))
@@ -128,7 +135,7 @@ object Dedup {
       cand
         .join(pin(docs.select(col("_id").as("id1"), col("_h").as("_h1"))), "id1")
         .join(pin(docs.select(col("_id").as("id2"), col("_h").as("_h2"))), "id2")
-        .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
+        .withColumn("jaccard", jac(sized)(col("_h1"), col("_h2")))
         .filter(col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     else
@@ -145,7 +152,7 @@ object Dedup {
         .join(docs.select(col("_id").as("id1"), col("_h").as("_h1")), "id1")
         .join(docs.select(col("_id").as("id2"), col("_h").as("_h2"))
           .hint("shuffle_hash"), "id2")
-        .withColumn("jaccard", jac(hashed)(col("_h1"), col("_h2")))
+        .withColumn("jaccard", jac(sized)(col("_h1"), col("_h2")))
         .filter(col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
   }
@@ -1082,16 +1089,19 @@ object Dedup {
       broadcastJoins: Boolean = true, autoEscalate: Boolean = true,
       maxCandPerDoc: Long = 32768L, maxN: Int = 11): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
-    require(maxN >= n, s"maxN ($maxN) must be >= n ($n)")
+    // a large requested n is always legal (the old contract); the cap
+    // only bounds ESCALATION above it
+    val capN = math.max(maxN, n)
     def hashedAt(g: Int): DataFrame = fanout(df).select(col(idCol).as("_id"),
       partitionCol.map(col).getOrElse(lit(0)).as("_grp"),
       Kernels.charNgramHashesUdf(g)(col(textCol)).as("_h"))
     val log = org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
     var g = n
-    // the winning probe's PINNED shingle table is handed to the pair
-    // pipeline (its pin then just copies checkpoint blocks) — the
+    // the winning probe's PINNED shingle table is handed straight to
+    // the below-the-pin pair pipeline (jaccardPairsFromSized) — the
     // corpus is hashed ONCE per examined n, never re-hashed for the
-    // real run. Freed with the result's lineage via Checkpoints.free.
+    // real run, and the single pin stays a leaf of the result's plan
+    // so Checkpoints.free(result) releases it.
     var winner: DataFrame = null
     if (autoEscalate) {
       var decided = false
@@ -1100,10 +1110,10 @@ object Dedup {
         val (docs, mass) = prefixPairMass(sized, threshold)
         val budget = maxCandPerDoc.toDouble * docs
         if (docs == 0L || mass <= budget) { winner = sized; decided = true }
-        else if (g + 2 > maxN) {
+        else if (g + 2 > capN) {
           log.warn(s"ngramJaccardPairs: prefix pair mass ${mass.toLong} " +
             s"exceeds budget ${budget.toLong} ($maxCandPerDoc/doc x $docs docs) " +
-            s"at n=$g but maxN=$maxN allows no further escalation - " +
+            s"at n=$g but maxN=$capN allows no further escalation - " +
             "proceeding in the quadratic regime; consider minhashPairs")
           winner = sized
           decided = true
@@ -1116,9 +1126,8 @@ object Dedup {
         }
       }
     }
-    val hashed =
-      if (winner != null) winner.select("_id", "_grp", "_h") else hashedAt(g)
-    jaccardPairsFromHashes(hashed, threshold, broadcastJoins)
+    if (winner != null) jaccardPairsFromSized(winner, threshold, broadcastJoins)
+    else jaccardPairsFromHashes(hashedAt(g), threshold, broadcastJoins)
   }
 
   private def pinnedSized(hashed: DataFrame): DataFrame =

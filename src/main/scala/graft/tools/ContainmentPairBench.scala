@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev-only: DEDICATED pair bench for the containment posture twins —
   * the trap-11 method that adjudicated the jaccard twins: both
-  * postures timed in ONE fresh JVM, alternating, min-of-3 each, no
+  * postures timed in ONE fresh JVM — one DISCARDED warmup cycle, then
+  * 4 alternating timed cycles per posture (min reported), no
   * co-tenant keys. `runMain graft.tools.ContainmentPairBench <dir>...`
   * prints per-posture seconds, output pairs, and the executed-plan
   * operator summary. */

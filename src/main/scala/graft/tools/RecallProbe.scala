@@ -48,6 +48,9 @@ object RecallProbe {
       if (out.nonEmpty) out.append(",")
       out.append("\"").append(name).append("\":{")
       out.append(fields.map {
+        // NaN (empty truth set) must emit as JSON null, not a bare NaN
+        // token that breaks every strict parser of the RECALL line
+        case (k, v: Double) if v.isNaN => "\"" + k + "\":null"
         case (k, v: Double) => "\"" + k + "\":" + f"$v%.4f"
         case (k, v) => "\"" + k + "\":" + v
       }.mkString(","))

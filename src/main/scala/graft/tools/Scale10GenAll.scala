@@ -99,6 +99,15 @@ object Scale10GenAll {
         (col("s_nationkey") + k * 25).cast("int").as("s_nationkey"),
         col("s_acctbal"))
     }
+    // nation must replicate WITH the nationkey offset: the graph keys'
+    // output-naming join is on n_nationkey, and an unscaled copy would
+    // silently drop replicas 1..9 from every output (names salted so
+    // orderBy("n_name") stays tie-free)
+    replicate("nation") { (df, k) =>
+      df.select((col("n_nationkey") + k * 25).cast("int").as("n_nationkey"),
+        concat(lit(s"r${k}_"), col("n_name")).as("n_name"),
+        col("n_regionkey"))
+    }
     spark.stop()
   }
 }

@@ -360,6 +360,28 @@ class ApiParitySpec extends AnyFunSuite {
     assert(pairs(adaptive = true, n = 3, budget = 0L, maxN = 5) == fixed5)
     // budget 0 with maxN=n: nowhere to go - proceeds (warns) at n=3
     assert(pairs(adaptive = true, n = 3, budget = 0L, maxN = 3) == fixed3)
+    // a requested n above the escalation cap stays legal (the cap only
+    // bounds escalation ABOVE the request - the pre-gate contract; this
+    // THREW "maxN (11) must be >= n (13)" before the capN fix)
+    assert(pairs(adaptive = true, n = 13) == pairs(adaptive = false, n = 13))
+  }
+
+  test("adaptive ngram gate: the winner's checkpoint is reachable by Checkpoints.free(result)") {
+    // the gate hands its winning pinned shingle table to the
+    // below-the-pin pipeline; a re-pin there would truncate lineage
+    // and strand the probe's localCheckpoint blocks forever (each
+    // bench run would leak one corpus-sized checkpoint)
+    val s = spark
+    import s.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"doc_${i}_alpha beta_$i gamma_${i % 7} delta"))
+      .toDF("doc_id", "text")
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val res = graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    res.count()
+    graft.api.Checkpoints.free(res)
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked checkpoint RDDs: $leaked")
   }
 
   test("minhash scale mode (shuffle-hash joins) returns the same pairs as broadcast mode") {
