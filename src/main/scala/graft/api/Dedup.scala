@@ -121,15 +121,19 @@ object Dedup {
     * pinned (_id, _grp, _h, _sz) shingle table. Split out so the
     * adaptive ngram gate can hand its winning probe's pin straight in —
     * re-pinning here would truncate lineage and strand the caller's
-    * checkpoint blocks out of Checkpoints.free(result)'s reach. */
+    * checkpoint blocks out of Checkpoints.free(result)'s reach.
+    * `prefixOpt`: an already-materialized prefix table in the exact
+    * shape [[prefixTable]] would build for this posture (the gate hands
+    * its pinned probe table in, so the mass measurement and the pair
+    * run share ONE prefix construction). */
   private def jaccardPairsFromSized(sized: DataFrame, threshold: Double,
-      broadcastJoins: Boolean): DataFrame = {
+      broadcastJoins: Boolean, prefixOpt: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"jaccard threshold must be in (0, 1], got $threshold")
     def pin(side: DataFrame): DataFrame =
       if (broadcastJoins) broadcast(side) else side.hint("shuffle_hash")
     val cand = jaccardCandStage(sized, threshold, pin,
-      groupedCand = !broadcastJoins)
+      groupedCand = !broadcastJoins, prefixOpt = prefixOpt)
     val docs = sized.select(col("_id"), col("_h"))
     if (broadcastJoins)
       cand
@@ -162,8 +166,10 @@ object Dedup {
     * scale-probe hook [[jaccardCandidatePairs]]. `sized` must carry
     * (_id, _grp, _h, _sz). */
   private def jaccardCandStage(sized: DataFrame, threshold: Double,
-      pin: DataFrame => DataFrame, groupedCand: Boolean = false): DataFrame = {
-    val prefix = prefixTable(sized, threshold, pin, withChunkCols = groupedCand)
+      pin: DataFrame => DataFrame, groupedCand: Boolean = false,
+      prefixOpt: Option[DataFrame] = None): DataFrame = {
+    val prefix = prefixOpt.getOrElse(
+      prefixTable(sized, threshold, pin, withChunkCols = groupedCand))
     if (!groupedCand) {
       // broadcast posture: candidate self-join through a broadcast of
       // the prefix table — map-side, no shuffle of the probe side
@@ -1065,9 +1071,13 @@ object Dedup {
     * output pairs.
     *
     * ADAPTIVE ESCAPE HATCH (default on): before enumerating
-    * candidates, ONE bounded aggregate measures the exact
-    * prefix-bucket pair mass Σ_b |b|(|b|−1)/2 — the precise number of
-    * raw candidate pairs the join would emit. While it exceeds
+    * candidates, ONE bounded aggregate measures the prefix-bucket
+    * pair mass Σ_b |b|(|b|−1)/2 — an UPPER BOUND on the raw candidate
+    * pairs the join would emit (the join's size-ratio filter is not
+    * applied, so the gate can only escalate EARLIER, never later; the
+    * measured prefix table is pinned and handed straight to the pair
+    * pipeline, so the probe costs one materialization of work the run
+    * needed anyway). While the mass exceeds
     * `maxCandPerDoc` per surviving doc, the shingle size escalates by
     * 2 (n → n+2 → … ≤ `maxN`), re-measuring each step; every
     * escalation logs the measured evidence. The decision is a pure
@@ -1089,6 +1099,12 @@ object Dedup {
       broadcastJoins: Boolean = true, autoEscalate: Boolean = true,
       maxCandPerDoc: Long = 32768L, maxN: Int = 11): DataFrame = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
+    // validate BEFORE any Spark job: an invalid threshold must throw
+    // without hashing the corpus or pinning checkpoints (the gate loop
+    // below runs real jobs; jaccardPairsFromSized's own require fires
+    // too late for this entry point and would leak the winner pin)
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaccard threshold must be in (0, 1], got $threshold")
     // a large requested n is always legal (the old contract); the cap
     // only bounds ESCALATION above it
     val capN = math.max(maxN, n)
@@ -1097,36 +1113,46 @@ object Dedup {
       Kernels.charNgramHashesUdf(g)(col(textCol)).as("_h"))
     val log = org.slf4j.LoggerFactory.getLogger(Dedup.getClass)
     var g = n
-    // the winning probe's PINNED shingle table is handed straight to
-    // the below-the-pin pair pipeline (jaccardPairsFromSized) — the
-    // corpus is hashed ONCE per examined n, never re-hashed for the
-    // real run, and the single pin stays a leaf of the result's plan
-    // so Checkpoints.free(result) releases it.
+    // the winning probe's PINNED shingle AND prefix tables are handed
+    // straight to the below-the-pin pair pipeline — the corpus is
+    // hashed and prefix-selected ONCE per examined n, never recomputed
+    // for the real run (r17 shipped the gate re-deriving posting/df/
+    // prefix work it had just measured: +3.1 s on an inert fixture
+    // key; the mass is now a bucket-size rollup of the pair pipeline's
+    // OWN prefix table). Both pins stay leaves of the result's plan so
+    // Checkpoints.free(result) releases them.
     var winner: DataFrame = null
+    var winnerPrefix: DataFrame = null
+    val pinSide: DataFrame => DataFrame =
+      if (broadcastJoins) broadcast else _.hint("shuffle_hash")
     if (autoEscalate) {
       var decided = false
       while (!decided) {
         val sized = pinnedSized(hashedAt(g))
-        val (docs, mass) = prefixPairMass(sized, threshold)
+        val prefix = Checkpoints.pin(
+          prefixTable(sized, threshold, pinSide, withChunkCols = !broadcastJoins))
+        val (docs, mass) = prefixPairMass(sized, prefix)
         val budget = maxCandPerDoc.toDouble * docs
-        if (docs == 0L || mass <= budget) { winner = sized; decided = true }
-        else if (g + 2 > capN) {
+        if (docs == 0L || mass <= budget) {
+          winner = sized; winnerPrefix = prefix; decided = true
+        } else if (g + 2 > capN) {
           log.warn(s"ngramJaccardPairs: prefix pair mass ${mass.toLong} " +
             s"exceeds budget ${budget.toLong} ($maxCandPerDoc/doc x $docs docs) " +
             s"at n=$g but maxN=$capN allows no further escalation - " +
             "proceeding in the quadratic regime; consider minhashPairs")
-          winner = sized
-          decided = true
+          winner = sized; winnerPrefix = prefix; decided = true
         } else {
           log.warn(s"ngramJaccardPairs: char-$g-gram universe is saturated " +
             s"(prefix pair mass ${mass.toLong} > budget ${budget.toLong} = " +
             s"$maxCandPerDoc/doc x $docs docs) - escalating to n=${g + 2}")
+          Checkpoints.free(prefix)
           Checkpoints.free(sized)
           g += 2
         }
       }
     }
-    if (winner != null) jaccardPairsFromSized(winner, threshold, broadcastJoins)
+    if (winner != null)
+      jaccardPairsFromSized(winner, threshold, broadcastJoins, Some(winnerPrefix))
     else jaccardPairsFromHashes(hashedAt(g), threshold, broadcastJoins)
   }
 
@@ -1134,26 +1160,23 @@ object Dedup {
     Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
       .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
 
-  /** The exact raw-candidate count the PPJoin prefix filter would
-    * enumerate for this corpus: Σ over prefix buckets of
-    * |b|(|b|−1)/2, plus the surviving doc count — the saturation
-    * evidence [[ngramJaccardPairs]]'s adaptive gate decides on. Cost
-    * is one pass over the (already-pinned) shingle table (df-ordered
-    * prefix → one scalar aggregate); never enumerates pairs. */
-  private def prefixPairMass(sized: DataFrame, threshold: Double): (Long, Double) = {
+  /** The saturation evidence [[ngramJaccardPairs]]'s adaptive gate
+    * decides on: Σ over prefix buckets of |b|(|b|−1)/2, plus the
+    * surviving doc count. This is an UPPER BOUND on the raw candidate
+    * pairs the join would enumerate (the join condition additionally
+    * applies the size-ratio filter t·|A| ≤ |B| ≤ |A|/t, which the
+    * bucket mass ignores) — the error direction only ever escalates
+    * EARLIER, never later. Cost: one count of the pinned shingle table
+    * plus one scalar aggregate over the pinned PREFIX table — the same
+    * prefix table the pair pipeline consumes, so the measurement rolls
+    * up work the run needed anyway; never enumerates pairs, never
+    * rebuilds postings. */
+  private def prefixPairMass(sized: DataFrame, prefix: DataFrame): (Long, Double) = {
     val docs = sized.count()
-    val mass = if (docs == 0L) 0.0 else {
-      val posts = sized.select(col("_id"), col("_grp"), col("_sz"),
-        explode(col("_h")).as("_s"))
-      val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
-      val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
-      posts.join(dfreq, Seq("_grp", "_s"))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
-        .groupBy("_grp", "_s").agg(count(lit(1)).as("_n"))
+    val mass = if (docs == 0L) 0.0 else
+      prefix.groupBy("_grp", "_s").agg(count(lit(1)).as("_n"))
         .agg(coalesce(sum(col("_n") * (col("_n") - 1) / 2), lit(0.0)))
         .collect()(0).getDouble(0)
-    }
     (docs, mass)
   }
 

@@ -234,8 +234,14 @@ object Joins {
       // Oracle is the PLAIN equi-join - salting must change cost
       // only, never answers. PlanShapeSpec pins the replication
       // (Generate/explode + _salt join key) and the derived factor.
+      // The hot key routes to 1 — an EXISTING c_custkey (custkeys
+      // start at 1) — so the ~70% hot mass lands in the verified
+      // answer and a hot-key-specific drop/duplicate bug in the
+      // salted path breaks the oracle hash, not just the shuffle
+      // (r17 ADVICE: route 0 matched nothing, leaving the answer
+      // blind to the very rows the key exists to stress).
       val probe = Tables.events(s, d).select(
-        when(pmod(col("user_id"), lit(10)) < 7, lit(0L))
+        when(pmod(col("user_id"), lit(10)) < 7, lit(1L))
           .otherwise(pmod(col("user_id"), lit(100))).as("route_id"),
         col("event_id"), col("value"))
       val build = Tables.customer(s, d).filter(col("c_custkey") < 100)
@@ -422,7 +428,7 @@ object Joins {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the plain equi-join: the salted rewrite must be answer-invisible
     "join_skew_salted" ->
-      s"""WITH p AS (SELECT CASE WHEN user_id % 10 < 7 THEN 0
+      s"""WITH p AS (SELECT CASE WHEN user_id % 10 < 7 THEN 1
         |      ELSE user_id % 100 END AS route_id, "value" AS v
         |    FROM events),
         |b AS (SELECT c_custkey AS route_id, c_mktsegment

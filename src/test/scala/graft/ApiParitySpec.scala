@@ -366,6 +366,25 @@ class ApiParitySpec extends AnyFunSuite {
     assert(pairs(adaptive = true, n = 13) == pairs(adaptive = false, n = 13))
   }
 
+  test("ngramJaccardPairs validates threshold before running any job (no leaked pins)") {
+    // r17 ADVICE: the threshold require lived below the adaptive gate,
+    // so an invalid threshold hashed the corpus, pinned a checkpoint,
+    // and leaked it on throw. Now it must throw eagerly with zero
+    // persisted RDDs left behind.
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a b d")).toDF("doc_id", "text")
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    Seq(0.0, -0.5, 1.5).foreach { t =>
+      val e = intercept[IllegalArgumentException] {
+        graft.api.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, t)
+      }
+      assert(e.getMessage.contains("threshold"))
+    }
+    val leaked = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"invalid threshold leaked checkpoint RDDs: $leaked")
+  }
+
   test("adaptive ngram gate: the winner's checkpoint is reachable by Checkpoints.free(result)") {
     // the gate hands its winning pinned shingle table to the
     // below-the-pin pipeline; a re-pin there would truncate lineage

@@ -275,11 +275,14 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("join_skew_salted: derived salt factor >1 and plan-visible build replication") {
     TestSpark.withExtSession { s =>
+      // hot key routes to 1 (an existing c_custkey) — keep in lockstep
+      // with the declared key so the answer-equality check below also
+      // covers the hot rows themselves
       val probe = Tables.events(s, TestSpark.sf0001).select(
         org.apache.spark.sql.functions.when(
           org.apache.spark.sql.functions.pmod(col("user_id"),
             org.apache.spark.sql.functions.lit(10)) < 7,
-          org.apache.spark.sql.functions.lit(0L))
+          org.apache.spark.sql.functions.lit(1L))
           .otherwise(org.apache.spark.sql.functions.pmod(col("user_id"),
             org.apache.spark.sql.functions.lit(100))).as("route_id"),
         col("event_id"), col("value"))
@@ -439,6 +442,78 @@ class PlanShapeSpec extends AnyFunSuite {
         val scans = "Scan parquet".r.findAllIn(p).size
         assert(scans == 1, s"$k scans its input $scans times:\n$p")
         assert(!p.contains("Join"), s"$k plans a join:\n$p")
+      }
+    }
+  }
+
+  test("ml_lift_table plans no global ntile and rolls the corpus into one hash aggregate") {
+    // r17's one weak item: the lift table ran a global ntile window —
+    // a full single-partition sort of the scored corpus. The rework
+    // cuts deciles from the bounded-state histogram percentile
+    // (events_rfm_segments recipe); the corpus-scale stage must now be
+    // a hash aggregate, with windows only over the ≤10-row decile table.
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "ml_lift_table")
+      assert(!p.contains("ntile"), s"global ntile window still planned:\n$p")
+      assert(p.contains("HashAggregate"), s"no hash aggregate over the corpus:\n$p")
+      // exactly one embeddings scan: the score histogram is pinned and
+      // feeds both the cuts pass and the rollup
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans == 0, // pinned bins truncate lineage → scan not in final plan
+        s"corpus rescanned below the pinned histogram ($scans scans):\n$p")
+    }
+  }
+
+  test("ml_lift_table cut-decile semantics: exact vs driver reference, near-ntile, all scales") {
+    // pins the old/new equivalence at all three fixture scales: the
+    // cut-decile table must (a) exactly match an independent
+    // driver-side reimplementation of the cut semantics ((n−1)p
+    // interpolated quantiles, r4-rounded, strict-exceed buckets) and
+    // (b) differ from the retired ntile table only by boundary ties
+    // (per-decile row drift ≤ the largest tie run, totals identical).
+    TestSpark.withExtSession { s =>
+      def r4(v: Double): Double = math.floor(v * 10000.0 + 0.5) / 10000.0
+      Seq(TestSpark.sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { d =>
+        val rows = graft.api.MlPipeline
+          .linearScore(Tables.embeddings(s, d), "embedding", graft.ml.MlOps.weights)
+          .select(Canon.r4(col("score")).as("score"),
+            (col("label") % 2).cast("int").as("y"), col("vec_id"))
+          .collect().map(r => (r.getDouble(0), r.getInt(1), r.getLong(2)))
+        val asc = rows.map(_._1).sorted
+        val nR = asc.length
+        val cuts = (1 to 9).map { k =>
+          val h = (nR - 1).toDouble * k / 10.0
+          val (lo, hi) = (math.floor(h).toInt, math.ceil(h).toInt)
+          r4(if (lo == hi || asc(lo) == asc(hi)) asc(lo)
+             else (hi - h) * asc(lo) + (h - lo) * asc(hi))
+        }
+        val expected = rows.groupBy { case (sc, _, _) =>
+            10L - cuts.count(sc > _) }
+          .map { case (dd, rs) => (dd, rs.length.toLong, rs.map(_._2.toLong).sum) }
+          .toSeq.sortBy(_._1)
+        val actual = SparkEntry.queries("ml_lift_table")(s, d)
+          .select("decile", "n", "n_pos")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(actual == expected, s"cut-decile mismatch at $d")
+        // ntile closeness: boundary ties are the ONLY divergence
+        val ntiles = rows.sortBy { case (sc, _, id) => (-sc, id) }
+          .zipWithIndex.map { case ((sc, y, _), i) =>
+            // SQL ntile remainder rule: first n%10 buckets get one extra
+            val base = nR / 10; val rem = nR % 10
+            val d10 = if (i < (base + 1) * rem) i / (base + 1)
+                      else rem + (i - (base + 1) * rem) / base
+            (d10 + 1L, y.toLong)
+          }
+        val old: Map[Long, (Long, Long)] = ntiles.groupBy(_._1)
+          .map { case (dd, rs) => (dd, (rs.length.toLong, rs.map(_._2).sum)) }
+        val maxTie = rows.groupBy(_._1).values.map(_.length).max.toLong
+        assert(actual.map(_._2).sum == old.values.map(_._1).sum)
+        assert(actual.map(_._3).sum == old.values.map(_._2).sum)
+        actual.foreach { case (dd, nn, _) =>
+          val on = old.get(dd).map(_._1).getOrElse(0L)
+          assert(math.abs(nn - on) <= maxTie,
+            s"decile $dd at $d drifted beyond boundary ties: cut=$nn ntile=$on")
+        }
       }
     }
   }
