@@ -99,6 +99,17 @@ object Scale10GenAll {
         (col("s_nationkey") + k * 25).cast("int").as("s_nationkey"),
         col("s_acctbal"))
     }
+    // events: replica k's users/events are fresh ids on the SAME
+    // timeline — a 10× crawl has 10× concurrent users in the same
+    // wall-clock window (so windowed-aggregate state grows with the
+    // type×window grid, not the replica count, while session/dedup/
+    // stateful state grows ∝ users — exactly the split a streaming
+    // scale bench needs to witness). ts, type, value, props untouched.
+    replicate("events") { (df, k) =>
+      df.select((col("event_id") + k * B).as("event_id"), col("ts"),
+        (col("user_id") + k * M).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }
     // nation must replicate WITH the nationkey offset: the graph keys'
     // output-naming join is on n_nationkey, and an unscaled copy would
     // silently drop replicas 1..9 from every output (names salted so
