@@ -617,11 +617,30 @@ object Similarity {
     * init = first ks sample subvectors in hash order, ties to the
     * lower index, empty cells keep their previous centroid — fully
     * deterministic, so codes and every result built on them are
-    * reproducible run to run. */
+    * reproducible run to run.
+    *
+    * `residualTo`: when set (the composed [[pqKnn]] path), each sample
+    * vector is first reduced to its IVF RESIDUAL x − c(nearest cell)
+    * and the sub-codebooks are trained on residuals — the standard
+    * IVF-PQ composition, and the difference between codes that resolve
+    * WITHIN a cell and codes that collapse to the cell id on clustered
+    * corpora (measured r18 on a tight 64-cluster 100k corpus:
+    * raw-vector codes read 0.10 recall@5 where plain IVF reads 1.00;
+    * residual codes recover the IVF bound). Omit for standalone PQ
+    * over unrouted vectors. */
   def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, ks: Int, iters: Int = 8, sampleSize: Int = 2048): Array[Array[Array[Float]]] = {
+      m: Int, ks: Int, iters: Int = 8, sampleSize: Int = 2048,
+      residualTo: Option[Array[Array[Float]]] = None): Array[Array[Array[Float]]] = {
     require(m > 0 && ks > 0, s"need m > 0 and ks > 0, got m=$m ks=$ks")
-    val sample = digestSample(df, idCol, vecCol, sampleSize)
+    val raw = digestSample(df, idCol, vecCol, sampleSize)
+    val sample = residualTo match {
+      case None => raw
+      case Some(cents) if raw.nonEmpty => raw.map { v =>
+        val wrapped = scala.collection.immutable.ArraySeq.unsafeWrapArray(v)
+        Kernels.residual(wrapped, cents(Kernels.nearestCells(wrapped, cents, 1).head))
+      }
+      case _ => raw
+    }
     require(sample.nonEmpty,
       s"trainPqCodebooks: input '$vecCol' has no rows to sample")
     val dims = sample.head.length
@@ -673,13 +692,15 @@ object Similarity {
     *  1. coarse IVF routing exactly as [[ivfKnn]] (queries probe their
     *     `nprobe` nearest cells; the cell id is the write-time
     *     partition key, so unprobed cells are never read);
-    *  2. within probed cells, candidates are scanned by ADC over PQ
-    *     codes: the corpus side of the join carries ONLY (id, cell,
-    *     m byte-codes, stored true norm) — never the raw vectors — and
-    *     each candidate costs m lookup-adds against the query's
-    *     precomputed LUT. Approximate cosine = adc / (‖q‖·‖x‖) with
-    *     the TRUE stored norm (PQ-with-stored-norms), so only the
-    *     numerator is approximated;
+    *  2. within probed cells, candidates are scanned by ADC over
+    *     RESIDUAL PQ codes (codes quantize x − c(cell); books must be
+    *     trained with residualTo = Some(centroids)): the corpus side
+    *     of the join carries ONLY (id, cell, m byte-codes, stored true
+    *     norm) — never the raw vectors — and each candidate costs m
+    *     lookup-adds against the query's precomputed LUT plus the
+    *     per-(query, cell) scalar q·c. Approximate cosine =
+    *     (q·c + adc) / (‖q‖·‖x‖) with the TRUE stored norm
+    *     (PQ-with-stored-norms), so only the numerator is approximated;
     *  3. the per-query top-`rerank` ADC shortlist (bounded-heap
     *     row_number idiom) joins BACK to the raw vectors by id — a
     *     selective equi-join fetching rerank·|queries| rows — and the
@@ -701,15 +722,28 @@ object Similarity {
     val ks = books(0).length
     val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
     val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nprobe))
-    val encodeOf = udf((v: Seq[Float]) => Kernels.pqEncode(v, books))
+    // RESIDUAL encoding (the standard IVF-PQ composition): codes
+    // quantize x − c(cell), not x — raw-vector codes collapse to the
+    // cell id on clustered corpora (all members share the centroid
+    // that dominates x), reading 0.10 recall@5 where plain IVF reads
+    // 1.00 on a tight 64-cluster 100k corpus (r18). `books` must be
+    // trained with trainPqCodebooks(residualTo = Some(centroids)).
+    val encodeOf = udf((v: Seq[Float], cell: Int) =>
+      Kernels.pqEncode(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(Kernels.residual(v, centroids(cell))), books))
     val lutOf = udf((v: Seq[Float]) => Kernels.pqLut(v, books))
+    // q·c(probe): the per-(query, probed-cell) additive term of the
+    // residual decomposition q·x̂ = q·c + q·r̂ — one scalar per probe
+    // row, so the m·ks LUT still computes once per query
+    val qcOf = udf((v: Seq[Float], cell: Int) => Kernels.dotCent(v, centroids(cell)))
     val adcOf = udf((codes: Seq[Int], lut: Seq[Double]) =>
       Kernels.adcDot(codes, lut, ks))
     // corpus side of the ADC scan: codes + true norm, NO raw vectors
     val codes = fanout(df)
       .select(col(idCol).as("cid"), col(vecCol).as("_ce"))
       .withColumn("_cell", cellOf(col("_ce")))
-      .select(col("cid"), col("_cell"), encodeOf(col("_ce")).as("_codes"),
+      .select(col("cid"), col("_cell"),
+        encodeOf(col("_ce"), col("_cell")).as("_codes"),
         Kernels.l2norm(col("_ce")).as("_cn"))
     // _lut/_qn are derived BEFORE the probe explode so the m·ks-entry
     // LUT is computed (and broadcast) once per query, not once per
@@ -719,6 +753,7 @@ object Similarity {
       .withColumn("_lut", lutOf(col("_qe")))
       .withColumn("_qn", Kernels.l2norm(col("_qe")))
       .withColumn("_probe", explode(probesOf(col("_qe"))))
+      .withColumn("_qc", qcOf(col("_qe"), col("_probe")))
     val wAdc = Window.partitionBy("qid").orderBy(col("_adc").desc, col("cid").asc)
     // zero-norm guard: NaN sorts ABOVE all doubles descending, so an
     // unguarded 0/0 would float degenerate vectors to the top of every
@@ -727,7 +762,8 @@ object Similarity {
     val shortlist = codes
       .join(broadcast(q), col("_cell") === col("_probe") && col("qid") =!= col("cid"))
       .withColumn("_adc",
-        when(normProd > 0, adcOf(col("_codes"), col("_lut")) / normProd)
+        when(normProd > 0,
+          (col("_qc") + adcOf(col("_codes"), col("_lut"))) / normProd)
           .otherwise(lit(-1.0)))
       .withColumn("_rr", row_number().over(wAdc))
       .filter(col("_rr") <= rerank)

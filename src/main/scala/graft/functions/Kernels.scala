@@ -321,6 +321,32 @@ object Kernels {
   // vector with m=8 splits into 8 consecutive 8-d blocks. All loops are
   // index-based on primitive arrays (no boxing in the hot path).
 
+  /** x − cent: the IVF RESIDUAL the composed IVF-PQ path encodes —
+    * quantizing residuals instead of raw vectors is what preserves
+    * WITHIN-cell resolution on clustered corpora (raw codes collapse
+    * when a cell's members share a centroid: measured 0.10 recall@5 on
+    * a tight 64-cluster 100k corpus vs 1.00 for plain IVF, r18). */
+  def residual(v: Seq[Float], cent: Array[Float]): Array[Float] = {
+    val x = floats(v)
+    require(x.length == cent.length,
+      s"residual: vector length ${x.length} != centroid length ${cent.length}")
+    val r = new Array[Float](x.length)
+    var i = 0
+    while (i < x.length) { r(i) = x(i) - cent(i); i += 1 }
+    r
+  }
+
+  /** dot(v, cent) in double — the per-(query, probed-cell) additive
+    * ADC term q·c of the residual decomposition q·x̂ = q·c + q·r̂. */
+  def dotCent(v: Seq[Float], cent: Array[Float]): Double = {
+    val x = floats(v)
+    require(x.length == cent.length,
+      s"dotCent: vector length ${x.length} != centroid length ${cent.length}")
+    var dp = 0.0; var i = 0
+    while (i < x.length) { dp += x(i).toDouble * cent(i); i += 1 }
+    dp
+  }
+
   /** PQ-encode: per subspace, the index of the L2-NEAREST sub-centroid
     * (ties → lower index). L2, not cosine: subvector magnitudes carry
     * dot-product mass, so the assignment must minimize ‖x_j − c‖², or

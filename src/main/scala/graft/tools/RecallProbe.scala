@@ -27,6 +27,9 @@ import org.apache.spark.sql.SparkSession
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // "knn-only": skip the MinHash families (for corpora that carry
+    // only an embeddings table, e.g. the ClusteredGen synthetic)
+    val knnOnly = args.length > 1 && args(1) == "knn-only"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -80,9 +83,11 @@ object RecallProbe {
           "truth_pairs" -> truth.size, "emitted" -> got.size)
       }
     }
-    minhashFamily("dedup_near_jaccard", Seq("dedup_minhash_lsh"))
-    minhashFamily("dedup_incremental", Seq("dedup_incremental_minhash",
-      "dedup_minhash_persisted", "dedup_minhash_probe_only"))
+    if (!knnOnly) {
+      minhashFamily("dedup_near_jaccard", Seq("dedup_minhash_lsh"))
+      minhashFamily("dedup_incremental", Seq("dedup_incremental_minhash",
+        "dedup_minhash_persisted", "dedup_minhash_probe_only"))
+    }
 
     println(s"""RECALL {"sf_dir":"$sfDir",$out}""")
     spark.stop()
