@@ -59,7 +59,65 @@ object SimilarityOps {
     v.map(w => BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString)
       .mkString("[", ", ", "]")
 
+  /** NDCG@10 rank discounts 1/log2(rank+1), 6 dp-rounded — computed
+    * ONCE here and inlined as the SAME literals into both the Spark
+    * plan and the DuckDB oracle, so no cross-engine log2 ulp can ever
+    * reach the rounding boundary (the §7.3 discipline applied to
+    * irrational constants: share literals, not math library calls). */
+  private val ndcgDiscs: IndexedSeq[Double] = (1 to 10).map(i =>
+    BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  /** Ideal cumulative DCG at cut k (all-relevant prefix): exact 6 dp
+    * decimal partial sums of [[ndcgDiscs]], shared as literals the
+    * same way. */
+  private val ndcgIdeals: IndexedSeq[Double] = ndcgDiscs
+    .scanLeft(BigDecimal(0)) { (acc, d) => acc + BigDecimal(d) }
+    .tail.map(_.toDouble)
+
   val queries: Map[String, Q] = Map(
+    "ml_eval_ndcg" -> ((s, d) => {
+      // retrieval-ranking eval — the metric a vector-store user grades
+      // an index with: per query (vec_id < 10), rank the corpus by
+      // exact cosine, take the top-10, score LABEL relevance
+      // (candidate shares the query's class) as NDCG@10 /
+      // precision@10 / recall@10. Discounts and ideal-DCG cuts are
+      // shared 6 dp literals (see ndcgDiscs); per-query DCG is an
+      // exact decimal sum of grid-valued terms, so the hash compare
+      // cannot drift on float re-association. Scale shape: the top-10
+      // comes from the same broadcast-query cosine scan as
+      // sim_knn_per_query (one corpus pass, bounded heap); the label
+      // lookup joins the corpus AGAINST the broadcast 100-row result;
+      // the relevance denominator is a broadcast label histogram
+      // (state ∝ 10 classes) — no corpus-sized shuffle anywhere.
+      val e = Tables.embeddings(s, d)
+      val knn = Similarity.cosineKnn(e, "vec_id", "embedding",
+        queryPred = col("vec_id") < 10, k = 10, simRound = Some(4))
+      val ql = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("_ql"))
+      val hist = e.groupBy(col("label").as("_ql")).agg(count(lit(1)).as("_n"))
+      val discArr = array(ndcgDiscs.map(lit(_)): _*)
+      val idealArr = array(ndcgIdeals.map(lit(_)): _*)
+      val graded = e.select(col("vec_id").as("cid"), col("label").as("_cl"))
+        .join(broadcast(knn.join(broadcast(ql), "qid")), "cid")
+        .select(col("qid"), col("_ql"),
+          (col("_cl") === col("_ql")).cast("int").as("_rel"),
+          element_at(discArr, col("rank").cast("int")).as("_disc"))
+      val perQ = graded.groupBy("qid", "_ql")
+        .agg(sum(col("_rel")).as("hits"),
+          Canon.sumDec(col("_disc") * col("_rel"), 6).as("_dcg"))
+      val totalRel = col("_n") - 1 // the query itself is never a candidate
+      perQ.join(broadcast(hist), "_ql")
+        .select(col("qid"), col("hits"), totalRel.as("total_rel"),
+          Canon.r4(col("hits") / lit(10.0)).as("precision_at_10"),
+          Canon.r4(when(totalRel > 0,
+            col("hits").cast("double") / totalRel.cast("double"))
+            .otherwise(lit(0.0))).as("recall_at_10"),
+          Canon.r4(when(totalRel > 0, col("_dcg") /
+            element_at(idealArr, least(lit(10), totalRel).cast("int")))
+            .otherwise(lit(0.0))).as("ndcg_at_10"))
+        .orderBy("qid")
+    }),
     "sim_knn_bruteforce" -> ((s, d) => {
       // exact global top-100 pairs — same result as the brute-force
       // pair join, but routed through the cell-blocked threshold
@@ -348,6 +406,34 @@ object SimilarityOps {
         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS BIGINT) AS rn
         |      FROM j)
         |SELECT qid, cid, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
+    // same ranking CTE as sim_knn_per_query at k=10; discounts and
+    // ideal-DCG cuts are the ndcgDiscs/ndcgIdeals literals verbatim
+    "ml_eval_ndcg" -> {
+      val discCase = (1 to 10)
+        .map(i => f"WHEN $i THEN ${ndcgDiscs(i - 1)}%.6f").mkString(" ")
+      val idealCase = (1 to 10)
+        .map(k => f"WHEN $k THEN ${ndcgIdeals(k - 1)}%.6f").mkString(" ")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |      FROM embeddings WHERE vec_id < 10),
+        |j AS (SELECT q.qid, q.ql, c.vec_id AS cid, c.label AS cl,
+        |        ${O.r4(duckCosine("q.qe", "c.embedding"))} AS sim
+        |      FROM q JOIN embeddings c ON q.qid <> c.vec_id),
+        |r AS (SELECT qid, ql, cl,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |      FROM j),
+        |t AS (SELECT qid, ql, CAST(cl = ql AS INT) AS rel,
+        |        CASE rn $discCase END AS disc
+        |      FROM r WHERE rn <= 10),
+        |h AS (SELECT label AS ql, count(*) AS n FROM embeddings GROUP BY 1),
+        |g AS (SELECT qid, ql, CAST(sum(rel) AS BIGINT) AS hits,
+        |        CAST(sum(CAST(disc * rel AS DECIMAL(28,6))) AS DOUBLE) AS dcg
+        |      FROM t GROUP BY 1, 2)
+        |SELECT qid, hits, CAST(n - 1 AS BIGINT) AS total_rel,
+        |  ${O.r4("hits / 10.0")} AS precision_at_10,
+        |  ${O.r4("CASE WHEN n > 1 THEN CAST(hits AS DOUBLE) / (n - 1) ELSE 0.0 END")} AS recall_at_10,
+        |  ${O.r4(s"CASE WHEN n > 1 THEN dcg / (CASE least(10, n - 1) $idealCase END) ELSE 0.0 END")} AS ndcg_at_10
+        |FROM g JOIN h USING (ql) ORDER BY qid""".stripMargin
     },
     "sim_knn_per_query" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
