@@ -118,6 +118,33 @@ object SimilarityOps {
             .otherwise(lit(0.0))).as("ndcg_at_10"))
         .orderBy("qid")
     }),
+    "ml_eval_mrr" -> ((s, d) => {
+      // reciprocal rank of the FIRST relevant hit in the cosine top-10
+      // per query — the navigational-retrieval twin of ml_eval_ndcg
+      // (NDCG grades the whole ranking; MRR grades time-to-first-hit,
+      // the metric for RAG-style "did the right chunk surface at all"
+      // evals). Same plumbing: broadcast-query cosine scan, label
+      // relevance, corpus joined against the broadcast 100-row top-10.
+      // rr = r4(1/rank) — an exact division of the same ints in both
+      // engines; queries with no relevant hit in the top-10 emit rank
+      // 0 / rr 0.0 (never NULL — the driver's NULL-cell hashing is
+      // unpinned).
+      val e = Tables.embeddings(s, d)
+      val knn = Similarity.cosineKnn(e, "vec_id", "embedding",
+        queryPred = col("vec_id") < 10, k = 10, simRound = Some(4))
+      val ql = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("_ql"))
+      e.select(col("vec_id").as("cid"), col("label").as("_cl"))
+        .join(broadcast(knn.join(broadcast(ql), "qid")), "cid")
+        .groupBy("qid")
+        .agg(coalesce(min(when(col("_cl") === col("_ql"), col("rank"))),
+          lit(0L)).as("first_rel_rank"))
+        .select(col("qid"), col("first_rel_rank"),
+          when(col("first_rel_rank") > 0,
+            Canon.r4(lit(1.0) / col("first_rel_rank")))
+            .otherwise(lit(0.0)).as("rr"))
+        .orderBy("qid")
+    }),
     "sim_knn_bruteforce" -> ((s, d) => {
       // exact global top-100 pairs — same result as the brute-force
       // pair join, but routed through the cell-blocked threshold
@@ -407,6 +434,24 @@ object SimilarityOps {
         |      FROM j)
         |SELECT qid, cid, score, rn FROM r WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     },
+    // same ranking CTE as ml_eval_ndcg; rr is an exact 1/rank division
+    "ml_eval_mrr" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |      FROM embeddings WHERE vec_id < 10),
+        |j AS (SELECT q.qid, q.ql, c.vec_id AS cid, c.label AS cl,
+        |        ${O.r4(duckCosine("q.qe", "c.embedding"))} AS sim
+        |      FROM q JOIN embeddings c ON q.qid <> c.vec_id),
+        |r AS (SELECT qid, ql, cl,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |      FROM j),
+        |g AS (SELECT qid,
+        |        CAST(coalesce(min(CASE WHEN cl = ql THEN rn END), 0) AS BIGINT)
+        |          AS first_rel_rank
+        |      FROM r WHERE rn <= 10 GROUP BY 1)
+        |SELECT qid, first_rel_rank,
+        |  CASE WHEN first_rel_rank > 0
+        |    THEN ${O.r4("1.0 / first_rel_rank")} ELSE 0.0 END AS rr
+        |FROM g ORDER BY qid""".stripMargin,
     // same ranking CTE as sim_knn_per_query at k=10; discounts and
     // ideal-DCG cuts are the ndcgDiscs/ndcgIdeals literals verbatim
     "ml_eval_ndcg" -> {
