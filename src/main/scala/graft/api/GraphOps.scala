@@ -400,4 +400,51 @@ object GraphOps {
         when(col("kcore_deg").isNotNull, 1L).otherwise(0L).as("in_kcore"),
         coalesce(col("kcore_deg"), lit(0L)).as("kcore_deg"))
   }
+
+  /** Synchronous WEIGHTED label propagation (community detection), the
+    * Raghavan et al. 2007 LPA with edge-weight votes and a
+    * deterministic tie rule: labels start as node ids; each round
+    * every node adopts the label with the largest incident-weight sum
+    * among its neighbors (ties → smallest label — LPA's random
+    * tie-break would never hash-gate). Weights make round 1
+    * non-degenerate under identity init (unweighted votes all tie at
+    * the neighbor multiplicity and collapse to min-neighbor).
+    *
+    * Scale shape: the directed edge list folds to a pinned symmetric
+    * (u, v, w) table once (one shuffle ∝ edges); each round is ONE
+    * edge-sized join against the bounded (node, lbl) frame plus a
+    * (node, lbl)-keyed vote aggregate — partial-aggregated map-side —
+    * and the per-node argmax runs through the row_number→TopKPerGroup
+    * rewrite (bounded heap, no per-node sort). Superseded label rounds
+    * are freed like the pagerank/kcore loops; total state per round is
+    * ∝ nodes, never ∝ edges. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = Checkpoints.pin(edges
+      .select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"), col(wCol).cast("long").as("_w"))
+      .unionAll(edges.select(col(dstCol).cast("long").as("u"),
+        col(srcCol).cast("long").as("v"), col(wCol).cast("long").as("_w")))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(sum(col("_w")).as("w")))
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    var pinned: Option[DataFrame] = None
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("votes").desc, col("lbl").asc)
+    for (_ <- 1 to rounds) {
+      val next = Checkpoints.pin(sym
+        .join(labels.select(col("node").as("v"), col("lbl")), "v")
+        .groupBy(col("u").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("votes"))
+        .withColumn("_rn", row_number().over(wv))
+        .filter(col("_rn") <= 1)
+        .select("node", "lbl"))
+      pinned.foreach(Checkpoints.free)
+      pinned = Some(next)
+      labels = next
+    }
+    labels
+  }
 }

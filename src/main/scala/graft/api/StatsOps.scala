@@ -849,4 +849,77 @@ object StatsOps {
           Canon.r4(col("_sape") / col("_nape").cast("double"))).as("mape"),
         when(sst =!= 0.0, Canon.r4(lit(1.0) - col("_sse") / sst)).as("r2"))
   }
+
+  /** k-fold cross-validated OLS — the OUT-OF-SAMPLE twin of
+    * [[linRegByGroup]] + [[regressionEvalByGroup]] (both in-sample):
+    * the model-selection readout a pipeline needs before trusting a
+    * trend line. Every fold's model trains on the OTHER k−1 folds via
+    * the leave-fold-out closed form: ONE aggregate produces per-fold
+    * exact-decimal power sums (n, Σx, Σy, Σx², Σxy); fold f's training
+    * sums are total − fold_f — a k-row decimal subtraction, so no
+    * second pass over the data to train and no row ever contributes to
+    * its own model. Sums stay DECIMAL (exact, associative — the §7.3
+    * rule) through the subtraction and cast to double only inside the
+    * slope/intercept formula; coefficients grid-round to 6 dp
+    * (DECIMAL(18,6)) before the scoring pass, so held-out residuals
+    * are EXACT decimal off grid coefficients — the
+    * [[regressionEvalByGroup]] residual discipline, including the
+    * (28,8) product staging that keeps Spark's decimal adds lossless.
+    * Two fact passes total (stats + scoring), with only the k-row
+    * coefficient table broadcast between them — at 100 TB this is two
+    * map-side-combined scans and zero row-scale shuffles.
+    * Output per fold: n_train, n_test, slope, intercept (r4 readouts
+    * of the 6 dp grid), out-of-sample rmse and mae. */
+  def crossValLinReg(df: DataFrame, foldCol: String, xCol: String,
+      yCol: String, scale: Int = 2): DataFrame = {
+    val dt = DecimalType(18, scale)
+    val d6 = DecimalType(18, 6)
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(foldCol).as("_f"), col(xCol).cast(dt).as("_x"),
+        col(yCol).cast(dt).as("_y"))
+    // the k-row stats frame is PINNED (eager, tiny) because two
+    // consumers branch off it — the totals rollup and the per-fold
+    // join side; without the pin each branch re-runs the fact scan,
+    // turning the promised two passes into three
+    val s = Checkpoints.pin(base.groupBy("_f").agg(
+      count(lit(1)).as("_n"),
+      sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_x") * col("_y")).as("_sxy")))
+    // totals re-aggregate the k-row fold table: decimal adds are exact
+    // and associative, so total − fold is bit-identical to aggregating
+    // the complement directly (what the oracle also spells)
+    val tot = s.agg(sum(col("_n")).as("_tn"), sum(col("_sx")).as("_tsx"),
+      sum(col("_sy")).as("_tsy"), sum(col("_sxx")).as("_tsxx"),
+      sum(col("_sxy")).as("_tsxy"))
+    val tn = (col("_tn") - col("_n")).cast("double")
+    val tsx = (col("_tsx") - col("_sx")).cast("double")
+    val tsy = (col("_tsy") - col("_sy")).cast("double")
+    val tsxx = (col("_tsxx") - col("_sxx")).cast("double")
+    val tsxy = (col("_tsxy") - col("_sxy")).cast("double")
+    val den = tn * tsxx - tsx * tsx
+    val coef = s.crossJoin(broadcast(tot)).select(col("_f"),
+      (col("_tn") - col("_n")).as("n_train"), col("_n").as("n_test"),
+      when(den =!= 0.0,
+        Canon.rk((tn * tsxy - tsx * tsy) / den, 6).cast(d6)).as("_sl"),
+      when(den =!= 0.0,
+        Canon.rk((tsy * tsxx - tsx * tsxy) / den, 6).cast(d6)).as("_ic"))
+    // held-out scoring: exact decimal residual off the 6 dp grid —
+    // same (28,8) staging as regressionEvalByGroup (Spark's
+    // (18,6)×(18,2) product at (37,6) would push the add past
+    // precision 38 and silently round the 8th decimal)
+    val e = (col("_y")
+      - (col("_ic") + (col("_sl") * col("_x")).cast(DecimalType(28, 8))))
+      .cast(DecimalType(18, 8))
+    val a = base.join(broadcast(coef.select("_f", "_sl", "_ic")), "_f")
+      .groupBy("_f").agg(
+        sum(e * e).cast("double").as("_sse"),
+        sum(abs(e)).cast("double").as("_sae"))
+    coef.join(a, "_f")
+      .select(col("_f").as(foldCol), col("n_train"), col("n_test"),
+        Canon.r4(col("_sl").cast("double")).as("slope"),
+        Canon.r4(col("_ic").cast("double")).as("intercept"),
+        Canon.r4(sqrt(col("_sse") / col("n_test").cast("double"))).as("rmse"),
+        Canon.r4(col("_sae") / col("n_test").cast("double")).as("mae"))
+  }
 }

@@ -528,6 +528,89 @@ object MlOps {
           Canon.r4(col("_cp").cast("double") / col("_tp").cast("double")).as("cum_capture"))
         .orderBy("decile")
     }),
+    "ml_eval_ece" -> ((s, d) => {
+      // expected / maximum calibration error (r18) — the SINGLE-NUMBER
+      // readout of ml_eval_calibration_bins' reliability diagram: ECE
+      // = Σ_bins (n_b/N)·|mean_score_b − frac_pos_b|, MCE = max gap.
+      // The gap subtracts two r4-grid doubles (exact on the 4 dp
+      // grid); each weighted term stays EXACT by casting the grid gap
+      // to DECIMAL (the trap-21-safe direction: rk'd first) and
+      // multiplying by the bigint bin count — float re-enters once in
+      // the final division. ONE hash aggregate over the corpus (state
+      // ∝ 10 bins), then a 10-row rollup — bounded state at any scale.
+      val bins = scored(s, d)
+        .select(col("score"), (col("label") % 2).as("y"))
+        .groupBy(least(floor(col("score") * 10).cast("long"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          Canon.r4(Canon.sumDec(col("score"), 4) / count(lit(1))).as("_ms"),
+          Canon.r4(sum(col("y")).cast("double") / count(lit(1))).as("_fp"))
+      val gap = abs(col("_ms") - col("_fp"))
+      bins.agg(sum(col("n")).as("n"),
+        Canon.r4(sum(gap.cast(org.apache.spark.sql.types.DecimalType(28, 4))
+            * col("n")).cast("double") / sum(col("n")).cast("double")).as("ece"),
+        Canon.r4(max(gap)).as("mce"))
+    }),
+    "ml_eval_brier" -> ((s, d) => {
+      // Brier score (r18) — mean squared error of the probability
+      // forecast, the strictly-proper scoring rule next to AUC
+      // (ranking) and ECE (calibration): overall plus per-outcome
+      // conditional means (the refinement/calibration halves a
+      // monitoring dashboard plots). Scores sit on the r4 grid, so
+      // (score − y)² is EXACT decimal arithmetic ((6,4)² → (15,8) in
+      // Spark; the DuckDB twin's width-14 product cannot overflow at
+      // values ≤ 1); one map-side-combined aggregate, float enters
+      // once per readout division.
+      val dt = org.apache.spark.sql.types.DecimalType(6, 4)
+      val t = scored(s, d).select(col("score").cast(dt).as("_s"),
+        (col("label") % 2).as("_y"))
+      val e2 = (col("_s") - col("_y").cast(dt)) * (col("_s") - col("_y").cast(dt))
+      t.agg(count(lit(1)).as("n"),
+        Canon.r4(sum(e2).cast("double") / count(lit(1)).cast("double")).as("brier"),
+        when(count(when(col("_y") === 1, 1)) > 0,
+          Canon.r4(sum(when(col("_y") === 1, e2)).cast("double")
+            / count(when(col("_y") === 1, 1)).cast("double")))
+          .otherwise(lit(0.0)).as("brier_pos"),
+        when(count(when(col("_y") === 0, 1)) > 0,
+          Canon.r4(sum(when(col("_y") === 0, e2)).cast("double")
+            / count(when(col("_y") === 0, 1)).cast("double")))
+          .otherwise(lit(0.0)).as("brier_neg"))
+    }),
+    "ml_eval_multiclass" -> ((s, d) => {
+      // per-class precision/recall/F1 for the 10-class linear scorer
+      // (r18) — the multiclass companion of the binary
+      // ml_eval_confusion: which classes does the model confuse? ONE
+      // fact pass builds the ≤k² confusion-cell table (pinned — both
+      // margins branch off it), then everything is k-row arithmetic:
+      // margins by true and predicted class, metrics as exact
+      // integer-ratio divisions r4'd once. F1 spelled 2·tp/(n_true +
+      // n_pred) — the harmonic mean without the 0/0 guards.
+      val e = Tables.embeddings(s, d).select(
+        col("label").cast("long").as("_t"),
+        Kernels.multiclassScoreUdf(weightsK)(col("embedding"))
+          .getField("_1").cast("long").as("_p"))
+      val conf = graft.api.Checkpoints.pin(
+        e.groupBy("_t", "_p").agg(count(lit(1)).as("_n")))
+      val byTrue = conf.groupBy(col("_t").as("class"))
+        .agg(sum(col("_n")).as("n_true"),
+          sum(when(col("_p") === col("_t"), col("_n")).otherwise(lit(0L))).as("tp"))
+      val byPred = conf.groupBy(col("_p").as("class"))
+        .agg(sum(col("_n")).as("n_pred"))
+      byTrue.join(byPred, Seq("class"), "full_outer")
+        .select(col("class"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          when(coalesce(col("n_pred"), lit(0L)) > 0, Canon.r4(
+            coalesce(col("tp"), lit(0L)).cast("double")
+              / col("n_pred").cast("double"))).otherwise(lit(0.0)).as("precision"),
+          when(coalesce(col("n_true"), lit(0L)) > 0, Canon.r4(
+            coalesce(col("tp"), lit(0L)).cast("double")
+              / col("n_true").cast("double"))).otherwise(lit(0.0)).as("recall"),
+          Canon.r4(lit(2.0) * coalesce(col("tp"), lit(0L)).cast("double")
+            / (coalesce(col("n_true"), lit(0L))
+              + coalesce(col("n_pred"), lit(0L))).cast("double")).as("f1"))
+        .orderBy("class")
+    }),
     "ml_eval_avg_precision" -> ((s, d) => {
       // average precision (area under the P-R curve, step-wise — the
       // sklearn average_precision_score convention): AP = Σ over
@@ -663,6 +746,22 @@ object MlOps {
       graft.api.StatsOps.linRegByGroup(Tables.lineitem(s, d),
           "l_returnflag", "l_quantity", "l_extendedprice")
         .orderBy("l_returnflag")
+    }),
+    "ml_crossval_linreg" -> ((s, d) => {
+      // 5-fold cross-validated OLS (r18) — the out-of-sample eval the
+      // in-sample pair (ml_linreg_closed_form + ml_eval_regression)
+      // cannot give: does the quantity→price trend generalize, or is
+      // the fit memorizing? Folds assigned by l_orderkey % 5 (a
+      // deterministic unit-of-randomization split — whole orders stay
+      // in one fold, the ab-test discipline); each fold's model trains
+      // on the other four via leave-fold-out closed-form sums, so ALL
+      // five models come from ONE aggregate pass + a 5-row decimal
+      // subtraction, and one scoring pass evaluates every fold's
+      // held-out RMSE/MAE (StatsOps.crossValLinReg)
+      graft.api.StatsOps.crossValLinReg(
+        Tables.lineitem(s, d).withColumn("fold", col("l_orderkey") % 5),
+        "fold", "l_quantity", "l_extendedprice")
+        .orderBy("fold")
     }),
     "ml_kmeans_update" -> ((s, d) => {
       // ONE full Lloyd iteration, distributed: E-step assigns every
@@ -914,6 +1013,49 @@ object MlOps {
         |FROM a CROSS JOIN generate_series(1, 64) AS g(i)
         |GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin
     },
+    // leave-fold-out sums spelled as total − fold over the SAME exact
+    // decimal fold table; coefficients 6 dp-grid (DECIMAL(18,6)) and
+    // residuals exact decimal with the (28,8) product staging — the
+    // crossValLinReg discipline verbatim
+    "ml_crossval_linreg" -> {
+      val dq = "CAST(l_quantity AS DECIMAL(18,2))"
+      val dp = "CAST(l_extendedprice AS DECIMAL(18,2))"
+      s"""WITH b AS (SELECT l_orderkey % 5 AS fold, $dq AS x, $dp AS y
+        |      FROM lineitem
+        |      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |s AS (SELECT fold, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * x) AS sxx, sum(x * y) AS sxy
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sy) AS tsy,
+        |        sum(sxx) AS tsxx, sum(sxy) AS tsxy FROM s),
+        |c AS (SELECT fold, tn - n AS n_train, n AS n_test,
+        |        CAST(tn - n AS DOUBLE) AS dn, CAST(tsx - sx AS DOUBLE) AS dsx,
+        |        CAST(tsy - sy AS DOUBLE) AS dsy,
+        |        CAST(tsxx - sxx AS DOUBLE) AS dsxx,
+        |        CAST(tsxy - sxy AS DOUBLE) AS dsxy
+        |      FROM s, t),
+        |m AS (SELECT fold, n_train, n_test,
+        |        CASE WHEN dn * dsxx - dsx * dsx <> 0 THEN
+        |          CAST(${O.rk("(dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)", 6)} AS DECIMAL(18,6))
+        |        END AS sl,
+        |        CASE WHEN dn * dsxx - dsx * dsx <> 0 THEN
+        |          CAST(${O.rk("(dsy * dsxx - dsx * dsxy) / (dn * dsxx - dsx * dsx)", 6)} AS DECIMAL(18,6))
+        |        END AS ic
+        |      FROM c),
+        |r AS (SELECT b.fold,
+        |        CAST(b.y - (m.ic + CAST(m.sl * b.x AS DECIMAL(28,8))) AS DECIMAL(19,8)) AS e
+        |      FROM b JOIN m USING (fold)),
+        |a AS (SELECT fold, CAST(sum(e * e) AS DOUBLE) AS sse,
+        |        CAST(sum(abs(e)) AS DOUBLE) AS sae
+        |      FROM r GROUP BY 1)
+        |SELECT m.fold, CAST(n_train AS BIGINT) AS n_train,
+        |  CAST(n_test AS BIGINT) AS n_test,
+        |  ${O.r4("CAST(sl AS DOUBLE)")} AS slope,
+        |  ${O.r4("CAST(ic AS DOUBLE)")} AS intercept,
+        |  ${O.r4("sqrt(sse / n_test)")} AS rmse,
+        |  ${O.r4("sae / n_test")} AS mae
+        |FROM m JOIN a USING (fold) ORDER BY fold""".stripMargin
+    },
     "ml_linreg_closed_form" -> {
       val dq = "CAST(l_quantity AS DECIMAL(18,2))"
       val dp = "CAST(l_extendedprice AS DECIMAL(18,2))"
@@ -1122,6 +1264,58 @@ object MlOps {
         |  CASE WHEN c.syy - c.sy*c.sy/CAST(c.n AS DOUBLE) <> 0 THEN
         |    ${O.r4("1.0 - a.sse / (c.syy - c.sy*c.sy/CAST(c.n AS DOUBLE))")} END AS r2
         |FROM c JOIN a ON c.g = a.g ORDER BY l_returnflag""".stripMargin,
+    // gap = |r4 mean score − r4 frac pos| over the same 10 fixed bins
+    // as ml_calibration_bins; weighted terms exact decimal×bigint
+    "ml_eval_ece" ->
+      s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings),
+        |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y FROM t),
+        |g AS (SELECT bin, count(*) AS n,
+        |    ${O.r4(O.sumDec("score", 4) + " / count(*)")} AS ms,
+        |    ${O.r4("CAST(sum(y) AS DOUBLE) / count(*)")} AS fp
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  ${O.r4("CAST(sum(CAST(abs(ms - fp) AS DECIMAL(28,4)) * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)")} AS ece,
+        |  ${O.r4("max(abs(ms - fp))")} AS mce
+        |FROM g""".stripMargin,
+    // (score − y)² exact decimal off the r4 score grid; DuckDB's
+    // (6,4)² product is width 14 — values ≤ 1, no overflow staging
+    "ml_eval_brier" ->
+      s"""WITH t AS (SELECT CAST($duckScore AS DECIMAL(6,4)) AS s,
+        |    label % 2 AS y FROM embeddings),
+        |e AS (SELECT y, (s - CAST(y AS DECIMAL(6,4))) * (s - CAST(y AS DECIMAL(6,4))) AS e2 FROM t)
+        |SELECT count(*) AS n,
+        |  ${O.r4("CAST(sum(e2) AS DOUBLE) / count(*)")} AS brier,
+        |  CASE WHEN count(CASE WHEN y = 1 THEN 1 END) > 0 THEN
+        |    ${O.r4("CAST(sum(CASE WHEN y = 1 THEN e2 END) AS DOUBLE) / count(CASE WHEN y = 1 THEN 1 END)")}
+        |  ELSE 0.0 END AS brier_pos,
+        |  CASE WHEN count(CASE WHEN y = 0 THEN 1 END) > 0 THEN
+        |    ${O.r4("CAST(sum(CASE WHEN y = 0 THEN e2 END) AS DOUBLE) / count(CASE WHEN y = 0 THEN 1 END)")}
+        |  ELSE 0.0 END AS brier_neg
+        |FROM e""".stripMargin,
+    // same argmax CTE as duckMulticlass (first-max tie via
+    // list_indexof); margins and metrics are k-row integer arithmetic
+    "ml_eval_multiclass" -> {
+      val logits = (0 until 10).map(c =>
+        s"list_dot_product(CAST(embedding AS DOUBLE[]), CAST(${weightsKSqlLit(c)} AS DOUBLE[]))")
+        .mkString("[", ",\n     ", "]")
+      s"""WITH t AS (SELECT label, $logits AS logits FROM embeddings),
+        |m AS (SELECT CAST(label AS BIGINT) AS tc,
+        |    CAST(list_indexof(logits, list_max(logits)) - 1 AS BIGINT) AS pc
+        |  FROM t),
+        |c AS (SELECT tc, pc, count(*) AS n FROM m GROUP BY 1, 2),
+        |g AS (SELECT tc AS class, CAST(sum(n) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN pc = tc THEN n ELSE 0 END) AS BIGINT) AS tp
+        |  FROM c GROUP BY 1),
+        |q AS (SELECT pc AS class, CAST(sum(n) AS BIGINT) AS n_pred FROM c GROUP BY 1)
+        |SELECT class, coalesce(n_true, 0) AS n_true,
+        |  coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp,
+        |  CASE WHEN coalesce(n_pred, 0) > 0 THEN
+        |    ${O.r4("CAST(coalesce(tp, 0) AS DOUBLE) / n_pred")} ELSE 0.0 END AS precision,
+        |  CASE WHEN coalesce(n_true, 0) > 0 THEN
+        |    ${O.r4("CAST(coalesce(tp, 0) AS DOUBLE) / n_true")} ELSE 0.0 END AS recall,
+        |  ${O.r4("2.0 * coalesce(tp, 0) / CAST(coalesce(n_true, 0) + coalesce(n_pred, 0) AS DOUBLE)")} AS f1
+        |FROM g FULL JOIN q USING (class) ORDER BY class""".stripMargin
+    },
     "ml_calibration_bins" ->
       s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings),
         |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y FROM t)

@@ -184,6 +184,22 @@ object Graphs {
       // oracle = the same 6 peels as unrolled MATERIALIZED CTEs
       kcoreAtRounds(s, d, rounds = 6)
     }),
+    "graph_label_propagation" -> ((s, d) => {
+      // community detection by two synchronous rounds of WEIGHTED
+      // label propagation (r18): labels start as node ids, each round
+      // every nation adopts the label carrying the largest
+      // incident-trade-weight sum among its neighbors (ties → smallest
+      // label — LPA's usual random tie-break would never hash-gate).
+      // The community structure the trade graph's density keys
+      // (kcore, clustering) describe, read out as an actual partition.
+      // All-integer arithmetic (weights are lineitem counts), so the
+      // oracle unrolls the same two rounds as MATERIALIZED CTEs.
+      GraphOps.labelPropagation(tradeEdges(s, d), "src", "dst", "w",
+          rounds = 2)
+        .join(nationNames(s, d), col("node") === col("n_nationkey"))
+        .select(col("n_name"), col("lbl").as("community"))
+        .orderBy("n_name")
+    }),
     "graph_assortativity" -> ((s, d) => {
       // degree assortativity: Pearson correlation between endpoint
       // degrees over the symmetrized trade edges — do high-traffic
@@ -272,7 +288,33 @@ object Graphs {
        |    FROM $prev l JOIN symE e ON l.node = e.u)
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** One unrolled synchronous weighted-LPA round: `cur` labels from
+    * `prev` — vote = Σ symmetric edge weight per (node, neighbor
+    * label), argmax with the smallest-label tie rule (mirrors
+    * GraphOps.labelPropagation). */
+  private def lpaRound(prev: String, cur: String): String =
+    s"""v$cur AS MATERIALIZED (SELECT s.u AS node, l.lbl,
+       |    CAST(sum(s.w) AS BIGINT) AS votes
+       |  FROM sym s JOIN $prev l ON s.v = l.node GROUP BY 1, 2),
+       |$cur AS MATERIALIZED (SELECT node, lbl FROM (
+       |    SELECT node, lbl, row_number() OVER (
+       |      PARTITION BY node ORDER BY votes DESC, lbl ASC) AS rn
+       |    FROM v$cur) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_label_propagation" ->
+      s"""WITH $edgesCte,
+         |sym AS MATERIALIZED (SELECT u, v, CAST(sum(w) AS BIGINT) AS w
+         |  FROM (SELECT src AS u, dst AS v, w FROM dedges
+         |        UNION ALL SELECT dst, src, w FROM dedges)
+         |  WHERE u <> v GROUP BY 1, 2),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node,
+         |  CAST(u AS BIGINT) AS lbl FROM sym),
+         |${lpaRound("l0", "l1")},
+         |${lpaRound("l1", "l2")}
+         |SELECT n.n_name, l2.lbl AS community
+         |FROM l2 JOIN nation n ON l2.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin,
     "graph_closeness_centrality" ->
       s"""WITH $edgesCte,
          |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,

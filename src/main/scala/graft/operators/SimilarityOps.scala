@@ -4,6 +4,7 @@ import graft.{Canon, Q, Tables}
 import graft.Canon.{sql => O}
 import graft.api.Similarity
 import graft.functions.Kernels
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.9 (vector half) — similarity search over the embedding column.
@@ -143,6 +144,49 @@ object SimilarityOps {
           when(col("first_rel_rank") > 0,
             Canon.r4(lit(1.0) / col("first_rel_rank")))
             .otherwise(lit(0.0)).as("rr"))
+        .orderBy("qid")
+    }),
+    "ml_eval_map" -> ((s, d) => {
+      // MAP@10 — completes the retrieval-eval trio (r18): ml_eval_ndcg
+      // grades the whole ranking by graded discount, ml_eval_mrr the
+      // time-to-first-hit; AP integrates precision at every relevant
+      // rank — the recall-weighted middle ground and the leaderboard
+      // metric for multi-relevant retrieval. Per query:
+      // AP@10 = Σ_{i≤10, rel_i=1} P@i / min(10, total_rel), where
+      // P@i = hits_at_i / i. Each P@i term grid-rounds to 6 dp BEFORE
+      // the exact decimal fold (the averagePrecisionBinned discipline):
+      // P@i is one double division of the SAME two ints in both
+      // engines, so the rounded terms are bit-identical and the
+      // decimal sum cannot re-associate. Scale shape identical to
+      // ml_eval_ndcg: one broadcast-query cosine scan (bounded heap),
+      // the corpus joined against the broadcast 100-row top-10, the
+      // cumulative window over ≤10 rows per query, the relevance
+      // denominator a broadcast 10-class label histogram.
+      val e = Tables.embeddings(s, d)
+      val knn = Similarity.cosineKnn(e, "vec_id", "embedding",
+        queryPred = col("vec_id") < 10, k = 10, simRound = Some(4))
+      val ql = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("_ql"))
+      val hist = e.groupBy(col("label").as("_ql")).agg(count(lit(1)).as("_n"))
+      val graded = e.select(col("vec_id").as("cid"), col("label").as("_cl"))
+        .join(broadcast(knn.join(broadcast(ql), "qid")), "cid")
+        .select(col("qid"), col("_ql"),
+          (col("_cl") === col("_ql")).cast("int").as("_rel"), col("rank"))
+      val w = Window.partitionBy("qid").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val terms = graded.withColumn("_ch", sum(col("_rel")).over(w))
+        .select(col("qid"), col("_ql"), col("_rel"),
+          when(col("_rel") === 1,
+            Canon.rk(col("_ch").cast("double") / col("rank").cast("double"), 6))
+            .as("_p"))
+      val perQ = terms.groupBy("qid", "_ql")
+        .agg(sum(col("_rel")).as("hits"), Canon.sumDec(col("_p"), 6).as("_apn"))
+      val totalRel = col("_n") - 1 // the query itself is never a candidate
+      perQ.join(broadcast(hist), "_ql")
+        .select(col("qid"), col("hits"),
+          when(col("hits") > 0,
+            Canon.r4(col("_apn") / least(lit(10L), totalRel).cast("double")))
+            .otherwise(lit(0.0)).as("ap_at_10"))
         .orderBy("qid")
     }),
     "sim_knn_bruteforce" -> ((s, d) => {
@@ -480,6 +524,30 @@ object SimilarityOps {
         |  ${O.r4(s"CASE WHEN n > 1 THEN dcg / (CASE least(10, n - 1) $idealCase END) ELSE 0.0 END")} AS ndcg_at_10
         |FROM g JOIN h USING (ql) ORDER BY qid""".stripMargin
     },
+    // same ranking CTE as ml_eval_ndcg; each P@i term 6 dp-grid-rounds
+    // (one int/int double division, bit-identical cross-engine) before
+    // the exact decimal fold — the averagePrecisionBinned discipline
+    "ml_eval_map" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+        |      FROM embeddings WHERE vec_id < 10),
+        |j AS (SELECT q.qid, q.ql, c.vec_id AS cid, c.label AS cl,
+        |        ${O.r4(duckCosine("q.qe", "c.embedding"))} AS sim
+        |      FROM q JOIN embeddings c ON q.qid <> c.vec_id),
+        |r AS (SELECT qid, ql, cl,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |      FROM j),
+        |t AS (SELECT qid, ql, CAST(cl = ql AS INT) AS rel, rn,
+        |        sum(CAST(cl = ql AS INT)) OVER (PARTITION BY qid ORDER BY rn) AS ch
+        |      FROM r WHERE rn <= 10),
+        |h AS (SELECT label AS ql, count(*) AS n FROM embeddings GROUP BY 1),
+        |g AS (SELECT qid, ql, CAST(sum(rel) AS BIGINT) AS hits,
+        |        ${O.sumDec(s"CASE WHEN rel = 1 THEN ${O.rk("CAST(ch AS DOUBLE) / rn", 6)} END", 6)} AS apn
+        |      FROM t GROUP BY 1, 2)
+        |SELECT qid, hits,
+        |  CASE WHEN hits > 0
+        |    THEN ${O.r4("apn / CAST(least(10, n - 1) AS DOUBLE)")}
+        |    ELSE 0.0 END AS ap_at_10
+        |FROM g JOIN h USING (ql) ORDER BY qid""".stripMargin,
     "sim_knn_per_query" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT q.qid, c.vec_id AS cid,

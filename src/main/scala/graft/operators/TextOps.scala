@@ -80,6 +80,32 @@ object TextOps {
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)
     }),
+    "text_bpe_merge_candidates" -> ((s, d) => {
+      // ONE distributed BPE tokenizer-training step (r18): the merge
+      // rule BPE would learn next is the most frequent ADJACENT SYMBOL
+      // PAIR across the corpus, counted per occurrence — i.e. weighted
+      // by word frequency (the Sennrich et al. 2016 training loop's
+      // inner statistic, over the initial character segmentation).
+      // Scale shape is the tokenizer-training shape a 100 TB corpus
+      // needs: the corpus collapses to a distinct (word, freq) table
+      // FIRST (one map-side-combined aggregate, shuffle ∝ vocabulary —
+      // the text_vocab_* posture), the pair explode runs over the
+      // ~|vocab| table only (Σ(len−1) rows per DISTINCT word, never
+      // per corpus token), and the top-20 candidates come off a
+      // pair-keyed rollup whose state is ∝ distinct bigrams.
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2) // 1-char words have no pair;
+        // Spark's sequence(1, 0) would DESCEND ([1,0]), not empty
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    }),
     "text_lang_source_matrix" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
@@ -1008,6 +1034,17 @@ object TextOps {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // pair counts weighted by word freq off the distinct-word table;
+    // range(1, len) is exclusive-upper = Spark's sequence(1, len-1)
+    "text_bpe_merge_candidates" ->
+      """WITH w AS (SELECT w, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)),
+        |         i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, freq
+        |      FROM w)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "text_lang_source_matrix" ->
       """SELECT lang, source, count(*) AS n_docs
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,

@@ -37,6 +37,23 @@ class GraphSpec extends AnyFunSuite {
     mass
   }
 
+  test("labelPropagation: weighted votes, min-label ties, directed-duplicate merge") {
+    val s = spark; import s.implicits._
+    // triangle 1-2-3 (w=5 each side) + pendant 4 on 3 (w=1); edge 1→2
+    // split across both directions (3+2) to prove the symmetric merge.
+    // Hand rounds: r1 = (2,1,1,3) — node 1 ties {2:5, 3:5} → min 2,
+    // node 3's max vote is the {1:5, 2:5} tie → 1; r2 = all 1s (the
+    // triangle converges and drags the pendant along).
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 2L), (1L, 3L, 5L),
+      (2L, 3L, 5L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val r1 = GraphOps.labelPropagation(edges, "src", "dst", "w", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    val r2 = GraphOps.labelPropagation(edges, "src", "dst", "w", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
   test("pagerankMass matches the driver-side integer recurrence on a hub graph") {
     // 1,2,3 all point at 4; 4 points back at 1 — rank concentrates on 4
     val es = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L), (1L, 2L))

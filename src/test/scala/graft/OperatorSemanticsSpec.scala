@@ -22,6 +22,121 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_eval_map matches a driver-side AP@10 recompute") {
+    // independent reimplementation of the whole chain: 4 dp-rounded
+    // kernel cosine ranking (ties by cid), label relevance, 6 dp
+    // P@i terms, AP = Σ terms / min(10, total_rel), r4 — any drift in
+    // the query's window/join plumbing breaks the exact compare
+    def rk(x: Double, k: Int): Double = {
+      val p = math.pow(10.0, k.toDouble); math.floor(x * p + 0.5) / p
+    }
+    val emb = Tables.embeddings(spark, sf).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val byLabel = emb.groupBy(_._2).view.mapValues(_.length).toMap
+    val expected = emb.filter(_._1 < 10).sortBy(_._1).map { case (qid, ql, qv) =>
+      val top10 = emb.filter(_._1 != qid)
+        .map { case (cid, cl, cv) =>
+          (cid, cl, rk(Kernels.cosineArr(qv, cv), 4)) }
+        .sortBy { case (cid, _, sim) => (-sim, cid) }.take(10)
+      val rels = top10.map { case (_, cl, _) => if (cl == ql) 1 else 0 }
+      val hits = rels.sum
+      val terms = rels.zipWithIndex.collect { case (1, i) =>
+        BigDecimal(rk(rels.take(i + 1).sum.toDouble / (i + 1).toDouble, 6)) }
+      val totalRel = byLabel(ql) - 1
+      val ap = if (hits > 0)
+        rk(terms.sum.toDouble / math.min(10, totalRel).toDouble, 4) else 0.0
+      (qid, hits.toLong, ap)
+    }
+    val got = SparkEntry.queries("ml_eval_map")(spark, sf).collect().map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("hits"), r.getAs[Double]("ap_at_10")))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("ml_eval_ece is consistent with the ml_calibration_bins table") {
+    // ECE/MCE are pure functions of the (independently oracle-gated)
+    // reliability-diagram bins — recompute both from that key's output
+    def rk(x: Double, k: Int): Double = {
+      val p = math.pow(10.0, k.toDouble); math.floor(x * p + 0.5) / p
+    }
+    val bins = SparkEntry.queries("ml_calibration_bins")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Double]("mean_score"),
+        r.getAs[Double]("frac_pos")))
+    val n = bins.map(_._1).sum
+    val gaps = bins.map { case (_, ms, fp) => math.abs(ms - fp) }
+    val ece = rk(bins.zip(gaps).map { case ((nb, _, _), g) =>
+      BigDecimal(g).setScale(4, BigDecimal.RoundingMode.HALF_UP) * nb }
+      .sum.toDouble / n.toDouble, 4)
+    val mce = rk(gaps.max, 4)
+    val got = SparkEntry.queries("ml_eval_ece")(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n") == n)
+    assert(math.abs(got.getAs[Double]("ece") - ece) < 1e-9)
+    assert(math.abs(got.getAs[Double]("mce") - mce) < 1e-9)
+  }
+
+  test("ml_eval_multiclass is consistent with the ml_infer_multiclass predictions") {
+    def rk4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val labels = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    val preds = SparkEntry.queries("ml_infer_multiclass_udf")(spark, sf)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Number]("pred").longValue)
+    val pairs = preds.map { case (id, p) => (labels(id), p) }
+    val expected = (0L to 9L).map { c =>
+      val nTrue = pairs.count(_._1 == c); val nPred = pairs.count(_._2 == c)
+      val tp = pairs.count(p => p._1 == c && p._2 == c)
+      (c, nTrue.toLong, nPred.toLong, tp.toLong,
+        if (nPred > 0) rk4(tp.toDouble / nPred) else 0.0,
+        if (nTrue > 0) rk4(tp.toDouble / nTrue) else 0.0,
+        rk4(2.0 * tp / (nTrue + nPred).toDouble))
+    }.filter(t => t._2 > 0 || t._3 > 0)
+    val got = SparkEntry.queries("ml_eval_multiclass")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("class"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_pred"), r.getAs[Long]("tp"),
+        r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+        r.getAs[Double]("f1")))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("ml_eval_brier matches a driver-side exact-decimal recompute") {
+    def rk4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val w = ml.MlOps.weightsK(0) // class-0 row IS the binary scorer's weights
+    val rows = Tables.embeddings(spark, sf).collect().map { r =>
+      val e = r.getAs[scala.collection.Seq[Float]]("embedding")
+      var dot = 0.0; var i = 0
+      while (i < e.length) { dot += e(i).toDouble * w(i); i += 1 }
+      val s = BigDecimal(rk4(1.0 / (1.0 + math.exp(-dot))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      (s, (r.getAs[Int]("label") % 2).toLong)
+    }
+    def mean(ts: Seq[BigDecimal], n: Int): Double = rk4(ts.sum.toDouble / n.toDouble)
+    val e2 = rows.map { case (s, y) => val d = s - BigDecimal(y); (d * d, y) }
+    val got = SparkEntry.queries("ml_eval_brier")(spark, sf).collect()(0)
+    assert(got.getAs[Long]("n") == rows.length)
+    assert(math.abs(got.getAs[Double]("brier") - mean(e2.map(_._1), rows.length)) < 1e-9)
+    val pos = e2.filter(_._2 == 1L); val neg = e2.filter(_._2 == 0L)
+    assert(math.abs(got.getAs[Double]("brier_pos") - mean(pos.map(_._1), pos.length)) < 1e-9)
+    assert(math.abs(got.getAs[Double]("brier_neg") - mean(neg.map(_._1), neg.length)) < 1e-9)
+  }
+
+  test("text_bpe_merge_candidates matches a driver-side pair-count recompute") {
+    val texts = Tables.documents(spark, sf).collect()
+      .map(_.getAs[String]("text"))
+    val wordFreq = texts.flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = new scala.collection.mutable.HashMap[String, Long]()
+    wordFreq.foreach { case (w, f) =>
+      (0 until w.length - 1).foreach { i =>
+        val p = w.substring(i, i + 2)
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+      }
+    }
+    val expected = pairCounts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = SparkEntry.queries("text_bpe_merge_candidates")(spark, sf)
+      .collect().map(r => (r.getAs[String]("pair"), r.getAs[Long]("n"))).toSeq
+    assert(got == expected)
+  }
+
   test("as-of joins: NULL timestamps match nothing in either direction") {
     val s = spark
     import s.implicits._

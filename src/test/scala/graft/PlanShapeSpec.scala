@@ -93,8 +93,40 @@ class PlanShapeSpec extends AnyFunSuite {
       "the probe-only IVF key keeps the persisted twin's ranking shape"),
     ("ml_infer_mlp_gemm", "MapPartitions",
       "the batched 2-layer forward pass runs through the GEMM " +
-        "mapPartitions, not a per-row UDF")
+        "mapPartitions, not a per-row UDF"),
+    ("ml_eval_map", "TopKPerGroup",
+      "the AP ranking's top-10 takes the bounded-heap operator like " +
+        "sim_knn_per_query, never a per-query sort"),
+    ("ml_crossval_linreg", "BroadcastHashJoin",
+      "the k-row coefficient table broadcasts back for held-out scoring"),
+    ("text_bpe_merge_candidates", "TakeOrderedAndProject",
+      "top-20 merge candidates via bounded heap, never a full bigram sort")
   )
+
+  test("ml_crossval_linreg: one fact scan per pass — the stats branch is pinned") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "ml_crossval_linreg")
+      val scans = "lineitem\\.parquet".r.findAllIn(p).length
+      assert(scans == 1,
+        s"expected exactly 1 lineitem FileScan (stats pinned + 1 scoring pass), got $scans:\n$p")
+    }
+  }
+
+  test("text_bpe_merge_candidates: the pair explode runs over the vocab aggregate, not the corpus") {
+    TestSpark.withExtSession { s =>
+      val p = plan(s, "text_bpe_merge_candidates")
+      // printed top-down: pair Generate … vocab HashAggregate … token
+      // Generate — an aggregate BETWEEN the two generates proves the
+      // pair explode's input is the distinct-word table
+      val firstGen = p.indexOf("Generate explode(transform")
+      val tokenGen = p.indexOf("Generate explode(split")
+      assert(firstGen >= 0 && tokenGen > firstGen,
+        s"expected pair-transform Generate above the token-split Generate:\n$p")
+      assert(p.substring(firstGen, tokenGen).contains("HashAggregate"),
+        s"no aggregate between the pair explode and the token explode — " +
+          s"pairs are exploding per corpus token, not per distinct word:\n$p")
+    }
+  }
 
   test("dedup_near_jaccard_shuffle pins the no-broadcast 100TB posture") {
     TestSpark.withExtSession { s =>

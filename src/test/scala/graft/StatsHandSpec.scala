@@ -20,6 +20,44 @@ class StatsHandSpec extends AnyFunSuite {
       rows.map { case (g, v) => org.apache.spark.sql.Row(g, v) }.asJava, schema)
   }
 
+  test("crossValLinReg matches the hand leave-fold-out example") {
+    // fold 0 = {(1,1),(2,2)} (the y=x line), fold 1 = {(1,3),(2,5),(3,7)}
+    // (the y=2x+1 line). Fold 0's model trains on fold 1 → y=2x+1,
+    // held-out residuals −2,−3 → rmse=√6.5, mae=2.5; fold 1's model
+    // trains on fold 0 → y=x, residuals 2,3,4 → rmse=√(29/3), mae=3.
+    val df = spark.createDataFrame(Seq(
+      (0L, 1.0, 1.0), (0L, 2.0, 2.0),
+      (1L, 1.0, 3.0), (1L, 2.0, 5.0), (1L, 3.0, 7.0)))
+      .toDF("fold", "x", "y")
+    val rows = StatsOps.crossValLinReg(df, "fold", "x", "y")
+      .orderBy("fold").collect()
+    assert(rows.length == 2)
+    val f0 = rows(0)
+    assert(f0.getAs[Long]("n_train") == 3 && f0.getAs[Long]("n_test") == 2)
+    assert(f0.getAs[Double]("slope") == 2.0 && f0.getAs[Double]("intercept") == 1.0)
+    assert(math.abs(f0.getAs[Double]("rmse") - math.sqrt(6.5)) < 1e-4)
+    assert(f0.getAs[Double]("mae") == 2.5)
+    val f1 = rows(1)
+    assert(f1.getAs[Long]("n_train") == 2 && f1.getAs[Long]("n_test") == 3)
+    assert(f1.getAs[Double]("slope") == 1.0 && f1.getAs[Double]("intercept") == 0.0)
+    assert(math.abs(f1.getAs[Double]("rmse") - math.sqrt(29.0 / 3.0)) < 1e-4)
+    assert(f1.getAs[Double]("mae") == 3.0)
+  }
+
+  test("crossValLinReg: a zero-variance training side yields NULL coefficients, not a crash") {
+    // fold 1 is the only OTHER fold and has constant x → fold 0's
+    // model has no slope; fold 1 still trains fine on fold 0
+    val df = spark.createDataFrame(Seq(
+      (0L, 1.0, 1.0), (0L, 2.0, 2.0),
+      (1L, 4.0, 3.0), (1L, 4.0, 5.0)))
+      .toDF("fold", "x", "y")
+    val rows = StatsOps.crossValLinReg(df, "fold", "x", "y")
+      .orderBy("fold").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("slope")))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("rmse")))
+    assert(rows(1).getAs[Double]("slope") == 1.0)
+  }
+
   test("mannWhitneyU matches the hand-ranked example") {
     // A = {1,2,3}, B = {2,3,4}: tie-averaged R1 = 1 + 2.5 + 4.5 = 8,
     // U1 = 8 − 6 = 2; ties Σ(t³−t) = 12, σ² = 0.75·(7 − 12/30) = 4.95
