@@ -528,6 +528,38 @@ object MlOps {
           Canon.r4(col("_cp").cast("double") / col("_tp").cast("double")).as("cum_capture"))
         .orderBy("decile")
     }),
+    "ml_shap_linear" -> ((s, d) => {
+      // exact SHAP feature attributions for the linear scorer (r18) —
+      // the model-explanation readout next to the eval family: for a
+      // linear model (feature-independence convention) the Shapley
+      // value is CLOSED FORM, φ_i(x) = w_i·(x_i − E[x_i]), so the
+      // global importance table mean|φ_i| per dimension is exact, no
+      // sampling. Determinism: features grid-round to 6 dp up front
+      // (float→double cast is exact; the rk'd double casts to DECIMAL
+      // safely — trap 21), μ is a 6 dp readout of the exact decimal
+      // mean, each φ term is one double product of grid values r6'd
+      // before the exact decimal fold (the MAPE discipline). Scale:
+      // two map-side explode passes (μ, then φ against broadcast μ),
+      // aggregate state ∝ 64 dims at any corpus size.
+      val wArr = array(weights.map(lit(_)): _*)
+      def ex = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("_d", "_v")))
+        .select(col("_d").cast("long").as("dim"),
+          Canon.rk(col("_v").cast("double"), 6).as("_x"))
+      val mu = ex.groupBy("dim").agg(
+        Canon.rk(Canon.sumDec(col("_x"), 6) / count(lit(1)), 6).as("mu"))
+      val w = element_at(wArr, (col("dim") + 1).cast("int"))
+      ex.join(broadcast(mu), "dim")
+        .select(col("dim"), col("mu"),
+          Canon.rk(w * (col("_x") - col("mu")), 6).as("_phi"))
+        .groupBy("dim")
+        .agg(first(col("mu")).as("mu"), count(lit(1)).as("n"),
+          Canon.r4(Canon.sumDec(abs(col("_phi")), 6)
+            / count(lit(1)).cast("double")).as("mean_abs_shap"))
+        .select(col("dim"), w.as("weight"), col("mu"), col("n"),
+          col("mean_abs_shap"))
+        .orderBy("dim")
+    }),
     "ml_eval_ece" -> ((s, d) => {
       // expected / maximum calibration error (r18) — the SINGLE-NUMBER
       // readout of ml_eval_calibration_bins' reliability diagram: ECE
@@ -1264,6 +1296,26 @@ object MlOps {
         |  CASE WHEN c.syy - c.sy*c.sy/CAST(c.n AS DOUBLE) <> 0 THEN
         |    ${O.r4("1.0 - a.sse / (c.syy - c.sy*c.sy/CAST(c.n AS DOUBLE))")} END AS r2
         |FROM c JOIN a ON c.g = a.g ORDER BY l_returnflag""".stripMargin,
+    // φ terms r6'd grid-value products folded in exact decimal; μ from
+    // the same 6 dp-rounded features — mirrors ml_shap_linear verbatim
+    "ml_shap_linear" ->
+      s"""WITH x AS (SELECT CAST(i AS BIGINT) - 1 AS dim,
+        |    ${O.rk("CAST(embedding[i] AS DOUBLE)", 6)} AS xv
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+        |m AS (SELECT dim, count(*) AS n,
+        |    ${O.rk(O.sumDec("xv", 6) + " / count(*)", 6)} AS mu
+        |  FROM x GROUP BY 1),
+        |wt AS (SELECT CAST(i AS BIGINT) - 1 AS dim, wl[i] AS w
+        |  FROM (SELECT CAST($weightsSqlLit AS DOUBLE[]) AS wl)
+        |  CROSS JOIN generate_series(1, 64) AS g(i)),
+        |p AS (SELECT x.dim, ${O.rk("wt.w * (x.xv - m.mu)", 6)} AS phi
+        |  FROM x JOIN m USING (dim) JOIN wt USING (dim)),
+        |a AS (SELECT dim, count(*) AS n,
+        |    ${O.sumDec("abs(phi)", 6)} AS sabs
+        |  FROM p GROUP BY 1)
+        |SELECT a.dim, wt.w AS weight, m.mu, CAST(a.n AS BIGINT) AS n,
+        |  ${O.r4("a.sabs / a.n")} AS mean_abs_shap
+        |FROM a JOIN m USING (dim) JOIN wt USING (dim) ORDER BY dim""".stripMargin,
     // gap = |r4 mean score − r4 frac pos| over the same 10 fixed bins
     // as ml_calibration_bins; weighted terms exact decimal×bigint
     "ml_eval_ece" ->

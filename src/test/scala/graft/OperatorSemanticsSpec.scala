@@ -119,6 +119,32 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("brier_neg") - mean(neg.map(_._1), neg.length)) < 1e-9)
   }
 
+  test("ml_shap_linear matches a driver-side closed-form recompute") {
+    def rk(x: Double, k: Int): Double = {
+      val p = math.pow(10.0, k.toDouble); math.floor(x * p + 0.5) / p
+    }
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val w = ml.MlOps.weights
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val n = vecs.length
+    val expected = (0 until 64).map { i =>
+      val xs = vecs.map(v => rk(v(i).toDouble, 6))
+      val mu = rk(xs.map(dec6).sum.toDouble / n.toDouble, 6)
+      val sabs = xs.map(x => dec6(math.abs(rk(w(i) * (x - mu), 6)))).sum
+      (i.toLong, w(i), mu, n.toLong, rk(sabs.toDouble / n.toDouble, 4))
+    }
+    val got = SparkEntry.queries("ml_shap_linear")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("dim"), r.getAs[Double]("weight"),
+        r.getAs[Double]("mu"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean_abs_shap")))
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._4 == e._4, s"$g vs $e")
+      assert(math.abs(g._3 - e._3) < 1e-9 && math.abs(g._5 - e._5) < 1e-9,
+        s"$g vs $e")
+    }
+  }
+
   test("text_bpe_merge_candidates matches a driver-side pair-count recompute") {
     val texts = Tables.documents(spark, sf).collect()
       .map(_.getAs[String]("text"))
