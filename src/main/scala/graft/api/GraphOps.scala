@@ -418,16 +418,22 @@ object GraphOps {
     * rewrite (bounded heap, no per-node sort). Superseded label rounds
     * are freed like the pagerank/kcore loops; total state per round is
     * ∝ nodes, never ∝ edges. */
+  /** Directed (src, dst, w) folded to the symmetric weighted adjacency
+    * (u, v, w): both directions emitted, duplicate/reverse edges'
+    * weights merged, self-loops dropped. One shuffle ∝ edges. */
+  def symmetricWeights(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String): DataFrame = edges
+    .select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"), col(wCol).cast("long").as("_w"))
+    .unionAll(edges.select(col(dstCol).cast("long").as("u"),
+      col(srcCol).cast("long").as("v"), col(wCol).cast("long").as("_w")))
+    .filter(col("u") =!= col("v"))
+    .groupBy("u", "v").agg(sum(col("_w")).as("w"))
+
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val sym = Checkpoints.pin(edges
-      .select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v"), col(wCol).cast("long").as("_w"))
-      .unionAll(edges.select(col(dstCol).cast("long").as("u"),
-        col(srcCol).cast("long").as("v"), col(wCol).cast("long").as("_w")))
-      .filter(col("u") =!= col("v"))
-      .groupBy("u", "v").agg(sum(col("_w")).as("w")))
+    val sym = Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol))
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     var pinned: Option[DataFrame] = None
@@ -446,5 +452,42 @@ object GraphOps {
       labels = next
     }
     labels
+  }
+
+  /** Newman modularity readout of a node partition over the weighted
+    * undirected graph — the quality score for [[labelPropagation]]'s
+    * communities: per community c, contrib_c = e_c/W − (a_c/W)² with
+    * e_c = internal weight (both directions), a_c = Σ member degree
+    * weight, W = total weight (2m convention); Q = Σ contrib. Every
+    * sum is EXACT bigint over the symmetric adjacency; float enters
+    * once per community readout (same-integer divisions in any
+    * engine), and the per-community rows carry the exact integer
+    * numerators so Q's provenance is auditable. Scale: one pinned
+    * symmetric fold (its degree and internal-edge aggregates branch
+    * off it), labels broadcast (bounded), state ∝ communities. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, labels: DataFrame, nodeCol: String = "node",
+      lblCol: String = "lbl"): DataFrame = {
+    val sym = Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol))
+    val lab = labels.select(col(nodeCol).cast("long").as("_nd"),
+      col(lblCol).cast("long").as("_lb"))
+    val tot = sym.agg(sum(col("w")).as("_W"))
+    val aC = sym.groupBy("u").agg(sum(col("w")).as("_k"))
+      .join(broadcast(lab), col("u") === col("_nd"))
+      .groupBy(col("_lb").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("_k")).as("a_deg"))
+    val eC = sym
+      .join(broadcast(lab.select(col("_nd").as("u"), col("_lb").as("_lu"))), "u")
+      .join(broadcast(lab.select(col("_nd").as("v"), col("_lb").as("_lv"))), "v")
+      .filter(col("_lu") === col("_lv"))
+      .groupBy(col("_lu").as("community")).agg(sum(col("w")).as("e_in"))
+    val wD = col("_W").cast("double")
+    aC.join(eC, Seq("community"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("a_deg"),
+        Canon.rk(coalesce(col("e_in"), lit(0L)).cast("double") / wD
+          - (col("a_deg").cast("double") / wD)
+            * (col("a_deg").cast("double") / wD), 6).as("contrib"))
   }
 }

@@ -200,6 +200,20 @@ object Graphs {
         .select(col("n_name"), col("lbl").as("community"))
         .orderBy("n_name")
     }),
+    "graph_modularity" -> ((s, d) => {
+      // Newman modularity of the LPA partition (r18) — the quality
+      // score for graph_label_propagation's communities: per community
+      // the internal-weight share minus the degree-share squared
+      // (contrib = e_c/W − (a_c/W)², Q = Σ contrib), with the exact
+      // integer numerators (e_in, a_deg) alongside so the readout is
+      // auditable. All sums exact bigint over the symmetric adjacency;
+      // float enters once per community row; oracle unrolls the same
+      // two LPA rounds then spells the same divisions.
+      val e = tradeEdges(s, d)
+      val labels = GraphOps.labelPropagation(e, "src", "dst", "w", rounds = 2)
+      GraphOps.modularity(e, "src", "dst", "w", labels)
+        .orderBy("community")
+    }),
     "graph_assortativity" -> ((s, d) => {
       // degree assortativity: Pearson correlation between endpoint
       // degrees over the symmetrized trade edges — do high-traffic
@@ -315,6 +329,29 @@ object Graphs {
          |SELECT n.n_name, l2.lbl AS community
          |FROM l2 JOIN nation n ON l2.node = n.n_nationkey
          |ORDER BY n_name""".stripMargin,
+    "graph_modularity" ->
+      s"""WITH $edgesCte,
+         |sym AS MATERIALIZED (SELECT u, v, CAST(sum(w) AS BIGINT) AS w
+         |  FROM (SELECT src AS u, dst AS v, w FROM dedges
+         |        UNION ALL SELECT dst, src, w FROM dedges)
+         |  WHERE u <> v GROUP BY 1, 2),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS node,
+         |  CAST(u AS BIGINT) AS lbl FROM sym),
+         |${lpaRound("l0", "l1")},
+         |${lpaRound("l1", "l2")},
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM sym),
+         |dg AS (SELECT u, CAST(sum(w) AS BIGINT) AS k FROM sym GROUP BY 1),
+         |ac AS (SELECT l.lbl AS community, count(*) AS n_nodes,
+         |    CAST(sum(dg.k) AS BIGINT) AS a_deg
+         |  FROM dg JOIN l2 l ON dg.u = l.node GROUP BY 1),
+         |ec AS (SELECT lu.lbl AS community, CAST(sum(s.w) AS BIGINT) AS e_in
+         |  FROM sym s JOIN l2 lu ON s.u = lu.node JOIN l2 lv ON s.v = lv.node
+         |  WHERE lu.lbl = lv.lbl GROUP BY 1)
+         |SELECT ac.community, CAST(ac.n_nodes AS BIGINT) AS n_nodes,
+         |  coalesce(ec.e_in, 0) AS e_in, ac.a_deg,
+         |  ${Canon.sql.rk("coalesce(ec.e_in, 0) / CAST(t.tw AS DOUBLE) - (ac.a_deg / CAST(t.tw AS DOUBLE)) * (ac.a_deg / CAST(t.tw AS DOUBLE))", 6)} AS contrib
+         |FROM ac LEFT JOIN ec USING (community) CROSS JOIN tot t
+         |ORDER BY community""".stripMargin,
     "graph_closeness_centrality" ->
       s"""WITH $edgesCte,
          |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,

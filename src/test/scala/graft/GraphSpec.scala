@@ -54,6 +54,27 @@ class GraphSpec extends AnyFunSuite {
     assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("modularity matches the hand formula; one-community partition scores 0") {
+    val s = spark; import s.implicits._
+    // same graph as the LPA test: sym weights 1-2:5, 1-3:5, 2-3:5,
+    // 3-4:1 → W = 32; partition {1,2} vs {3,4}: e = 10/2 (both dirs),
+    // a = 20/12 → each contrib = −5/64 = −0.078125 exactly
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 2L), (1L, 3L, 5L),
+      (2L, 3L, 5L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("node", "lbl")
+    val r = GraphOps.modularity(edges, "src", "dst", "w", labels)
+      .orderBy("community").collect()
+      .map(x => (x.getAs[Long]("community"), x.getAs[Long]("n_nodes"),
+        x.getAs[Long]("e_in"), x.getAs[Long]("a_deg"),
+        x.getAs[Double]("contrib")))
+    assert(r.toSeq == Seq((10L, 2L, 10L, 20L, -0.078125),
+      (20L, 2L, 2L, 12L, -0.078125)))
+    val one = Seq((1L, 7L), (2L, 7L), (3L, 7L), (4L, 7L)).toDF("node", "lbl")
+    val q = GraphOps.modularity(edges, "src", "dst", "w", one).collect()
+    assert(q.length == 1 && q(0).getAs[Double]("contrib") == 0.0)
+  }
+
   test("pagerankMass matches the driver-side integer recurrence on a hub graph") {
     // 1,2,3 all point at 4; 4 points back at 1 — rank concentrates on 4
     val es = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 1L), (1L, 2L))
