@@ -553,7 +553,7 @@ object MlOps {
         .select(col("dim"), col("mu"),
           Canon.rk(w * (col("_x") - col("mu")), 6).as("_phi"))
         .groupBy("dim")
-        .agg(first(col("mu")).as("mu"), count(lit(1)).as("n"),
+        .agg(max(col("mu")).as("mu"), count(lit(1)).as("n"),
           Canon.r4(Canon.sumDec(abs(col("_phi")), 6)
             / count(lit(1)).cast("double")).as("mean_abs_shap"))
         .select(col("dim"), w.as("weight"), col("mu"), col("n"),
