@@ -432,8 +432,21 @@ object GraphOps {
 
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, rounds: Int): DataFrame = {
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sym = Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol))
+    // the returned labels frame is itself a pinned leaf (lineage
+    // truncated), so a caller's Checkpoints.free(result) could never
+    // reach the sym pin — free it here, after the last round has
+    // materialized (the kcore in-loop convention)
+    try labelPropagationOnSym(sym, rounds)
+    finally Checkpoints.free(sym)
+  }
+
+  /** [[labelPropagation]] over an already-pinned symmetric adjacency —
+    * for callers that reuse one sym fold across LPA and a downstream
+    * readout ([[modularityOnSym]]). `sym` must outlive every round's
+    * construction; the caller owns (and must free) its pin. */
+  def labelPropagationOnSym(sym: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     var pinned: Option[DataFrame] = None
@@ -467,8 +480,17 @@ object GraphOps {
     * off it), labels broadcast (bounded), state ∝ communities. */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, labels: DataFrame, nodeCol: String = "node",
-      lblCol: String = "lbl"): DataFrame = {
-    val sym = Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol))
+      lblCol: String = "lbl"): DataFrame =
+    modularityOnSym(
+      Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol)),
+      labels, nodeCol, lblCol)
+
+  /** [[modularity]] over an already-pinned symmetric adjacency. The
+    * sym pin stays inside the RESULT's plan (the result is not itself
+    * checkpointed), so a caller's `Checkpoints.free(result)` after
+    * materialization releases it — no stranded blocks. */
+  def modularityOnSym(sym: DataFrame, labels: DataFrame,
+      nodeCol: String = "node", lblCol: String = "lbl"): DataFrame = {
     val lab = labels.select(col(nodeCol).cast("long").as("_nd"),
       col(lblCol).cast("long").as("_lb"))
     val tot = sym.agg(sum(col("w")).as("_W"))

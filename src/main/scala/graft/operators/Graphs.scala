@@ -209,9 +209,14 @@ object Graphs {
       // auditable. All sums exact bigint over the symmetric adjacency;
       // float enters once per community row; oracle unrolls the same
       // two LPA rounds then spells the same divisions.
-      val e = tradeEdges(s, d)
-      val labels = GraphOps.labelPropagation(e, "src", "dst", "w", rounds = 2)
-      GraphOps.modularity(e, "src", "dst", "w", labels)
+      // ONE symmetric fold shared by the LPA rounds and the modularity
+      // readout (building it twice would double the dominant edge-fold
+      // cost); the sym pin rides the result's plan, so the harness's
+      // free(result) releases it after materialization
+      val sym = graft.api.Checkpoints.pin(GraphOps.symmetricWeights(
+        tradeEdges(s, d), "src", "dst", "w"))
+      val labels = GraphOps.labelPropagationOnSym(sym, rounds = 2)
+      GraphOps.modularityOnSym(sym, labels)
         .orderBy("community")
     }),
     "graph_assortativity" -> ((s, d) => {

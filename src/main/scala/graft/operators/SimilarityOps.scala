@@ -499,10 +499,15 @@ object SimilarityOps {
     // same ranking CTE as sim_knn_per_query at k=10; discounts and
     // ideal-DCG cuts are the ndcgDiscs/ndcgIdeals literals verbatim
     "ml_eval_ndcg" -> {
+      // BigDecimal strings, NOT f"%.6f": printf %f is locale-sensitive
+      // (a comma-decimal default locale would emit 'THEN 0,630930' —
+      // invalid SQL); same rule as vecLit/weightsSqlLit
+      def lit6(x: Double): String =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
       val discCase = (1 to 10)
-        .map(i => f"WHEN $i THEN ${ndcgDiscs(i - 1)}%.6f").mkString(" ")
+        .map(i => s"WHEN $i THEN ${lit6(ndcgDiscs(i - 1))}").mkString(" ")
       val idealCase = (1 to 10)
-        .map(k => f"WHEN $k THEN ${ndcgIdeals(k - 1)}%.6f").mkString(" ")
+        .map(k => s"WHEN $k THEN ${lit6(ndcgIdeals(k - 1))}").mkString(" ")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
         |      FROM embeddings WHERE vec_id < 10),
         |j AS (SELECT q.qid, q.ql, c.vec_id AS cid, c.label AS cl,

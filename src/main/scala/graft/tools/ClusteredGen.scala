@@ -10,9 +10,15 @@ import org.apache.spark.sql.SparkSession
   * corpus WITH cluster signal. The driver fixture is near-isotropic —
   * ANN's documented worst case (RECALL_r17.json) — so this synthetic
   * supplies the regime a production embedding corpus actually lives
-  * in: the recall a real user would see. Generator math mirrors
-  * ScaleProbeSpec.clusteredCorpus100k exactly (seeded java.util.Random
-  * per centroid / member id; deterministic, no timestamps).
+  * in: the recall a real user would see. The generator RECIPE (seeded
+  * java.util.Random per centroid / member id, noise draw, near-dup
+  * planting; deterministic, no timestamps) is shared with
+  * ScaleProbeSpec.clusteredCorpus100k, but the GEOMETRY differs to fit
+  * the declared keys' schema: this tool writes 64-dim vectors plus a
+  * `label` column, the spec corpus is 16-dim and label-less — so the
+  * spec's in-memory recall/cell-admission numbers do NOT transfer to
+  * (or reproduce from) this fixture; compare only artifacts measured
+  * on the same dump.
   */
 object ClusteredGen {
   def main(args: Array[String]): Unit = {

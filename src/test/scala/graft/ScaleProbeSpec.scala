@@ -372,9 +372,12 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
     // ks=256 (8-bit codes) is the standard at-scale PQ width — the
     // fixture keys' ks=16 is a tiny-corpus setting whose 4-bit codes
-    // cannot resolve 1e-2 cosine gaps even here
+    // cannot resolve 1e-2 cosine gaps even here. residualTo matches
+    // pqKnn's r18 residual-encoding contract (books trained on x −
+    // c(cell)); raw-trained books against residual vectors is the
+    // degenerate mismatch PqSpec measures at 0.12 recall
     val books = graft.api.Similarity.trainPqCodebooks(dfL, "id", "vec",
-      m = 8, ks = 256, sampleSize = 8192)
+      m = 8, ks = 256, sampleSize = 8192, residualTo = Some(centsL))
     val pqRecall = recallL(graft.api.Similarity.pqKnn(
       dfL, "id", "vec", pred, kNN, centsL, nprobe = 4, books = books,
       rerank = 200, simRound = Some(4)))
