@@ -420,7 +420,16 @@ object GraphOps {
     * ∝ nodes, never ∝ edges. */
   /** Directed (src, dst, w) folded to the symmetric weighted adjacency
     * (u, v, w): both directions emitted, duplicate/reverse edges'
-    * weights merged, self-loops dropped. One shuffle ∝ edges. */
+    * weights merged, self-loops dropped. One shuffle ∝ edges.
+    *
+    * INTEGER-weight contract (r18 ADVICE): `wCol` is cast to bigint, so
+    * fractional weights TRUNCATE — deliberate, because every consumer
+    * (LPA votes, modularity's e_c/a_c/W, weighted min-plus distances)
+    * depends on EXACT bigint sums for cross-engine hash parity; a
+    * double-summed adjacency would reintroduce merge-order float drift
+    * into every downstream readout. Callers with fractional weights
+    * must pre-scale to an integer grid (e.g. `round(w * 1e6)`) before
+    * the fold — the Canon fixed-point convention. */
   def symmetricWeights(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String): DataFrame = edges
     .select(col(srcCol).cast("long").as("u"),
@@ -444,7 +453,14 @@ object GraphOps {
   /** [[labelPropagation]] over an already-pinned symmetric adjacency —
     * for callers that reuse one sym fold across LPA and a downstream
     * readout ([[modularityOnSym]]). `sym` must outlive every round's
-    * construction; the caller owns (and must free) its pin. */
+    * construction; the caller owns (and must free) its pin.
+    *
+    * The RETURNED labels frame is itself a pinned leaf: the caller must
+    * `Checkpoints.free` it (directly, or via freeing a result whose
+    * plan still contains it) once consumed — exactly like the sym pin
+    * it was built over. On failure mid-loop the live round pin is
+    * freed here (r18 ADVICE: a throw between rounds must not strand
+    * the superseded round's checkpoint blocks). */
   def labelPropagationOnSym(sym: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     var labels = sym.select(col("u").as("node")).distinct()
@@ -452,19 +468,25 @@ object GraphOps {
     var pinned: Option[DataFrame] = None
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy("node").orderBy(col("votes").desc, col("lbl").asc)
-    for (_ <- 1 to rounds) {
-      val next = Checkpoints.pin(sym
-        .join(labels.select(col("node").as("v"), col("lbl")), "v")
-        .groupBy(col("u").as("node"), col("lbl"))
-        .agg(sum(col("w")).as("votes"))
-        .withColumn("_rn", row_number().over(wv))
-        .filter(col("_rn") <= 1)
-        .select("node", "lbl"))
-      pinned.foreach(Checkpoints.free)
-      pinned = Some(next)
-      labels = next
+    try {
+      for (_ <- 1 to rounds) {
+        val next = Checkpoints.pin(sym
+          .join(labels.select(col("node").as("v"), col("lbl")), "v")
+          .groupBy(col("u").as("node"), col("lbl"))
+          .agg(sum(col("w")).as("votes"))
+          .withColumn("_rn", row_number().over(wv))
+          .filter(col("_rn") <= 1)
+          .select("node", "lbl"))
+        pinned.foreach(Checkpoints.free)
+        pinned = Some(next)
+        labels = next
+      }
+      labels
+    } catch {
+      case e: Throwable =>
+        pinned.foreach(Checkpoints.free)
+        throw e
     }
-    labels
   }
 
   /** Newman modularity readout of a node partition over the weighted

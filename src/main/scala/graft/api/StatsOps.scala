@@ -907,7 +907,18 @@ object StatsOps {
     // held-out scoring: exact decimal residual off the 6 dp grid —
     // same (28,8) staging as regressionEvalByGroup (Spark's
     // (18,6)×(18,2) product at (37,6) would push the add past
-    // precision 38 and silently round the 8th decimal)
+    // precision 38 and silently round the 8th decimal).
+    // Residual WIDTH asymmetry vs the oracle is deliberate, not drift
+    // (r18 ADVICE adjudication): the DuckDB twin stages at (19,8)
+    // because width ≥ 19 is what forces its sum(e*e) multiply into
+    // int128 (the r18 trap — (18,8) overflows its int64 path), while
+    // Spark MUST stay at (18,8) because (18,8)² = (37,16) is the
+    // widest exact square under the precision-38 cap — a (20,8)
+    // staging would make e*e precision 41 and Spark would silently
+    // scale-reduce it. Contract this buys: |residual| < 10^10 (ample
+    // for any y the money-scale fixture schema can hold); a y domain
+    // beyond that nulls the Spark cast AND busts the oracle's (19,8),
+    // so the two engines fail together, loudly, in the hash compare.
     val e = (col("_y")
       - (col("_ic") + (col("_sl") * col("_x")).cast(DecimalType(28, 8))))
       .cast(DecimalType(18, 8))

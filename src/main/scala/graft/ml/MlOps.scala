@@ -1317,7 +1317,13 @@ object MlOps {
         |  ${O.r4("a.sabs / a.n")} AS mean_abs_shap
         |FROM a JOIN m USING (dim) JOIN wt USING (dim) ORDER BY dim""".stripMargin,
     // gap = |r4 mean score − r4 frac pos| over the same 10 fixed bins
-    // as ml_calibration_bins; weighted terms exact decimal×bigint
+    // as ml_calibration_bins; weighted terms exact decimal×bigint —
+    // the gap stages at DECIMAL(18,4) (gap ≤ 1 — 18 digits is vast
+    // headroom) so the ×BIGINT product stays at width ≤ 38 and runs
+    // in int128: a (28,4) staging would push the product past DuckDB's
+    // width cap and silently demote the whole term to DOUBLE
+    // (r18 ADVICE — harmless for these magnitudes, but then the
+    // "exact decimal" claim would be false)
     "ml_eval_ece" ->
       s"""WITH t AS (SELECT $duckScore AS score, label % 2 AS y FROM embeddings),
         |b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin, score, y FROM t),
@@ -1326,7 +1332,7 @@ object MlOps {
         |    ${O.r4("CAST(sum(y) AS DOUBLE) / count(*)")} AS fp
         |  FROM b GROUP BY 1)
         |SELECT CAST(sum(n) AS BIGINT) AS n,
-        |  ${O.r4("CAST(sum(CAST(abs(ms - fp) AS DECIMAL(28,4)) * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)")} AS ece,
+        |  ${O.r4("CAST(sum(CAST(abs(ms - fp) AS DECIMAL(18,4)) * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE)")} AS ece,
         |  ${O.r4("max(abs(ms - fp))")} AS mce
         |FROM g""".stripMargin,
     // (score − y)² exact decimal off the r4 score grid; DuckDB's

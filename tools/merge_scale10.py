@@ -46,6 +46,15 @@ def main():
                       "plan": bench.get("plans", {}).get(k, "")}
         return out
 
+    # one bound governs the whole artifact: persist it and re-judge
+    # EVERY key (pre-existing included) under it, so a --bound override
+    # can never leave the file judging different keys by different
+    # bounds (r18 ADVICE)
+    art["bound"] = bound
+    for v in art["keys"].values():
+        g = v.get("growth")
+        v["within_bound"] = g is not None and g <= bound
+
     k1, k10 = per_key(b1), per_key(b10)
     added = []
     for k in sorted(set(k1) & set(k10)):
