@@ -55,5 +55,6 @@ object SparkEntry {
     "ml_infer_mlp_gemm",
     "sim_knn_ivf",
     "sim_knn_ivf_persisted", "sim_knn_ivf_probe_only", "sim_knn_ivfpq",
+    "sim_knn_ivfpq_hq", "sim_knn_ivf_upsert",
     "sim_knn_rplsh", "embed_pca_project", "sim_knn_pca")
 }

@@ -438,6 +438,46 @@ object Similarity {
     graft.sources.Writers.writePartitioned(assigned, "_cell", s"$path/cells")
   }
 
+  /** Incremental ADD into a [[saveIvfIndex]] layout — the
+    * between-crawls maintenance half the persisted/probe-only cost
+    * model implies: batch vectors are routed to their nearest cell
+    * under the index's FROZEN codebook (reloaded from disk — no
+    * retraining, so every existing cell directory stays valid) and
+    * APPENDED as new files inside the per-cell directories. Cost ∝
+    * batch: one map pass over the batch plus one append write; the
+    * existing corpus is never read, moved, or rewritten. Because
+    * assignment is per-row under the same codebook, the merged layout
+    * has exactly the content an index built on corpus ∪ batch in one
+    * shot would have — probe results are BITWISE identical
+    * (NoOracleSpec asserts it). Codebook drift is the operator's
+    * explicit trade: after enough upserts the frozen cells mis-fit the
+    * new distribution (IVF recall decays, monitored by
+    * [[embeddingDrift]]); the remedy is a rebuild, never an in-place
+    * retrain — retraining would orphan every existing cell directory. */
+  def ivfUpsert(batch: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val centroids = graft.sources.Artifacts.loadCodebook(spark,
+      s"$indexPath/codebook")
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    batch.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+      .withColumn("_cell", cellOf(col("_v")))
+      .write.mode("append").partitionBy("_cell").parquet(s"$indexPath/cells")
+  }
+
+  /** Incremental DELETE from a [[saveIvfIndex]] layout: ids land in a
+    * tombstone table next to the cells (append-only — the LSM
+    * convention) and [[ivfKnnFromIndex]] anti-joins them at read time,
+    * so a delete costs one tiny write and zero touched cell files.
+    * Tombstones apply to the WHOLE index content at read: deleting an
+    * id suppresses every stored copy, including one upserted later —
+    * re-admitting a deleted id requires a rebuild (compaction), the
+    * standard tombstone semantics. Ids absent from the index tombstone
+    * harmlessly. */
+  def ivfDelete(ids: DataFrame, idCol: String, indexPath: String): Unit =
+    ids.select(col(idCol).as("_vid"))
+      .write.mode("append").parquet(s"$indexPath/tombstones")
+
   /** Probe a [[saveIvfIndex]] layout COLD: reload the codebook from
     * its parquet table, route each query to its `nprobe` nearest
     * cells, and join against the per-cell directories. Identical
@@ -446,7 +486,11 @@ object Similarity {
     * codegen kernel and the candidate set is the same cell equi-join;
     * only the index side now comes from disk. The scan is eligible
     * for dynamic partition pruning: the probed cell ids reach the
-    * file index, so unprobed cells' directories are never opened. */
+    * file index, so unprobed cells' directories are never opened.
+    * If the index carries [[ivfDelete]] tombstones they are applied
+    * here as a BROADCAST anti-join (the tombstone table is bounded by
+    * deletes, never by corpus) — no exchange lands on the cells scan,
+    * and an index without tombstones planes exactly as before. */
   def ivfKnnFromIndex(queries: DataFrame, idCol: String, vecCol: String,
       indexPath: String, k: Int, nprobe: Int,
       simRound: Option[Int] = None): DataFrame = {
@@ -454,7 +498,21 @@ object Similarity {
     val centroids = graft.sources.Artifacts.loadCodebook(spark,
       s"$indexPath/codebook")
     val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nprobe))
-    val cands = spark.read.parquet(s"$indexPath/cells")
+    val cellsRaw = spark.read.parquet(s"$indexPath/cells")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live =
+      if (fs.exists(tombPath))
+        // no .distinct() on the tombstone side: an anti-join ignores
+        // build-side duplicates, and the distinct would be the probe's
+        // only extra shuffle (tombstone-sized, but WritePathSpec pins
+        // the plan at exactly one exchange — the rank window)
+        cellsRaw.join(
+          broadcast(spark.read.parquet(s"$indexPath/tombstones")
+            .select(col("_vid").as("_tomb"))),
+          cellsRaw("_vid") === col("_tomb"), "left_anti")
+      else cellsRaw
+    val cands = live
       .select(col("_vid").as("cid"), col("_v").as("_ce"), col("_cell"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qe"))
       .withColumn("_probe", explode(probesOf(col("_qe"))))

@@ -294,6 +294,62 @@ object SimilarityOps {
         .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
+    "sim_knn_ivfpq_hq" -> ((s, d) => {
+      // ✘ no oracle (approximate by design): the PRODUCTION-config
+      // IVF-PQ twin (r19) — coarse 128 / ks 256 (8-bit codes) /
+      // nprobe 8 / rerank 200, the budget the RECALL_r18 pq_ladders
+      // prove reaches 0.94 recall@5 on the clustered100k_loose
+      // regime (0.56 on tight — sub-resolution gaps stay the exact
+      // cell-blocked operator's job) where the fixture-sized
+      // sim_knn_ivfpq params read 0.36/0.04. Identical pqKnn /
+      // trainPqCodebooks(residualTo) path — ONLY the budget differs:
+      // this is the config a user should copy for a real corpus;
+      // the small key remains as the tiny-corpus/determinism fixture.
+      // NoOracleSpec pins recall ≥ 0.9 on the loose clustered 100k
+      // synthetic through this exact config; RECALL_r19 carries the
+      // per-regime rows.
+      val e = Tables.embeddings(s, d)
+      val coarse = Similarity.trainCodebook(e, "vec_id", "embedding", k = 128)
+      val books = Similarity.trainPqCodebooks(e, "vec_id", "embedding",
+        m = 8, ks = 256, residualTo = Some(coarse))
+      Similarity.pqKnn(e, "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 5,
+          centroids = coarse, nprobe = 8, books = books, rerank = 200,
+          simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
+    "sim_knn_ivf_upsert" -> ((s, d) => {
+      // ✘ no oracle (approximate by design, like sim_knn_ivf): the
+      // INCREMENTAL-MAINTENANCE twin (r19) completing the
+      // between-crawls cost model the persisted/probe-only pair
+      // claims: the index is built on the EXISTING corpus only
+      // (~81% by id digest — the split dedup_embed_incremental uses),
+      // the new batch lands via ivfUpsert (frozen codebook routing +
+      // per-cell APPEND, existing files untouched), a small id set is
+      // ivfDelete-tombstoned, and the probe reads the MERGED index —
+      // tombstones applied as a broadcast anti-join, partition
+      // pruning intact. NoOracleSpec asserts the probe is BITWISE
+      // identical to an index built in one shot on
+      // (corpus ∪ batch) ∖ deletes with the same codebook;
+      // WritePathSpec asserts the merged probe stays exchange-free
+      // over the cells scan and still prunes unprobed cell dirs.
+      val e = Tables.embeddings(s, d)
+      val isNew = substring(md5(col("vec_id").cast("string").cast("binary")), 1, 1) >= "d"
+      val corpus0 = e.filter(!isNew)
+      val cents = Similarity.trainCodebook(corpus0, "vec_id", "embedding", k = 16)
+      val base = graft.sources.Writers.roundTripDir("graft_ivfup_idx", d)
+      Similarity.saveIvfIndex(corpus0, "vec_id", "embedding", cents, base)
+      Similarity.ivfUpsert(e.filter(isNew), "vec_id", "embedding", base)
+      // delete a deterministic ~1% slice (ids ≡ 13 mod 97, none of
+      // them query ids) — exercises tombstones on rows from BOTH the
+      // original build and the upserted batch
+      Similarity.ivfDelete(e.filter(col("vec_id") % 97 === 13), "vec_id", base)
+      Similarity.ivfKnnFromIndex(e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", base, k = 5, nprobe = 4, simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
     "sim_knn_pca" -> ((s, d) => {
       // ✘ no oracle (approximate by design): PCA-prefiltered kNN for
       // the same queries as sim_knn_per_query — coarse L2 in 16-dim

@@ -21,9 +21,14 @@ import org.apache.spark.sql.SparkSession
   * on the same dump.
   */
 object ClusteredGen {
-  def main(args: Array[String]): Unit = {
-    val outDir = args(0)
-    val noise = if (args.length > 1) args(1).toDouble else 0.04
+  /** The corpus rows (id, 64-dim normalized vector, label) for a given
+    * cluster noise, driver-side — factored out (r19) so NoOracleSpec's
+    * `sim_knn_ivfpq_hq` recall floor measures the SAME corpus the
+    * committed RECALL artifacts report (clustered100k_tight = 0.04,
+    * clustered100k_loose = 0.15), instead of a divergeable copy of the
+    * recipe. Deterministic: seeded java.util.Random per centroid /
+    * member id, near-dup planting every 50 ids. */
+  private[graft] def corpus(noise: Double): Array[(Long, Array[Float], Int)] = {
     val (cells, per, dims) = (64, 1600, 64)
     def normalize(v: Array[Float]): Array[Float] = {
       val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
@@ -48,6 +53,14 @@ object ClusteredGen {
       vecs(id.toInt) = (id, v, c % 10)
       id += 1
     }
+    vecs
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val noise = if (args.length > 1) args(1).toDouble else 0.04
+    val vecs = corpus(noise)
+    val (cells, n) = (64, vecs.length)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -168,6 +168,73 @@ class WritePathSpec extends AnyFunSuite {
       s"cell-partition pruning did not engage: read $filesRead of $totalFiles files")
   }
 
+  test("merged IVF index (build+upsert+delete) probes exchange-free and still prunes cell dirs") {
+    // the r19 maintenance claim executed: after ivfUpsert appends new
+    // files into the per-cell directories and ivfDelete lands
+    // tombstones, the probe must look EXACTLY like a fresh index's —
+    // (1) the only shuffle in the whole probe is the per-query rank
+    // window (the tombstone application is a BROADCAST anti-join, so
+    // no exchange ever touches the corpus-sized cells scan), and
+    // (2) cell-directory pruning still engages (the appended files
+    // joined the same partition layout, so unprobed cells — original
+    // AND upserted files alike — are never opened).
+    val base = Files.createTempDirectory("graft-ivfmerge").toString
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val half = e.filter(col("vec_id") % 2 === 0)
+    val cents = graft.api.Similarity.trainCodebook(half, "vec_id", "embedding", k = 16)
+    graft.api.Similarity.saveIvfIndex(half, "vec_id", "embedding", cents, base)
+    graft.api.Similarity.ivfUpsert(e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", base)
+    graft.api.Similarity.ivfDelete(e.filter(col("vec_id") % 97 === 13), "vec_id", base)
+    // ONE query for the pruning measurement: 10 queries' nprobe=4
+    // routes union to ~14 of 16 cells (measured — each query prunes,
+    // but the OR of their probes covers the index), which would mask
+    // per-query pruning; a single query reads exactly its 4 cells
+    val res = graft.api.Similarity.ivfKnnFromIndex(e.filter(col("vec_id") === 3),
+      "vec_id", "embedding", base, k = 5, nprobe = 4, simRound = Some(4))
+    val qe = res.queryExecution
+    assert(qe.executedPlan.executeCollect().nonEmpty, "merged probe returned no rows")
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      "tombstones were not applied — no anti-join in the merged probe plan")
+    assert(!plan.contains("SortMergeJoin LeftAnti")
+        && !plan.contains("ShuffledHashJoin LeftAnti"),
+      s"tombstone anti-join shuffles the cells scan:\n$plan")
+    // count PHYSICAL shuffle nodes, not string occurrences — AQE's
+    // plan text reprints subtrees (initial + final) and would double-
+    // count, and AQE/query-stage wrappers hide children from a plain
+    // collect; the only real shuffle allowed is the per-query rank
+    // window's qid partitioning
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val expanded = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: expanded.flatMap(allNodes)
+    }
+    val nodes = allNodes(qe.executedPlan)
+    val shuffles = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.nonEmpty,
+      "plan traversal found no shuffle at all — the rank window must shuffle once, so the walker is broken")
+    assert(shuffles.length <= 1,
+      s"merged probe has ${shuffles.length} shuffle exchanges (only the rank window is allowed):\n$plan")
+    val cellScan = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("cells")) => f
+    }
+    assert(cellScan.nonEmpty, "no FileSourceScan over the cells layout found")
+    val filesRead = cellScan.head.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(s"$base/cells").inputFiles.length
+    assert(filesRead < totalFiles / 2,
+      s"cell pruning lost on the merged index: read $filesRead of $totalFiles files")
+  }
+
   test("csv and json-lines round-trip flat frames losslessly") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
       .select("doc_id", "lang", "source", "n_chars")
