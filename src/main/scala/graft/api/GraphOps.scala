@@ -128,6 +128,64 @@ object GraphOps {
     dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
 
+  /** Bounded WEIGHTED shortest-path distances (min-plus relaxation)
+    * from a source node set over the UNDIRECTED weighted graph — the
+    * Dijkstra-equivalent rung above [[bfsDistances]]' hop counts:
+    * dist₀ = 0 on sources, dist_{k+1}(v) = least(dist_k(v), min over
+    * symmetric edges u→v of dist_k(u) + w(u,v)), `rounds` rounds.
+    * Pure bigint labels (the [[symmetricWeights]] integer-weight
+    * contract), so every round is bit-identical in every engine and
+    * there is no convergence question: the result is DEFINED as "the
+    * cheapest path using ≤ rounds edges" — it equals the true weighted
+    * shortest path whenever no optimal path uses more than `rounds`
+    * hops (Bellman–Ford's bound: rounds ≥ |V|−1 always suffices;
+    * real graphs converge in far fewer — GraphSpec proves the declared
+    * budget is past the fixture family's weighted diameter by showing
+    * rounds R ≡ R+3). Unreached nodes emit -1 (NULL-free by design).
+    *
+    * Scale shape: ONE pinned symmetric fold (shuffle ∝ edges), then
+    * per round one dist⋈sym equi-join + one min aggregate with the
+    * dist frame re-pinned and the superseded round freed — O(1)
+    * loop-carried plan, state ∝ nodes. `broadcastDist` false is the
+    * billion-node equi-shuffle posture, exactly as [[bfsDistances]]. */
+  def weightedDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, sources: DataFrame, rounds: Int,
+      broadcastDist: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val sym = Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol))
+    val nodes = Checkpoints.pin(sym.select(col("u").as("node")).distinct())
+    try {
+      val src = sources.select(col("node").cast("long").as("node"), lit(0L).as("_d0"))
+      def pinD(m: DataFrame): DataFrame =
+        if (broadcastDist) broadcast(m) else m.hint("shuffle_hash")
+      var dist = Checkpoints.pin(nodes.join(src, Seq("node"), "left")
+        .select(col("node"), col("_d0").as("dist")))
+      try {
+        for (_ <- 1 to rounds) {
+          val nb = sym.join(pinD(dist.filter(col("dist").isNotNull)),
+              col("u") === col("node"))
+            .groupBy(col("v")).agg(min(col("dist") + col("w")).as("_nd"))
+          val next = Checkpoints.pin(nodes
+            .join(dist, Seq("node"))
+            .join(nb, col("node") === col("v"), "left")
+            .select(col("node"), least(col("dist"), col("_nd")).as("dist")))
+          Checkpoints.free(dist) // superseded round — see pagerankMass
+          dist = next
+        }
+        dist.select(col("node"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      } catch {
+        // a throw mid-loop must not strand the live round's pin (the
+        // labelPropagationOnSym r18-ADVICE convention)
+        case e: Throwable => Checkpoints.free(dist); throw e
+      }
+    } finally {
+      // the final dist is a pinned leaf — the loop-invariant fold and
+      // node frames are no longer referenced by the returned plan, so
+      // free them here rather than strand them on the caller
+      Checkpoints.free(sym); Checkpoints.free(nodes)
+    }
+  }
+
   /** Per-node degree/strength profile of a weighted directed edge
     * table: out/in degree (edge rows per endpoint) and out/in strength
     * (summed `weightCol`), zero-coalesced over the full node universe.

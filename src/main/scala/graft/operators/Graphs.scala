@@ -74,7 +74,38 @@ object Graphs {
       .select(col("n_name"), col("in_kcore"), col("kcore_deg"))
       .orderBy("n_name")
 
+  /** The graph_weighted_paths pipeline at an arbitrary round budget —
+    * package-visible so GraphSpec can prove the declared budget (6) is
+    * past the fixture family's weighted diameter (6 ≡ 9; a dedicated
+    * probe measured convergence after 4 rounds at sf0.001 and 2 at
+    * sf0.01/0.1 — the denser graphs converge FASTER because direct
+    * heavy edges exist between every pair). */
+  private[graft] def weightedPathsAtRounds(s: SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    val e = tradeEdges(s, d)
+    val src = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .agg(min(col("node")).as("node"))
+    GraphOps.weightedDistances(e, "src", "dst", "w", src, rounds)
+      .join(nationNames(s, d), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("dist"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_weighted_paths" -> ((s, d) => {
+      // weighted shortest paths (r19): min-plus relaxation with the
+      // trade counts as integer edge costs over the SYMMETRIC fold —
+      // the cheapest trade route from the smallest node id to every
+      // nation, where "cheap" rides low-volume links (the
+      // Dijkstra-equivalent readout next to graph_bfs_distances' hop
+      // counts; a min-plus label pass is how a relational engine runs
+      // Bellman–Ford). 6 rounds ≫ the fixture family's weighted
+      // diameter (GraphSpec proves 6 ≡ 9; measured convergence 4/2/2
+      // rounds at the three scales); result DEFINED at the budget, so
+      // the oracle unrolls the same 6 MATERIALIZED CTE rounds.
+      weightedPathsAtRounds(s, d, rounds = 6)
+    }),
     "graph_pagerank" -> ((s, d) => {
       // 4 damped iterations of fixed-point integer-mass PageRank — see
       // GraphOps.pagerankMass for why bigint mass (not double ranks) is
@@ -320,7 +351,41 @@ object Graphs {
        |      PARTITION BY node ORDER BY votes DESC, lbl ASC) AS rn
        |    FROM v$cur) WHERE rn = 1)""".stripMargin
 
+  /** One unrolled weighted min-plus round: previous labels kept, the
+    * edge-pushed dist+w candidates re-minimized — mirrors
+    * GraphOps.weightedDistances round-for-round (pure bigint labels;
+    * least() skips NULLs identically in both engines). */
+  private def wpathRound(prev: String, cur: String): String =
+    s"""$cur AS MATERIALIZED (SELECT nd.node,
+       |  least(p.dist, s.nd) AS dist
+       |  FROM wnodes nd
+       |  JOIN $prev p ON nd.node = p.node
+       |  LEFT JOIN (
+       |    SELECT e.v AS node, CAST(min(m.dist + e.w) AS BIGINT) AS nd
+       |    FROM wsym e JOIN $prev m ON e.u = m.node
+       |    WHERE m.dist IS NOT NULL GROUP BY 1) s
+       |  ON nd.node = s.node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_weighted_paths" ->
+      s"""WITH $edgesCte,
+         |wsym AS MATERIALIZED (SELECT u, v, CAST(sum(w) AS BIGINT) AS w
+         |  FROM (SELECT src AS u, dst AS v, w FROM dedges
+         |        UNION ALL SELECT dst, src, w FROM dedges)
+         |  WHERE u <> v GROUP BY 1, 2),
+         |wnodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM wsym),
+         |w0 AS MATERIALIZED (SELECT node,
+         |  CASE WHEN node = (SELECT min(node) FROM wnodes)
+         |       THEN CAST(0 AS BIGINT) END AS dist FROM wnodes),
+         |${wpathRound("w0", "w1")},
+         |${wpathRound("w1", "w2")},
+         |${wpathRound("w2", "w3")},
+         |${wpathRound("w3", "w4")},
+         |${wpathRound("w4", "w5")},
+         |${wpathRound("w5", "w6")}
+         |SELECT n.n_name, CAST(COALESCE(p.dist, -1) AS BIGINT) AS dist
+         |FROM w6 p JOIN nation n ON p.node = n.n_nationkey
+         |ORDER BY n_name""".stripMargin,
     "graph_label_propagation" ->
       s"""WITH $edgesCte,
          |sym AS MATERIALIZED (SELECT u, v, CAST(sum(w) AS BIGINT) AS w

@@ -106,6 +106,86 @@ object TextOps {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(20)
     }),
+    "text_bpe_train_k" -> ((s, d) => {
+      // ITERATED BPE tokenizer training (r19), k=3 unrolled merge
+      // rounds — the actual Sennrich et al. 2016 loop the one-step
+      // text_bpe_merge_candidates statistic sits inside: each round
+      // (1) counts adjacent SYMBOL pairs over the current segmentation
+      // weighted by word frequency, (2) takes the argmax (ties →
+      // smallest pair, the deterministic twin of BPE's arbitrary tie),
+      // (3) APPLIES the merge — every non-overlapping left-to-right
+      // occurrence of the pair fuses into one symbol — and re-counts
+      // over the NEW segmentation, so later rounds see merged symbols
+      // as first-class units (pairs like ('th', 'e') can win round 2).
+      //
+      // Scale shape (the tokenizer-training shape, ml_train_* posture):
+      // the corpus collapses ONCE to the pinned distinct (word, freq)
+      // table (shuffle ∝ vocabulary); every round is one pair explode
+      // + rollup over that ~|vocab| table and ONE bounded collect (the
+      // 1-row argmax — the iteration's scalar parameter, exactly like
+      // the GD keys' weight vectors); the merge application is a
+      // per-word string replace, never a corpus pass.
+      //
+      // Segmentation transport: symbols ride a -delimited string
+      // — each symbol wrapped as ␟sym␟ and concatenated, so seg =
+      // "␟h␟␟e␟␟y␟" — because the pair (a, b) is then the LITERAL
+      // substring "␟a␟␟b␟" and one built-in replace() applies the
+      // merge with exactly BPE's greedy left-to-right non-overlapping
+      // semantics ("a a a a" → [aa, aa], "a a a" → [aa, a]); a
+      // single-separator encoding would share the boundary separator
+      // between adjacent matches and silently skip every second merge.
+      // Both engines' replace() scan left-to-right non-overlapping, so
+      // the rounds agree symbol for symbol. Words containing the
+      // separator are excluded up front (none exist in any fixture —
+      // the filter is the documented guard, mirrored in the oracle).
+      val SEP = ""
+      val words = graft.api.Checkpoints.pin(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2 && !col("w").contains(SEP))
+          .groupBy("w").agg(count(lit(1)).as("freq")))
+      try {
+        // ␟h␟␟e␟␟y␟ + a trailing ␟ from the regexp (harmless: the
+        // extra separator can neither create nor block a match — the
+        // pair pattern needs symbol chars between separators)
+        val seg0: org.apache.spark.sql.Column =
+          concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP + SEP))
+        def argmax(seg: org.apache.spark.sql.Column): (String, String, Long) = {
+          // typed higher-order functions, not expr() strings: the
+          // separator is a control char and embedding it inside a SQL
+          // string literal for the parser is exactly the kind of
+          // invisible fragility this key cannot afford
+          val top = words.select(col("freq"), seg.as("_seg"))
+            .withColumn("_syms",
+              filter(split(col("_seg"), SEP), x => x =!= lit("")))
+            // 1-symbol words have no pair; Spark's sequence(1, 0)
+            // DESCENDS ([1, 0]) rather than returning empty
+            .filter(size(col("_syms")) >= 2)
+            .select(col("freq"), explode(
+              transform(sequence(lit(1), size(col("_syms")) - 1),
+                i => struct(element_at(col("_syms"), i).as("a"),
+                  element_at(col("_syms"), i + 1).as("b")))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("freq")).as("n"))
+            .orderBy(col("n").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()
+          require(top.nonEmpty,
+            "text_bpe_train_k: no adjacent symbol pairs left to merge")
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        }
+        var seg = seg0
+        val merges = Seq.newBuilder[(Long, String, String, Long)]
+        for (round <- 1 to 3) {
+          val (a, b, n) = argmax(seg)
+          merges += ((round.toLong, a, b, n))
+          seg = call_function("replace", seg,
+            lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP))
+        }
+        val sess = s
+        import sess.implicits._
+        merges.result().toDF("round", "sym_a", "sym_b", "n").orderBy("round")
+      } finally graft.api.Checkpoints.free(words)
+    }),
     "text_lang_source_matrix" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
@@ -1034,6 +1114,46 @@ object TextOps {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // the graph_label_propagation unrolled-CTE pattern applied to the
+    // BPE training loop: per round, pairs off the current seg table →
+    // 1-row argmax (n DESC, a, b — the smallest-pair tie rule) → the
+    // merge applied via the same ␟a␟␟b␟ → ␟ab␟ literal replace the
+    // Spark side runs (chr(31) spelled, never embedded); every CTE
+    // MATERIALIZED so the chained rounds cannot re-inline the corpus
+    // scan (the pagerank oracle trap)
+    "text_bpe_train_k" -> {
+      def round(cur: Int, emitNext: Boolean): String = {
+        val seg = s"s$cur"
+        val nxt =
+          if (!emitNext) ""
+          else s""",
+             |s${cur + 1} AS MATERIALIZED (SELECT replace(seg,
+             |    chr(31) || (SELECT a FROM m$cur) || chr(31) || chr(31) || (SELECT b FROM m$cur) || chr(31),
+             |    chr(31) || (SELECT a FROM m$cur) || (SELECT b FROM m$cur) || chr(31)) AS seg,
+             |  freq FROM $seg)""".stripMargin
+        s"""p$cur AS MATERIALIZED (SELECT sy[CAST(i AS INTEGER)] AS a,
+           |    sy[CAST(i AS INTEGER) + 1] AS b, freq FROM (
+           |  SELECT sy, freq, unnest(range(1, len(sy))) AS i FROM (
+           |    SELECT list_filter(string_split(seg, chr(31)), x -> x <> '') AS sy,
+           |           freq FROM $seg))),
+           |m$cur AS MATERIALIZED (SELECT a, b, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM p$cur GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1)$nxt""".stripMargin
+      }
+      s"""WITH w AS MATERIALIZED (SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 AND NOT contains(w, chr(31)) GROUP BY 1),
+         |s1 AS MATERIALIZED (SELECT chr(31) ||
+         |    regexp_replace(w, '(.)', '\\1' || chr(31) || chr(31), 'g') AS seg,
+         |  freq FROM w),
+         |${round(1, emitNext = true)},
+         |${round(2, emitNext = true)},
+         |${round(3, emitNext = false)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b, n FROM m1
+         |  UNION ALL SELECT 2, a, b, n FROM m2
+         |  UNION ALL SELECT 3, a, b, n FROM m3)
+         |ORDER BY round""".stripMargin
+    },
     // pair counts weighted by word freq off the distinct-word table;
     // range(1, len) is exclusive-upper = Spark's sequence(1, len-1)
     "text_bpe_merge_candidates" ->

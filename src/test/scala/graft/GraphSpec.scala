@@ -238,6 +238,41 @@ class GraphSpec extends AnyFunSuite {
     assert(four == six && four.nonEmpty)
   }
 
+  test("weightedDistances: min-plus on a hand graph where cheap routes beat direct edges") {
+    // 1—2 cost 10 direct, but 1—3—2 costs 1+2=3; node 4 isolated-by-
+    // direction is still reached through the symmetric fold; node 5
+    // absent from the source's component emits -1
+    val s = TestSpark.spark
+    import s.implicits._
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L),
+      (2L, 4L, 5L), (5L, 6L, 1L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    val got = graft.api.GraphOps.weightedDistances(edges, "src", "dst", "w",
+        src, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 3L, 3L -> 1L, 4L -> 8L, 5L -> -1L, 6L -> -1L),
+      s"weighted distances wrong: $got")
+    // posture parity: the shuffle-dist variant must agree exactly
+    val shuf = graft.api.GraphOps.weightedDistances(edges, "src", "dst", "w",
+        src, rounds = 4, broadcastDist = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuf == got, "broadcast and shuffle postures disagree")
+  }
+
+  test("graph_weighted_paths is round-stationary inside the 6-round budget") {
+    // the declared key (rounds = 6) must match a 9-round relaxation of
+    // the same trade graph — proves the budget is past the fixture
+    // family's weighted diameter (a dedicated probe measured
+    // convergence after 4 rounds at sf0.001, 2 at sf0.01/0.1)
+    val s = TestSpark.spark
+    val d = "/root/testdata/sf0.001"
+    val six = graft.operators.Graphs.queries("graph_weighted_paths")(s, d)
+      .collect().toSeq
+    val nine = graft.operators.Graphs.weightedPathsAtRounds(s, d, 9)
+      .collect().toSeq
+    assert(six == nine && six.nonEmpty)
+  }
+
   test("graph_kcore fixture peel is stationary inside the 6-round budget") {
     // the declared key (rounds = 6) must match a 9-round peel of the
     // same trade graph — proves the budget covers the fixture's depth

@@ -163,6 +163,55 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("text_bpe_train_k matches a sequential driver-side BPE reimplementation") {
+    // the ml_train_* posture: the distributed 3-round trainer vs a
+    // from-scratch sequential BPE over the same corpus — symbol
+    // vectors, overlapping pair counts weighted by word frequency,
+    // argmax with the (n DESC, a, b) tie rule, and the greedy
+    // left-to-right non-overlapping merge apply. Any divergence in
+    // the separator-string transport (shared boundary separators,
+    // trailing separators, re-segmentation) shows up here as a
+    // different merge table.
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val texts = Tables.documents(spark, sf).collect()
+      .map(_.getAs[String]("text"))
+    var wordSyms: Map[Vector[String], Long] = texts.flatMap(_.split(" ", -1))
+      .filter(w => w.length >= 2 && !w.contains(''))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .map { case (w, f) => w.map(_.toString).toVector -> f }
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (round <- 1 to 3) {
+      val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
+      wordSyms.foreach { case (syms, f) =>
+        if (syms.length >= 2)
+          syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+            counts(p) = counts.getOrElse(p, 0L) + f
+          }
+      }
+      val ((a, b), n) = counts.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      expected += ((round.toLong, a, b, n))
+      // merge apply preserves the concatenation invariant (symbols
+      // always rejoin to the original word), so distinct words keep
+      // distinct symbol vectors and the map keys never collide
+      wordSyms = wordSyms.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+    }
+    val got = SparkEntry.queries("text_bpe_train_k")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected.toSeq,
+      s"distributed merges $got differ from the sequential reference ${expected.toSeq}")
+  }
+
   test("as-of joins: NULL timestamps match nothing in either direction") {
     val s = spark
     import s.implicits._
