@@ -165,8 +165,14 @@ object GraphOps {
           val nb = sym.join(pinD(dist.filter(col("dist").isNotNull)),
               col("u") === col("node"))
             .groupBy(col("v")).agg(min(col("dist") + col("w")).as("_nd"))
-          val next = Checkpoints.pin(nodes
-            .join(dist, Seq("node"))
+          // dist is one row per node BY CONSTRUCTION (dist₀ = nodes
+          // left-join sources; every round preserves it), so joining
+          // back through `nodes` would be a 1:1 self-confirmation join
+          // — one redundant node-scale equi-join per round at the
+          // billion-node posture (review finding, r19; bfsDistances
+          // keeps its historical shape — same invariant, same rewrite
+          // available, but its committed plans/benches pin that form)
+          val next = Checkpoints.pin(dist
             .join(nb, col("node") === col("v"), "left")
             .select(col("node"), least(col("dist"), col("_nd")).as("dist")))
           Checkpoints.free(dist) // superseded round — see pagerankMass

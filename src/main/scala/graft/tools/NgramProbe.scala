@@ -37,35 +37,77 @@ import org.apache.spark.sql.functions._
   *    persistent-RDD count (a growing count = stranded pins).
   */
 object NgramProbe {
-  private def session(logLevel: String): SparkSession = {
-    val spark = SparkSession.builder().master("local[32]")
+  private val usage =
+    "usage: NgramProbe <buckets|n5|sample10x|adaptive|stage|profile|cand|cand2|leak> [dir...]"
+
+  /** `ext` mirrors each ORIGINAL probe's session exactly: only
+    * NgramProfile and CandProbe registered GraftExtensions; the other
+    * seven ran vanilla Spark. Forcing the extensions onto all modes
+    * would register the TopK/TokenCount rewrite rules the originals
+    * never planned under, and artifact reproduction runs could
+    * silently measure different plans (review finding, r19). */
+  private def session(logLevel: String, ext: Boolean): SparkSession = {
+    val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark = (if (ext) b.config("spark.sql.extensions", "graft.GraftExtensions")
+      else b).getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     spark
   }
 
-  def main(args: Array[String]): Unit = args(0) match {
-    case "buckets" => buckets(args.drop(1))
-    case "n5" => n5(args.drop(1))
-    case "sample10x" => sample10x(args(1))
-    case "adaptive" => adaptive(args.drop(1))
-    case "stage" => stage(args(1))
-    case "profile" =>
-      profile(if (args.length > 1) args(1) else "/root/testdata/sf0.1")
-    case "cand" => cand()
-    case "cand2" => cand2()
-    case "leak" => leak(args(1))
-    case other => throw new IllegalArgumentException(
-      s"unknown NgramProbe mode '$other' (buckets|n5|sample10x|adaptive|stage|profile|cand|cand2|leak)")
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, usage)
+    def arg1: String = {
+      require(args.length > 1, s"mode '${args(0)}' needs a dir argument — $usage")
+      args(1)
+    }
+    args(0) match {
+      case "buckets" => buckets(args.drop(1))
+      case "n5" => n5(args.drop(1))
+      case "sample10x" => sample10x(arg1)
+      case "adaptive" => adaptive(args.drop(1))
+      case "stage" => stage(arg1)
+      case "profile" =>
+        profile(if (args.length > 1) args(1) else "/root/testdata/sf0.1")
+      case "cand" => cand()
+      case "cand2" => cand2()
+      case "leak" => leak(arg1)
+      case other => throw new IllegalArgumentException(
+        s"unknown NgramProbe mode '$other' — $usage")
+    }
+  }
+
+  /** The shared PPJoin prefix-table construction behind the cand/cand2
+    * enumeration probes (token hashes → sized docs → postings → dfreq
+    * → df-ordered prefix), built VERBATIM as the deleted originals
+    * did; `withDf` keeps the `_df` column (cand2's chunking needs it).
+    * buckets() keeps its own variant deliberately — it probes
+    * char-3-grams (not token hashes) with a plain localCheckpoint and
+    * a different threshold, and folding the three shapes into one
+    * parameterized builder would change what the probes measure. */
+  private def prefixTable(spark: SparkSession, d: String, threshold: Double,
+      withDf: Boolean): DataFrame = {
+    val docs = Tables.documents(spark, d)
+    val hashed = docs.select(col("doc_id").as("_id"), col("lang").as("_grp"),
+      Kernels.tokenHashesUdf(split(col("text"), " ")).as("_h"))
+    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
+      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
+    val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
+    val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
+    val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
+    val cols = Seq("_id", "_grp", "_sz", "_s") ++ (if (withDf) Seq("_df") else Nil)
+    Checkpoints.pin(posts.join(dfreq.hint("shuffle_hash"), Seq("_grp", "_s"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
+      .select(cols.map(col): _*))
   }
 
   /** was NgramScaleProbe: why char-3-gram PPJoin goes super-linear on
     * a replicated corpus — gram-universe size, posting skew,
     * prefix-bucket mass (= raw candidate volume) per dir. */
   private def buckets(dirs: Array[String]): Unit = {
-    val spark = session("ERROR")
+    val spark = session("ERROR", ext = false)
     val threshold = 0.7
     for (d <- dirs) {
       val docs = Tables.documents(spark, d)
@@ -97,7 +139,7 @@ object NgramProbe {
   /** was NgramScaleProbe2: the n-vs-scale law — ngramJaccardPairs at
     * n=5 (the gram universe outgrows the corpus → ~linear growth). */
   private def n5(dirs: Array[String]): Unit = {
-    val spark = session("ERROR")
+    val spark = session("ERROR", ext = false)
     for (d <- dirs; n <- Seq(5)) {
       val t0 = System.nanoTime()
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, d),
@@ -113,7 +155,7 @@ object NgramProbe {
   /** was NgramScaleProbe3: sample n=5 pairs at a 10x dir for an
     * exactness spot-check + cross-replica distribution. */
   private def sample10x(d: String): Unit = {
-    val spark = session("ERROR")
+    val spark = session("ERROR", ext = false)
     val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, d),
       "doc_id", "text", 5, 0.7, Some("lang"))
     pairs.orderBy(col("id1"), col("id2")).limit(10).collect()
@@ -128,7 +170,7 @@ object NgramProbe {
   /** was NgramAdaptiveProbe: the shipped adaptive-gate config's wall
     * seconds + output pairs per dir (escalation evidence logs at WARN). */
   private def adaptive(dirs: Array[String]): Unit = {
-    val spark = session("WARN")
+    val spark = session("WARN", ext = false)
     for (d <- dirs) {
       val t0 = System.nanoTime()
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, d),
@@ -144,7 +186,7 @@ object NgramProbe {
   /** was NgramStageProbe: gate (adaptive probe) vs fixed-n pipeline
     * wall split — autoEscalate on/off back to back, twice, same JVM. */
   private def stage(d: String): Unit = {
-    val spark = session("WARN")
+    val spark = session("WARN", ext = false)
     for (r <- 1 to 2; auto <- Seq(true, false)) {
       val t0 = System.nanoTime()
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, d),
@@ -160,7 +202,7 @@ object NgramProbe {
   /** was NgramProfile: where the ngram key's time goes — the shingle
     * hashing projection vs the candidate/verify joins. */
   private def profile(d: String): Unit = {
-    val spark = session("ERROR")
+    val spark = session("ERROR", ext = true)
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime()
       f
@@ -187,25 +229,14 @@ object NgramProbe {
     * without a broadcast (dir via SPARK_GRAFT_SF_DIR). */
   private def cand(): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = session("WARN")
+    val spark = session("WARN", ext = true)
     spark.range(1000).selectExpr("sum(id)").collect()
     val threshold = 0.8
     def t(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val r = f
       println(f"CAND $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$r")
     }
-    val docs = Tables.documents(spark, d)
-    val hashed = docs.select(col("doc_id").as("_id"), col("lang").as("_grp"),
-      Kernels.tokenHashesUdf(split(col("text"), " ")).as("_h"))
-    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
-      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
-    val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
-    val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
-    val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
-    val prefix = Checkpoints.pin(posts.join(dfreq.hint("shuffle_hash"), Seq("_grp", "_s"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
-      .select("_id", "_grp", "_sz", "_s"))
+    val prefix = prefixTable(spark, d, threshold, withDf = false)
     println(s"prefix rows = ${prefix.count()}")
 
     def v1(): DataFrame =
@@ -278,25 +309,14 @@ object NgramProbe {
     * (dir via SPARK_GRAFT_SF_DIR). */
   private def cand2(): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = session("WARN")
+    val spark = session("WARN", ext = false)
     spark.range(1000).selectExpr("sum(id)").collect()
     val threshold = 0.8
     def t(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val r = f
       println(f"C2 $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$r")
     }
-    val docs = Tables.documents(spark, d)
-    val hashed = docs.select(col("doc_id").as("_id"), col("lang").as("_grp"),
-      Kernels.tokenHashesUdf(split(col("text"), " ")).as("_h"))
-    val sized = Checkpoints.pin(hashed.filter(size(col("_h")) > 0)
-      .select(col("_id"), col("_grp"), col("_h"), size(col("_h")).cast("long").as("_sz")))
-    val posts = sized.select(col("_id"), col("_grp"), col("_sz"), explode(col("_h")).as("_s"))
-    val dfreq = posts.groupBy("_grp", "_s").agg(count(lit(1)).as("_df"))
-    val w = Window.partitionBy("_id").orderBy(col("_df").asc, col("_s").asc)
-    val prefix = Checkpoints.pin(posts.join(dfreq.hint("shuffle_hash"), Seq("_grp", "_s"))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= col("_sz") - ceil(col("_sz") * threshold - 1e-9) + 1)
-      .select("_id", "_grp", "_sz", "_s", "_df"))
+    val prefix = prefixTable(spark, d, threshold, withDf = true)
     println(s"prefix rows = ${prefix.count()}")
     prefix.groupBy("_grp", "_s").agg(count(lit(1)).as("n"), max("_df").as("df"))
       .orderBy(col("n").desc).limit(10).collect()
@@ -340,7 +360,7 @@ object NgramProbe {
     * a growing persistent-RDD count = pins unreachable from the result
     * plan. */
   private def leak(d: String): Unit = {
-    val spark = session("WARN")
+    val spark = session("WARN", ext = false)
     for (r <- 1 to 3) {
       val t0 = System.nanoTime()
       val pairs = Dedup.ngramJaccardPairs(Tables.documents(spark, d),

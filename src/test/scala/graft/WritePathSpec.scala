@@ -217,8 +217,14 @@ class WritePathSpec extends AnyFunSuite {
       p +: expanded.flatMap(allNodes)
     }
     val nodes = allNodes(qe.executedPlan)
+    // dedup by INSTANCE identity: a ReusedExchangeExec expands to the
+    // original exchange object, which the walker may also reach at its
+    // first site — structural equality would be wrong the other way
+    // (two genuinely distinct shuffles can be structurally equal)
     val shuffles = nodes.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foldLeft(Seq.empty[org.apache.spark.sql.execution.SparkPlan]) {
+      (acc, e) => if (acc.exists(_ eq e)) acc else acc :+ e
     }
     assert(shuffles.nonEmpty,
       "plan traversal found no shuffle at all — the rank window must shuffle once, so the walker is broken")
