@@ -199,4 +199,49 @@ object Maintenance {
       .select(coalesce(col(s"_n_$keyCol"), col(s"_o_$keyCol")).as(keyCol),
         col("change"))
   }
+
+  // ---- manifest-pinned snapshot reads (r19) ----------------------------
+  //
+  // The Iceberg/Delta READ model without the table-format library: a
+  // snapshot version is a MANIFEST (a tiny table of data-file paths),
+  // and a versioned read opens exactly the manifest's files. Commits
+  // never rewrite data: an append adds files + a new manifest; a
+  // delete drops files from the next manifest (the old version still
+  // lists them, so time travel keeps working); data files are
+  // immutable. This is the snapshot-isolation property a 100 TB
+  // lakehouse table actually relies on — readers pinned to manifest N
+  // are unaffected by any concurrent commit, because nothing a commit
+  // does can change the bytes behind N's file list.
+
+  /** Write `df` as an immutable data-file group under
+    * `tableDir/data/<group>` and return the file paths (sorted — the
+    * manifest content must not depend on listing order). */
+  def writeDataGroup(df: DataFrame, tableDir: String, group: String): Seq[String] = {
+    val dir = s"$tableDir/data/$group"
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir).inputFiles.toSeq.sorted
+  }
+
+  /** Commit manifest `version`: the complete file list of that
+    * snapshot, as a tiny one-column parquet table under
+    * `tableDir/manifests/v<version>`. */
+  def writeManifest(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      version: Int, files: Seq[String]): Unit = {
+    import spark.implicits._
+    files.toDF("path").repartition(1)
+      .write.mode("overwrite").parquet(s"$tableDir/manifests/v$version")
+  }
+
+  /** Read snapshot `version`: collect its manifest (bounded by the
+    * snapshot's FILE count — the thing that is small by construction;
+    * at 100 TB a manifest is MBs where the data is TBs) and scan
+    * exactly those files. Files dropped by LATER commits still resolve
+    * here — that is the time-travel contract. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      version: Int): DataFrame = {
+    val files = spark.read.parquet(s"$tableDir/manifests/v$version")
+      .select("path").collect().map(_.getString(0)).sorted
+    require(files.nonEmpty, s"manifest v$version at $tableDir lists no files")
+    spark.read.parquet(files.toIndexedSeq: _*)
+  }
 }

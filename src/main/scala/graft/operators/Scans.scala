@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Canon, Q, Tables}
 import graft.Canon.{sql => O}
+import graft.api.Maintenance
 import org.apache.spark.sql.functions._
 
 /** §2.1 — scans/sources. Filters and projections sit directly on the
@@ -259,6 +260,40 @@ object Scans {
       probe("partkey", col("l_partkey") <= 40)
         .unionByName(probe("suppkey", col("l_suppkey") <= 2))
         .orderBy("probe")
+    }),
+    "data_snapshot_read" -> ((s, d) => {
+      // manifest-pinned snapshot reads (r19) — the Iceberg/Delta
+      // time-travel READ model without the table-format library,
+      // closing the transactional-semantics gap the r18 VERDICT
+      // ranked #5: a snapshot version IS a manifest (tiny file-path
+      // table), commits never rewrite data (append = new files + new
+      // manifest; delete = drop files from the NEXT manifest only),
+      // and a versioned read opens exactly its manifest's files.
+      // Three commits are staged — v0 = base groups a+b, v1 = +delta
+      // append, v2 = file-level delete of group b — and the key reads
+      // ALL THREE versions after every commit has landed: the v0/v1
+      // aggregates matching the oracle's pre-commit predicates IS the
+      // snapshot-isolation proof (later commits changed nothing a
+      // pinned reader sees). WritePathSpec additionally asserts the
+      // v2 scan never opens a group-b file.
+      val base = graft.sources.Writers.roundTripDir("graft_snapshots", d)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val m = col("o_orderkey") % 4
+      val fA = Maintenance.writeDataGroup(orders.filter(m.isin(0, 1)), base, "a")
+      val fB = Maintenance.writeDataGroup(orders.filter(m === 2), base, "b")
+      Maintenance.writeManifest(s, base, 0, fA ++ fB)
+      val fD = Maintenance.writeDataGroup(orders.filter(m === 3), base, "delta")
+      Maintenance.writeManifest(s, base, 1, fA ++ fB ++ fD)
+      Maintenance.writeManifest(s, base, 2, fA ++ fD)
+      (0 to 2).map { v =>
+        Maintenance.readSnapshot(s, base, v)
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("o_orderkey")).as("n_keys"),
+            Canon.sumDec(col("o_totalprice"), 2).as("sum_price"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("n_keys"), col("sum_price"))
+      }.reduce(_ unionByName _).orderBy("version")
     }),
     "data_compact_small_files" -> ((s, d) => {
       // small-file compaction — the #1 100 TB scan-throughput killer
@@ -613,6 +648,29 @@ object Scans {
         |WHERE l_shipdate >= TIMESTAMP '1995-06-01'
         |  AND l_shipdate < TIMESTAMP '1995-07-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // recomputes each snapshot's content from the flat orders table
+    // with the same mod-4 group predicates — matching all three
+    // version aggregates proves the manifest-pinned reads resolve to
+    // exactly the committed file sets (v0/v1 unchanged by the later
+    // delete commit = snapshot isolation; v2 missing group b = the
+    // file-level delete)
+    "data_snapshot_read" ->
+      s"""WITH t AS (SELECT o_orderkey % 4 AS m, o_orderkey, o_totalprice
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |    ${O.sumDec("o_totalprice", 2)} AS sum_price
+        |  FROM t WHERE m IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT 1, count(*),
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |    ${O.sumDec("o_totalprice", 2)} FROM t
+        |  UNION ALL
+        |  SELECT 2, count(*),
+        |    CAST(count(DISTINCT o_orderkey) AS BIGINT),
+        |    ${O.sumDec("o_totalprice", 2)} FROM t WHERE m IN (0, 1, 3))
+        |ORDER BY version""".stripMargin,
     // aggregates the PARQUET events directly — matching the Spark
     // side's fragmented→compacted round-trip proves compaction moved
     // every row exactly once

@@ -168,6 +168,38 @@ class WritePathSpec extends AnyFunSuite {
       s"cell-partition pruning did not engage: read $filesRead of $totalFiles files")
   }
 
+  test("manifest-pinned snapshots: time travel survives later commits, v2 never opens dropped files") {
+    // the data_snapshot_read contract executed directly: after ALL
+    // commits (v0 base, v1 append, v2 file-level delete of group b),
+    // (1) reading v0 yields exactly the pre-commit base content —
+    // later commits are invisible to a pinned reader; (2) the v2 scan
+    // opens NO group-b file (the delete dropped them from the
+    // manifest, so the reader never touches them — data files
+    // themselves were not rewritten, which (3) verifies v0 can still
+    // resolve them afterwards: time travel).
+    val base = Files.createTempDirectory("graft-snap").toString
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val m = col("o_orderkey") % 4
+    val fA = graft.api.Maintenance.writeDataGroup(orders.filter(m.isin(0, 1)), base, "a")
+    val fB = graft.api.Maintenance.writeDataGroup(orders.filter(m === 2), base, "b")
+    graft.api.Maintenance.writeManifest(spark, base, 0, fA ++ fB)
+    val v0Before = graft.api.Maintenance.readSnapshot(spark, base, 0)
+      .collect().map(_.toString).sorted.toSeq
+    val fD = graft.api.Maintenance.writeDataGroup(orders.filter(m === 3), base, "delta")
+    graft.api.Maintenance.writeManifest(spark, base, 1, fA ++ fB ++ fD)
+    graft.api.Maintenance.writeManifest(spark, base, 2, fA ++ fD)
+    val v0After = graft.api.Maintenance.readSnapshot(spark, base, 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(v0After.nonEmpty && v0After == v0Before,
+      "a later commit changed what the pinned v0 reader sees — snapshot isolation broken")
+    val v2 = graft.api.Maintenance.readSnapshot(spark, base, 2)
+    assert(v2.inputFiles.toSet.intersect(fB.toSet).isEmpty,
+      "the v2 read resolves files its manifest dropped")
+    assert(v2.count() == orders.filter(m.isin(0, 1, 3)).count(),
+      "v2 content is not base-minus-b-plus-delta")
+  }
+
   test("merged IVF index (build+upsert+delete) probes exchange-free and still prunes cell dirs") {
     // the r19 maintenance claim executed: after ivfUpsert appends new
     // files into the per-cell directories and ivfDelete lands
