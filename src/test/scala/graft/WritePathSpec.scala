@@ -200,6 +200,43 @@ class WritePathSpec extends AnyFunSuite {
       "v2 content is not base-minus-b-plus-delta")
   }
 
+  test("ivfUpsert into a cell EMPTY at build time: the new directory is created and probed") {
+    // the silent-drop hazard of incremental indexes: if the original
+    // build never populated cell c (no corpus vector routed there),
+    // the upsert's append must CREATE c's directory and the probe must
+    // resolve it — a reader pinned to the data/ listing taken at build
+    // time would lose every vector upserted into fresh cells. Two
+    // far-apart 8-d clusters: the index is built from cluster-0
+    // vectors only (both centroids trained in, so cell 1 exists in the
+    // codebook but owns NO files), then cluster-1 vectors are
+    // upserted; a cluster-1 query must get its true neighbors back.
+    val s = spark
+    import s.implicits._
+    def vec(base: Int, j: Int): Seq[Float] =
+      (0 until 8).map(i => (if (i == base) 10f else 0f) + 0.01f * ((j + i) % 3))
+    val c0 = (0L until 20L).map(id => (id, vec(0, id.toInt)))
+    val c1 = (100L until 120L).map(id => (id, vec(7, id.toInt)))
+    val all = (c0 ++ c1).toDF("vec_id", "embedding")
+    val cents = graft.api.Similarity.trainCodebook(all, "vec_id", "embedding", k = 2)
+    val base = Files.createTempDirectory("graft-ivfup-empty").toString
+    graft.api.Similarity.saveIvfIndex(c0.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, base)
+    val dirsBefore = new java.io.File(s"$base/cells").listFiles()
+      .count(_.getName.startsWith("_cell="))
+    graft.api.Similarity.ivfUpsert(c1.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", base)
+    val dirsAfter = new java.io.File(s"$base/cells").listFiles()
+      .count(_.getName.startsWith("_cell="))
+    assert(dirsAfter > dirsBefore,
+      s"upsert did not create the empty cell's directory ($dirsBefore -> $dirsAfter)")
+    val got = graft.api.Similarity.ivfKnnFromIndex(
+        all.filter(col("vec_id") === 100L), "vec_id", "embedding",
+        base, k = 5, nprobe = 1, simRound = Some(4))
+      .collect().map(_.getLong(1)).toSet
+    assert(got.nonEmpty && got.subsetOf((101L until 120L).toSet),
+      s"probe of the upserted-only cell returned $got — expected cluster-1 neighbors")
+  }
+
   test("merged IVF index (build+upsert+delete) probes exchange-free and still prunes cell dirs") {
     // the r19 maintenance claim executed: after ivfUpsert appends new
     // files into the per-cell directories and ivfDelete lands
