@@ -155,7 +155,12 @@ object GraphOps {
     val sym = Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol))
     val nodes = Checkpoints.pin(sym.select(col("u").as("node")).distinct())
     try {
-      val src = sources.select(col("node").cast("long").as("node"), lit(0L).as("_d0"))
+      // distinct: dist₀ = nodes LEFT-join src, so a node listed twice
+      // in `sources` would duplicate its dist row and every
+      // round/output row after it — the one-row-per-node invariant the
+      // nodes-re-join elision below depends on. Source-set-sized.
+      val src = sources.select(col("node").cast("long").as("node")).distinct()
+        .withColumn("_d0", lit(0L))
       def pinD(m: DataFrame): DataFrame =
         if (broadcastDist) broadcast(m) else m.hint("shuffle_hash")
       var dist = Checkpoints.pin(nodes.join(src, Seq("node"), "left")

@@ -215,11 +215,30 @@ object Maintenance {
 
   /** Write `df` as an immutable data-file group under
     * `tableDir/data/<group>` and return the file paths (sorted — the
-    * manifest content must not depend on listing order). */
+    * manifest content must not depend on listing order). Fails if the
+    * group already exists: data files are immutable and commits never
+    * rewrite data, so a second write to the same group name would
+    * clobber files still listed by earlier manifests — immutability is
+    * ENFORCED here, not assumed. Recreating a whole table from scratch
+    * (the fixture pattern) must [[dropTable]] first. */
   def writeDataGroup(df: DataFrame, tableDir: String, group: String): Seq[String] = {
     val dir = s"$tableDir/data/$group"
-    df.write.mode("overwrite").parquet(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir)),
+      s"data group already exists: $dir — data files are immutable; " +
+        "use a new group name, or dropTable to rebuild from scratch")
+    df.write.mode("errorifexists").parquet(dir)
     df.sparkSession.read.parquet(dir).inputFiles.toSeq.sorted
+  }
+
+  /** Remove an entire snapshot table (data + manifests) — the ONLY
+    * sanctioned way to reuse a table dir, because [[writeDataGroup]]
+    * refuses to overwrite a live group. No-op if absent. */
+  def dropTable(spark: org.apache.spark.sql.SparkSession, tableDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableDir),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tableDir), true); ()
   }
 
   /** Commit manifest `version`: the complete file list of that

@@ -430,6 +430,15 @@ object Similarity {
     * instead of re-embedding, re-assigning, or re-reading anything. */
   def saveIvfIndex(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], path: String): Unit = {
+    // A rebuild at `path` is a compaction: it must not inherit the
+    // prior index's tombstones, or ivfKnnFromIndex would keep
+    // suppressing ids the new corpus legitimately contains (silent row
+    // loss). Clear them first, best-effort (absent on a fresh path).
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true); ()
+    } catch { case _: java.io.IOException => () }
     graft.sources.Artifacts.saveCodebook(df.sparkSession, centroids,
       s"$path/codebook")
     val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
@@ -449,7 +458,12 @@ object Similarity {
     * assignment is per-row under the same codebook, the merged layout
     * has exactly the content an index built on corpus ∪ batch in one
     * shot would have — probe results are BITWISE identical
-    * (NoOracleSpec asserts it). Codebook drift is the operator's
+    * (NoOracleSpec asserts it). PRECONDITION: batch ids must be
+    * disjoint from the stored corpus — this is insert-only "upsert"
+    * (LSM convention without read-side dedup): re-adding an existing
+    * id appends a second stored copy and both become probe
+    * candidates. To replace an id, [[ivfDelete]] the old one first
+    * and re-add under a NEW id, or rebuild. Codebook drift is the operator's
     * explicit trade: after enough upserts the frozen cells mis-fit the
     * new distribution (IVF recall decays, monitored by
     * [[embeddingDrift]]); the remedy is a rebuild, never an in-place

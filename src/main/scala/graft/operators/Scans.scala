@@ -277,6 +277,7 @@ object Scans {
       // pinned reader sees). WritePathSpec additionally asserts the
       // v2 scan never opens a group-b file.
       val base = graft.sources.Writers.roundTripDir("graft_snapshots", d)
+      Maintenance.dropTable(s, base) // fresh table per run (bench reruns keys)
       val orders = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       val m = col("o_orderkey") % 4

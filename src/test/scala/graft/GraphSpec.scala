@@ -257,6 +257,14 @@ class GraphSpec extends AnyFunSuite {
         src, rounds = 4, broadcastDist = false)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(shuf == got, "broadcast and shuffle postures disagree")
+    // duplicate rows in `sources` must not duplicate dist rows: dist₀
+    // is nodes LEFT-join src, so without the internal distinct a
+    // twice-listed source would double its row and every round after
+    val dup = graft.api.GraphOps.weightedDistances(edges, "src", "dst", "w",
+        Seq(1L, 1L, 1L).toDF("node"), rounds = 4)
+      .collect()
+    assert(dup.length == 6 && dup.map(r => r.getLong(0) -> r.getLong(1)).toMap == got,
+      s"duplicate source rows broke the one-row-per-node invariant: ${dup.toSeq}")
   }
 
   test("graph_weighted_paths is round-stationary inside the 6-round budget") {

@@ -200,6 +200,46 @@ class WritePathSpec extends AnyFunSuite {
       "v2 content is not base-minus-b-plus-delta")
   }
 
+  test("writeDataGroup refuses to overwrite a live group — immutability is enforced") {
+    // earlier manifests list the group's files by path; a second write
+    // under the same group name would clobber bytes a pinned reader
+    // still resolves. The guard makes that a loud error, and dropTable
+    // is the sanctioned reset.
+    val base = Files.createTempDirectory("graft-immut").toString
+    val orders = Tables.orders(spark, TestSpark.sf0001).limit(10)
+    val f1 = graft.api.Maintenance.writeDataGroup(orders, base, "g")
+    assert(f1.nonEmpty)
+    val err = intercept[IllegalArgumentException] {
+      graft.api.Maintenance.writeDataGroup(orders, base, "g")
+    }
+    assert(err.getMessage.contains("immutable"), err.getMessage)
+    graft.api.Maintenance.dropTable(spark, base)
+    assert(graft.api.Maintenance.writeDataGroup(orders, base, "g").nonEmpty,
+      "dropTable did not unlock the group name")
+  }
+
+  test("saveIvfIndex rebuild at the same path clears stale tombstones") {
+    // the compaction workflow: delete an id, then REBUILD the index at
+    // the same path from a corpus that legitimately contains it. The
+    // rebuild must not inherit the old tombstone table, or the probe
+    // silently suppresses rows the new index owns.
+    val base = Files.createTempDirectory("graft-ivfreb").toString
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+    val cents = graft.api.Similarity.trainCodebook(e, "vec_id", "embedding", k = 8)
+    graft.api.Similarity.saveIvfIndex(e, "vec_id", "embedding", cents, base)
+    val s = spark
+    import s.implicits._
+    graft.api.Similarity.ivfDelete(Seq(3L).toDF("vec_id"), "vec_id", base)
+    def hits(): Set[Long] = graft.api.Similarity.ivfKnnFromIndex(
+        e.filter(col("vec_id") === 7), "vec_id", "embedding", base,
+        k = 1000, nprobe = 8, simRound = Some(4))
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(!hits().contains(3L), "tombstone did not suppress the deleted id")
+    graft.api.Similarity.saveIvfIndex(e, "vec_id", "embedding", cents, base)
+    assert(hits().contains(3L),
+      "rebuild inherited the stale tombstone — id 3 is silently lost")
+  }
+
   test("ivfUpsert into a cell EMPTY at build time: the new directory is created and probed") {
     // the silent-drop hazard of incremental indexes: if the original
     // build never populated cell c (no corpus vector routed there),
