@@ -52,7 +52,7 @@ object SparkEntry {
     "dedup_incremental_minhash", "dedup_minhash_persisted",
     "dedup_minhash_probe_only", "dedup_simhash",
     "stream_watermark_late", "ml_train_logreg_gd", "ml_train_mlp_gd",
-    "ml_infer_mlp_gemm",
+    "ml_infer_mlp_gemm", "text_bpe_train_iter",
     "sim_knn_ivf",
     "sim_knn_ivf_persisted", "sim_knn_ivf_probe_only", "sim_knn_ivfpq",
     "sim_knn_ivfpq_hq", "sim_knn_ivf_upsert",

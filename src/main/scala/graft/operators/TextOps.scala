@@ -22,6 +22,82 @@ import org.apache.spark.sql.functions._
 object TextOps {
   private val stopwords = Seq("scan", "column", "window")
 
+  /** DEEP iterated BPE tokenizer training (r20) — `text_bpe_train_k`'s
+    * Sennrich et al. 2016 loop at production depth (k ≥ 20 merge
+    * rounds) with the loop-carried state MATERIALIZED per round
+    * instead of unrolled into one expression tree: the segmentation
+    * lives in a pinned (freq, seg) table, each round re-pins the
+    * post-merge table and frees the superseded one (the LPA /
+    * weightedDistances pin/free discipline), so round r's argmax never
+    * re-evaluates rounds 1..r−1's replaces and the physical plan per
+    * round is O(1)-sized no matter how deep k goes — the property the
+    * unrolled variant loses past a handful of rounds (its round-r scan
+    * drags an r-deep replace chain, and Catalyst analysis cost grows
+    * quadratically in k).
+    *
+    * Semantics are bit-identical to `text_bpe_train_k` per round
+    * (NoOracleSpec pins first-3-merge parity): freq-weighted
+    * OVERLAPPING adjacent-pair counts (the BPE counting convention),
+    * argmax with the deterministic (n DESC, pair ASC) tie rule, greedy
+    * left-to-right non-overlapping merge application via literal
+    * replace on the U+001F double-separator transport. Training stops
+    * early (fewer output rows) only when no adjacent pair remains —
+    * every word has collapsed to one symbol.
+    *
+    * Scale shape (the `ml_train_*` posture): corpus → distinct
+    * (word, freq) table ONCE (map-side-combined aggregate, shuffle ∝
+    * vocabulary); per round ONE pair explode + rollup over the
+    * ~|vocab| state table, ONE bounded 1-row collect (the argmax — the
+    * iteration's scalar parameter), ONE map pass to re-materialize the
+    * merged segmentation. State ∝ vocabulary at every point; the
+    * corpus is never touched after the first aggregate. */
+  def bpeTrainIter(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val SEP = ""
+    // ␟h␟␟e␟␟y␟ + a trailing ␟ from the regexp (harmless — the pair
+    // pattern needs symbol chars between separators); words containing
+    // the separator excluded up front (none in any fixture)
+    var segT = graft.api.Checkpoints.pin(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2 && !col("w").contains(SEP))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP + SEP))
+            .as("seg")))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    try {
+      var exhausted = false
+      for (round <- 1 to rounds if !exhausted) {
+        val top = segT
+          .withColumn("_syms", filter(split(col("seg"), SEP), x => x =!= lit("")))
+          .filter(size(col("_syms")) >= 2)
+          .select(col("freq"), explode(
+            transform(sequence(lit(1), size(col("_syms")) - 1),
+              i => struct(element_at(col("_syms"), i).as("a"),
+                element_at(col("_syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((round.toLong, a, b, n))
+          val next = graft.api.Checkpoints.pin(segT.select(col("freq"),
+            call_function("replace", col("seg"),
+              lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP)).as("seg")))
+          graft.api.Checkpoints.free(segT)
+          segT = next
+        }
+      }
+    } finally graft.api.Checkpoints.free(segT)
+    val sess = s
+    import sess.implicits._
+    merges.result().toDF("round", "sym_a", "sym_b", "n").orderBy("round")
+  }
+
   /** Build-once-per-JVM bucketed minhash signature index for
     * dedup_minhash_probe_only, keyed by the input dir. Catalog tables
     * live in SharedState (per SparkContext), so every session sharing
@@ -186,6 +262,7 @@ object TextOps {
         merges.result().toDF("round", "sym_a", "sym_b", "n").orderBy("round")
       } finally graft.api.Checkpoints.free(words)
     }),
+    "text_bpe_train_iter" -> ((s, d) => bpeTrainIter(s, d, rounds = 20)),
     "text_lang_source_matrix" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))

@@ -163,15 +163,15 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("text_bpe_train_k matches a sequential driver-side BPE reimplementation") {
-    // the ml_train_* posture: the distributed 3-round trainer vs a
-    // from-scratch sequential BPE over the same corpus — symbol
-    // vectors, overlapping pair counts weighted by word frequency,
-    // argmax with the (n DESC, a, b) tie rule, and the greedy
-    // left-to-right non-overlapping merge apply. Any divergence in
-    // the separator-string transport (shared boundary separators,
-    // trailing separators, re-segmentation) shows up here as a
-    // different merge table.
+  /** From-scratch sequential BPE over the corpus - symbol vectors,
+    * overlapping pair counts weighted by word frequency, argmax with
+    * the (n DESC, a, b) tie rule, greedy left-to-right non-overlapping
+    * merge apply; stops early when no adjacent pair remains. The
+    * reference BOTH distributed trainers are compared against - any
+    * divergence in the separator-string transport (shared boundary
+    * separators, trailing separators, re-segmentation) shows up as a
+    * different merge table. */
+  private def sequentialBpe(rounds: Int): Seq[(Long, String, String, Long)] = {
     def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
       val out = Vector.newBuilder[String]
       var i = 0
@@ -189,7 +189,9 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       .groupBy(identity).view.mapValues(_.length.toLong).toMap
       .map { case (w, f) => w.map(_.toString).toVector -> f }
     val expected = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    for (round <- 1 to 3) {
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
       val counts = new scala.collection.mutable.HashMap[(String, String), Long]()
       wordSyms.foreach { case (syms, f) =>
         if (syms.length >= 2)
@@ -197,19 +199,50 @@ class OperatorSemanticsSpec extends AnyFunSuite {
             counts(p) = counts.getOrElse(p, 0L) + f
           }
       }
-      val ((a, b), n) = counts.toSeq
-        .sortBy { case ((x, y), c) => (-c, x, y) }.head
-      expected += ((round.toLong, a, b, n))
-      // merge apply preserves the concatenation invariant (symbols
-      // always rejoin to the original word), so distinct words keep
-      // distinct symbol vectors and the map keys never collide
-      wordSyms = wordSyms.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), n) = counts.toSeq
+          .sortBy { case ((x, y), c) => (-c, x, y) }.head
+        expected += ((round.toLong, a, b, n))
+        // merge apply preserves the concatenation invariant (symbols
+        // always rejoin to the original word), so distinct words keep
+        // distinct symbol vectors and the map keys never collide
+        wordSyms = wordSyms.map { case (syms, f) => (applyMerge(syms, a, b), f) }
+        round += 1
+      }
     }
+    expected.toSeq
+  }
+
+  test("text_bpe_train_k matches a sequential driver-side BPE reimplementation") {
+    // the ml_train_* posture: the distributed 3-round trainer vs the
+    // from-scratch sequential reference
     val got = SparkEntry.queries("text_bpe_train_k")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
-    assert(got == expected.toSeq,
-      s"distributed merges $got differ from the sequential reference ${expected.toSeq}")
+    val expected = sequentialBpe(3)
+    assert(got == expected,
+      s"distributed merges $got differ from the sequential reference $expected")
+  }
+
+  test("text_bpe_train_iter: 20 materialized-state rounds match the sequential reference and train_k's prefix") {
+    // the DEEP trainer (loop-carried pinned state instead of an
+    // unrolled expression tree) against the same sequential reference
+    // at its full k=20 depth - and against the oracle-checked 3-round
+    // key on their shared prefix, anchoring the iterated path to the
+    // DuckDB-verified semantics too
+    val got = SparkEntry.queries("text_bpe_train_iter")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val expected = sequentialBpe(20)
+    assert(got.size == 20, s"expected 20 merge rounds, got ${got.size}")
+    assert(got == expected,
+      s"iterated merges $got differ from the sequential reference $expected")
+    val k3 = SparkEntry.queries("text_bpe_train_k")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got.take(3) == k3,
+      s"iterated trainer prefix ${got.take(3)} diverges from train_k $k3")
   }
 
   test("as-of joins: NULL timestamps match nothing in either direction") {
