@@ -54,5 +54,13 @@ object Canon {
     def r4(x: String): String = rk(x, 4)
     def sumDec(x: String, scale: Int): String =
       s"CAST(sum(CAST($x AS DECIMAL(28,$scale))) AS DOUBLE)"
+    /** DuckDB spelling of Spark's `conv(substring(md5(s),1,15),16,10)`:
+      * the first 15 hex chars of md5(`x`) as a 60-bit BIGINT (DuckDB
+      * has no base-conv builtin, so the hex digits expand positionally;
+      * `h` must be a column holding md5($x) — see the checksum keys). */
+    def hex15ToLong(h: String): String = (1 to 15).map { i =>
+      val p = math.pow(16.0, (15 - i).toDouble).toLong
+      s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1) * $p"
+    }.mkString("(", " + ", ")")
   }
 }

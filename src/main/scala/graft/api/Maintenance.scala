@@ -241,6 +241,29 @@ object Maintenance {
     fs.delete(new org.apache.hadoop.fs.Path(tableDir), true); ()
   }
 
+  /** Compaction as a MANIFEST REWRITE — the snapshot-native small-file
+    * fix: rewrite `files` (the fragmented subset of some snapshot)
+    * into a NEW immutable data group sized at ceil(bytes/targetBytes)
+    * output files and return the new paths; the caller commits the
+    * next manifest as (untouched survivors ++ returned). The input
+    * files are NEVER modified or deleted — every prior snapshot keeps
+    * resolving them (time travel), which is exactly what makes
+    * compaction safe to run concurrently with pinned readers at
+    * 100 TB: it is a pure metadata swap from the reader's side, and a
+    * crashed compaction leaves nothing but an unreferenced group. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, tableDir: String,
+      files: Seq[String], group: String, targetBytes: Long): Seq[String] = {
+    require(files.nonEmpty, "compactFiles: empty file list")
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    writeDataGroup(spark.read.parquet(files: _*).repartition(n), tableDir, group)
+  }
+
   /** Commit manifest `version`: the complete file list of that
     * snapshot, as a tiny one-column parquet table under
     * `tableDir/manifests/v<version>`. */

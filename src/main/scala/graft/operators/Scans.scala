@@ -296,6 +296,50 @@ object Scans {
             col("n_keys"), col("sum_price"))
       }.reduce(_ unionByName _).orderBy("version")
     }),
+    "data_snapshot_compact" -> ((s, d) => {
+      // snapshot-AWARE compaction (r20) — compaction expressed as a
+      // manifest rewrite over the data_snapshot_read table model:
+      // v0 = a deliberately fragmented group (24 tiny files) + a
+      // healthy group; the compaction commit rewrites ONLY the
+      // fragmented group's content into a new size-targeted group and
+      // points v1 at (compacted ++ healthy) — v0's files are never
+      // touched, so the prior snapshot stays readable (pure metadata
+      // swap for pinned readers; a crashed compaction leaves only an
+      // unreferenced group). The key emits the data_table_checksum
+      // fold (order-independent 60-bit md5 xor + exact mod-2⁶⁰ sum)
+      // of BOTH versions: identical checksums prove compaction moved
+      // every row exactly once, and both must equal the oracle's fold
+      // over the source table. WritePathSpec pins the file mechanics
+      // (v1 opens fewer files, none of them frag's; frag bytes
+      // untouched; the healthy group's files shared by both
+      // manifests).
+      import org.apache.spark.sql.types.DecimalType
+      val base = graft.sources.Writers.roundTripDir("graft_snapcompact", d)
+      Maintenance.dropTable(s, base) // fresh table per run (bench reruns keys)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val m = col("o_orderkey") % 4
+      val fFrag = Maintenance.writeDataGroup(
+        orders.filter(m.isin(0, 1)).repartition(24), base, "frag")
+      val fB = Maintenance.writeDataGroup(orders.filter(m.isin(2, 3)), base, "b")
+      Maintenance.writeManifest(s, base, 0, fFrag ++ fB)
+      val fComp = Maintenance.compactFiles(s, base, fFrag, "compact",
+        targetBytes = 4L * 1024 * 1024)
+      Maintenance.writeManifest(s, base, 1, fComp ++ fB)
+      val rowStr = concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+      (0 to 1).map { v =>
+        Maintenance.readSnapshot(s, base, v).select(h.as("_h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(_h)").as("xor_checksum"),
+            pmod(sum(col("_h").cast(DecimalType(38, 0))),
+              lit(1152921504606846976L).cast(DecimalType(38, 0)))
+              .cast("long").as("sum_checksum"))
+          .select(lit(v.toLong).as("version"), col("n_rows"),
+            col("xor_checksum"), col("sum_checksum"))
+      }.reduce(_ unionByName _).orderBy("version")
+    }),
     "data_compact_small_files" -> ((s, d) => {
       // small-file compaction — the #1 100 TB scan-throughput killer
       // (every file costs a task + footer read + open/close) and the
@@ -671,6 +715,25 @@ object Scans {
         |  SELECT 2, count(*),
         |    CAST(count(DISTINCT o_orderkey) AS BIGINT),
         |    ${O.sumDec("o_totalprice", 2)} FROM t WHERE m IN (0, 1, 3))
+        |ORDER BY version""".stripMargin,
+    // both snapshot versions (pre- and post-compaction) must carry the
+    // checksum fold of the FULL orders selection — compaction is a
+    // metadata rewrite, content-identical by contract
+    "data_snapshot_compact" ->
+      s"""WITH r AS (SELECT md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' ||
+        |      o_orderstatus || '|' ||
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h
+        |    FROM orders),
+        |x AS (SELECT ${O.hex15ToLong("h")} AS hv
+        |      FROM (SELECT CAST(substr(h, 1, 15) AS VARCHAR) AS h FROM r)),
+        |a AS (SELECT count(*) AS n_rows, bit_xor(hv) AS xor_checksum,
+        |        CAST(sum(CAST(hv AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        |          AS sum_checksum
+        |      FROM x)
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  a.n_rows, a.xor_checksum, a.sum_checksum
+        |FROM (VALUES (0), (1)) v(version) CROSS JOIN a
         |ORDER BY version""".stripMargin,
     // aggregates the PARQUET events directly — matching the Spark
     // side's fragmented→compacted round-trip proves compaction moved

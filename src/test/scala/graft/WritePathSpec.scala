@@ -200,6 +200,51 @@ class WritePathSpec extends AnyFunSuite {
       "v2 content is not base-minus-b-plus-delta")
   }
 
+  test("snapshot compaction is a pure metadata swap: frag bytes untouched, v1 opens fewer files, healthy group shared") {
+    // the data_snapshot_compact contract executed directly: after the
+    // compaction commit, (1) v0 reads identical content to before it
+    // (pinned readers unaffected), (2) v0's fragmented files are
+    // byte-for-byte untouched (same length + mtime), (3) v1 never
+    // opens a frag file, (4) v1 opens strictly fewer files than v0,
+    // and (5) the healthy group's files appear in BOTH manifests —
+    // compaction rewrote only the fragmented subset.
+    val base = Files.createTempDirectory("graft-snapcomp").toString
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val m = col("o_orderkey") % 4
+    val fFrag = graft.api.Maintenance.writeDataGroup(
+      orders.filter(m.isin(0, 1)).repartition(24), base, "frag")
+    val fB = graft.api.Maintenance.writeDataGroup(orders.filter(m.isin(2, 3)), base, "b")
+    graft.api.Maintenance.writeManifest(spark, base, 0, fFrag ++ fB)
+    val v0Before = graft.api.Maintenance.readSnapshot(spark, base, 0)
+      .collect().map(_.toString).sorted.toSeq
+    def stat(f: String): (Long, Long) = {
+      val file = new java.io.File(new java.net.URI(f))
+      (file.length(), file.lastModified())
+    }
+    val fragStats = fFrag.map(f => f -> stat(f)).toMap
+    val fComp = graft.api.Maintenance.compactFiles(spark, base, fFrag, "compact",
+      targetBytes = 4L * 1024 * 1024)
+    graft.api.Maintenance.writeManifest(spark, base, 1, fComp ++ fB)
+    val v0After = graft.api.Maintenance.readSnapshot(spark, base, 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(v0After.nonEmpty && v0After == v0Before,
+      "the compaction commit changed what the pinned v0 reader sees")
+    fFrag.foreach { f =>
+      assert(stat(f) == fragStats(f), s"compaction modified a v0 data file: $f")
+    }
+    val v1 = graft.api.Maintenance.readSnapshot(spark, base, 1)
+    val v1Files = v1.inputFiles.toSet
+    assert(v1Files.intersect(fFrag.toSet).isEmpty,
+      "v1 still opens fragmented files its manifest replaced")
+    assert(fB.toSet.subsetOf(v1Files),
+      "v1 lost the healthy group — compaction must rewrite ONLY the fragmented subset")
+    val v0Files = graft.api.Maintenance.readSnapshot(spark, base, 0).inputFiles.toSet
+    assert(v1Files.size < v0Files.size,
+      s"compaction did not shrink the file count: v0=${v0Files.size} v1=${v1Files.size}")
+    assert(v1.count() == orders.count(), "v1 content is not the full table")
+  }
+
   test("writeDataGroup refuses to overwrite a live group — immutability is enforced") {
     // earlier manifests list the group's files by path; a second write
     // under the same group name would clobber bytes a pinned reader
