@@ -53,7 +53,7 @@ object SparkEntry {
     "dedup_minhash_probe_only", "dedup_simhash",
     "stream_watermark_late", "ml_train_logreg_gd", "ml_train_mlp_gd",
     "ml_infer_mlp_gemm", "text_bpe_train_iter",
-    "sim_knn_ivf",
+    "sim_knn_ivf", "sim_knn_ivf_routed",
     "sim_knn_ivf_persisted", "sim_knn_ivf_probe_only", "sim_knn_ivfpq",
     "sim_knn_ivfpq_hq", "sim_knn_ivf_upsert",
     "sim_knn_rplsh", "embed_pca_project", "sim_knn_pca")

@@ -420,6 +420,99 @@ object Similarity {
       .select("qid", "cid", "sim", "rank")
   }
 
+  /** Default predicted-recall target for [[routedNprobe]]. */
+  val RoutedRecallTarget: Double = 0.9
+
+  /** Sample size for [[probeRecallLadder]] — bounded, so the
+    * calibration's truth pass is O(nSamples · corpus) kernel work
+    * fused into one scan, a rounding error next to the build's own
+    * assignment pass. */
+  val LadderSamples: Int = 64
+
+  /** Build-time MEASURED signal-strength gate — the router's input:
+    * the per-nprobe predicted recall@k ladder, calibrated on a
+    * deterministic hash-ordered query sample against exact truth.
+    * ladder(p−1) = fraction of sampled true top-k neighbor pairs whose
+    * neighbor's cell ranks within the query's p nearest cells — which
+    * is EXACTLY IVF recall at nprobe = p (a true neighbor that enters
+    * the candidate set always survives the top-k cut, since globally
+    * top-k sims stay top-k in any subset). Monotone nondecreasing,
+    * ladder(nCells−1) = 1 by construction.
+    *
+    * Why not a geometric proxy: the intra-cell/inter-centroid angle
+    * ratio was measured NON-SEPARATING on this session's regimes
+    * (0.71 on tight 64-cluster synthetics vs 0.85 near-isotropic —
+    * tools.SignalProbe) whenever the codebook is coarser than the true
+    * cluster count, because recall depends on neighbors landing in the
+    * SAME cell, not on cells being tight. The ladder measures the
+    * deciding quantity directly.
+    *
+    * Truth is computed by probing ALL cells (an equi-join through the
+    * cell id — brute force without a BNLJ) for the bounded sample
+    * only; per pair the neighbor-cell rank then comes off the
+    * driver-resident codebook. Runs at BUILD time and persists with
+    * the index ([[saveIvfIndex]] meta) — queries never pay for it. */
+  def probeRecallLadder(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], k: Int = 5,
+      nSamples: Int = LadderSamples): Array[Double] = {
+    val nCells = centroids.length
+    // deterministic uniform sample: smallest md5(id) (the
+    // data_sample_hash posture), a bounded TakeOrdered
+    val qids = df.select(col(idCol).cast("long").as("_qid"))
+      .orderBy(md5(col("_qid").cast("string")), col("_qid"))
+      .limit(nSamples).collect().map(_.getLong(0))
+    val qidSet = qids.toSet
+    val truth = ivfKnn(df, idCol, vecCol, col(idCol).isin(qids: _*), k,
+        centroids, nprobe = nCells)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val needIds = (truth.map(_._2).toSet ++ qidSet).toSeq
+    val vecOf = df.filter(col(idCol).isin(needIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val rankingOf = qids.map(q =>
+      q -> Kernels.nearestCells(vecOf(q), centroids, nCells)).toMap
+    val hits = new Array[Long](nCells)
+    truth.foreach { case (q, n) =>
+      val nbrCell = Kernels.nearestCells(vecOf(n), centroids, 1).head
+      hits(rankingOf(q).indexOf(nbrCell)) += 1L
+    }
+    val cum = hits.scanLeft(0L)(_ + _).tail
+    if (truth.isEmpty) Array.fill(nCells)(1.0)
+    else cum.map(_.toDouble / truth.length)
+  }
+
+  /** Probe-width ROUTING off the measured ladder — the
+    * isotropic-regime fix: when the calibration says the base nprobe
+    * silently caps recall (0.48–0.62 measured on the near-isotropic
+    * fixtures), the router widens to the SMALLEST nprobe whose
+    * predicted recall meets `target`, paying honest extra probe cost
+    * exactly where the geometry demands it and ONLY there —
+    * strong-signal corpora keep the cheap base config untouched
+    * (their ladder hits the target at or below base). Deterministic,
+    * monotone, bounded by the cell count. */
+  def routedNprobe(ladder: Array[Double], baseNprobe: Int,
+      target: Double = RoutedRecallTarget): Int = {
+    require(baseNprobe >= 1 && ladder.nonEmpty,
+      s"bad nprobe/ladder: $baseNprobe/${ladder.length}")
+    val first = ladder.indexWhere(_ >= target)
+    val needed = if (first < 0) ladder.length else first + 1
+    math.min(ladder.length, math.max(baseNprobe, needed))
+  }
+
+  /** [[ivfKnn]] behind the [[routedNprobe]] measured gate: calibrates
+    * the ladder for this corpus/codebook, routes the probe width, and
+    * runs the standard IVF probe. The in-memory twin of the persisted
+    * route ([[ivfKnnFromIndexRouted]], where the ladder was paid for
+    * once at build time). */
+  def ivfKnnRouted(df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, centroids: Array[Array[Float]],
+      baseNprobe: Int, simRound: Option[Int] = None,
+      target: Double = RoutedRecallTarget): DataFrame = {
+    val ladder = probeRecallLadder(df, idCol, vecCol, centroids, k)
+    ivfKnn(df, idCol, vecCol, queryPred, k, centroids,
+      routedNprobe(ladder, baseNprobe, target), simRound)
+  }
+
   /** Persist an IVF index to `path`: the codebook as a tiny parquet
     * table (`Artifacts.saveCodebook`) plus the cell-assigned corpus
     * laid out ONE DIRECTORY PER CELL (`Writers.writePartitioned` on
@@ -445,6 +538,35 @@ object Similarity {
     val assigned = df.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
       .withColumn("_cell", cellOf(col("_v")))
     graft.sources.Writers.writePartitioned(assigned, "_cell", s"$path/cells")
+    // index manifest: the measured recall ladder rides with the index
+    // so the routed probe ([[ivfKnnFromIndexRouted]]) reads an array
+    // instead of re-calibrating against the corpus; like the codebook
+    // it is frozen at build time (drift → rebuild, monitored by
+    // embeddingDrift)
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(probeRecallLadder(df, idCol, vecCol, centroids)))
+      .toDF("ladder").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The build-time index manifest [[saveIvfIndex]] persists: the
+    * measured per-nprobe predicted recall ladder (length = cells). */
+  def loadIvfMeta(spark: SparkSession, indexPath: String): Array[Double] =
+    spark.read.parquet(s"$indexPath/meta").head
+      .getSeq[Double](0).toArray
+
+  /** [[ivfKnnFromIndex]] behind the [[routedNprobe]] measured gate,
+    * reading the ladder from the PERSISTED index manifest — the
+    * production route: the calibration was paid once at build time,
+    * every probe self-tunes from the stored array. */
+  def ivfKnnFromIndexRouted(queries: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, k: Int, baseNprobe: Int,
+      simRound: Option[Int] = None,
+      target: Double = RoutedRecallTarget): DataFrame = {
+    val ladder = loadIvfMeta(queries.sparkSession, indexPath)
+    ivfKnnFromIndex(queries, idCol, vecCol, indexPath, k,
+      routedNprobe(ladder, baseNprobe, target), simRound)
   }
 
   /** Incremental ADD into a [[saveIvfIndex]] layout — the

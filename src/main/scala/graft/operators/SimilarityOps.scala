@@ -271,6 +271,26 @@ object SimilarityOps {
         .withColumnRenamed("rank", "rn")
         .orderBy("qid", "rn")
     }),
+    "sim_knn_ivf_routed" -> ((s, d) => {
+      // ✘ no oracle — the SIGNAL-ROUTED probe (r20), closing IVF's
+      // documented isotropic worst case: saveIvfIndex calibrates a
+      // per-nprobe predicted-recall ladder at build time (measured
+      // neighbor-cell containment on a bounded hash sample — NOT a
+      // geometric proxy; tools.SignalProbe measured the intra/inter
+      // angle ratio non-separating) and persists it in the index
+      // manifest; the probe self-tunes to the smallest nprobe whose
+      // predicted recall meets the 0.9 target. Measured: the
+      // near-isotropic fixtures route 4 → 10-11 and read 0.90-0.94@5
+      // where the base config reads 0.48-0.62; clustered corpora keep
+      // base 4 untouched at 1.0 (SignalProbe lines; NoOracleSpec
+      // floors recall ≥ 0.8 and pins the no-regression routing).
+      val e = Tables.embeddings(s, d)
+      val base = ivfProbeIndexFor(s, d)
+      Similarity.ivfKnnFromIndexRouted(e.filter(col("vec_id") < 10), "vec_id",
+          "embedding", base, k = 5, baseNprobe = 4, simRound = Some(4))
+        .withColumnRenamed("rank", "rn")
+        .orderBy("qid", "rn")
+    }),
     "sim_knn_ivfpq" -> ((s, d) => {
       // ✘ no oracle (approximate by design): IVF routing + RESIDUAL
       // product-quantization ADC scan + exact re-rank — the composed

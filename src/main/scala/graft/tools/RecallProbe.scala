@@ -61,7 +61,8 @@ object RecallProbe {
     }
 
     val knnTruth = pairs("sim_knn_per_query")
-    for (key <- Seq("sim_knn_ivf", "sim_knn_ivf_persisted",
+    for (key <- Seq("sim_knn_ivf", "sim_knn_ivf_routed",
+        "sim_knn_ivf_persisted",
         "sim_knn_ivf_probe_only", "sim_knn_ivfpq", "sim_knn_ivfpq_hq",
         "sim_knn_ivf_upsert", "sim_knn_rplsh",
         "sim_knn_pca")) {

@@ -275,6 +275,55 @@ class NoOracleSpec extends AnyFunSuite {
     info(f"trained recall $recall%.3f vs untrained ${untrained.map(u => f"$u%.3f")}")
   }
 
+  test("sim_knn_ivf_routed: measured gate lifts isotropic recall >= 0.8, keeps base on clustered, parity at equal nprobe") {
+    import org.apache.spark.sql.functions.col
+    // (1) the isotropic floor — the regime the router exists for: the
+    // fixture reads 0.48-0.62 at base nprobe 4; the routed probe must
+    // clear 0.8 (measured 0.90-0.94 across the three sf fixtures)
+    val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val routed = SparkEntry.queries("sim_knn_ivf_routed")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(routed.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"routed isotropic recall too low: $recall")
+    // (2) ladder properties + routing decisions: the fixture's ladder
+    // must route WIDER than base (it cannot hit 0.9 at nprobe 4), a
+    // clustered corpus' ladder must hit the target at/below base so
+    // the router leaves the cheap config untouched
+    val e = Tables.embeddings(spark, sf)
+    val cents = graft.api.Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+    val ladder = graft.api.Similarity.probeRecallLadder(e, "vec_id", "embedding", cents)
+    assert(ladder.zip(ladder.tail).forall { case (a, b) => b >= a },
+      s"ladder not monotone: ${ladder.toSeq}")
+    assert(math.abs(ladder.last - 1.0) < 1e-12,
+      s"ladder must end at 1.0 (all cells probed = exact): ${ladder.last}")
+    val npIso = graft.api.Similarity.routedNprobe(ladder, baseNprobe = 4)
+    assert(npIso > 4, s"isotropic fixture should route wider than base, got $npIso")
+    val s2 = spark
+    import s2.implicits._
+    val clustered = spark.createDataset(
+        graft.tools.ClusteredGen.corpus(0.15).toIndexedSeq.map {
+          case (i, v, _) => (i, v.toSeq) }).toDF("vec_id", "embedding")
+      .repartition(32)
+    val cCents = graft.api.Similarity.trainCodebook(clustered, "vec_id", "embedding", k = 16)
+    val cLadder = graft.api.Similarity.probeRecallLadder(clustered, "vec_id", "embedding", cCents)
+    assert(graft.api.Similarity.routedNprobe(cLadder, baseNprobe = 4) == 4,
+      s"clustered corpus must keep base nprobe (ladder head ${cLadder.take(4).toSeq})")
+    // (3) routing changes ONLY the probe width: the routed result is
+    // bitwise the plain from-index probe at the routed nprobe
+    val base = graft.sources.Writers.roundTripDir("graft_ivfrt_parity", sf)
+    graft.api.Similarity.saveIvfIndex(e, "vec_id", "embedding", cents, base)
+    val q = e.filter(col("vec_id") < 10)
+    val a = graft.api.Similarity.ivfKnnFromIndexRouted(q, "vec_id", "embedding",
+      base, k = 5, baseNprobe = 4, simRound = Some(4)).orderBy("qid", "rank").collect().toSeq
+    val metaLadder = graft.api.Similarity.loadIvfMeta(spark, base)
+    val np = graft.api.Similarity.routedNprobe(metaLadder, 4)
+    val b = graft.api.Similarity.ivfKnnFromIndex(q, "vec_id", "embedding",
+      base, k = 5, nprobe = np, simRound = Some(4)).orderBy("qid", "rank").collect().toSeq
+    assert(a == b, "routed probe diverges from the plain probe at the routed nprobe")
+    info(f"routed recall $recall%.3f, fixture nprobe 4 -> $npIso")
+  }
+
   test("sim_knn_pca: 16-dim shortlist-100 recall vs brute-force top-5, and re-ranked sims are exact") {
     val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
