@@ -100,6 +100,62 @@ object StreamScaleBench {
         .groupBy("event_type").agg(count(lit(1)).as("n")), "update")
     run("stream_stateful_user_stats",
       e => StreamOps.userStatsStateful(e.as[GraftEvent]).toDF(), "update")
+
+    // stream-stream interval join (r20): two watermarked sides off the
+    // same time-ordered replay; the range condition bounds join state
+    // to the hour window behind the watermark, so state_rows must
+    // track the unexpired horizon, never the stream length. The
+    // transform ignores the runner's frame and builds both sides
+    // itself (a join needs two source scans); rows counts BOTH scans.
+    def side(tpe: String): DataFrame =
+      stream().filter(col("event_type") === tpe).withWatermark("ts", "2 hours")
+    run("stream_stream_join",
+      _ => StreamOps.clickPurchaseJoin(side("click"), side("purchase")),
+      "append")
+
+    // CDC apply loop (r20): foreachBatch SCD-1 merge of each batch's
+    // per-user latest row into a running snapshot — the state lives in
+    // the snapshot TABLE, not a state store, so the state_rows printed
+    // here is the snapshot's row count (= distinct users: the CDC
+    // state model's bound) read back after the drain. The superseded
+    // snapshot frame is freed per batch (the pin/free loop discipline)
+    // so driver state stays O(1) frames.
+    locally {
+      val t0 = System.nanoTime()
+      var snapshot: DataFrame = null
+      var inRows = 0L
+      var nBatches = 0
+      val q = stream().writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+          val latest = batch.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1)
+            .select(col("user_id"), col("event_type").as("last_type"),
+              col("value").as("last_value"), col("ts").as("last_ts"))
+          val next = graft.api.Checkpoints.pin(
+            if (snapshot == null) latest
+            else graft.api.Maintenance.upsertMerge(snapshot, latest, "user_id")
+              .drop("action"))
+          if (snapshot != null) graft.api.Checkpoints.free(snapshot)
+          snapshot = next
+          inRows += batch.count()
+          nBatches += 1
+          ()
+        }
+        .option("checkpointLocation", s"$ckRoot/stream_cdc_upsert").start()
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      q.stop()
+      val stateRows = if (snapshot == null) 0L else snapshot.count()
+      if (snapshot != null) graft.api.Checkpoints.free(snapshot)
+      println(s"""STREAMSCALE {"key":"stream_cdc_upsert","rows":$inRows,""" +
+        f""""wall_sec":$wall%.3f,"rows_per_sec":${inRows / wall}%.0f,""" +
+        s""""n_batches":$nBatches,"state_rows":$stateRows,""" +
+        s""""state_mem_bytes":-1,"rocksdb_sst_bytes":-1,""" +
+        s""""max_batch_ms":-1}""")
+    }
+
     println(s"""STREAMSCALE_META {"sf":"$sfDir","total_rows":$totalRows,""" +
       s""""files":$nFiles,"files_per_trigger":$filesPerTrigger}""")
     spark.stop()
