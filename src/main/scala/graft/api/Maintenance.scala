@@ -286,4 +286,52 @@ object Maintenance {
     require(files.nonEmpty, s"manifest v$version at $tableDir lists no files")
     spark.read.parquet(files.toIndexedSeq: _*)
   }
+
+  /** Snapshot EXPIRY + garbage collection — the retention half of the
+    * lifecycle ([[compactFiles]] is the other): keep only the `keep`
+    * manifest versions, delete every other manifest, then delete every
+    * data file that NO surviving manifest references. Order matters —
+    * manifests first, so a crash between the two phases leaves
+    * unreferenced-but-present files (wasted bytes, zero correctness
+    * risk), never a live manifest pointing at deleted bytes. The
+    * referenced-set is the union of the surviving manifests' file
+    * lists (bounded by file counts — MBs at 100 TB), compared on
+    * scheme-normalized paths so `file:///` vs `file:/` spellings can
+    * never cause a false GC. Returns
+    * (manifests deleted, data files deleted). */
+  def expireSnapshots(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String, keep: Seq[Int]): (Int, Int) = {
+    require(keep.nonEmpty, "expireSnapshots: must keep at least one version")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(tableDir),
+      spark.sparkContext.hadoopConfiguration)
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val manifestRoot = new org.apache.hadoop.fs.Path(s"$tableDir/manifests")
+    val versions = fs.listStatus(manifestRoot).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .map(_.drop(1).toInt)
+    val missing = keep.filterNot(versions.contains)
+    require(missing.isEmpty, s"expireSnapshots: versions $missing do not exist")
+    val referenced = keep.flatMap { v =>
+      spark.read.parquet(s"$tableDir/manifests/v$v")
+        .select("path").collect().map(r => norm(r.getString(0)))
+    }.toSet
+    val dropped = versions.filterNot(keep.contains)
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/manifests/v$v"), true)
+    }
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$tableDir/data"), true)
+    var removed = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      // committer markers (_SUCCESS, .crc) are not data: readers
+      // ignore them and manifests never list them — leave them be
+      val marker = name.startsWith("_") || name.startsWith(".")
+      if (f.isFile && !marker && !referenced.contains(norm(f.getPath.toString))) {
+        fs.delete(f.getPath, false)
+        removed += 1
+      }
+    }
+    (dropped.size, removed)
+  }
 }

@@ -340,6 +340,47 @@ object Scans {
             col("xor_checksum"), col("sum_checksum"))
       }.reduce(_ unionByName _).orderBy("version")
     }),
+    "data_snapshot_expire" -> ((s, d) => {
+      // snapshot EXPIRY + GC (r20) — the retention half of the
+      // lakehouse lifecycle, closing the loop data_snapshot_compact
+      // opens (compaction leaves the fragmented group unreferenced by
+      // the NEW manifest but still referenced by the OLD one — only
+      // expiry may reclaim it): stage v0 = frag+b and the compaction
+      // commit v1 = compact+b exactly as data_snapshot_compact, then
+      // expire v0 — manifests first, then delete every data file no
+      // surviving manifest references (the frag group). The key emits
+      // the table-checksum fold of v1 read AFTER the GC: a hash match
+      // vs the oracle's fold over the source table proves the GC
+      // deleted ONLY unreferenced bytes. WritePathSpec pins the file
+      // mechanics (frag files gone, compact+b intact, v0 unreadable,
+      // v1 pre≡post, counts exact).
+      import org.apache.spark.sql.types.DecimalType
+      val base = graft.sources.Writers.roundTripDir("graft_snapexpire", d)
+      Maintenance.dropTable(s, base) // fresh table per run (bench reruns keys)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val m = col("o_orderkey") % 4
+      val fFrag = Maintenance.writeDataGroup(
+        orders.filter(m.isin(0, 1)).repartition(24), base, "frag")
+      val fB = Maintenance.writeDataGroup(orders.filter(m.isin(2, 3)), base, "b")
+      Maintenance.writeManifest(s, base, 0, fFrag ++ fB)
+      val fComp = Maintenance.compactFiles(s, base, fFrag, "compact",
+        targetBytes = 4L * 1024 * 1024)
+      Maintenance.writeManifest(s, base, 1, fComp ++ fB)
+      val (nManifests, nFiles) = Maintenance.expireSnapshots(s, base, keep = Seq(1))
+      val rowStr = concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val h = conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long")
+      Maintenance.readSnapshot(s, base, 1).select(h.as("_h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(_h)").as("xor_checksum"),
+          pmod(sum(col("_h").cast(DecimalType(38, 0))),
+            lit(1152921504606846976L).cast(DecimalType(38, 0)))
+            .cast("long").as("sum_checksum"))
+        .select(lit(nManifests.toLong).as("n_manifests_expired"),
+          lit(nFiles.toLong).as("n_files_gced"),
+          col("n_rows"), col("xor_checksum"), col("sum_checksum"))
+    }),
     "data_compact_small_files" -> ((s, d) => {
       // small-file compaction — the #1 100 TB scan-throughput killer
       // (every file costs a task + footer read + open/close) and the
@@ -716,6 +757,25 @@ object Scans {
         |    CAST(count(DISTINCT o_orderkey) AS BIGINT),
         |    ${O.sumDec("o_totalprice", 2)} FROM t WHERE m IN (0, 1, 3))
         |ORDER BY version""".stripMargin,
+    // the surviving v1 read after expiry+GC must carry the checksum
+    // fold of the FULL orders table (GC deleted only unreferenced
+    // bytes); exactly 1 manifest (v0) expires and exactly the 24
+    // fragmented files (repartition(24), every partition non-empty at
+    // every fixture scale) are collected
+    "data_snapshot_expire" ->
+      s"""WITH r AS (SELECT md5(
+        |      CAST(o_orderkey AS VARCHAR) || '|' ||
+        |      o_orderstatus || '|' ||
+        |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h
+        |    FROM orders),
+        |x AS (SELECT ${O.hex15ToLong("h")} AS hv
+        |      FROM (SELECT CAST(substr(h, 1, 15) AS VARCHAR) AS h FROM r))
+        |SELECT CAST(1 AS BIGINT) AS n_manifests_expired,
+        |  CAST(24 AS BIGINT) AS n_files_gced,
+        |  count(*) AS n_rows, bit_xor(hv) AS xor_checksum,
+        |  CAST(sum(CAST(hv AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        |    AS sum_checksum
+        |FROM x""".stripMargin,
     // both snapshot versions (pre- and post-compaction) must carry the
     // checksum fold of the FULL orders selection — compaction is a
     // metadata rewrite, content-identical by contract

@@ -245,6 +245,40 @@ class WritePathSpec extends AnyFunSuite {
     assert(v1.count() == orders.count(), "v1 content is not the full table")
   }
 
+  test("snapshot expiry GCs exactly the unreferenced files; the survivor reads identically") {
+    // the data_snapshot_expire contract executed directly: after
+    // expiring v0 of the compaction-staged table, (1) every frag file
+    // is GONE from disk and (2) every compact+b file is intact,
+    // (3) the v0 manifest no longer resolves, (4) v1 reads byte-equal
+    // to before the expiry, (5) the returned counts are exact.
+    val base = Files.createTempDirectory("graft-snapexp").toString
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val m = col("o_orderkey") % 4
+    val fFrag = graft.api.Maintenance.writeDataGroup(
+      orders.filter(m.isin(0, 1)).repartition(24), base, "frag")
+    val fB = graft.api.Maintenance.writeDataGroup(orders.filter(m.isin(2, 3)), base, "b")
+    graft.api.Maintenance.writeManifest(spark, base, 0, fFrag ++ fB)
+    val fComp = graft.api.Maintenance.compactFiles(spark, base, fFrag, "compact",
+      targetBytes = 4L * 1024 * 1024)
+    graft.api.Maintenance.writeManifest(spark, base, 1, fComp ++ fB)
+    val v1Before = graft.api.Maintenance.readSnapshot(spark, base, 1)
+      .collect().map(_.toString).sorted.toSeq
+    val (nManifests, nFiles) = graft.api.Maintenance.expireSnapshots(spark, base, Seq(1))
+    assert(nManifests == 1 && nFiles == fFrag.size,
+      s"expected (1, ${fFrag.size}) expired, got ($nManifests, $nFiles)")
+    def onDisk(f: String): Boolean = new java.io.File(new java.net.URI(f)).exists()
+    assert(fFrag.forall(!onDisk(_)), "GC left unreferenced frag files on disk")
+    assert((fComp ++ fB).forall(onDisk), "GC deleted a file a surviving manifest references")
+    intercept[Exception] {
+      graft.api.Maintenance.readSnapshot(spark, base, 0).collect()
+    }
+    val v1After = graft.api.Maintenance.readSnapshot(spark, base, 1)
+      .collect().map(_.toString).sorted.toSeq
+    assert(v1After.nonEmpty && v1After == v1Before,
+      "expiry changed what the surviving snapshot reads")
+  }
+
   test("writeDataGroup refuses to overwrite a live group — immutability is enforced") {
     // earlier manifests list the group's files by path; a second write
     // under the same group name would clobber bytes a pinned reader
