@@ -263,6 +263,61 @@ object TextOps {
       } finally graft.api.Checkpoints.free(words)
     }),
     "text_bpe_train_iter" -> ((s, d) => bpeTrainIter(s, d, rounds = 20)),
+    "text_bpe_encode" -> ((s, d) => {
+      // the APPLY half of the BPE loop (r20) — what a tokenizer
+      // actually does in production after training: learn k=3 merges
+      // (bit-identical to text_bpe_train_k's loop), segment every
+      // DISTINCT word under them, then ENCODE the corpus through a
+      // broadcast vocab join — per doc, the whitespace token count and
+      // the BPE piece count after the merges (the number that fills a
+      // context window). Piece counting is vocabulary-bounded: the
+      // merges and the per-word piece table are computed over the
+      // ~|vocab| state (the text_vocab_* posture); the corpus pays ONE
+      // explode + broadcast-lookup pass, never a per-token merge scan.
+      // Words the trainer excludes (length 1 — no pair to merge —
+      // and separator-carrying, none in any fixture) encode as one
+      // piece via the left-join coalesce; the oracle mirrors both.
+      val SEP = ""
+      var st = graft.api.Checkpoints.pin(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2 && !col("w").contains(SEP))
+          .groupBy("w").agg(count(lit(1)).as("freq"))
+          .select(col("w"), col("freq"),
+            concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP + SEP))
+              .as("seg")))
+      for (_ <- 1 to 3) {
+        val top = st
+          .withColumn("_syms", filter(split(col("seg"), SEP), x => x =!= lit("")))
+          .filter(size(col("_syms")) >= 2)
+          .select(col("freq"), explode(
+            transform(sequence(lit(1), size(col("_syms")) - 1),
+              i => struct(element_at(col("_syms"), i).as("a"),
+                element_at(col("_syms"), i + 1).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1).collect()
+        require(top.nonEmpty, "text_bpe_encode: no adjacent pairs to merge")
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        val next = graft.api.Checkpoints.pin(st.select(col("w"), col("freq"),
+          call_function("replace", col("seg"),
+            lit(SEP + a + SEP + SEP + b + SEP), lit(SEP + a + b + SEP)).as("seg")))
+        graft.api.Checkpoints.free(st)
+        st = next
+      }
+      // the returned frame is a pinned leaf (the kcore/LPA convention)
+      val vocab = st.select(col("w"),
+        size(filter(split(col("seg"), SEP), x => x =!= lit("")))
+          .cast("long").as("_np"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("_np"), lit(1L))).as("n_pieces"))
+        .orderBy("doc_id")
+    }),
     "text_lang_source_matrix" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
@@ -1230,6 +1285,44 @@ object TextOps {
          |  UNION ALL SELECT 2, a, b, n FROM m2
          |  UNION ALL SELECT 3, a, b, n FROM m3)
          |ORDER BY round""".stripMargin
+    },
+    // the APPLY half: re-derive the 3 merges (same materialized-CTE
+    // unroll as text_bpe_train_k, with `w` carried through the seg
+    // chain), count pieces per distinct word from the final
+    // segmentation, and encode the corpus through a vocab left join
+    // (length-1 / separator-carrying words coalesce to 1 piece —
+    // mirrored in the Spark side)
+    "text_bpe_encode" -> {
+      def round(cur: Int): String =
+        s"""p$cur AS MATERIALIZED (SELECT sy[CAST(i AS INTEGER)] AS a,
+           |    sy[CAST(i AS INTEGER) + 1] AS b, freq FROM (
+           |  SELECT sy, freq, unnest(range(1, len(sy))) AS i FROM (
+           |    SELECT list_filter(string_split(seg, chr(31)), x -> x <> '') AS sy,
+           |           freq FROM s$cur))),
+           |m$cur AS MATERIALIZED (SELECT a, b FROM p$cur GROUP BY 1, 2
+           |  ORDER BY CAST(sum(freq) AS BIGINT) DESC, a, b LIMIT 1),
+           |s${cur + 1} AS MATERIALIZED (SELECT w, replace(seg,
+           |    chr(31) || (SELECT a FROM m$cur) || chr(31) || chr(31) || (SELECT b FROM m$cur) || chr(31),
+           |    chr(31) || (SELECT a FROM m$cur) || (SELECT b FROM m$cur) || chr(31)) AS seg,
+           |  freq FROM s$cur)""".stripMargin
+      s"""WITH w AS MATERIALIZED (SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE length(w) >= 2 AND NOT contains(w, chr(31)) GROUP BY 1),
+         |s1 AS MATERIALIZED (SELECT w, chr(31) ||
+         |    regexp_replace(w, '(.)', '\\1' || chr(31) || chr(31), 'g') AS seg,
+         |  freq FROM w),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |vocab AS MATERIALIZED (SELECT w,
+         |  CAST(len(list_filter(string_split(seg, chr(31)), x -> x <> ''))
+         |    AS BIGINT) AS np FROM s4),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(coalesce(v.np, 1)) AS BIGINT) AS n_pieces
+         |FROM tok LEFT JOIN vocab v USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     // pair counts weighted by word freq off the distinct-word table;
     // range(1, len) is exclusive-upper = Spark's sequence(1, len-1)

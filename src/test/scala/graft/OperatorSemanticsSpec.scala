@@ -171,7 +171,13 @@ class OperatorSemanticsSpec extends AnyFunSuite {
     * divergence in the separator-string transport (shared boundary
     * separators, trailing separators, re-segmentation) shows up as a
     * different merge table. */
-  private def sequentialBpe(rounds: Int): Seq[(Long, String, String, Long)] = {
+  private def sequentialBpe(rounds: Int): Seq[(Long, String, String, Long)] =
+    sequentialBpeFull(rounds)._1
+
+  /** [[sequentialBpe]] plus the FINAL per-word segmentation — the
+    * reference for the encode (apply) key too. */
+  private def sequentialBpeFull(rounds: Int)
+      : (Seq[(Long, String, String, Long)], Map[String, Vector[String]]) = {
     def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
       val out = Vector.newBuilder[String]
       var i = 0
@@ -211,7 +217,26 @@ class OperatorSemanticsSpec extends AnyFunSuite {
         round += 1
       }
     }
-    expected.toSeq
+    // wordSyms keys are symbol vectors; re-key by the original word
+    // (symbols always rejoin to it — the concatenation invariant)
+    (expected.toSeq, wordSyms.map { case (syms, _) => syms.mkString -> syms })
+  }
+
+  test("text_bpe_encode: per-doc piece counts match the sequential reference encode") {
+    val (_, segs) = sequentialBpeFull(3)
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val expected = texts.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val pieces = toks.map { w =>
+        if (w.length >= 2 && !w.contains('')) segs(w).length.toLong else 1L
+      }.sum
+      (id, toks.length.toLong, pieces)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("text_bpe_encode")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected,
+      s"encode mismatch; first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
   }
 
   test("text_bpe_train_k matches a sequential driver-side BPE reimplementation") {
