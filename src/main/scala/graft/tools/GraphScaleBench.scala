@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * (j → (j + 1/7/31·(1+j%3)) mod N: local clustering, varied stride
   * so rings interleave) plus one long-range link (j → (j·2654435761)
   * mod N: the small-world chord that keeps diameter logarithmic).
-  * Self-loops dropped by the operators; weights 1 + (j·31 + c) % 9.
+  * Self-loops dropped by the operators; weights 1 + (j·31 + c) % 9
+  * where c is the row's monotonically_increasing_id mod 4 —
+  * deterministic for a FIXED partition layout (spark.range at
+  * local[32], this tool's hardcoded master), which is the committed
+  * artifact's reproduction condition; a different core count permutes
+  * some weights (topology and timing shape are unaffected — weights
+  * only feed the min-plus/LPA label arithmetic).
   * Timing = min of 2 runs per operator (first run in a fresh JVM pays
   * codegen; the artifact rule is min-of-runs, same as graft.Bench).
   */
