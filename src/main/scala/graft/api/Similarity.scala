@@ -556,6 +556,27 @@ object Similarity {
     spark.read.parquet(s"$indexPath/meta").head
       .getSeq[Double](0).toArray
 
+  /** Recalibrate a persisted index's routing ladder from its ON-DISK
+    * LIVE content (cells minus tombstones) and rewrite the meta — the
+    * maintenance step after enough [[ivfUpsert]]/[[ivfDelete]] batches
+    * that the build-time ladder no longer reflects the corpus. Unlike
+    * a rebuild this never touches the original corpus frame or the
+    * cell layout: one read of the index, the same bounded calibration
+    * as the build ([[probeRecallLadder]]), one tiny meta overwrite.
+    * On an untouched index the refreshed ladder is BITWISE the
+    * build-time one (same ids → same hash-ordered sample → same truth
+    * — NoOracleSpec asserts it). Returns the new ladder. */
+  def refreshIvfMeta(spark: SparkSession, indexPath: String): Array[Double] = {
+    val centroids = graft.sources.Artifacts.loadCodebook(spark,
+      s"$indexPath/codebook")
+    val ladder = probeRecallLadder(liveCells(spark, indexPath)
+      .select(col("_vid"), col("_v")), "_vid", "_v", centroids)
+    import spark.implicits._
+    Seq(Tuple1(ladder)).toDF("ladder").repartition(1)
+      .write.mode("overwrite").parquet(s"$indexPath/meta")
+    ladder
+  }
+
   /** [[ivfKnnFromIndex]] behind the [[routedNprobe]] measured gate,
     * reading the ladder from the PERSISTED index manifest — the
     * production route: the calibration was paid once at build time,
@@ -627,6 +648,23 @@ object Similarity {
     * here as a BROADCAST anti-join (the tombstone table is bounded by
     * deletes, never by corpus) — no exchange lands on the cells scan,
     * and an index without tombstones planes exactly as before. */
+  /** The index's LIVE content: the cells layout minus tombstoned ids.
+    * No .distinct() on the tombstone side: an anti-join ignores
+    * build-side duplicates, and the distinct would be an extra
+    * tombstone-sized shuffle (WritePathSpec pins the probe plan at
+    * exactly one exchange — the rank window). */
+  private def liveCells(spark: SparkSession, indexPath: String): DataFrame = {
+    val cellsRaw = spark.read.parquet(s"$indexPath/cells")
+    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tombPath))
+      cellsRaw.join(
+        broadcast(spark.read.parquet(s"$indexPath/tombstones")
+          .select(col("_vid").as("_tomb"))),
+        cellsRaw("_vid") === col("_tomb"), "left_anti")
+    else cellsRaw
+  }
+
   def ivfKnnFromIndex(queries: DataFrame, idCol: String, vecCol: String,
       indexPath: String, k: Int, nprobe: Int,
       simRound: Option[Int] = None): DataFrame = {
@@ -634,20 +672,7 @@ object Similarity {
     val centroids = graft.sources.Artifacts.loadCodebook(spark,
       s"$indexPath/codebook")
     val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nprobe))
-    val cellsRaw = spark.read.parquet(s"$indexPath/cells")
-    val tombPath = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live =
-      if (fs.exists(tombPath))
-        // no .distinct() on the tombstone side: an anti-join ignores
-        // build-side duplicates, and the distinct would be the probe's
-        // only extra shuffle (tombstone-sized, but WritePathSpec pins
-        // the plan at exactly one exchange — the rank window)
-        cellsRaw.join(
-          broadcast(spark.read.parquet(s"$indexPath/tombstones")
-            .select(col("_vid").as("_tomb"))),
-          cellsRaw("_vid") === col("_tomb"), "left_anti")
-      else cellsRaw
+    val live = liveCells(spark, indexPath)
     val cands = live
       .select(col("_vid").as("cid"), col("_v").as("_ce"), col("_cell"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("_qe"))

@@ -324,6 +324,28 @@ class NoOracleSpec extends AnyFunSuite {
     info(f"routed recall $recall%.3f, fixture nprobe 4 -> $npIso")
   }
 
+  test("refreshIvfMeta: untouched index reproduces the build-time ladder bitwise; post-delete refresh stays valid") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+    val cents = graft.api.Similarity.trainCodebook(e, "vec_id", "embedding", k = 16)
+    val base = graft.sources.Writers.roundTripDir("graft_ivfrefresh", sf)
+    graft.api.Similarity.saveIvfIndex(e, "vec_id", "embedding", cents, base)
+    val built = graft.api.Similarity.loadIvfMeta(spark, base).toSeq
+    // same ids → same hash-ordered sample → same truth: the refresh
+    // must reproduce the build-time calibration exactly from disk
+    val refreshed = graft.api.Similarity.refreshIvfMeta(spark, base).toSeq
+    assert(refreshed == built,
+      s"on-disk recalibration diverged from the build: $refreshed vs $built")
+    // after deletes, the refresh recalibrates on the LIVE content and
+    // the result is still a valid ladder (monotone, ends exact)
+    graft.api.Similarity.ivfDelete(e.filter(col("vec_id") % 2 === 1), "vec_id", base)
+    val after = graft.api.Similarity.refreshIvfMeta(spark, base)
+    assert(after.length == built.length)
+    assert(after.zip(after.tail).forall { case (a, b) => b >= a },
+      s"post-delete ladder not monotone: ${after.toSeq}")
+    assert(math.abs(after.last - 1.0) < 1e-12, s"ladder must end at 1.0: ${after.last}")
+  }
+
   test("sim_knn_pca: 16-dim shortlist-100 recall vs brute-force top-5, and re-ranked sims are exact") {
     val exact = SparkEntry.queries("sim_knn_per_query")(spark, sf)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
