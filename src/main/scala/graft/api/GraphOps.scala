@@ -56,6 +56,14 @@ object GraphOps {
     val e = Checkpoints.pin(edges
       .select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
       .filter(col("_src") =!= col("_dst")).distinct())
+    // SMALL-GRAPH FAST PATH (see GraphLocal): one bounded probe over the
+    // pinned edge frame decides AND delivers; big graphs take the loop
+    val local = GraphLocal.collectBounded(e)
+    if (local.isDefined) {
+      try return GraphLocal.pagerank(edges.sparkSession, local.get,
+        iters, massScale, dampPct)
+      finally Checkpoints.free(e)
+    }
     val nodes = Checkpoints.pin(
       e.select(col("_src").as("node")).union(e.select(col("_dst").as("node"))).distinct())
     val eDeg = Checkpoints.pin(
@@ -107,9 +115,27 @@ object GraphOps {
     val e = Checkpoints.pin(edges
       .select(col(srcCol).cast("long").as("_src"), col(dstCol).cast("long").as("_dst"))
       .filter(col("_src") =!= col("_dst")).distinct())
+    // SMALL-GRAPH FAST PATH — both the edge set and the (deduped)
+    // source set must fit the budget; either probe failing falls
+    // through to the distributed loop unchanged
+    val localE = GraphLocal.collectBounded(e)
+    if (localE.isDefined) {
+      val localSrc = GraphLocal.collectBounded(
+        sources.select(col("node").cast("long").as("node")).distinct())
+      if (localSrc.isDefined) {
+        try return GraphLocal.bfs(edges.sparkSession, localE.get,
+          localSrc.get.map(_.getLong(0)).toSet, maxHops)
+        finally Checkpoints.free(e)
+      }
+    }
     val nodes = Checkpoints.pin(
       e.select(col("_src").as("node")).union(e.select(col("_dst").as("node"))).distinct())
-    val src = sources.select(col("node").cast("long").as("node"), lit(0L).as("_d0"))
+    // distinct: dist₀ = nodes LEFT-join src, so a node listed twice in
+    // `sources` would duplicate its dist row and every round/output row
+    // after it — the same one-row-per-node invariant fix
+    // weightedDistances carries (r20 ADVICE closed here)
+    val src = sources.select(col("node").cast("long").as("node")).distinct()
+      .withColumn("_d0", lit(0L))
     def pinD(m: DataFrame): DataFrame =
       if (broadcastDist) broadcast(m) else m.hint("shuffle_hash")
     var dist = Checkpoints.pin(nodes.join(src, Seq("node"), "left")
@@ -153,6 +179,18 @@ object GraphOps {
       broadcastDist: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val sym = Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol))
+    // SMALL-GRAPH FAST PATH — probe the pinned symmetric fold (and the
+    // deduped source set); either probe failing takes the loop
+    val localSym = GraphLocal.collectBounded(sym)
+    if (localSym.isDefined) {
+      val localSrc = GraphLocal.collectBounded(
+        sources.select(col("node").cast("long").as("node")).distinct())
+      if (localSrc.isDefined) {
+        try return GraphLocal.weighted(edges.sparkSession, localSym.get,
+          localSrc.get.map(_.getLong(0)).toSet, rounds)
+        finally Checkpoints.free(sym)
+      }
+    }
     val nodes = Checkpoints.pin(sym.select(col("u").as("node")).distinct())
     try {
       // distinct: dist₀ = nodes LEFT-join src, so a node listed twice
@@ -209,6 +247,15 @@ object GraphOps {
     * pipeline that produced the edges. */
   def degreeStats(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String): DataFrame = {
+    // SMALL-GRAPH FAST PATH — the probe runs the (usually pre-pinned)
+    // edge derivation once; node ids surface as long on this path
+    // (every other kernel here already casts — output consumers key on
+    // node VALUE, and int/long equi-joins coerce)
+    val local = GraphLocal.collectBounded(edges.select(
+      col(srcCol).cast("long"), col(dstCol).cast("long"),
+      col(weightCol).cast("long")))
+    if (local.isDefined)
+      return GraphLocal.degreeStats(edges.sparkSession, local.get)
     val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
       col(weightCol).cast("long").as("_w"))
     val out = e.groupBy(col("_src").as("node"))
@@ -249,6 +296,12 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi")).distinct())
+    // SMALL-GRAPH FAST PATH — see GraphLocal
+    val local = GraphLocal.collectBounded(und)
+    if (local.isDefined) {
+      try return GraphLocal.linkPredict(edges.sparkSession, local.get)
+      finally Checkpoints.free(und)
+    }
     val nbr = und.select(col("lo").as("u"), col("hi").as("v"))
       .union(und.select(col("hi").as("u"), col("lo").as("v")))
     val deg = nbr.groupBy("u").agg(count(lit(1)).as("_deg"))
@@ -288,6 +341,12 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi")).distinct())
+    // SMALL-GRAPH FAST PATH — see GraphLocal
+    val local = GraphLocal.collectBounded(und)
+    if (local.isDefined) {
+      try return GraphLocal.triangles(edges.sparkSession, local.get)
+      finally Checkpoints.free(und)
+    }
     val deg = und.select(col("lo").as("node")).union(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("_deg"))
     // total orientation order: the (degree, id) STRUCT, compared
@@ -340,6 +399,12 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi")).distinct())
+    // SMALL-GRAPH FAST PATH — see GraphLocal
+    val local = GraphLocal.collectBounded(und)
+    if (local.isDefined) {
+      try return GraphLocal.clustering(edges.sparkSession, local.get)
+      finally Checkpoints.free(und)
+    }
     val deg = und.select(col("lo").as("node"))
       .union(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -377,6 +442,12 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi")).distinct())
+    // SMALL-GRAPH FAST PATH — see GraphLocal
+    val local = GraphLocal.collectBounded(und)
+    if (local.isDefined) {
+      try return GraphLocal.harmonic(edges.sparkSession, local.get, maxHops)
+      finally Checkpoints.free(und)
+    }
     val sym = Checkpoints.pin(
       und.select(col("lo").as("u"), col("hi").as("v"))
         .union(und.select(col("hi").as("u"), col("lo").as("v"))))
@@ -435,6 +506,12 @@ object GraphOps {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("lo"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi")).distinct())
+    // SMALL-GRAPH FAST PATH — see GraphLocal
+    val local = GraphLocal.collectBounded(und)
+    if (local.isDefined) {
+      try return GraphLocal.kcore(edges.sparkSession, local.get, k, rounds)
+      finally Checkpoints.free(und)
+    }
     val nodes = und.select(col("lo").as("node"))
       .union(und.select(col("hi").as("node"))).distinct()
     def pinKeep(m: DataFrame): DataFrame =
@@ -532,6 +609,12 @@ object GraphOps {
     * the superseded round's checkpoint blocks). */
   def labelPropagationOnSym(sym: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // SMALL-GRAPH FAST PATH — sym is caller-pinned, so the probe is a
+    // cheap block read and the caller keeps ownership of (and frees)
+    // its pin; the returned local frame needs no free (a no-op)
+    val local = GraphLocal.collectBounded(sym)
+    if (local.isDefined)
+      return GraphLocal.lpa(sym.sparkSession, local.get, rounds)
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     var pinned: Option[DataFrame] = None
@@ -584,6 +667,16 @@ object GraphOps {
       nodeCol: String = "node", lblCol: String = "lbl"): DataFrame = {
     val lab = labels.select(col(nodeCol).cast("long").as("_nd"),
       col(lblCol).cast("long").as("_lb"))
+    // SMALL-GRAPH FAST PATH — both probes bounded; on this path the
+    // result does NOT carry the caller's sym pin (free(result) becomes
+    // a no-op) — the few superseded blocks fall to ContextCleaner
+    val localSym = GraphLocal.collectBounded(sym)
+    if (localSym.isDefined) {
+      val localLab = GraphLocal.collectBounded(lab)
+      if (localLab.isDefined)
+        return GraphLocal.modularity(sym.sparkSession, localSym.get,
+          localLab.get.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    }
     val tot = sym.agg(sum(col("w")).as("_W"))
     val aC = sym.groupBy("u").agg(sum(col("w")).as("_k"))
       .join(broadcast(lab), col("u") === col("_nd"))

@@ -17,6 +17,22 @@ class GraphSpec extends AnyFunSuite {
     es.toDF("src", "dst")
   }
 
+  /** Force the distributed loop (r21): posture-comparison tests assert
+    * properties OF THE LOOP (broadcast vs shuffle label frames), so the
+    * small-graph driver fast path must be disabled for them —
+    * GraphLocalParitySpec covers local-vs-loop equivalence separately. */
+  private def withLoopPosture[A](f: => A): A = {
+    val key = "spark.graft.graph.localEdgeThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    try f finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** Driver-side replica of pagerankMass's integer recurrence. */
   private def prReference(es: Seq[(Long, Long)], iters: Int,
       massScale: Long = 1000000000000L, dampPct: Long = 85L): Map[Long, Long] = {
@@ -91,12 +107,14 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("pagerankMass is posture-independent: broadcast and shuffle mass agree") {
+    withLoopPosture {
     val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 2L), (4L, 1L), (1L, 4L))
     val b = GraphOps.pagerankMass(edgeDf(es), "src", "dst", iters = 4,
       broadcastMass = true).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val sh = GraphOps.pagerankMass(edgeDf(es), "src", "dst", iters = 4,
       broadcastMass = false).collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(b == sh)
+    }
   }
 
   test("trianglesPerNode: K4 has 3 per node, a path has none, directed dups collapse") {
@@ -130,6 +148,7 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("bfsDistances: hop counts on a path + unreached sentinel, postures agree") {
+    withLoopPosture {
     val s = spark; import s.implicits._
     // directed path 1->2->3->4 plus isolated pair 9->10 (unreached)
     val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
@@ -144,6 +163,16 @@ class GraphSpec extends AnyFunSuite {
     val sh = GraphOps.bfsDistances(edgeDf(es), "src", "dst", src, maxHops = 4,
       broadcastDist = false).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh == got)
+    // duplicate rows in `sources` must not duplicate dist rows (the
+    // r20 ADVICE hazard, closed with the same internal distinct as
+    // weightedDistances): dist₀ is nodes LEFT-join src
+    val dup = GraphOps.bfsDistances(edgeDf(es), "src", "dst",
+        Seq(1L, 1L, 1L).toDF("node"), maxHops = 4)
+      .collect()
+    assert(dup.length == 6 &&
+      dup.map(r => r.getLong(0) -> r.getLong(1)).toMap == got,
+      s"duplicate source rows broke the one-row-per-node invariant: ${dup.toSeq}")
+    }
   }
 
   test("degreeStats hand graph") {
@@ -190,6 +219,7 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("kcoreMembers: cascade needs its rounds, and postures agree") {
+    withLoopPosture {
     // path 1-2-3-4-5 with k=2: round 1 peels the endpoints (1, 5),
     // leaving edges 2-3, 3-4; round 2 peels 2 and 4, and with them
     // every remaining edge — the empty (correct) 2-core. An undersized
@@ -210,6 +240,7 @@ class GraphSpec extends AnyFunSuite {
         k = 2, rounds = 3)
       .orderBy("node").collect().toSeq
     assert(a == b)
+    }
   }
 
   test("harmonicCentrality matches hand values on a path graph") {
@@ -239,6 +270,7 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("weightedDistances: min-plus on a hand graph where cheap routes beat direct edges") {
+    withLoopPosture {
     // 1—2 cost 10 direct, but 1—3—2 costs 1+2=3; node 4 isolated-by-
     // direction is still reached through the symmetric fold; node 5
     // absent from the source's component emits -1
@@ -265,6 +297,7 @@ class GraphSpec extends AnyFunSuite {
       .collect()
     assert(dup.length == 6 && dup.map(r => r.getLong(0) -> r.getLong(1)).toMap == got,
       s"duplicate source rows broke the one-row-per-node invariant: ${dup.toSeq}")
+    }
   }
 
   test("graph_weighted_paths is round-stationary inside the 6-round budget") {
