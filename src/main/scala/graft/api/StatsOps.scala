@@ -189,8 +189,9 @@ object StatsOps {
     * per-group fence table is broadcast back, and the verdict is a
     * rowwise filter. Fences are pre-rounded (4 dp) for the same
     * engine-portability reason as [[zscoreFlags]]. */
-  def iqrOutliers(df: DataFrame, groupCol: String, idCol: String,
+  def iqrOutliers(df0: DataFrame, groupCol: String, idCol: String,
       valueCol: String, k: Double = 1.5): DataFrame = {
+    val df = Fanout(df0) // spread the scan-shaped input across cores (r21)
     require(k > 0, s"fence multiplier must be > 0, got $k")
     val cuts = binnedPercentiles(df, groupCol, col(valueCol),
         Seq("_q1" -> 0.25, "_q3" -> 0.75))
@@ -323,7 +324,8 @@ object StatsOps {
       Canon.r4(when(m2 > 0, m4 / (m2 * m2) - lit(3.0))).as("kurtosis_excess"))
   }
 
-  def corrMatrixExact(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+  def corrMatrixExact(df0: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    val df = Fanout(df0) // spread the scan-shaped input across cores (r21)
     require(cols.size >= 2, s"need at least 2 columns, got ${cols.size}")
     val dt = DecimalType(18, scale)
     def dec(c: String): Column = col(c).cast(dt)

@@ -296,7 +296,7 @@ object TextAnalysis {
     val gramHashes =
       explode(transform(array_distinct(wordNgrams(textCol, n)), g => xxhash64(g))).as("_gh")
     val benchGrams = bench.select(gramHashes).distinct()
-    corpus.select(col(idCol), gramHashes)
+    Fanout(corpus).select(col(idCol), gramHashes)
       .join(broadcast(benchGrams), "_gh")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
   }
@@ -341,7 +341,8 @@ object TextAnalysis {
     * (map-side) combine, so the shuffle carries one row per DISTINCT
     * gram per task, then a TakeOrderedAndProject global top-k — never a
     * full sort of the gram table. */
-  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+  def topNgrams(df0: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    val df = Fanout(df0) // spread the scan-shaped input across cores (r21)
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
     df.select(explode(wordNgrams(textCol, n)).as("ngram"))

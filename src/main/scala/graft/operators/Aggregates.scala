@@ -242,9 +242,12 @@ object Aggregates {
       // any engine, any partitioning. Scale: linear ×B fan-out, two
       // hash aggregates, no sort wider than 50 rows.
       import org.apache.spark.sql.types.DecimalType
-      val li = Tables.lineitem(s, d).select(
+      // Fanout (r21): the ×50 replica explode + per-row md5 stream is
+      // the key's dominant cost and would otherwise run on the single
+      // scan partition of the one-file fixture
+      val li = graft.api.Fanout(Tables.lineitem(s, d).select(
         concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("_id"),
-        col("l_extendedprice").cast(DecimalType(18, 2)).as("_x"))
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("_x")))
       val rep = li.select(col("_id"), col("_x"),
         explode(sequence(lit(0), lit(49))).as("b"))
       // inverse-CDF Poisson(1) on a 16-bit md5 slice: thresholds are

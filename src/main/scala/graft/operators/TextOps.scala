@@ -1153,19 +1153,23 @@ object TextOps {
       // exactly. State ∝ docs × alphabet, never total chars.
       import org.apache.spark.sql.types.DecimalType
       val d6 = DecimalType(28, 6)
-      val cells = Tables.documents(s, d)
+      // r21: chars via ONE split pass — the former per-index
+      // substr(text, i, 1) transform re-scans the string from the
+      // start per character (O(len²) per document, measured as the
+      // key's dominant cost); split on the empty pattern emits the
+      // identical per-character array in O(len). Per-doc length is
+      // length(text) carried as a grouping constant — same value the
+      // old window sum computed (Σ char counts ≡ char count), one
+      // less corpus-cell shuffle+sort. Fanout spreads the
+      // single-file scan across cores.
+      val cells = graft.api.Fanout(Tables.documents(s, d))
         .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("source"),
-          explode(expr(
-            "transform(sequence(1, length(text)), i -> substr(text, i, 1))"))
-            .as("_ch"))
-        .groupBy("doc_id", "source", "_ch").agg(count(lit(1)).as("_c"))
-      // per-doc length rides a window over the SAME tiny cell frame —
-      // no second corpus pass, no fan-out
-      val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val perDoc = cells.withColumn("_len", sum(col("_c")).over(wDoc))
+          length(col("text")).cast("long").as("_len"),
+          explode(split(col("text"), "")).as("_ch"))
+        .groupBy("doc_id", "source", "_len", "_ch").agg(count(lit(1)).as("_c"))
       val p = col("_c").cast("double") / col("_len").cast("double")
-      val h = perDoc.groupBy("doc_id", "source")
+      val h = cells.groupBy("doc_id", "source")
         .agg(sum(Canon.rk(-p * log(p), 6).cast(d6)).as("_h"))
       h.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
