@@ -229,7 +229,19 @@ object Maintenance {
       s"data group already exists: $dir — data files are immutable; " +
         "use a new group name, or dropTable to rebuild from scratch")
     df.write.mode("errorifexists").parquet(dir)
-    df.sparkSession.read.parquet(dir).inputFiles.toSeq.sorted
+    // list the committed part files straight off the filesystem — the
+    // former spark.read.parquet(dir).inputFiles round trip paid a
+    // relation build (schema-inference footer read + file index) per
+    // group just to enumerate paths (r21). Path.toUri.toString is the
+    // exact string form Dataset.inputFiles emits ("file:///…" — probed,
+    // WritePathSpec compares the two sets), with the same
+    // committer-marker exclusions as Spark's own file index.
+    val committed = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+      .map(_.toUri.toString)
+    committed.toSeq.sorted
   }
 
   /** Remove an entire snapshot table (data + manifests) — the ONLY
@@ -270,7 +282,9 @@ object Maintenance {
   def writeManifest(spark: org.apache.spark.sql.SparkSession, tableDir: String,
       version: Int, files: Seq[String]): Unit = {
     import spark.implicits._
-    files.toDF("path").repartition(1)
+    // coalesce, not repartition: the file list is a driver-local Seq —
+    // a repartition(1) added a full (if tiny) shuffle per commit (r21)
+    files.toDF("path").coalesce(1)
       .write.mode("overwrite").parquet(s"$tableDir/manifests/v$version")
   }
 

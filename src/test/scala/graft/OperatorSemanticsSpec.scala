@@ -270,6 +270,22 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       s"iterated trainer prefix ${got.take(3)} diverges from train_k $k3")
   }
 
+  test("text_bpe_train_iter: driver fast path == distributed loop (r21)") {
+    // the small-vocab decide-and-deliver path must be bit-identical to
+    // the pinned-state loop it replaces below the vocab budget
+    def run(): Seq[(Long, String, String, Long)] =
+      SparkEntry.queries("text_bpe_train_iter")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val localRows = run() // default posture: fast path
+    val key = "spark.graft.bpe.localVocabThreshold"
+    spark.conf.set(key, "0")
+    val loopRows = try run() finally spark.conf.unset(key)
+    assert(localRows == loopRows,
+      s"fast path diverged from the loop:\nlocal=$localRows\nloop=$loopRows")
+    assert(localRows.size == 20)
+  }
+
   test("as-of joins: NULL timestamps match nothing in either direction") {
     val s = spark
     import s.implicits._
