@@ -776,13 +776,18 @@ object Dedup {
     * side of any join — only the batch shuffles.
     *
     * Returns (docs, banded): docs = (_id, _th token hashes);
-    * banded = (_id, _sig, _band, _bh), one row per (doc, band). Each
-    * frame re-runs the hashing when materialized — write them in one
-    * pass each (no checkpoint here; the write IS the materialization). */
+    * banded = (_id, _sig, _band, _bh), one row per (doc, band). The
+    * docs frame is eagerly PINNED (Checkpoints retention contract):
+    * banded derives from it, so without the pin each returned frame's
+    * materialization — i.e. each of the two table writes — re-ran the
+    * whole token-hashing pass (measured on dedup_minhash_persisted,
+    * r21). Call `Checkpoints.free(docs)` once BOTH frames are
+    * materialized (both tables written); freeing earlier breaks
+    * banded. */
   def minhashIndexTables(index: DataFrame, idCol: String, textCol: String,
       bands: Int = 16, rowsPerBand: Int = 8): (DataFrame, DataFrame) = {
-    val docs = fanout(index).select(col(idCol).as("_id"),
-      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th"))
+    val docs = Checkpoints.pin(fanout(index).select(col(idCol).as("_id"),
+      Kernels.tokenHashesUdf(split(col(textCol), " ")).as("_th")))
     val banded = docs.select(col("_id"),
         Kernels.minhashBandsUdf(bands, rowsPerBand)(col("_th")).as("_sig"))
       .select(col("_id"), col("_sig"), posexplode(col("_sig")).as(Seq("_band", "_bh")))

@@ -545,8 +545,10 @@ object Similarity {
     // embeddingDrift)
     val spark = df.sparkSession
     import spark.implicits._
+    // coalesce, not repartition: one driver-local row — a
+    // repartition(1) added a shuffle per index build (r21)
     Seq(Tuple1(probeRecallLadder(df, idCol, vecCol, centroids)))
-      .toDF("ladder").repartition(1)
+      .toDF("ladder").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -572,7 +574,7 @@ object Similarity {
     val ladder = probeRecallLadder(liveCells(spark, indexPath)
       .select(col("_vid"), col("_v")), "_vid", "_v", centroids)
     import spark.implicits._
-    Seq(Tuple1(ladder)).toDF("ladder").repartition(1)
+    Seq(Tuple1(ladder)).toDF("ladder").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/meta")
     ladder
   }

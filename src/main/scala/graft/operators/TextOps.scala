@@ -185,6 +185,9 @@ object TextOps {
       graft.sources.Writers.writeBucketed(idxDocs, "_id", 8, docsT, s"$base/docs")
       graft.sources.Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 8,
         bandT, s"$base/banded")
+      // both tables written — release the pinned hash frame
+      // (minhashIndexTables retention contract)
+      graft.api.Checkpoints.free(idxDocs)
       mhProbeIndexes.put(d, (docsT, bandT))
       (docsT, bandT)
     }
@@ -925,6 +928,10 @@ object TextOps {
         "graft_mhp_docs", s"$base/docs")
       graft.sources.Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 8,
         "graft_mhp_banded", s"$base/banded")
+      // both index tables are on disk — release the pinned hash frame
+      // (minhashIndexTables retention contract); the probe below reads
+      // the catalog tables, never these in-memory frames
+      graft.api.Checkpoints.free(idxDocs)
       Dedup.minhashProbePreparedIndex(docs.filter(isNew),
           s.table("graft_mhp_docs"), s.table("graft_mhp_banded"),
           "doc_id", "text", 0.8)

@@ -255,7 +255,7 @@ object Artifacts {
       (v, dim) <- c.zipWithIndex
     } yield (cell, dim, v)
     rows.toSeq.toDF("cell", "dim", "value")
-      .repartition(1) // a codebook is KBs; one file reads in one task
+      .coalesce(1) // a codebook is KBs; one file reads in one task (coalesce: driver-local rows, no shuffle)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -286,7 +286,7 @@ object Artifacts {
     import spark.implicits._
     weights.zipWithIndex.map { case (w, i) => (i, w) }.toSeq
       .toDF("i", "value")
-      .repartition(1)
+      .coalesce(1)
       .write.mode("overwrite").parquet(path)
   }
 
