@@ -173,12 +173,19 @@ object TextAnalysis {
     * (idCol, n_bigrams, avg_logprob — unrounded, same emission
     * contract as [[unigramLogProb]]). */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("_id"),
-      posexplode(split(col(textCol), " ")).as(Seq("_pos", "_w")))
-    val w = Window.partitionBy(col("_id")).orderBy(col("_pos"))
-    val big = tok.withColumn("_w1", lag(col("_w"), 1).over(w))
-      .filter(col("_w1").isNotNull)
-      .select(col("_id"), col("_w1"), col("_w").as("_w2"))
+    val toks = df.select(col(idCol).as("_id"),
+      split(col(textCol), " ").as("_t"))
+    val tok = toks.select(col("_id"), explode(col("_t")).as("_w"))
+    // adjacent bigrams ROWWISE off the token array (r21) — the former
+    // posexplode + per-doc lag window paid a doc-keyed exchange + sort
+    // just to pair each token with its successor; the array transform
+    // emits the identical (w_i, w_{i+1}) pairs map-side (the
+    // cooccurrencePmi shape at window = 1)
+    val big = toks.select(col("_id"), explode(expr(
+        "filter(transform(_t, (t, i) -> struct(t AS _w1, " +
+          "try_element_at(_t, i + 2) AS _w2)), p -> p._w2 IS NOT NULL)"))
+        .as("_p"))
+      .select(col("_id"), col("_p._w1").as("_w1"), col("_p._w2").as("_w2"))
     val bc = big.groupBy("_w1", "_w2").agg(count(lit(1)).as("_cb"))
     val uc = tok.groupBy(col("_w").as("_w1")).agg(count(lit(1)).as("_cu"))
     val v = tok.agg(countDistinct(col("_w")).as("_vsz"))

@@ -29,6 +29,11 @@ object Graphs {
     * The threshold rides a 1-row aggregate broadcast (scalar BNLJ) —
     * the one shape where a broadcast nested loop is the right plan. */
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    // NOTE (r21): spreading the lineitem side across cores (Fanout)
+    // before the broadcast-join chain was tried and benched at +0.4-0.6 s
+    // per graph key — the repartition's shuffle+sort of 600k rows costs
+    // more than the single-partition probe work it parallelizes. Left
+    // on the straight scan deliberately.
     val all = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
