@@ -38,7 +38,26 @@ private[graft] object Fanout {
     *  2. a narrow input already at or above the target partition count
     *     is returned unchanged — on cluster-scale inputs the
     *     repartition would be a gratuitous extra shuffle. */
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame =
+    spread(df)(_.repartition(_))
+
+  /** Keyed variant: spread by HASH repartitioning on `keys` instead of
+    * round-robin. Two structural wins over apply() for explode-heavy
+    * text pipelines (guide §2.4 share-one-exchange):
+    *  1. a hash exchange skips the local sort every keyless
+    *     repartition pays (`spark.sql.execution.sortBeforeRepartition`,
+    *     the task-retry determinism guard — hash placement is already
+    *     deterministic, so no sort is needed);
+    *  2. a downstream aggregate/window whose grouping is a SUPERSET of
+    *     `keys` (e.g. groupBy(id, token) after byKey(id)) is already
+    *     clustered and plans NO second exchange.
+    * Same narrow-plan + already-parallel gates as apply(): no-op at
+    * cluster scale and on anything that owns an exchange. */
+  def byKey(df: DataFrame, keys: Column*): DataFrame =
+    spread(df)(_.repartition(_, keys: _*))
+
+  private def spread(df: DataFrame)(
+      repart: (DataFrame, Int) => DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     val narrow = df.queryExecution.optimizedPlan.collect {
       case p if !(p.isInstanceOf[LeafNode] || p.isInstanceOf[Project] ||
@@ -47,7 +66,7 @@ private[graft] object Fanout {
     }.isEmpty
     if (!narrow) return df
     val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.rdd.getNumPartitions >= target) df else repart(df, target)
   }
 }
 /** Lifecycle and POSTURE for the eager checkpoints some constructors pin.

@@ -64,6 +64,10 @@ private[api] object GraphLocal {
     val e = rows.map(r => (r.getLong(0), r.getLong(1)))
     val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
     val n = nodes.length.toLong
+    // SAME empty-input contract as the distributed loop, which also
+    // requires a non-empty edge set (GraphOps.pagerankMass checks
+    // n > 0 after the node fold) — identical message, identical
+    // exception type, pinned by GraphLocalParitySpec (r22)
     require(n > 0, "pagerank needs a non-empty edge set")
     val outdeg = e.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
     val teleport = (massScale * (100L - dampPct) / 100L) / n

@@ -256,7 +256,12 @@ object GraphOps {
       col(weightCol).cast("long")))
     if (local.isDefined)
       return GraphLocal.degreeStats(edges.sparkSession, local.get)
-    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"),
+    // node ids cast to long HERE TOO (r22): the output schema must not
+    // depend on which side of spark.graft.graph.localEdgeThreshold the
+    // graph lands — both postures emit long node ids (numeric ids are
+    // the contract; every kernel in this file already casts)
+    val e = edges.select(col(srcCol).cast("long").as("_src"),
+      col(dstCol).cast("long").as("_dst"),
       col(weightCol).cast("long").as("_w"))
     val out = e.groupBy(col("_src").as("node"))
       .agg(count(lit(1)).as("out_deg"), sum(col("_w")).as("out_w"))
@@ -654,10 +659,20 @@ object GraphOps {
     * off it), labels broadcast (bounded), state ∝ communities. */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, labels: DataFrame, nodeCol: String = "node",
-      lblCol: String = "lbl"): DataFrame =
-    modularityOnSym(
-      Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol)),
-      labels, nodeCol, lblCol)
+      lblCol: String = "lbl"): DataFrame = {
+    val sym = Checkpoints.pin(symmetricWeights(edges, srcCol, dstCol, wCol))
+    val out =
+      try modularityOnSym(sym, labels, nodeCol, lblCol)
+      catch { case e: Throwable => Checkpoints.free(sym); throw e }
+    // a fast-path result is a LocalRelation that no longer references
+    // the sym pin, so the caller's free(result) would be a no-op — free
+    // the pin HERE, deterministically (r22, ADVICE r21); the distributed
+    // result keeps the pin in-plan and the documented caller free holds
+    val carriesPin = out.queryExecution.analyzed.collectFirst {
+      case _: org.apache.spark.sql.execution.LogicalRDD => () }.isDefined
+    if (!carriesPin) Checkpoints.free(sym)
+    out
+  }
 
   /** [[modularity]] over an already-pinned symmetric adjacency. The
     * sym pin stays inside the RESULT's plan (the result is not itself
@@ -673,9 +688,16 @@ object GraphOps {
     val localSym = GraphLocal.collectBounded(sym)
     if (localSym.isDefined) {
       val localLab = GraphLocal.collectBounded(lab)
-      if (localLab.isDefined)
-        return GraphLocal.modularity(sym.sparkSession, localSym.get,
-          localLab.get.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      if (localLab.isDefined) {
+        val pairs = localLab.get.map(r => r.getLong(0) -> r.getLong(1))
+        // one-row-per-node is the label contract; a duplicated node
+        // would silently last-win in the map where the distributed
+        // inner joins double-count — fall through to the loop so both
+        // postures keep ONE semantics on such input (r22, ADVICE r21)
+        if (pairs.map(_._1).distinct.length == pairs.length)
+          return GraphLocal.modularity(sym.sparkSession, localSym.get,
+            pairs.toMap)
+      }
     }
     val tot = sym.agg(sum(col("w")).as("_W"))
     val aC = sym.groupBy("u").agg(sum(col("w")).as("_k"))

@@ -455,26 +455,61 @@ object Similarity {
   def probeRecallLadder(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], k: Int = 5,
       nSamples: Int = LadderSamples): Array[Double] = {
+    val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
+    probeRecallLadderAssigned(fanout(df)
+        .select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+        .withColumn("_cell", cellOf(col("_v"))),
+      centroids, k, nSamples)
+  }
+
+  /** [[probeRecallLadder]] over a PRE-ASSIGNED (_vid, _v, _cell) frame —
+    * the shared-work form (r22): [[saveIvfIndex]] already computes the
+    * corpus cell assignment for the index write, and
+    * [[refreshIvfMeta]]'s on-disk cells carry theirs in the layout, so
+    * neither needs the calibration to re-run the assignment pass the
+    * standalone entry pays. Same qids (hash-ordered bounded sample),
+    * same all-cells truth join, same hit fold — the ladder is
+    * value-identical to the standalone form; the truth collect also
+    * carries the query/neighbor vectors, so the separate vector-fetch
+    * job the old form paid is gone. */
+  private def probeRecallLadderAssigned(assigned: DataFrame,
+      centroids: Array[Array[Float]], k: Int = 5,
+      nSamples: Int = LadderSamples): Array[Double] = {
     val nCells = centroids.length
     // deterministic uniform sample: smallest md5(id) (the
     // data_sample_hash posture), a bounded TakeOrdered
-    val qids = df.select(col(idCol).cast("long").as("_qid"))
+    val qids = assigned.select(col("_vid").cast("long").as("_qid"))
       .orderBy(md5(col("_qid").cast("string")), col("_qid"))
       .limit(nSamples).collect().map(_.getLong(0))
-    val qidSet = qids.toSet
-    val truth = ivfKnn(df, idCol, vecCol, col(idCol).isin(qids: _*), k,
-        centroids, nprobe = nCells)
-      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val needIds = (truth.map(_._2).toSet ++ qidSet).toSeq
-    val vecOf = df.filter(col(idCol).isin(needIds: _*))
-      .select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val rankingOf = qids.map(q =>
-      q -> Kernels.nearestCells(vecOf(q), centroids, nCells)).toMap
+    // truth: the ivfKnn join at nprobe = nCells (probe ALL cells) over
+    // the pre-assigned frame — no second corpus assignment pass
+    val probesOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, nCells))
+    val q = assigned.filter(col("_vid").isin(qids: _*))
+      .select(col("_vid").as("qid"), col("_v").as("_qe"))
+      .withColumn("_probe", explode(probesOf(col("_qe"))))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+    val sim = cos(assigned)(col("_qe"), col("_ce"))
+    val rows = assigned
+      .select(col("_vid").as("cid"), col("_v").as("_ce"), col("_cell"))
+      .join(broadcast(q), col("_cell") === col("_probe") && col("qid") =!= col("cid"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid").cast("long"), col("cid").cast("long"),
+        col("_qe"), col("_ce"))
+      .collect()
+    val truth = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val vecOf = collection.mutable.Map.empty[Long, Seq[Float]]
+    rows.foreach { r =>
+      vecOf(r.getLong(0)) = r.getSeq[Float](2)
+      vecOf(r.getLong(1)) = r.getSeq[Float](3)
+    }
+    val rankingOf = truth.map(_._1).distinct.map(q2 =>
+      q2 -> Kernels.nearestCells(vecOf(q2), centroids, nCells)).toMap
     val hits = new Array[Long](nCells)
-    truth.foreach { case (q, n) =>
+    truth.foreach { case (q2, n) =>
       val nbrCell = Kernels.nearestCells(vecOf(n), centroids, 1).head
-      hits(rankingOf(q).indexOf(nbrCell)) += 1L
+      hits(rankingOf(q2).indexOf(nbrCell)) += 1L
     }
     val cum = hits.scanLeft(0L)(_ + _).tail
     if (truth.isEmpty) Array.fill(nCells)(1.0)
@@ -535,21 +570,29 @@ object Similarity {
     graft.sources.Artifacts.saveCodebook(df.sparkSession, centroids,
       s"$path/codebook")
     val cellOf = udf((v: Seq[Float]) => Kernels.nearestCells(v, centroids, 1).head)
-    val assigned = df.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
-      .withColumn("_cell", cellOf(col("_v")))
-    graft.sources.Writers.writePartitioned(assigned, "_cell", s"$path/cells")
-    // index manifest: the measured recall ladder rides with the index
-    // so the routed probe ([[ivfKnnFromIndexRouted]]) reads an array
-    // instead of re-calibrating against the corpus; like the codebook
-    // it is frozen at build time (drift → rebuild, monitored by
-    // embeddingDrift)
-    val spark = df.sparkSession
-    import spark.implicits._
-    // coalesce, not repartition: one driver-local row — a
-    // repartition(1) added a shuffle per index build (r21)
-    Seq(Tuple1(probeRecallLadder(df, idCol, vecCol, centroids)))
-      .toDF("ladder").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+    // the assignment pass is PINNED and shared (r22): the cells write
+    // and the ladder calibration both consume it, so the corpus pays
+    // the nearest-cell UDF once, not twice (guide §5 reuse) — the
+    // ladder values are identical either way (same deterministic
+    // assignment under the frozen codebook)
+    val assigned = Checkpoints.pin(
+      df.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+        .withColumn("_cell", cellOf(col("_v"))))
+    try {
+      graft.sources.Writers.writePartitioned(assigned, "_cell", s"$path/cells")
+      // index manifest: the measured recall ladder rides with the index
+      // so the routed probe ([[ivfKnnFromIndexRouted]]) reads an array
+      // instead of re-calibrating against the corpus; like the codebook
+      // it is frozen at build time (drift → rebuild, monitored by
+      // embeddingDrift)
+      val spark = df.sparkSession
+      import spark.implicits._
+      // coalesce, not repartition: one driver-local row — a
+      // repartition(1) added a shuffle per index build (r21)
+      Seq(Tuple1(probeRecallLadderAssigned(assigned, centroids)))
+        .toDF("ladder").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    } finally Checkpoints.free(assigned)
   }
 
   /** The build-time index manifest [[saveIvfIndex]] persists: the
@@ -571,8 +614,15 @@ object Similarity {
   def refreshIvfMeta(spark: SparkSession, indexPath: String): Array[Double] = {
     val centroids = graft.sources.Artifacts.loadCodebook(spark,
       s"$indexPath/codebook")
-    val ladder = probeRecallLadder(liveCells(spark, indexPath)
-      .select(col("_vid"), col("_v")), "_vid", "_v", centroids)
+    // the on-disk layout ALREADY carries each row's cell (it is the
+    // partition key, assigned under this same frozen codebook at
+    // build/upsert time) — calibrate off it directly instead of
+    // re-running the assignment UDF over the index (r22); bitwise the
+    // same ladder (NoOracleSpec pins refresh ≡ build on an untouched
+    // index)
+    val ladder = probeRecallLadderAssigned(liveCells(spark, indexPath)
+      .select(col("_vid"), col("_v"), col("_cell").cast("int").as("_cell")),
+      centroids)
     import spark.implicits._
     Seq(Tuple1(ladder)).toDF("ladder").coalesce(1)
       .write.mode("overwrite").parquet(s"$indexPath/meta")

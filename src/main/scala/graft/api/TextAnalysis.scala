@@ -56,6 +56,14 @@ object TextAnalysis {
   /** Per-(doc, token) raw term frequency plus doc length — the shared
     * first aggregate of tfidf / bm25. One explode + one groupBy with
     * map-side partial aggregation; shuffle ∝ distinct (doc, token). */
+  // NOTE (r22, measured): a doc-keyed Fanout.byKey spread here — hash
+  // repartition on idCol feeding the explode, with groupBy(id, token)
+  // and the per-doc window reusing the clustering — benched SLOWER on
+  // every consumer (tfidf 0.55→0.92 s, keywords 0.99→1.14, bm25
+  // 0.52→0.55, and pipeline_end_to_end regressed with it): at this
+  // corpus the explode+partial-agg work is lighter than the extra
+  // exchange + AQE replan it buys. Reverted; novelty_ngrams (heavier
+  // per-row work) is the one keyed-spread keeper.
   private def termCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
       .groupBy(col(idCol), col("token"))
@@ -228,6 +236,10 @@ object TextAnalysis {
     val pairCols = (1 to window).map { k =>
       s"filter(transform(_toks, (t, i) -> struct(t AS w1, try_element_at(_toks, i + 1 + $k) AS w2)), p -> p.w2 IS NOT NULL)"
     }.mkString("concat(", ", ", ")")
+    // NOTE (r22, measured): a keyed Fanout.byKey spread of the pair
+    // explode (hash on the token array) benched 0.94→1.40 s — the
+    // exchange costs more than the rowwise pair generation it
+    // parallelizes. Reverted.
     val pairs = df
       .select(split(col(textCol), " ").as("_toks"))
       .select(explode(expr(pairCols)).as("_p"))

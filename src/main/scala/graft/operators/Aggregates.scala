@@ -541,9 +541,18 @@ object Aggregates {
       // sum-over-orders of |frequent items in the order|^2, never the
       // raw basket square); the oracle mines WITHOUT the prefilter,
       // so the hash match also proves the pruning loses nothing
-      val b = graft.api.Checkpoints.pin(Tables.lineitem(s, d)
+      // ONE pinned frame (r22; was two — the basket distinct was pinned
+      // separately so the freq aggregate and the join input shared it,
+      // each paying a checkpoint job): inside a SINGLE plan the two
+      // `b` subtrees canonicalize identically, so Spark's
+      // ReusedExchange computes the basket distinct once anyway — the
+      // b-pin bought nothing but its own materialization job. (A
+      // per-pk window variant — one exchange fewer here — was benched
+      // and rejected: it forces a corpus-wide sort by pk where this
+      // shape keeps the frequency cut a broadcastable aggregate.)
+      val b = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct())
+        .distinct()
       val freq = b.groupBy("pk").agg(count(lit(1)).as("_c"))
         .filter(col("_c") >= 2).select("pk")
       // pinned: fb feeds BOTH sides of the pair self-join — unpinned,

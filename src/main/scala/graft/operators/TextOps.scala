@@ -182,12 +182,13 @@ object TextOps {
       val tag = base.split('_').takeRight(2).head.take(8)
       val docsT = s"graft_mhpo_docs_$tag"
       val bandT = s"graft_mhpo_banded_$tag"
-      graft.sources.Writers.writeBucketed(idxDocs, "_id", 8, docsT, s"$base/docs")
-      graft.sources.Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 8,
-        bandT, s"$base/banded")
-      // both tables written — release the pinned hash frame
-      // (minhashIndexTables retention contract)
-      graft.api.Checkpoints.free(idxDocs)
+      // try/finally: a failed second write must not strand the pinned
+      // hash frame (minhashIndexTables retention contract, r22)
+      try {
+        graft.sources.Writers.writeBucketed(idxDocs, "_id", 8, docsT, s"$base/docs")
+        graft.sources.Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 8,
+          bandT, s"$base/banded")
+      } finally graft.api.Checkpoints.free(idxDocs)
       mhProbeIndexes.put(d, (docsT, bandT))
       (docsT, bandT)
     }
@@ -639,9 +640,12 @@ object TextOps {
       // gram → first_doc lookup is a plain big-big equi-join, then two
       // bounded rollups; the share is exact integer ppm (n·1e6 div
       // total — engine-identical, no float).
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("_t"))
-        .filter(size(col("_t")) >= 3)
+      // doc-keyed spread (r22): hash repartition on doc_id parallelizes
+      // the gram explode + per-doc distinct's map side sort-free
+      val toks = graft.api.Fanout.byKey(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("_t"))
+          .filter(size(col("_t")) >= 3), col("doc_id"))
       // grams feeds the first-occurrence aggregate AND the join back —
       // pin so the explode+distinct runs once (§7.2 fan-out trap)
       val grams = graft.api.Checkpoints.pin(
@@ -924,14 +928,15 @@ object TextOps {
       val (idxDocs, idxBanded) =
         Dedup.minhashIndexTables(docs.filter(!isNew), "doc_id", "text")
       val base = graft.sources.Writers.roundTripDir("graft_mh_index", d)
-      graft.sources.Writers.writeBucketed(idxDocs, "_id", 8,
-        "graft_mhp_docs", s"$base/docs")
-      graft.sources.Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 8,
-        "graft_mhp_banded", s"$base/banded")
-      // both index tables are on disk — release the pinned hash frame
-      // (minhashIndexTables retention contract); the probe below reads
-      // the catalog tables, never these in-memory frames
-      graft.api.Checkpoints.free(idxDocs)
+      // try/finally: a failed second write must not strand the pinned
+      // hash frame (minhashIndexTables retention contract, r22); the
+      // probe below reads the catalog tables, never these frames
+      try {
+        graft.sources.Writers.writeBucketed(idxDocs, "_id", 8,
+          "graft_mhp_docs", s"$base/docs")
+        graft.sources.Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 8,
+          "graft_mhp_banded", s"$base/banded")
+      } finally graft.api.Checkpoints.free(idxDocs)
       Dedup.minhashProbePreparedIndex(docs.filter(isNew),
           s.table("graft_mhp_docs"), s.table("graft_mhp_banded"),
           "doc_id", "text", 0.8)

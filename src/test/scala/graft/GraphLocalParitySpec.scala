@@ -112,6 +112,55 @@ class GraphLocalParitySpec extends AnyFunSuite {
       GraphOps.modularity(edges, "src", "dst", "w", labels))
   }
 
+  test("degreeStats int-id graph: both postures emit long node ids (r22)") {
+    val s = spark; import s.implicits._
+    val intEdges = es.map { case (a, b, w) => (a.toInt, b.toInt, w.toInt) }
+      .toDF("src", "dst", "w")
+    assertParity("degreeStats-int")(
+      GraphOps.degreeStats(intEdges, "src", "dst", "w"))
+    // and the schema is the long one regardless of posture
+    val out = GraphOps.degreeStats(intEdges, "src", "dst", "w")
+    assert(out.schema("node").dataType ==
+      org.apache.spark.sql.types.LongType, s"schema=${out.schema}")
+  }
+
+  test("pagerank on an empty edge set: both postures refuse identically (r22)") {
+    // the distributed loop requires a non-empty edge set (teleport
+    // needs n > 0); the fast path must present the SAME contract, not
+    // silently return an empty frame where the loop throws
+    val s = spark; import s.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val eLocal = intercept[IllegalArgumentException] {
+      GraphOps.pagerankMass(none, "src", "dst", iters = 3).collect()
+    }
+    spark.conf.set(key, "0")
+    val eLoop =
+      try intercept[IllegalArgumentException] {
+        GraphOps.pagerankMass(none, "src", "dst", iters = 3).collect()
+      } finally spark.conf.unset(key)
+    assert(eLocal.getMessage == eLoop.getMessage,
+      s"empty-input contract diverged: local='${eLocal.getMessage}' loop='${eLoop.getMessage}'")
+  }
+
+  test("modularity duplicate-label input falls through to ONE semantics (r22)") {
+    val s = spark; import s.implicits._
+    // node 0 listed twice with different labels — the map fast path
+    // would last-win where the distributed joins double-count; the
+    // fast path must detect the duplicate and take the loop so both
+    // postures answer identically
+    val labels = ((0L to 22L).map(n => (n, n % 3L)) :+ (0L, 2L))
+      .toDF("node", "lbl")
+    val dflt = GraphOps.modularity(edges, "src", "dst", "w", labels)
+      .collect().sortBy(_.toString).toSeq
+    spark.conf.set(key, "0")
+    val loop =
+      try GraphOps.modularity(edges, "src", "dst", "w", labels)
+        .collect().sortBy(_.toString).toSeq
+      finally spark.conf.unset(key)
+    assert(dflt == loop,
+      s"duplicate-label semantics diverged\ndefault=$dflt\nloop=$loop")
+  }
+
   test("bfsDistances loop dedups duplicate sources (r20 ADVICE regression)") {
     val s = spark; import s.implicits._
     spark.conf.set(key, "0")

@@ -1223,6 +1223,42 @@ class OperatorSemanticsSpec extends AnyFunSuite {
       (2L, "X", base, None, 1L)), got.toString)
   }
 
+  test("char explode: split(text,'') == per-index substr beyond the BMP (r22)") {
+    // text_char_entropy's r21 rewrite swapped the O(len²) per-index
+    // substr(text,i,1) transform for one split(text,'') pass. The two
+    // are trivially equal on BMP text; this pins the SUPPLEMENTARY
+    // plane too (emoji, CJK-B — a multilingual corpus has them): the
+    // regex split must not cut surrogate pairs, length() must count
+    // code points, and the per-(doc,char) cells must match exactly.
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "a😀b😀"),            // a😀b😀 (U+1F600 ×2)
+      (2L, "😀😁😀"),  // 😀😁😀 all-supplementary
+      (3L, "中𪘥中 plain"),        // BMP CJK + CJK-ext-B U+2A6A5
+      (4L, "mixed 🎉 txt")                 // 🎉 mid-ASCII
+    ).toDF("doc_id", "text")
+    val viaSplit = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("_len"),
+        explode(split(col("text"), "")).as("_ch"))
+      .groupBy("doc_id", "_len", "_ch").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.toString).toSeq
+    val viaSubstr = docs
+      .select(col("doc_id"), length(col("text")).cast("long").as("_len"),
+        explode(expr("transform(sequence(1, length(text)), i -> substr(text, i, 1))")).as("_ch"))
+      .groupBy("doc_id", "_len", "_ch").agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.toString).toSeq
+    assert(viaSplit == viaSubstr,
+      s"split('') diverged from per-index substr on non-BMP text\nsplit=$viaSplit\nsubstr=$viaSubstr")
+    // and every emitted char is a WHOLE code point (no lone surrogates)
+    viaSplit.foreach { case (_, _, ch, _) =>
+      assert(!(ch.length == 1 && Character.isSurrogate(ch.charAt(0))),
+        s"lone surrogate leaked from split: ${ch.codePoints.toArray.toSeq}")
+    }
+  }
+
   test("kmeansAssignUdf: matches a local argmin recompute on fixture vectors") {
     val e = Tables.embeddings(spark, sf).limit(50)
     val cents = graft.ml.MlOps.kmCents

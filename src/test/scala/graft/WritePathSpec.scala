@@ -544,6 +544,9 @@ class WritePathSpec extends AnyFunSuite {
       graft.api.Dedup.minhashIndexTables(docs.filter(!isNew), "doc_id", "text")
     Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 4, "t_mh_banded", s"$base/banded")
     Writers.writeBucketed(idxDocs, "_id", 4, "t_mh_docs", s"$base/docs")
+    // both tables written — release the pin so the suite's executor
+    // storage stays bounded (retention contract, r22)
+    graft.api.Checkpoints.free(idxDocs)
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -645,6 +648,8 @@ class WritePathSpec extends AnyFunSuite {
       docs.filter(!isNew), "doc_id", "text")
     Writers.writeBucketed(idxBanded, Seq("_band", "_bh"), 4, "t_mhk_banded", s"$base/banded")
     Writers.writeBucketed(idxDocs, "_id", 4, "t_mhk_docs", s"$base/docs")
+    // both tables written — release the pin (retention contract, r22)
+    graft.api.Checkpoints.free(idxDocs)
     try {
       val fromDisk = graft.api.Dedup.minhashProbePreparedIndex(
           docs.filter(isNew), spark.table("t_mhk_docs"), spark.table("t_mhk_banded"),
